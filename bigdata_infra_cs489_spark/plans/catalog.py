@@ -1,0 +1,120 @@
+"""Central registration of every (query, oracle) pair.
+
+Kept in one file so SURVEY.md §2 coverage is auditable at a glance; the
+callables live in the operator modules.
+"""
+
+from __future__ import annotations
+
+from ..operators import relational as R
+from .registry import register
+
+# --- assignment5 relational core (SURVEY §2.2-2.7, reference Q1..Q7) -------
+
+register(
+    "q1_count_shipped",
+    lambda spark, sf: R.q1(spark, sf),
+    f"""
+    SELECT count(*) AS count_shipped
+    FROM lineitem
+    WHERE strftime(l_shipdate, '%Y-%m-%d') LIKE '{R.Q1_DATE}%'
+    """,
+)
+
+register(
+    "q2_orders_semijoin_topk",
+    lambda spark, sf: R.q2(spark, sf),
+    f"""
+    SELECT o_orderpriority, o_orderkey
+    FROM orders
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        WHERE strftime(l_shipdate, '%Y-%m-%d') LIKE '{R.Q2_DATE}%')
+    ORDER BY o_orderkey
+    LIMIT 20
+    """,
+)
+
+register(
+    "q3_lineitem_part_supplier",
+    lambda spark, sf: R.q3(spark, sf),
+    f"""
+    SELECT l_orderkey, p_name, s_name
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE strftime(l_shipdate, '%Y-%m-%d') LIKE '{R.Q3_DATE}%'
+    ORDER BY l_orderkey, p_name, s_name
+    LIMIT 20
+    """,
+)
+
+register(
+    "q4_shipments_by_nation",
+    lambda spark, sf: R.q4(spark, sf),
+    f"""
+    SELECT n_nationkey, n_name, count(*) AS count_shipped
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE strftime(l_shipdate, '%Y-%m-%d') LIKE '{R.Q4_DATE}%'
+    GROUP BY n_nationkey, n_name
+    ORDER BY n_nationkey
+    """,
+)
+
+register(
+    "q5_monthly_shipments_two_nations",
+    lambda spark, sf: R.q5(spark, sf),
+    f"""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, n_name,
+           count(*) AS count_shipped
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_nationkey IN ({R.IN_NATIONS[0]}, {R.IN_NATIONS[1]})
+    GROUP BY ship_month, n_name
+    ORDER BY ship_month, n_name
+    """,
+)
+
+register(
+    "q6_pricing_summary",
+    lambda spark, sf: R.q6(spark, sf),
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE strftime(l_shipdate, '%Y-%m-%d') LIKE '{R.Q6_DATE}%'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+register(
+    "q7_top_revenue_orders",
+    lambda spark, sf: R.q7(spark, sf),
+    f"""
+    SELECT c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_shipdate > TIMESTAMP '{R.Q7_DATE} 00:00:00'
+      AND o_orderdate < TIMESTAMP '{R.Q7_DATE} 00:00:00'
+    GROUP BY c_name, o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)

@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+Single place where engine-wide execution knobs live. The settings are chosen
+for correctness at any scale and tuned for the local[32] / 128 GiB test box;
+on a real cluster only `shuffle.partitions` (handled by AQE coalescing) and
+memory sizing change.
+
+Scale rationale (100 TB target):
+- AQE on: runtime re-planning converts sort-merge joins to broadcast when the
+  built side turns out small, coalesces tiny post-shuffle partitions, and
+  splits skewed ones (skew-join). This replaces every hand-rolled partitioning
+  trick in the reference (custom partitioners, combiner tuning, split-size
+  knobs — SURVEY.md §4).
+- shuffle.partitions is a ceiling; AQE coalesces down. At cluster scale you
+  raise the ceiling (e.g. 2000) and AQE still right-sizes each exchange.
+- Arrow enabled: every pandas_udf / applyInPandas boundary (SGD fold,
+  multimodal decode) moves columnar batches, not pickled rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "bigdata-infra-cs489-spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``) when
+    no cluster master is configured; on a real deployment the caller's
+    spark-submit master wins because an active session is reused as-is.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,50 @@
+"""Parquet table registry over the driver fixtures.
+
+The reference has no catalog: every job re-parses pipe-delimited text with
+hard-coded column positions (SURVEY.md §1.2, e.g. reference Q1.scala:32
+``split("\\|",12)(10)`` for l_shipdate). Here every table is a Parquet scan
+with the schema carried by the file footer — Catalyst gets column pruning and
+predicate pushdown into the scan for free, which is the single biggest win at
+100 TB (a scan that only decodes 2 of 11 lineitem columns).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings (TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame (lazy parquet scan)."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql() use."""
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

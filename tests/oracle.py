@@ -1,0 +1,71 @@
+"""DuckDB-oracle comparison helper mirroring the driver's t2 check:
+row count + column names + order-insensitive value comparison."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse fp noise below the rounding we already apply in queries
+        return round(v, 6)
+    return v
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(repr(_canon_cell(row[i])) for i in order) for row in rows
+    )
+
+
+def assert_matches_oracle(spark_df, oracle: str, sf_dir: str) -> None:
+    """Assert the Spark result equals the DuckDB oracle result as a
+    column-name-keyed, order-insensitive multiset."""
+    spark_cols = spark_df.columns
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+
+    con = duck_connection(sf_dir)
+    try:
+        res = con.execute(oracle)
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = [tuple(r) for r in res.fetchall()]
+    finally:
+        con.close()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    s, d = _canon(spark_rows, spark_cols), _canon(duck_rows, duck_cols)
+    mism = [(a, b) for a, b in zip(s, d) if a != b]
+    assert not mism, f"value mismatch ({len(mism)} rows), first: {mism[:3]}"
