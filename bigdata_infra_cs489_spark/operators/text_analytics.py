@@ -1,0 +1,180 @@
+"""Text analytics: word count, prefix count, bigram relative frequency, PMI.
+
+Reference (all under /root/reference/src/main/):
+- word count:  java/.../assignment0/WordCount.java:42-53 (tokenize + sum by key)
+- prefix count: java/.../assignment0/PrefixCount.java:43-57 (2-char prefix)
+- bigram rel. freq: scala/.../assignment2/ComputeBigramRelativeFrequencyPairs.scala:55-95
+  (pairs + '*'-marginal + secondary sort) and ...Stripes.scala (same result via maps)
+- PMI: java/.../assignment1/PairsPMI.java:48-74 (per-line distinct, 100-token cap,
+  >=10 threshold) + CooccurrencePairs.java:57-67,120-135 (pair counts, PMI formula)
+
+Spark-first translation notes:
+- The reference's secondary-sort marginal trick (emit (w,'*') rows, custom
+  partitioner, stateful partition scan) collapses to a window aggregate:
+  ``sum(cnt) over (partition by left)``. One shuffle on the bigram key, no
+  custom partitioner, no row-order dependence — identical math.
+- The PMI two-job pipeline with a DistributedCache side file collapses to a
+  broadcast join of the (small, vocabulary-sized) word-line-count aggregate
+  against the pair counts. The driver never materializes data-sized state.
+- Per-line pair generation explodes the (distinct, capped) token array twice
+  *without* an intermediate shuffle: the second explode runs on the row that
+  still carries the array. The only shuffles are the final groupBys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+from ..sources.tables import load
+
+MIN_COUNT = 10  # reference threshold (PairsPMI.java:107, CooccurrencePairs.java:126)
+PMI_TOKEN_CAP = 100  # PairsPMI.java:56 (first 100 non-empty cleaned tokens)
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text plays the reference's one-line-per-document corpus."""
+    return load(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token -> total occurrences (WordCount.java:42-53, reducer :94-105).
+
+    Map-side partial aggregation (the reference's combiner / in-mapper
+    combining, MyMapperIMC :56-87) is automatic in Tungsten hash aggregate.
+    """
+    return (
+        _corpus(spark, sf_dir)
+        .select(F.explode(tokenize("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def prefix_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-2-chars prefix -> count (PrefixCount.java:43-57)."""
+    return (
+        _corpus(spark, sf_dir)
+        .select(F.explode(tokenize("text")).alias("word"))
+        .select(F.substring("word", 1, 2).alias("prefix"))
+        .groupBy("prefix")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def bigram_relative_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(left, right) -> count(left,right)/count(left,*), plus the '*'
+    marginal rows the reference emits (raw marginal count in rel_freq).
+
+    Reference ...Pairs.scala:55-95 generates sliding-window bigrams plus
+    explicit (left,'*') marginal rows, then relies on a left-hash partitioner
+    + in-partition sort so each marginal precedes its group. Here the
+    marginal is a window sum over the aggregated bigram counts — one
+    groupBy shuffle + one window (same key, AQE reuses the partitioning).
+    """
+    toks = _corpus(spark, sf_dir).select(tokenize("text").alias("toks"))
+    bigrams = (
+        toks.where(F.size("toks") > 1)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, F.size("toks") - 1).alias("left"),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1).alias("right"),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.left").alias("left"), F.col("bg.right").alias("right"))
+    )
+    counts = bigrams.groupBy("left", "right").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("left")
+    pairs = counts.withColumn("marginal", F.sum("cnt").over(w)).select(
+        F.col("left").alias("left_token"),
+        F.col("right").alias("right_token"),
+        F.round(F.col("cnt") / F.col("marginal"), 6).alias("rel_freq"),
+    )
+    marginals = (
+        counts.groupBy("left")
+        .agg(F.sum("cnt").alias("marginal"))
+        .select(
+            F.col("left").alias("left_token"),
+            F.lit("*").alias("right_token"),
+            F.round(F.col("marginal").cast("double"), 6).alias("rel_freq"),
+        )
+    )
+    return pairs.unionAll(marginals)
+
+
+def _pmi_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-line distinct tokens after the 100-token cap (PairsPMI.java:53-66)."""
+    return (
+        _corpus(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.array_distinct(F.slice(tokenize("text"), 1, PMI_TOKEN_CAP)).alias("toks"),
+        )
+        .where(F.size("toks") > 0)
+    )
+
+
+def pmi_word_line_counts(
+    spark: SparkSession, sf_dir: str, min_count: int = MIN_COUNT
+) -> DataFrame:
+    """Word -> number of lines containing it, HAVING >= threshold
+    (PairsPMI job 1, reducer :97-113)."""
+    return (
+        _pmi_tokens(spark, sf_dir)
+        .select(F.explode("toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("line_count"))
+        .where(F.col("line_count") >= min_count)
+    )
+
+
+def pmi_pairs(
+    spark: SparkSession, sf_dir: str, min_count: int = MIN_COUNT
+) -> DataFrame:
+    """Ordered co-occurring word pairs with PMI (CooccurrencePairs.java:57-67
+    mapper, :120-135 reducer).
+
+    pmi(x,y) = log10( (c(x,y) / (c(x)*c(y))) * N ), pairs with c >= 10,
+    where c(w) counts lines containing w and N counts non-empty lines.
+    Both orders are emitted, exactly like the reference mapper.
+
+    Scale: pair counts shuffle once on (left,right); the word-count side is
+    vocabulary-sized, so both lookup joins broadcast. N is a 1-row aggregate
+    collected to the driver (a scalar, never data-sized).
+    """
+    toks = _pmi_tokens(spark, sf_dir).cache()
+    n_lines = toks.count()
+
+    exploded_a = toks.select("doc_id", "toks", F.explode("toks").alias("left"))
+    pairs = exploded_a.select(
+        "left", F.explode("toks").alias("right")
+    ).where(F.col("left") != F.col("right"))
+    pair_counts = (
+        pairs.groupBy("left", "right")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= min_count)
+    )
+
+    wc = pmi_word_line_counts(spark, sf_dir, min_count=min_count)
+    left_wc = wc.select(F.col("word").alias("left"), F.col("line_count").alias("px"))
+    right_wc = wc.select(F.col("word").alias("right"), F.col("line_count").alias("py"))
+
+    return (
+        pair_counts.join(F.broadcast(left_wc), "left")
+        .join(F.broadcast(right_wc), "right")
+        .select(
+            F.col("left").alias("left_token"),
+            F.col("right").alias("right_token"),
+            F.round(
+                F.log10(
+                    F.col("pair_count") / (F.col("px") * F.col("py")) * F.lit(n_lines)
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

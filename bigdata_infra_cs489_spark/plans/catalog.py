@@ -7,7 +7,15 @@ callables live in the operator modules.
 from __future__ import annotations
 
 from ..operators import relational as R
+from ..operators import text_analytics as T
 from .registry import register
+
+# DuckDB twin of the reference tokenizer (functions/text.py tokenize()):
+# whitespace split -> lowercase -> strip leading/trailing non-[a-z] -> drop empties.
+DUCK_TOKS = (
+    "list_filter(list_transform(string_split_regex(lower(text), '\\s+'), "
+    "t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$)', '', 'g')), t -> len(t) > 0)"
+)
 
 # --- assignment5 relational core (SURVEY §2.2-2.7, reference Q1..Q7) -------
 
@@ -116,5 +124,91 @@ register(
     GROUP BY c_name, o_orderkey, o_orderdate, o_orderpriority
     ORDER BY revenue DESC, o_orderkey
     LIMIT 10
+    """,
+)
+
+# --- text analytics (SURVEY §2.4/§2.8, assignments 0-2) ---------------------
+
+register(
+    "wordcount",
+    lambda spark, sf: T.word_count(spark, sf),
+    f"""
+    WITH toks AS (SELECT {DUCK_TOKS} AS toks FROM documents)
+    SELECT word, count(*) AS "count"
+    FROM (SELECT unnest(toks) AS word FROM toks)
+    GROUP BY word
+    """,
+)
+
+register(
+    "prefix_count",
+    lambda spark, sf: T.prefix_count(spark, sf),
+    f"""
+    WITH toks AS (SELECT {DUCK_TOKS} AS toks FROM documents)
+    SELECT substr(word, 1, 2) AS prefix, count(*) AS "count"
+    FROM (SELECT unnest(toks) AS word FROM toks)
+    GROUP BY prefix
+    """,
+)
+
+register(
+    "bigram_rel_freq",
+    lambda spark, sf: T.bigram_relative_frequency(spark, sf),
+    f"""
+    WITH toks AS (SELECT {DUCK_TOKS} AS toks FROM documents),
+    bg AS (
+        SELECT unnest(toks[1:len(toks)-1]) AS lt, unnest(toks[2:len(toks)]) AS rt
+        FROM toks WHERE len(toks) > 1
+    ),
+    counts AS (SELECT lt, rt, count(*) AS cnt FROM bg GROUP BY lt, rt)
+    SELECT lt AS left_token, rt AS right_token,
+           round(cnt / sum(cnt) OVER (PARTITION BY lt), 6) AS rel_freq
+    FROM counts
+    UNION ALL
+    SELECT lt, '*', round(CAST(sum(cnt) AS DOUBLE), 6)
+    FROM counts GROUP BY lt
+    """,
+)
+
+register(
+    "pmi_word_line_counts",
+    lambda spark, sf: T.pmi_word_line_counts(spark, sf),
+    f"""
+    WITH toks AS (
+        SELECT doc_id, list_distinct(({DUCK_TOKS})[1:{T.PMI_TOKEN_CAP}]) AS toks
+        FROM documents
+    )
+    SELECT word, count(*) AS line_count
+    FROM (SELECT unnest(toks) AS word FROM toks WHERE len(toks) > 0)
+    GROUP BY word
+    HAVING count(*) >= {T.MIN_COUNT}
+    """,
+)
+
+register(
+    "pmi_pairs",
+    lambda spark, sf: T.pmi_pairs(spark, sf),
+    f"""
+    WITH toks AS (
+        SELECT doc_id, list_distinct(({DUCK_TOKS})[1:{T.PMI_TOKEN_CAP}]) AS toks
+        FROM documents
+    ),
+    lines AS (SELECT * FROM toks WHERE len(toks) > 0),
+    n AS (SELECT count(*) AS n FROM lines),
+    words AS (SELECT doc_id, unnest(toks) AS word FROM lines),
+    wc AS (SELECT word, count(*) AS c FROM words GROUP BY word
+           HAVING count(*) >= {T.MIN_COUNT}),
+    pairs AS (
+        SELECT a.word AS lt, b.word AS rt, count(*) AS pc
+        FROM words a JOIN words b USING (doc_id)
+        WHERE a.word <> b.word
+        GROUP BY lt, rt
+        HAVING count(*) >= {T.MIN_COUNT}
+    )
+    SELECT lt AS left_token, rt AS right_token,
+           round(log10(pc / (wx.c * wy.c) * (SELECT n FROM n)), 6) AS pmi
+    FROM pairs
+    JOIN wc wx ON wx.word = lt
+    JOIN wc wy ON wy.word = rt
     """,
 )

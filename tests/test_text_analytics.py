@@ -1,0 +1,39 @@
+"""Text analytics vs DuckDB oracle at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from .oracle import assert_matches_oracle
+
+TEXT = [
+    "wordcount",
+    "prefix_count",
+    "bigram_rel_freq",
+    "pmi_word_line_counts",
+    "pmi_pairs",
+]
+
+
+@pytest.mark.parametrize("name", TEXT)
+def test_matches_oracle(spark, sf_correct, name):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    assert_matches_oracle(q(spark, sf_correct), sql, sf_correct)
+
+
+def test_tokenizer_semantics(spark):
+    """Pin the reference tokenizer edge cases (util/Tokenizer.scala:8-12)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_infra_cs489_spark.functions.text import tokenize
+
+    df = spark.createDataFrame(
+        [("Hello, WORLD!  42abc42 --- don't a1b",)], ["text"]
+    ).select(tokenize("text").alias("t"))
+    [row] = df.collect()
+    # "42abc42" strips digits both ends -> "abc"; "---" strips to empty (drop);
+    # "don't" keeps inner apostrophe; "a1b" has [a-z] at both ends -> kept whole.
+    assert row.t == ["hello", "world", "abc", "don't", "a1b"]
