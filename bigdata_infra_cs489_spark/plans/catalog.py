@@ -212,3 +212,50 @@ register(
     JOIN wc wy ON wy.word = rt
     """,
 )
+
+# --- inverted index + boolean retrieval (SURVEY §2.9 M10-M12, assignment3/7) -
+
+from ..operators import index as I  # noqa: E402
+
+register(
+    "inverted_index_postings",
+    lambda spark, sf: I.postings(spark, sf),
+    f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents)
+    SELECT term, doc_id, count(*) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+    GROUP BY term, doc_id
+    """,
+)
+
+register(
+    "inverted_index_df",
+    lambda spark, sf: I.postings_df(spark, sf),
+    f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    p AS (
+        SELECT term, doc_id FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+        GROUP BY term, doc_id
+    )
+    SELECT term, count(*) AS df FROM p GROUP BY term
+    """,
+)
+
+BOOLEAN_QUERY = "fast table AND slow OR"  # postfix: (fast ∩ table) ∪ slow
+
+register(
+    "boolean_retrieval",
+    lambda spark, sf: I.boolean_retrieval(spark, sf, BOOLEAN_QUERY),
+    f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    dt AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM toks),
+    hits AS (
+        (SELECT doc_id FROM dt WHERE term = 'fast'
+         INTERSECT
+         SELECT doc_id FROM dt WHERE term = 'table')
+        UNION
+        SELECT doc_id FROM dt WHERE term = 'slow'
+    )
+    SELECT h.doc_id, d.text FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+    """,
+)

@@ -1,0 +1,61 @@
+"""Inverted index + boolean retrieval vs oracle, plus the bucketed
+point-lookup path."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from .oracle import assert_matches_oracle
+
+INDEX = ["inverted_index_postings", "inverted_index_df", "boolean_retrieval"]
+
+
+@pytest.mark.parametrize("name", INDEX)
+def test_matches_oracle(spark, sf_correct, name):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    assert_matches_oracle(q(spark, sf_correct), sql, sf_correct)
+
+
+def test_postings_arrays_sorted(spark, sf_smoke):
+    from bigdata_infra_cs489_spark.operators.index import postings_arrays
+
+    rows = postings_arrays(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        ids = [p.doc_id for p in r.postings]
+        assert ids == sorted(ids)
+        assert r.df == len(ids)
+
+
+def test_bucketed_lookup_roundtrip(spark, sf_smoke):
+    from bigdata_infra_cs489_spark.operators.index import (
+        lookup_term,
+        postings,
+        write_bucketed_index,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/idx"
+        write_bucketed_index(postings(spark, sf_smoke), path, n_buckets=8)
+        got = lookup_term(spark, path, "fast", n_buckets=8)
+        expect = postings(spark, sf_smoke).where("term = 'fast'")
+        assert sorted((r.doc_id, r.tf) for r in got.collect()) == sorted(
+            (r.doc_id, r.tf) for r in expect.collect()
+        )
+        # pruning: the scan should touch at most 1 bucket directory
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+
+
+def test_boolean_retrieval_malformed(spark, sf_smoke):
+    from bigdata_infra_cs489_spark.operators.index import boolean_retrieval
+
+    with pytest.raises(ValueError):
+        boolean_retrieval(spark, sf_smoke, "AND")
+    with pytest.raises(ValueError):
+        boolean_retrieval(spark, sf_smoke, "fast table")
