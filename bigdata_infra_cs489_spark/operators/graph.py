@@ -1,0 +1,186 @@
+"""Multi-source personalized PageRank (assignment4), DataFrame-iterative.
+
+Reference (java/.../assignment4/):
+- BuildPersonalizedPageRankRecords.java:79-119 — adjacency text -> node
+  records, initial mass 1.0 at each source for its own vector slot.
+- RunPersonalizedPageRankBasic.java:77-119 (phase-1 map: each node sends
+  mass/outdeg to every neighbor), :208-271 (reduce: sum messages), :300-356
+  (phase-2 map: missing-mass + personalized jump go ONLY to the source),
+  :442-468 (driver loop; missing[i] = 1 - sum(mass[i]), clamped at 0).
+- ExtractTopPersonalizedPageRankNodes.java — per-source top-k.
+
+Spark-first translation:
+- The tagged-union shuffle (mass messages + structure records in one
+  stream, PageRankNode.Type) becomes ranks ⋈ graph + explode(adj) +
+  groupBy(dst) — one shuffle per iteration, the graph table reused as-is.
+- Log-space float32 arithmetic (sumLogProbs, :617-629) is replaced by
+  linear-space float64: fp64 holds ~15 significant digits, so underflow
+  that motivated log-space float32 cannot occur at any realistic graph
+  scale (SURVEY §4 risk note); the pytest NumPy oracle pins the numerics.
+- Per-source vectors stay ArrayType(DoubleType) columns; element-wise sum
+  is a higher-order aggregate (zip_with), never a Python UDF.
+- localCheckpoint() each iteration truncates lineage (the reference's
+  SequenceFile round-trip between jobs); on a cluster use checkpoint() to
+  a reliable dir instead.
+
+The fixture graph (FIXTURES.md §3): nodes = documents.doc_id (0..n-1),
+edges i -> {(i*k+1) % n : k in 1..(i%5)}, so i%5==0 nodes are dangling and
+exercise missing-mass redistribution. Sources {0, 7}.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load
+
+ALPHA = 0.15  # RunPersonalizedPageRankBasic.java ALPHA
+SOURCES = (0, 7)  # FIXTURES.md §3
+DEFAULT_ITERATIONS = 10
+TOP_K = 10
+
+
+def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixture edge list (src, dst), distinct.
+
+    Derivation rule from FIXTURES.md §3; built with sequence+explode so the
+    generation itself is distributed (no driver-side loop).
+    """
+    docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("src"))
+    n = docs.count()
+    return (
+        # i%5 == 0 nodes are dangling: filter BEFORE sequence() — Spark's
+        # sequence(1, 0) would descend and fabricate edges.
+        docs.where(F.col("src") % 5 >= 1)
+        .withColumn("k", F.explode(F.sequence(F.lit(1), F.col("src") % 5)))
+        .select("src", ((F.col("src") * F.col("k") + 1) % F.lit(n)).alias("dst"))
+        .distinct()
+    )
+
+
+def build_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, adj array<long>, outdeg) node records; dangling nodes keep an
+    empty adj (BuildPersonalizedPageRankRecords.java:81-97)."""
+    docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    adj = (
+        graph_edges(spark, sf_dir)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sort_array(F.collect_list("dst")).alias("adj"))
+    )
+    return (
+        docs.join(adj, "id", "left")
+        .select(
+            "id",
+            F.coalesce("adj", F.array().cast("array<bigint>")).alias("adj"),
+        )
+        .withColumn("outdeg", F.size("adj"))
+    )
+
+
+def _zero_array(k: int):
+    return F.array_repeat(F.lit(0.0).cast("double"), k)
+
+
+def personalized_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    sources: tuple[int, ...] = SOURCES,
+    iterations: int = DEFAULT_ITERATIONS,
+    alpha: float = ALPHA,
+) -> DataFrame:
+    """Run the two-phase iteration; returns (id, mass array<double>) with
+    one slot per source, each summing to ~1."""
+    k = len(sources)
+    graph = build_graph(spark, sf_dir).cache()
+
+    # initial mass: 1.0 at each source for its own slot (M3)
+    ranks = graph.select(
+        "id",
+        F.array(
+            *[
+                F.when(F.col("id") == s, F.lit(1.0)).otherwise(F.lit(0.0))
+                for s in sources
+            ]
+        ).alias("mass"),
+    )
+
+    for _ in range(iterations):
+        # phase 1: distribute mass along edges, sum per destination
+        msgs = (
+            ranks.join(graph, "id")
+            .where(F.col("outdeg") > 0)
+            .select(
+                F.explode("adj").alias("id"),
+                F.transform("mass", lambda m: m / F.col("outdeg")).alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(
+                F.aggregate(
+                    F.collect_list("contrib"),
+                    _zero_array(k),
+                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+                ).alias("mass")
+            )
+        )
+
+        received = ranks.select("id").join(msgs, "id", "left").select(
+            "id", F.coalesce("mass", _zero_array(k)).alias("mass")
+        )
+
+        # driver-side scalar: missing mass per source (1 - total received),
+        # clamped at 0 (iteratePageRank :455-465)
+        totals = received.agg(
+            *[F.sum(F.element_at("mass", i + 1)).alias(f"t{i}") for i in range(k)]
+        ).collect()[0]
+        missing = [max(0.0, 1.0 - totals[i]) for i in range(k)]
+
+        # phase 2: jump + dangling mass go only to each slot's source
+        one_minus = 1.0 - alpha
+        new_mass = F.array(
+            *[
+                F.when(
+                    F.col("id") == sources[i],
+                    F.lit(alpha)
+                    + F.lit(one_minus)
+                    * (F.element_at("mass", i + 1) + F.lit(missing[i])),
+                ).otherwise(F.lit(one_minus) * F.element_at("mass", i + 1))
+                for i in range(k)
+            ]
+        )
+        ranks = received.select("id", new_mass.alias("mass")).localCheckpoint()
+
+    return ranks
+
+
+def ppr_top_k(
+    spark: SparkSession,
+    sf_dir: str,
+    sources: tuple[int, ...] = SOURCES,
+    iterations: int = DEFAULT_ITERATIONS,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Per-source top-k nodes by mass (ExtractTopPersonalizedPageRankNodes)
+    as a window rank — (source, node_id, mass). Deterministic tie-break on
+    node_id (the reference's priority queues are tie-unstable)."""
+    ranks = personalized_pagerank(spark, sf_dir, sources, iterations)
+    per_source = ranks.select(
+        "id",
+        F.posexplode(
+            F.arrays_zip(
+                F.array(*[F.lit(s).cast("bigint") for s in sources]).alias("source"),
+                F.col("mass").alias("mass"),
+            )
+        ).alias("pos", "sm"),
+    ).select(
+        F.col("sm.source").alias("source"),
+        F.col("id").alias("node_id"),
+        F.col("sm.mass").alias("mass"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("mass"), F.asc("node_id"))
+    return (
+        per_source.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("source", "node_id", F.round("mass", 6).alias("mass"))
+    )

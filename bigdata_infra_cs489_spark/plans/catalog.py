@@ -259,3 +259,25 @@ register(
     SELECT h.doc_id, d.text FROM hits h JOIN documents d ON h.doc_id = d.doc_id
     """,
 )
+
+# --- personalized PageRank (SURVEY §2.9 M1-M5, assignment4) ------------------
+
+from ..operators import graph as G  # noqa: E402
+
+register(
+    "ppr_graph_edges",
+    lambda spark, sf: G.graph_edges(spark, sf),
+    """
+    WITH n AS (SELECT count(*) AS c FROM documents)
+    SELECT DISTINCT doc_id AS src,
+           (doc_id * k + 1) % (SELECT c FROM n) AS dst
+    FROM documents, unnest(range(1, (doc_id % 5) + 1)) AS t(k)
+    """,
+)
+
+# Iterative fixpoint: not SQL-expressible -> rows-only driver check; the
+# numerics are pinned by a NumPy replay oracle in tests/test_graph.py.
+register(
+    "ppr_topk",
+    lambda spark, sf: G.ppr_top_k(spark, sf),
+)

@@ -1,0 +1,79 @@
+"""Personalized PageRank: NumPy replay oracle + invariants + edge oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from .oracle import assert_matches_oracle
+
+
+def numpy_ppr(n: int, sources, iterations: int, alpha: float = 0.15):
+    """Replay of the reference algorithm in linear-space float64:
+    phase1 mass/outdeg along edges, phase2 jump+missing only to sources."""
+    adj = {i: sorted({(i * k + 1) % n for k in range(1, i % 5 + 1)}) for i in range(n)}
+    mass = np.zeros((len(sources), n))
+    for si, s in enumerate(sources):
+        mass[si, s] = 1.0
+    for _ in range(iterations):
+        received = np.zeros_like(mass)
+        for i, nbrs in adj.items():
+            if not nbrs:
+                continue
+            share = mass[:, i] / len(nbrs)
+            for j in nbrs:
+                received[:, j] += share
+        missing = np.maximum(0.0, 1.0 - received.sum(axis=1))
+        new = (1 - alpha) * received
+        for si, s in enumerate(sources):
+            new[si, s] = alpha + (1 - alpha) * (received[si, s] + missing[si])
+        mass = new
+    return mass
+
+
+def test_edges_match_oracle(spark, sf_correct):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["ppr_graph_edges"]
+    sql = entrymod.oracle_sql()["ppr_graph_edges"]
+    assert_matches_oracle(q(spark, sf_correct), sql, sf_correct)
+
+
+def test_ppr_matches_numpy(spark, sf_smoke):
+    from bigdata_infra_cs489_spark.operators.graph import (
+        SOURCES,
+        personalized_pagerank,
+    )
+
+    got = {
+        r.id: list(r.mass)
+        for r in personalized_pagerank(spark, sf_smoke, iterations=5).collect()
+    }
+    n = len(got)
+    want = numpy_ppr(n, SOURCES, iterations=5)
+    assert set(got) == set(range(n))
+    for i in range(n):
+        for si in range(len(SOURCES)):
+            assert got[i][si] == pytest.approx(want[si, i], abs=1e-9)
+
+
+def test_ppr_mass_sums_to_one(spark, sf_smoke):
+    from bigdata_infra_cs489_spark.operators.graph import personalized_pagerank
+
+    rows = personalized_pagerank(spark, sf_smoke, iterations=3).collect()
+    for si in range(2):
+        total = sum(r.mass[si] for r in rows)
+        assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ppr_topk_shape(spark, sf_smoke):
+    from bigdata_infra_cs489_spark.operators.graph import ppr_top_k
+
+    rows = ppr_top_k(spark, sf_smoke, iterations=3).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r.mass)
+    assert set(by_source) == {0, 7}
+    for masses in by_source.values():
+        assert len(masses) == 10
+        assert masses == sorted(masses, reverse=True)
