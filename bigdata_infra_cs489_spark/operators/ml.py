@@ -1,0 +1,184 @@
+"""Spam-classifier pipeline (assignment6): sequential SGD train, apply,
+ensemble apply.
+
+Reference (scala/.../assignment6/):
+- TrainSpamClassifier.scala:42-86 — parse `docid label f1 f2 ...`, optional
+  pre-train shuffle (Math.random key + sortByKey), then groupByKey(1) and a
+  strictly sequential fold: score = Σ w[f] over feature *occurrences*,
+  p = σ(score), then w[f] += (label - p)·δ per occurrence, δ = 0.002.
+- ApplySpamClassifier.scala:39-65 — broadcast weight map; spamminess =
+  Σ w[f]; label spam iff score > 0.
+- ApplyEnsembleSpamClassifier.scala:43-108 — 3 models; average: mean score
+  > 0; vote: score = #spam-votes − #ham-votes, label by majority.
+
+Spark-first translation:
+- The order-sensitive fold is *inherently sequential* (each update depends
+  on all previous rows); the reference funnels everything through one
+  reducer, we funnel through one ``applyInPandas`` group with an explicit
+  in-group sort (docid, or a seeded rand key for the shuffled variant —
+  the reference's unseeded Math.random is replaced per SURVEY §7 risk
+  note). This is a documented scale constraint of the *algorithm*, not the
+  engine; everything around it (feature derivation, scoring) is
+  distributed.
+- Scoring is explode ⋈ broadcast(weights) ⋈ groupBy(docid) sum — the
+  broadcast map probe of the reference, but it also survives models too
+  big to broadcast (plain shuffle join then).
+
+Training-set derivation (FIXTURES.md §3): docid = doc_id, label = 'spam'
+iff doc_id % 3 == 0, features = md5-based stable hashes of the document's
+tokens mod 10,007 (portable across Spark / DuckDB / NumPy replay).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+from ..sources.tables import load
+
+DELTA = 0.002  # TrainSpamClassifier.scala:41
+FEATURE_MOD = 10_007
+N_ENSEMBLE = 3
+
+
+def _feature_id(col):
+    """Portable stable token hash: first 8 hex digits of md5, mod 10007."""
+    return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % FEATURE_MOD).cast(
+        "int"
+    )
+
+
+def spam_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(docid, label, features array<int>) in the reference's input shape
+    (TrainSpamClassifier.scala:44-54), derived from documents."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return docs.select(
+        F.col("doc_id").alias("docid"),
+        F.when(F.col("doc_id") % 3 == 0, "spam").otherwise("ham").alias("label"),
+        F.transform(tokenize("text"), _feature_id).alias("features"),
+        "source",
+    )
+
+
+def _sgd_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sequential SGD over rows ordered by sort_key (bit-for-bit the
+    reference fold, TrainSpamClassifier.scala:68-85)."""
+    import math
+
+    pdf = pdf.sort_values("sort_key", kind="mergesort")
+    w: dict[int, float] = {}
+    for label, feats in zip(pdf["is_spam"], pdf["features"]):
+        score = 0.0
+        for f in feats:
+            score += w.get(f, 0.0)
+        prob = 1.0 / (1.0 + math.exp(-score))
+        upd = (label - prob) * DELTA
+        for f in feats:
+            w[f] = w.get(f, 0.0) + upd
+    return pd.DataFrame(
+        {"feature": list(w.keys()), "weight": list(w.values())}
+    )
+
+
+def train_spam_classifier(
+    spark: SparkSession,
+    sf_dir: str,
+    shuffle: bool = False,
+    seed: int = 42,
+    subset_source_mod: int | None = None,
+) -> DataFrame:
+    """Train one model -> (feature, weight).
+
+    ``subset_source_mod`` trains on the subset of documents whose numeric
+    source suffix ≡ that value mod N_ENSEMBLE (the ensemble's 3 disjoint
+    training groups, standing in for group_x/group_y/britney).
+    """
+    ds = spam_training_set(spark, sf_dir)
+    if subset_source_mod is not None:
+        ds = ds.where(
+            F.regexp_extract("source", r"(\d+)$", 1).cast("int") % N_ENSEMBLE
+            == subset_source_mod
+        )
+    sort_key = F.rand(seed) if shuffle else F.col("docid").cast("double")
+    prepared = ds.select(
+        F.lit(0).alias("g"),
+        sort_key.alias("sort_key"),
+        F.when(F.col("label") == "spam", 1).otherwise(0).alias("is_spam"),
+        "features",
+    )
+    return prepared.groupBy("g").applyInPandas(
+        lambda pdf: _sgd_fold(pdf), schema="feature int, weight double"
+    )
+
+
+def _score(ds: DataFrame, weights: DataFrame, score_col: str = "score") -> DataFrame:
+    """docid -> Σ weight over feature occurrences (ApplySpamClassifier
+    broadcast probe as explode ⋈ weights ⋈ sum; empty/unknown features
+    score 0 via explode_outer + coalesce)."""
+    exploded = ds.select(
+        "docid", "label", F.explode_outer("features").alias("feature")
+    )
+    return (
+        exploded.join(F.broadcast(weights), "feature", "left")
+        .groupBy("docid", "label")
+        .agg(F.coalesce(F.sum("weight"), F.lit(0.0)).alias(score_col))
+    )
+
+
+def apply_spam_classifier(
+    spark: SparkSession, sf_dir: str, weights: DataFrame | None = None
+) -> DataFrame:
+    """(docid, label, score, pred): spam iff score > 0
+    (ApplySpamClassifier.scala:48-62)."""
+    if weights is None:
+        weights = train_spam_classifier(spark, sf_dir)
+    ds = spam_training_set(spark, sf_dir)
+    scored = _score(ds, weights)
+    return scored.select(
+        "docid",
+        "label",
+        F.round("score", 6).alias("score"),
+        F.when(F.col("score") > 0, "spam").otherwise("ham").alias("pred"),
+    )
+
+
+def _ensemble_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = spam_training_set(spark, sf_dir)
+    scored = None
+    for i in range(N_ENSEMBLE):
+        w = train_spam_classifier(spark, sf_dir, subset_source_mod=i)
+        s = _score(ds, w, score_col=f"score_{i}")
+        scored = s if scored is None else scored.join(s, ["docid", "label"])
+    return scored
+
+
+def apply_ensemble_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average ensemble: mean of the 3 scores, spam iff > 0
+    (ApplyEnsembleSpamClassifier.scala:77-88)."""
+    scored = _ensemble_scores(spark, sf_dir)
+    avg = (F.col("score_0") + F.col("score_1") + F.col("score_2")) / N_ENSEMBLE
+    return scored.select(
+        "docid",
+        "label",
+        F.round(avg, 6).alias("score"),
+        F.when(avg > 0, "spam").otherwise("ham").alias("pred"),
+    )
+
+
+def apply_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vote ensemble: score = #spam-votes − #ham-votes, spam iff majority
+    (ApplyEnsembleSpamClassifier.scala:90-104)."""
+    scored = _ensemble_scores(spark, sf_dir)
+    votes = sum(
+        F.when(F.col(f"score_{i}") > 0, 1).otherwise(0) for i in range(N_ENSEMBLE)
+    )
+    score = (votes - (N_ENSEMBLE - votes)).cast("double")
+    return scored.select(
+        "docid",
+        "label",
+        score.alias("score"),
+        F.when(votes > N_ENSEMBLE - votes, "spam").otherwise("ham").alias("pred"),
+    )

@@ -281,3 +281,35 @@ register(
     "ppr_topk",
     lambda spark, sf: G.ppr_top_k(spark, sf),
 )
+
+# --- spam classifier (SURVEY §2.9 M6-M9, assignment6) ------------------------
+
+from ..operators import ml as M  # noqa: E402
+
+register(
+    "spam_training_set",
+    lambda spark, sf: M.spam_training_set(spark, sf),
+    f"""
+    SELECT doc_id AS docid,
+           CASE WHEN doc_id % 3 = 0 THEN 'spam' ELSE 'ham' END AS label,
+           list_transform({DUCK_TOKS},
+               t -> CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
+                         % {M.FEATURE_MOD} AS INT)) AS features,
+           source
+    FROM documents
+    """,
+)
+
+# Sequential SGD and everything downstream of its weights: order-sensitive
+# fold, not SQL-expressible -> rows-only driver checks; numerics pinned by
+# a pure-Python replay oracle in tests/test_ml.py.
+register("spam_train", lambda spark, sf: M.train_spam_classifier(spark, sf))
+register(
+    "spam_train_shuffled",
+    lambda spark, sf: M.train_spam_classifier(spark, sf, shuffle=True),
+)
+register("spam_apply", lambda spark, sf: M.apply_spam_classifier(spark, sf))
+register(
+    "spam_ensemble_average", lambda spark, sf: M.apply_ensemble_average(spark, sf)
+)
+register("spam_ensemble_vote", lambda spark, sf: M.apply_ensemble_vote(spark, sf))
