@@ -1,0 +1,290 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+No reference counterpart (the reference's only dedup is per-line token
+dedup, PairsPMI.java:59-61 / SURVEY §2.7 E3); these are the BASELINE.json
+north-star extensions, designed Spark-first for 100 TB corpora:
+
+- exact:    hash-groupBy on content digest; one shuffle on the digest.
+- MinHash+LSH: shingle -> K minhashes -> B bands; candidate pairs come from
+  an equi-join on band keys (shuffle on band key, never a cross join), then
+  are verified with true Jaccard via a shingle equi-join.
+- SimHash:  per-token hash bit-vote -> 32-bit fingerprint; near-dup pairs
+  via block-LSH (4 blocks of 8 bits; pigeonhole: hamming <= 3 guarantees an
+  intact shared block, so the block equi-join finds every such pair).
+- n-gram Jaccard: sparse similarity via the inverted shingle index
+  (pairs sharing >= 1 shingle), never materializing the O(n^2) pair space.
+
+Every hash is derived from md5 so the DuckDB oracle can reproduce values
+bit-for-bit. Core operators take a documents DataFrame (doc_id, text) so
+tests can inject synthetic near-duplicates; registered queries wrap the
+fixture loader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokenize
+from ..sources.tables import load
+
+NUM_HASHES = 16
+NUM_BANDS = 4  # 4 rows per band
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.8
+SIMHASH_BITS = 32
+SIMHASH_BLOCKS = 4  # 8 bits each -> catches all pairs with hamming <= 3
+HAMMING_THRESHOLD = 3
+
+
+def _h8(col: Column) -> Column:
+    """First 8 hex digits of md5 as a non-negative bigint (portable)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+# --- exact dedup ------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """(doc_id, canonical_id, is_duplicate): canonical = min doc_id per
+    content digest. Grouping on the 128-bit digest, not the full text,
+    keeps shuffle rows narrow at 100 TB."""
+    w = Window.partitionBy(F.md5("text"))
+    return docs.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+    ).withColumn("is_duplicate", F.col("doc_id") != F.col("canonical_id"))
+
+
+# --- shingling + MinHash ----------------------------------------------------
+
+
+def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingles array<string>): distinct word n-grams; documents
+    shorter than n tokens contribute their whole token string."""
+    toks = docs.select("doc_id", tokenize("text").alias("toks"))
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+    )
+    return toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.when(F.size("toks") >= n, ngrams).otherwise(
+                F.array(F.concat_ws(" ", "toks"))
+            )
+        ).alias("shingles"),
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, sig array<bigint>): sig[i] = min over shingles of
+    h8(i || '|' || shingle). Pure column expressions — the K hash functions
+    never leave the JVM."""
+    sh = shingles(docs)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                "shingles",
+                lambda s: _h8(F.concat_ws("|", i.cast("string"), s)),
+            )
+        ),
+    )
+    return sh.select("doc_id", sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs: docs sharing any full band of the
+    signature. Equi-join on (band index, band values) — the shuffle key is
+    the band content, so cost scales with collisions, not with n^2."""
+    rows = num_hashes // num_bands
+    sigs = minhash_signatures(docs, num_hashes)
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.concat_ws(
+                    ":", F.transform(F.slice("sig", b * rows + 1, rows), lambda v: v.cast("string"))
+                ),
+            )
+        ).alias("band", "band_key"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Attach true shingle-set Jaccard to (doc_a, doc_b) pairs."""
+    sh = shingles(docs)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """LSH candidates verified at true Jaccard >= threshold."""
+    cand = lsh_candidate_pairs(docs)
+    return jaccard_pairs(docs, cand).where(F.col("jaccard") >= threshold)
+
+
+# --- n-gram Jaccard via inverted shingle index ------------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
+    """All pairs with Jaccard >= min_jaccard, computed sparsely: equi-join
+    the exploded shingle index with itself, count common shingles per pair,
+    then jaccard = common / (|A| + |B| - common). Pairs sharing no shingle
+    never materialize."""
+    sh = shingles(docs).select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "s"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "s"
+    )
+    common = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return common.select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    ).where(F.round(jac, 6) >= min_jaccard)
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def simhash_fingerprints(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): per-token md5 hash, tf-weighted bit votes, sign
+    -> fingerprint. The vote is bits separate partial-aggregatable sums
+    (no collect_list), so map-side combine applies at any scale."""
+    toks = (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", _h8(F.col("tok")))
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("tf")
+                * (F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    max_hamming: int = HAMMING_THRESHOLD,
+    blocks: int = SIMHASH_BLOCKS,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) for pairs with hamming <= max_hamming.
+
+    Block-LSH: split the fingerprint into ``blocks`` equal bit blocks and
+    equi-join on (block index, block value); any pair within the hamming
+    budget shares at least one intact block (pigeonhole), so recall is
+    exact while the join stays linear in collisions.
+    """
+    block_bits = bits // blocks
+    fps = simhash_fingerprints(docs, bits)
+    mask = (1 << block_bits) - 1
+    block_vals = F.array(
+        *[
+            F.shiftright("simhash", b * block_bits)
+            .bitwiseAND(F.lit(mask))
+            .cast("bigint")
+            for b in range(blocks)
+        ]
+    )
+    blocked = fps.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(block_vals).alias("block", "block_val"),
+    )
+    a = blocked.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"), "block", "block_val"
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "block", "block_val"
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, ["block", "block_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# --- registered query wrappers ---------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_duplicates(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(_docs(spark, sf_dir))
+
+
+def q_simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_duplicates(_docs(spark, sf_dir))

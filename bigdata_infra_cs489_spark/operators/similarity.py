@@ -1,0 +1,158 @@
+"""Similarity search over the embeddings table (north-star extension).
+
+No reference counterpart; designed Spark-first for vector corpora that
+don't fit one machine:
+
+- brute-force cosine top-k: the exactness baseline. dot/norm are
+  higher-order column expressions (zip_with + aggregate) — JVM-side,
+  whole-stage-codegen, no Python in the hot path. Top-k is
+  TakeOrderedAndProject (per-partition heaps, driver merge), never a
+  global sort.
+- IVF (inverted-file) ANN: coarse-quantize every vector to its nearest
+  centroid (broadcast centroid join), probe only the query's top
+  ``nprobe`` centroid partitions, exact-rank inside. At 100 TB the
+  assignment is one broadcast join + narrow shuffle-free scan, and a
+  probe touches ~nprobe/C of the data. Centroids here are the
+  deterministic first C vectors (a k-means step would drop in without
+  changing the dataflow).
+- pairwise cosine near-dup: embedding-space near-duplicate detection;
+  the fixture-scale implementation is the exact O(n^2/2) self-join —
+  the LSH/IVF bucketing above is the scale path.
+
+All math is float64 over the float32 fixtures (identical widening in
+Spark and DuckDB, so oracle hashes match at 6 decimals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+N_CENTROIDS = 16
+N_PROBE = 2
+PAIR_THRESHOLD = 0.9
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def cosine_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = QUERY_VEC_ID,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Exact top-k by cosine against the query vector (brute force).
+
+    The query vector is a 1-row broadcast (crossJoin of a broadcast side is
+    a BroadcastNestedLoopJoin with 1 row — effectively map-side)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q")
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(_cosine(F.col("embedding"), F.col("q")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_assignments(
+    spark: SparkSession, sf_dir: str, n_centroids: int = N_CENTROIDS
+) -> DataFrame:
+    """(vec_id, centroid_id): nearest centroid by cosine, ties to the
+    lowest centroid id. One broadcast join; no shuffle of the big side."""
+    emb = _emb(spark, sf_dir)
+    cent = emb.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        _cosine(F.col("embedding"), F.col("cvec")).alias("cos"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("centroid_id"), F.struct(F.col("cos"), -F.col("centroid_id"))
+        ).alias("centroid_id")
+    )
+    return best
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = QUERY_VEC_ID,
+    k: int = TOP_K,
+    n_centroids: int = N_CENTROIDS,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """ANN top-k: rank only vectors assigned to the query's top-nprobe
+    centroids. Deterministic; the oracle replicates the same probe rule."""
+    emb = _emb(spark, sf_dir)
+    assignments = ivf_assignments(spark, sf_dir, n_centroids)
+    q = emb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q")
+    )
+    cent = emb.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    probed = (
+        cent.crossJoin(F.broadcast(q))
+        .select(
+            "centroid_id", _cosine(F.col("cvec"), F.col("q")).alias("cos")
+        )
+        .orderBy(F.desc("cos"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    return (
+        emb.join(assignments, "vec_id")
+        .join(F.broadcast(probed), "centroid_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(_cosine(F.col("embedding"), F.col("q")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def cosine_near_duplicate_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = PAIR_THRESHOLD
+) -> DataFrame:
+    """(vec_a, vec_b, cosine) for all pairs with cosine >= threshold."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = _cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .where(F.round(cos, 6) >= threshold)
+    )

@@ -313,3 +313,218 @@ register(
     "spam_ensemble_average", lambda spark, sf: M.apply_ensemble_average(spark, sf)
 )
 register("spam_ensemble_vote", lambda spark, sf: M.apply_ensemble_vote(spark, sf))
+
+# --- deduplication (north-star extensions, BASELINE.json) --------------------
+
+from ..operators import dedup as D  # noqa: E402
+
+# DuckDB twins of the dedup building blocks (operators/dedup.py):
+# h8 = first 8 md5 hex digits as bigint; 3-gram shingles over the tokenizer.
+DUCK_H8 = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+DUCK_SHINGLES = f"""
+    toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) >= 3
+                   THEN list_transform(range(1, len(toks) - 1),
+                        i -> array_to_string(toks[i:i+2], ' '))
+                   ELSE [array_to_string(toks, ' ')] END) AS sh
+        FROM toks)
+"""
+
+register(
+    "dedup_exact",
+    D.q_exact_dedup,
+    """
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+    FROM documents
+    """,
+)
+
+register(
+    "minhash_signatures",
+    D.q_minhash_signatures,
+    f"""
+    WITH {DUCK_SHINGLES}
+    SELECT doc_id,
+           list_transform(range(0, {D.NUM_HASHES}),
+               i -> list_min(list_transform(sh,
+                    s -> {DUCK_H8.format(x="i::VARCHAR || '|' || s")}))) AS sig
+    FROM sh
+    """,
+)
+
+register(
+    "minhash_near_duplicates",
+    D.q_minhash_near_duplicates,
+    f"""
+    WITH {DUCK_SHINGLES},
+    sigs AS (
+        SELECT doc_id,
+               list_transform(range(0, {D.NUM_HASHES}),
+                   i -> list_min(list_transform(sh,
+                        s -> {DUCK_H8.format(x="i::VARCHAR || '|' || s")}))) AS sig
+        FROM sh),
+    bands AS (
+        SELECT doc_id, b,
+               array_to_string(list_transform(sig[b*4+1:b*4+4], v -> v::VARCHAR), ':') AS band_key
+        FROM sigs, unnest(range(0, {D.NUM_BANDS})) t(b)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(sa.sh, sb.sh)) /
+                 len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+    WHERE round(len(list_intersect(sa.sh, sb.sh)) /
+                len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= {D.JACCARD_THRESHOLD}
+    """,
+)
+
+register(
+    "ngram_jaccard_pairs",
+    D.q_ngram_jaccard,
+    f"""
+    WITH {DUCK_SHINGLES},
+    ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_sh AS na, b.n_sh AS nb, count(*) AS c
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b, na, nb)
+    SELECT doc_a, doc_b, round(c / (na + nb - c), 6) AS jaccard
+    FROM common
+    WHERE round(c / (na + nb - c), 6) >= 0.5
+    """,
+)
+
+register(
+    "simhash_fingerprints",
+    D.q_simhash_fingerprints,
+    f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+           GROUP BY doc_id, tok),
+    h AS (SELECT doc_id, tf, {DUCK_H8.format(x='tok')} AS h FROM tf),
+    votes AS (
+        SELECT doc_id, j, sum(tf * (((h >> j) & 1) * 2 - 1)) AS v
+        FROM h, unnest(range(0, {D.SIMHASH_BITS})) t(j)
+        GROUP BY doc_id, j)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+
+register(
+    "simhash_near_duplicates",
+    D.q_simhash_near_duplicates,
+    f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+           GROUP BY doc_id, tok),
+    h AS (SELECT doc_id, tf, {DUCK_H8.format(x='tok')} AS h FROM tf),
+    votes AS (
+        SELECT doc_id, j, sum(tf * (((h >> j) & 1) * 2 - 1)) AS v
+        FROM h, unnest(range(0, {D.SIMHASH_BITS})) t(j)
+        GROUP BY doc_id, j),
+    fps AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {D.HAMMING_THRESHOLD}
+    """,
+)
+
+# --- similarity search (north-star extensions) -------------------------------
+
+from ..operators import similarity as S  # noqa: E402
+
+DUCK_EMB = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+
+register(
+    "cosine_topk",
+    lambda spark, sf: S.cosine_topk(spark, sf),
+    f"""
+    WITH e AS ({DUCK_EMB}),
+    q AS (SELECT v AS q FROM e WHERE vec_id = {S.QUERY_VEC_ID})
+    SELECT vec_id,
+           round(list_cosine_similarity(v, (SELECT q FROM q)), 6) AS cosine
+    FROM e
+    ORDER BY cosine DESC, vec_id
+    LIMIT {S.TOP_K}
+    """,
+)
+
+register(
+    "ivf_assignments",
+    lambda spark, sf: S.ivf_assignments(spark, sf),
+    f"""
+    WITH e AS ({DUCK_EMB}),
+    cent AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
+             WHERE vec_id < {S.N_CENTROIDS}),
+    scored AS (
+        SELECT e.vec_id, c.centroid_id,
+               list_cosine_similarity(e.v, c.cvec) AS cos
+        FROM e, cent c)
+    SELECT vec_id, centroid_id
+    FROM (SELECT vec_id, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, centroid_id ASC) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
+
+register(
+    "ivf_topk",
+    lambda spark, sf: S.ivf_topk(spark, sf),
+    f"""
+    WITH e AS ({DUCK_EMB}),
+    q AS (SELECT v AS q FROM e WHERE vec_id = {S.QUERY_VEC_ID}),
+    cent AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
+             WHERE vec_id < {S.N_CENTROIDS}),
+    scored AS (
+        SELECT e.vec_id, c.centroid_id,
+               list_cosine_similarity(e.v, c.cvec) AS cos
+        FROM e, cent c),
+    best AS (
+        SELECT vec_id, centroid_id
+        FROM (SELECT vec_id, centroid_id,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, centroid_id ASC) AS rn
+              FROM scored)
+        WHERE rn = 1),
+    probed AS (
+        SELECT centroid_id FROM cent, q
+        ORDER BY list_cosine_similarity(cvec, q) DESC, centroid_id
+        LIMIT {S.N_PROBE})
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.v, (SELECT q FROM q)), 6) AS cosine
+    FROM e JOIN best USING (vec_id) JOIN probed USING (centroid_id)
+    ORDER BY cosine DESC, vec_id
+    LIMIT {S.TOP_K}
+    """,
+)
+
+register(
+    "embedding_near_duplicates",
+    lambda spark, sf: S.cosine_near_duplicate_pairs(spark, sf),
+    f"""
+    WITH e AS ({DUCK_EMB})
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {S.PAIR_THRESHOLD}
+    """,
+)

@@ -1,0 +1,77 @@
+"""Dedup operators: oracle parity at sf0.01 plus positive-case tests with
+injected near-duplicates (the fixtures contain few real dups)."""
+
+from __future__ import annotations
+
+import pytest
+
+from .oracle import assert_matches_oracle
+
+DEDUP = [
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_near_duplicates",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "simhash_near_duplicates",
+]
+
+
+@pytest.mark.parametrize("name", DEDUP)
+def test_matches_oracle(spark, sf_correct, name):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    assert_matches_oracle(q(spark, sf_correct), sql, sf_correct)
+
+
+@pytest.fixture(scope="module")
+def synthetic_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = base.replace("today", "tonight")  # 1-word change -> high jaccard
+    far = "completely different content about spark query engines and shuffles"
+    return spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+
+
+def test_exact_dedup_positive(spark, synthetic_docs):
+    from bigdata_infra_cs489_spark.operators.dedup import exact_dedup
+
+    rows = {r.doc_id: r for r in exact_dedup(synthetic_docs).collect()}
+    assert rows[1].canonical_id == 0 and rows[1].is_duplicate
+    assert not rows[0].is_duplicate and not rows[3].is_duplicate
+
+
+def test_minhash_finds_near_duplicate(spark, synthetic_docs):
+    from bigdata_infra_cs489_spark.operators.dedup import minhash_near_duplicates
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_near_duplicates(synthetic_docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical docs
+    assert (0, 2) in pairs and pairs[(0, 2)] >= 0.5  # near-dup found via LSH
+    assert not any(3 in p for p in pairs)  # unrelated doc never paired
+
+
+def test_simhash_identical_docs_zero_hamming(spark, synthetic_docs):
+    from bigdata_infra_cs489_spark.operators.dedup import simhash_near_duplicates
+
+    rows = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_duplicates(synthetic_docs).collect()
+    }
+    assert rows[(0, 1)] == 0
+
+
+def test_ngram_jaccard_sparse(spark, synthetic_docs):
+    from bigdata_infra_cs489_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(synthetic_docs, min_jaccard=0.3).collect()
+    }
+    assert rows[(0, 1)] == 1.0
+    assert (0, 3) not in rows
