@@ -1,0 +1,129 @@
+"""Text-analysis operators for training-data pipelines (north-star
+extension): language ID, quality scoring, token counting, fingerprinting.
+
+No reference counterpart; everything is built-in column expressions
+(whole-stage codegen, zero Python in the hot path), each with a DuckDB
+oracle twin so the heuristics are pinned cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+from ..sources.tables import load
+
+# Small per-language stopword lists for the n-gram/stopword heuristic.
+# Order matters: deterministic tie-break = first language in this list.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "von", "ein", "zu", "mit", "den"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "los", "se", "por"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "les", "des", "une"),
+    "zh": ("de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe"),
+}
+LANG_MIN_SCORE = 0.05  # below this ratio -> 'und'
+
+FINGERPRINT_MOD = 2_147_483_647  # 2^31 - 1
+FINGERPRINT_BANDS = 1024
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang_pred, lang_score): stopword-ratio heuristic, argmax
+    over LANG_STOPWORDS with deterministic priority tie-break; 'und' when
+    the best ratio is below LANG_MIN_SCORE."""
+    toks = _docs(spark, sf_dir).select("doc_id", tokenize("text").alias("toks"))
+    scored = toks.select(
+        "doc_id",
+        *[
+            (
+                _stopword_hits(F.col("toks"), words)
+                / F.greatest(F.size("toks"), F.lit(1))
+            ).alias(f"s_{lang}")
+            for lang, words in LANG_STOPWORDS.items()
+        ],
+    )
+    best_score = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_STOPWORDS])
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_STOPWORDS)):  # first lang wins ties
+        pred = F.when(
+            (F.col(f"s_{lang}") == best_score) & (best_score >= LANG_MIN_SCORE),
+            F.lit(lang),
+        ).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        F.round(best_score, 6).alias("lang_score"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics + a clipped linear quality score:
+    length, token stats, stopword ratio, punctuation ratio."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", "text", tokenize("text").alias("toks"))
+    n_chars = F.length("text")
+    n_tokens = F.size("toks")
+    letters_spaces = F.length(F.regexp_replace(F.lower("text"), "[^a-z ]", ""))
+    punct_ratio = (n_chars - letters_spaces) / F.greatest(n_chars, F.lit(1))
+    stop_ratio = _stopword_hits(F.col("toks"), LANG_STOPWORDS["en"]) / F.greatest(
+        n_tokens, F.lit(1)
+    )
+    avg_tok = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    score = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(1.0), F.lit(0.5) + stop_ratio - punct_ratio * 5
+        ),
+    )
+    return toks.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count estimators per document: whitespace words, BPE-ish
+    regex pieces ([a-z]+ | digit runs | single punct), chars/4 LLM
+    heuristic."""
+    docs = _docs(spark, sf_dir)
+    bpe = F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(tokenize("text")).alias("n_words"),
+        F.size(bpe).alias("n_bpe_pieces"),
+        F.ceil(F.length("text") / 4).cast("bigint").alias("n_tokens_est"),
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fingerprint, band): order-sensitive polynomial rolling hash
+    of the token sequence, fp = fold(acc*31 + h8(tok)) mod (2^31-1); band
+    = fp % 1024 groups documents for shard-local comparison."""
+    from .dedup import _h8
+
+    toks = _docs(spark, sf_dir).select("doc_id", tokenize("text").alias("toks"))
+    fp = F.aggregate(
+        F.transform("toks", lambda t: _h8(t)),
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * 31 + h) % FINGERPRINT_MOD,
+    )
+    return toks.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        (fp % FINGERPRINT_BANDS).alias("band"),
+    )

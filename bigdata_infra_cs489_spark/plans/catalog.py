@@ -528,3 +528,163 @@ register(
     WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {S.PAIR_THRESHOLD}
     """,
 )
+
+# --- text analysis (north-star extensions) ----------------------------------
+
+from ..operators import textstats as TS  # noqa: E402
+
+_LANGS = list(TS.LANG_STOPWORDS)
+_SCORES_SQL = ",\n           ".join(
+    "len(list_filter(toks, t -> list_contains({lst}, t)))"
+    " / greatest(len(toks), 1) AS s_{lang}".format(
+        lst="[" + ", ".join(f"'{w}'" for w in ws) + "]", lang=lang
+    )
+    for lang, ws in TS.LANG_STOPWORDS.items()
+)
+_BEST_SQL = "greatest(" + ", ".join(f"s_{lang}" for lang in _LANGS) + ")"
+_PRED_SQL = "CASE " + " ".join(
+    f"WHEN s_{lang} = best AND best >= {TS.LANG_MIN_SCORE} THEN '{lang}'"
+    for lang in _LANGS
+) + " ELSE 'und' END"
+
+register(
+    "language_id",
+    lambda spark, sf: TS.language_id(spark, sf),
+    f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    scored AS (
+        SELECT doc_id,
+           {_SCORES_SQL}
+        FROM toks),
+    best AS (SELECT *, {_BEST_SQL} AS best FROM scored)
+    SELECT doc_id, {_PRED_SQL} AS lang_pred, round(best, 6) AS lang_score
+    FROM best
+    """,
+)
+
+_EN_SQL = "[" + ", ".join(f"'{w}'" for w in TS.LANG_STOPWORDS["en"]) + "]"
+
+register(
+    "text_quality",
+    lambda spark, sf: TS.text_quality(spark, sf),
+    f"""
+    WITH t AS (SELECT doc_id, text, {DUCK_TOKS} AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(toks) AS n_tokens,
+               length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS ls,
+               len(list_filter(toks, t -> list_contains({_EN_SQL}, t))) AS stop_hits
+        FROM t)
+    SELECT doc_id, n_chars, n_tokens,
+           round(CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END, 6)
+               AS avg_token_len,
+           round(stop_hits / greatest(n_tokens, 1), 6) AS stopword_ratio,
+           round((n_chars - ls) / greatest(n_chars, 1), 6) AS punct_ratio,
+           round(greatest(0.0, least(1.0,
+               0.5 + stop_hits / greatest(n_tokens, 1)
+                   - (n_chars - ls) / greatest(n_chars, 1) * 5)), 6) AS quality_score
+    FROM m
+    """,
+)
+
+register(
+    "token_counts",
+    lambda spark, sf: TS.token_counts(spark, sf),
+    f"""
+    SELECT doc_id,
+           len({DUCK_TOKS}) AS n_words,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+               AS n_bpe_pieces,
+           CAST(ceil(length(text) / 4) AS BIGINT) AS n_tokens_est
+    FROM documents
+    """,
+)
+
+register(
+    "doc_fingerprints",
+    lambda spark, sf: TS.doc_fingerprints(spark, sf),
+    f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    fp AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(0::BIGINT,
+                       list_transform(toks, s -> {DUCK_H8.format(x='s')})),
+                   (a, b) -> (a * 31 + b) % {TS.FINGERPRINT_MOD}) AS fingerprint
+        FROM t)
+    SELECT doc_id, fingerprint, fingerprint % {TS.FINGERPRINT_BANDS} AS band
+    FROM fp
+    """,
+)
+
+# --- events analytics (batch; streaming twins in streaming/) -----------------
+
+from ..operators import events as E  # noqa: E402
+
+register(
+    "events_tumbling_counts",
+    lambda spark, sf: E.tumbling_counts(spark, sf),
+    f"""
+    SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / {E.TUMBLE_SEC})
+                * {E.TUMBLE_SEC} * 1000000 AS BIGINT)),
+            '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+
+register(
+    "events_sliding_counts",
+    lambda spark, sf: E.sliding_counts(spark, sf),
+    f"""
+    SELECT strftime(make_timestamp(CAST(
+               (floor((epoch(ts) - off) / {E.SLIDE_WINDOW_SEC})
+                * {E.SLIDE_WINDOW_SEC} + off) * 1000000 AS BIGINT)),
+            '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events
+    FROM events, unnest([0, {E.SLIDE_STEP_SEC}]) AS t(off)
+    GROUP BY window_start, event_type
+    """,
+)
+
+register(
+    "events_sessionize",
+    lambda spark, sf: E.sessionize(spark, sf),
+    f"""
+    WITH e AS (SELECT user_id, ts, value,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+    g AS (SELECT *,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR sec - lag(sec) OVER w > {E.SESSION_GAP_SEC}
+                      THEN 1 ELSE 0 END AS new_session
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_id FROM g)
+    SELECT user_id, session_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           max(sec) - min(sec) AS duration_sec,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+
+register(
+    "events_json_stats",
+    lambda spark, sf: E.json_props_stats(spark, sf),
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(json_extract_string(props, '$.k')::INT) AS sum_k,
+           round(avg(json_extract_string(props, '$.k')::INT), 4) AS avg_k,
+           min(json_extract_string(props, '$.k')::INT) AS min_k,
+           max(json_extract_string(props, '$.k')::INT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)

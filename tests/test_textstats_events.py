@@ -1,0 +1,63 @@
+"""Text-analysis + events analytics vs DuckDB oracle at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from .oracle import assert_matches_oracle
+
+NAMES = [
+    "language_id",
+    "text_quality",
+    "token_counts",
+    "doc_fingerprints",
+    "events_tumbling_counts",
+    "events_sliding_counts",
+    "events_sessionize",
+    "events_json_stats",
+]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_matches_oracle(spark, sf_correct, name):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    assert_matches_oracle(q(spark, sf_correct), sql, sf_correct)
+
+
+def test_language_id_positive(spark):
+    from bigdata_infra_cs489_spark.operators import textstats
+
+    # the heuristic itself on injected rows: English stopwords -> 'en'
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat and it is warm"), (1, "xyz qqq zzz")],
+        ["doc_id", "text"],
+    )
+    docs.createOrReplaceTempView("_tmp")
+    from pyspark.sql import functions as F
+
+    from bigdata_infra_cs489_spark.functions.text import tokenize
+
+    toks = docs.select("doc_id", tokenize("text").alias("toks"))
+    en = textstats.LANG_STOPWORDS["en"]
+    hit = toks.select(
+        "doc_id", F.size(F.filter("toks", lambda t: t.isin(*en))).alias("hits")
+    ).collect()
+    hits = {r.doc_id: r.hits for r in hit}
+    assert hits[0] >= 4 and hits[1] == 0
+
+
+def test_sessionize_gap_semantics(spark, sf_correct):
+    from bigdata_infra_cs489_spark.operators.events import sessionize
+
+    rows = sessionize(spark, sf_correct).collect()
+    assert rows
+    # session ids are 1..n per user, durations non-negative
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.session_id)
+        assert r.duration_sec >= 0
+    for sids in by_user.values():
+        assert sorted(sids) == list(range(1, len(sids) + 1))
