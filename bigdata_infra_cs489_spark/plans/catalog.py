@@ -688,3 +688,24 @@ register(
     FROM events GROUP BY event_type
     """,
 )
+
+# --- multimodal columns (north-star extensions) ------------------------------
+
+from ..operators import multimodal as MM  # noqa: E402
+
+register(
+    "media_meta",
+    MM.q_media_meta,
+    """
+    SELECT doc_id,
+           (['image', 'audio', 'video'])[doc_id % 3 + 1] AS media_type,
+           CAST(16 * (doc_id % 4 + 1) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+
+# Arrow/mapInPandas stages over opaque binary media: decode is stubbed
+# (no codecs in this container) -> rows-only checks; determinism and batch
+# shape are pinned in tests/test_multimodal.py.
+register("media_features", MM.q_media_features)
+register("video_frames", MM.q_video_frames)

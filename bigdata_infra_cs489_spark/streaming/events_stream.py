@@ -1,0 +1,148 @@
+"""Structured Streaming twins of the batch events aggregations
+(operators/events.py).
+
+The reference is batch-only (SURVEY §2.10); these demonstrate the same
+aggregations as unbounded streams: file-source ingestion, event-time
+tumbling windows with a watermark, built-in session windows, and a custom
+stateful operator via applyInPandasWithState.
+
+Tests run each stream with trigger(availableNow=True) against the fixture
+parquet and compare the complete output to the batch operator — the
+streaming plan must agree with the oracle-checked batch plan.
+
+Scale notes: watermark bounds state (late events beyond 10 minutes are
+dropped); session/window state lives in the state store keyed by
+(window/user), which shards across executors; availableNow backfills a
+directory without a long-running job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..operators.events import SESSION_GAP_SEC, TUMBLE_SEC
+
+WATERMARK = "10 minutes"
+
+# events.parquet physical schema: ts is TIMESTAMP(NANOS) read as long
+# (see sources/tables.py); the stream applies the same ns->us conversion.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded events source over the fixture directory."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 5-minute tumbling windows per event_type (same output
+    columns as the batch operator)."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", WATERMARK)
+    return (
+        ev.groupBy(F.window("ts", f"{TUMBLE_SEC} seconds"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in event-time session windows (30-minute gap) per user."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", WATERMARK)
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_SEC} seconds"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def running_user_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event count + last-seen timestamp (the arbitrary-state API a
+    bespoke streaming operator would use)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = stream_events(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        last_sec = state.get[1] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+            if len(pdf):
+                last_sec = max(
+                    last_sec, int(pdf["ts"].max().timestamp())
+                )
+        state.update((total, last_sec))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [total], "last_seen_sec": [last_sec]}
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, last_seen_sec bigint",
+        stateStructType="n bigint, last_sec bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "complete"):
+    """Execute a streaming DF to a memory sink until all available input
+    is processed; returns the terminated query (read via table `name`)."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,97 @@
+"""Multimodal plumbing: schema, determinism, stub gating."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+
+from .oracle import assert_matches_oracle
+
+
+def test_media_meta_matches_oracle(spark, sf_correct):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["media_meta"]
+    sql = entrymod.oracle_sql()["media_meta"]
+    assert_matches_oracle(q(spark, sf_correct), sql, sf_correct)
+
+
+def test_media_binary_derivation(spark, sf_correct):
+    from bigdata_infra_cs489_spark.operators.multimodal import media_table
+
+    rows = media_table(spark, sf_correct).limit(50).collect()
+    con = duckdb.connect()
+    texts = dict(
+        con.execute(
+            f"SELECT doc_id, text FROM read_parquet('{sf_correct}/documents.parquet')"
+        ).fetchall()
+    )
+    for r in rows:
+        digest = hashlib.md5(texts[r.doc_id].encode()).digest()
+        assert bytes(r.media) == digest * (r.doc_id % 4 + 1)
+        assert r.meta.n_bytes == len(bytes(r.media))
+
+
+def test_decode_strict_raises_without_codec(spark, sf_smoke):
+    from bigdata_infra_cs489_spark.operators.multimodal import (
+        HAVE_IMAGE_CODEC,
+        decode_media,
+        media_table,
+    )
+
+    df = media_table(spark, sf_smoke).limit(4)
+    if HAVE_IMAGE_CODEC:
+        pytest.skip("codec present; strict path not applicable")
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError)):
+        decode_media(df, strict=True).collect()
+
+
+def test_fake_decode_deterministic(spark, sf_smoke):
+    from bigdata_infra_cs489_spark.operators.multimodal import (
+        decode_media,
+        media_table,
+    )
+
+    df = media_table(spark, sf_smoke)
+    a = sorted((r.doc_id, r.width, r.height, r.channels) for r in decode_media(df).collect())
+    b = sorted((r.doc_id, r.width, r.height, r.channels) for r in decode_media(df).collect())
+    assert a == b
+    assert all(1 <= w <= 64 and 1 <= h <= 64 and 1 <= c <= 3 for _, w, h, c in a)
+
+
+def test_features_shape_and_determinism(spark, sf_smoke):
+    from bigdata_infra_cs489_spark.operators.multimodal import (
+        N_FEATURES,
+        extract_features,
+        media_table,
+    )
+
+    rows = extract_features(media_table(spark, sf_smoke)).collect()
+    assert all(len(r.features) == N_FEATURES for r in rows)
+    one = [r for r in rows if r.doc_id == 0][0]
+    con = duckdb.connect()
+    text0 = con.execute(
+        "SELECT text FROM read_parquet('/root/testdata/sf0.001/documents.parquet') WHERE doc_id = 0"
+    ).fetchone()[0]
+    media0 = hashlib.md5(text0.encode()).digest() * 1
+    want = [hashlib.md5(media0).digest()[i] / 256.0 for i in range(N_FEATURES)]
+    assert [pytest.approx(f, abs=1e-6) for f in want] == list(one.features)
+
+
+def test_video_frames_only_video_docs(spark, sf_smoke):
+    from bigdata_infra_cs489_spark.operators.multimodal import (
+        media_table,
+        sample_frames,
+    )
+
+    rows = sample_frames(media_table(spark, sf_smoke)).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % 3 == 2  # media_type cycle: doc_id%3==2 -> video
+        assert r.frame_idx % 2 == 0
+        assert len(bytes(r.frame)) == 16

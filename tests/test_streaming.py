@@ -1,0 +1,62 @@
+"""Structured Streaming twins agree with the oracle-checked batch plans."""
+
+from __future__ import annotations
+
+
+def test_tumbling_stream_matches_batch(spark, sf_correct):
+    from bigdata_infra_cs489_spark.operators.events import tumbling_counts
+    from bigdata_infra_cs489_spark.streaming.events_stream import (
+        run_to_memory,
+        tumbling_counts_stream,
+    )
+
+    run_to_memory(tumbling_counts_stream(spark, sf_correct), "t_tumble")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value, r.avg_value)
+        for r in spark.table("t_tumble").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value, r.avg_value)
+        for r in tumbling_counts(spark, sf_correct).collect()
+    }
+    assert got == want
+
+
+def test_session_window_stream_runs(spark, sf_correct):
+    from bigdata_infra_cs489_spark.streaming.events_stream import (
+        run_to_memory,
+        session_windows_stream,
+    )
+
+    run_to_memory(session_windows_stream(spark, sf_correct), "t_sess")
+    rows = spark.table("t_sess").collect()
+    assert rows
+    # same session boundaries as the batch lag+cumsum operator: compare
+    # (user, session_start) keys
+    from bigdata_infra_cs489_spark.operators.events import sessionize
+
+    batch_keys = {
+        (r.user_id, r.session_start) for r in sessionize(spark, sf_correct).collect()
+    }
+    stream_keys = {(r.user_id, r.session_start) for r in rows}
+    assert stream_keys == batch_keys
+
+
+def test_stateful_running_counts(spark, sf_correct):
+    from bigdata_infra_cs489_spark.operators.events import _events
+    from bigdata_infra_cs489_spark.streaming.events_stream import (
+        run_to_memory,
+        running_user_counts_stream,
+    )
+
+    run_to_memory(
+        running_user_counts_stream(spark, sf_correct), "t_state", "update"
+    )
+    got = {r.user_id: r.n_events for r in spark.table("t_state").collect()}
+    want = {
+        r.user_id: r.cnt
+        for r in _events(spark, sf_correct).groupBy("user_id").count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    assert got == want
