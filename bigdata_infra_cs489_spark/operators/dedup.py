@@ -31,6 +31,18 @@ from ..sources.tables import load
 
 NUM_HASHES = 16
 NUM_BANDS = 4  # 4 rows per band
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32: universal-hash modulus
+
+
+def minhash_params(num_hashes: int = NUM_HASHES) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the universal family h_i(x) = (a_i*x + b_i) mod P.
+
+    Shared with the DuckDB oracle (catalog.py interpolates the same
+    constants), so signatures are reproducible cross-engine."""
+    return [
+        (2 * i + 1, (2654435769 * (i + 1)) % MINHASH_PRIME)
+        for i in range(num_hashes)
+    ]
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.8
 SIMHASH_BITS = 32
@@ -64,39 +76,64 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 # --- shingling + MinHash ----------------------------------------------------
 
 
-def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """(doc_id, shingles array<string>): distinct word n-grams; documents
-    shorter than n tokens contribute their whole token string."""
-    toks = docs.select("doc_id", tokenize("text").alias("toks"))
+def _shingle_expr(n: int) -> Column:
+    """Distinct word n-grams of the ``toks`` column; documents shorter than
+    n tokens contribute their whole token string."""
     ngrams = F.transform(
         F.sequence(F.lit(1), F.size("toks") - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
     )
-    return toks.select(
-        "doc_id",
-        F.array_distinct(
-            F.when(F.size("toks") >= n, ngrams).otherwise(
-                F.array(F.concat_ws(" ", "toks"))
-            )
-        ).alias("shingles"),
+    return F.array_distinct(
+        F.when(F.size("toks") >= n, ngrams).otherwise(
+            F.array(F.concat_ws(" ", "toks"))
+        )
     )
+
+
+def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingles array<string>): distinct word n-grams per doc."""
+    toks = docs.select("doc_id", tokenize("text").alias("toks"))
+    return toks.select("doc_id", _shingle_expr(n).alias("shingles"))
+
+
+def shingle_index(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, s): the exploded (inverted-index-shaped) form of shingles().
+
+    The explode is fused into the same projection that builds the array:
+    naming the array column in one select and exploding it in a later one
+    lets InferFiltersFromGenerate + predicate pushdown substitute the whole
+    (interpreted, non-codegen) higher-order shingle expression into an
+    inferred ``size(...) > 0 AND isnotnull(...)`` filter below the project —
+    measured ~14x slower at sf0.1 because the expression then runs ~4x per
+    row. Keep the generator expression inline."""
+    toks = docs.select("doc_id", tokenize("text").alias("toks"))
+    return toks.select("doc_id", F.explode(_shingle_expr(n)).alias("s"))
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     """(doc_id, sig array<bigint>): sig[i] = min over shingles of
-    h8(i || '|' || shingle). Pure column expressions — the K hash functions
-    never leave the JVM."""
-    sh = shingles(docs)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                "shingles",
-                lambda s: _h8(F.concat_ws("|", i.cast("string"), s)),
-            )
-        ),
+    (a_i * h8(shingle) + b_i) mod P — K universal-hash draws over ONE md5
+    per shingle (the textbook MinHash construction; hashing each shingle K
+    times with md5 was 16x the digest work for the same estimator).
+
+    Shape: explode shingles -> base hash + K affine combinations per row,
+    all codegen'd -> groupBy(doc).min per hash -> array. min is a partial
+    aggregation, so map-side combine applies at any scale."""
+    idx = shingle_index(docs)
+    based = idx.select("doc_id", _h8(F.col("s")).alias("x"))
+    hashed = based.select(
+        "doc_id",
+        *[
+            ((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+            for i, (a, b) in enumerate(minhash_params(num_hashes))
+        ],
     )
-    return sh.select("doc_id", sig.alias("sig"))
+    mins = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def lsh_candidate_pairs(
@@ -166,20 +203,18 @@ def ngram_jaccard_pairs(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     the exploded shingle index with itself, count common shingles per pair,
     then jaccard = common / (|A| + |B| - common). Pairs sharing no shingle
     never materialize."""
-    sh = shingles(docs).select(
-        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s")
-    )
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "s"
-    )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "s"
-    )
+    idx = shingle_index(docs)
+    # shingles are distinct per doc, so count(*) of the index == |shingle set|
+    counts = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = idx.select(F.col("doc_id").alias("doc_a"), "s")
+    b = idx.select(F.col("doc_id").alias("doc_b"), "s")
     common = (
         a.join(b, "s")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
+        .join(counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
     )
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
     return common.select(

@@ -5,9 +5,8 @@ don't fit one machine:
 
 - brute-force cosine top-k: the exactness baseline. dot/norm are
   higher-order column expressions (zip_with + aggregate) — JVM-side,
-  whole-stage-codegen, no Python in the hot path. Top-k is
-  TakeOrderedAndProject (per-partition heaps, driver merge), never a
-  global sort.
+  no Python in the hot path. Top-k is TakeOrderedAndProject
+  (per-partition heaps, driver merge), never a global sort.
 - IVF (inverted-file) ANN: coarse-quantize every vector to its nearest
   centroid (broadcast centroid join), probe only the query's top
   ``nprobe`` centroid partitions, exact-rank inside. At 100 TB the
@@ -145,11 +144,32 @@ def ivf_topk(
 def cosine_near_duplicate_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = PAIR_THRESHOLD
 ) -> DataFrame:
-    """(vec_a, vec_b, cosine) for all pairs with cosine >= threshold."""
+    """(vec_a, vec_b, cosine) for all pairs with cosine >= threshold.
+
+    Two scale levers on the O(n^2) pair scan:
+    - each side's norm is computed once per row before the join (the same
+      sqrt(dot(v, v)) operation sequence as inside the per-pair cosine, so
+      values stay bit-identical to the oracle), leaving one dot per pair;
+    - the stream side is repartitioned to the cluster parallelism — a small
+      vector table arrives as one parquet split, and a cartesian scan
+      inherits the stream side's partitioning, so without this the whole
+      n^2 evaluation runs in a single task (measured 36 s vs 3 s on 32
+      cores at sf0.1). The one-time shuffle of the vector table is
+      negligible against the n^2/parallelism pair work it unlocks.
+    """
     emb = _emb(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = _cosine(F.col("ea"), F.col("eb"))
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    a = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        norm.alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        norm.alias("nb"),
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.crossJoin(b)
         .where(F.col("vec_a") < F.col("vec_b"))

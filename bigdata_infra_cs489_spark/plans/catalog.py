@@ -343,15 +343,21 @@ register(
     """,
 )
 
+# Universal-hash MinHash twin: sig[i] = min over shingles of
+# (a_i * h8(s) + b_i) mod P with the same (a_i, b_i, P) constants as
+# operators/dedup.py minhash_params().
+DUCK_MINHASH_SIG = f"""list_transform(range(0, {D.NUM_HASHES}),
+               i -> list_min(list_transform(sh,
+                    s -> ((2*i + 1) * {DUCK_H8.format(x='s')}
+                          + ((2654435769 * (i + 1)) % {D.MINHASH_PRIME}))
+                         % {D.MINHASH_PRIME})))"""
+
 register(
     "minhash_signatures",
     D.q_minhash_signatures,
     f"""
     WITH {DUCK_SHINGLES}
-    SELECT doc_id,
-           list_transform(range(0, {D.NUM_HASHES}),
-               i -> list_min(list_transform(sh,
-                    s -> {DUCK_H8.format(x="i::VARCHAR || '|' || s")}))) AS sig
+    SELECT doc_id, {DUCK_MINHASH_SIG} AS sig
     FROM sh
     """,
 )
@@ -362,10 +368,7 @@ register(
     f"""
     WITH {DUCK_SHINGLES},
     sigs AS (
-        SELECT doc_id,
-               list_transform(range(0, {D.NUM_HASHES}),
-                   i -> list_min(list_transform(sh,
-                        s -> {DUCK_H8.format(x="i::VARCHAR || '|' || s")}))) AS sig
+        SELECT doc_id, {DUCK_MINHASH_SIG} AS sig
         FROM sh),
     bands AS (
         SELECT doc_id, b,
