@@ -107,26 +107,40 @@ def personalized_pagerank(
     )
 
     for _ in range(iterations):
-        # phase 1: distribute mass along edges, sum per destination
+        # phase 1: distribute mass along edges, sum per destination. The
+        # per-source contributions are k scalar columns, not an array fold
+        # over collect_list: F.sum gets map-side partial aggregation, while
+        # collect_list would buffer every incoming message per node (an
+        # executor-memory hazard on high-in-degree nodes at scale).
         msgs = (
             ranks.join(graph, "id")
             .where(F.col("outdeg") > 0)
             .select(
                 F.explode("adj").alias("id"),
-                F.transform("mass", lambda m: m / F.col("outdeg")).alias("contrib"),
+                *[
+                    (F.element_at("mass", i + 1) / F.col("outdeg")).alias(f"c{i}")
+                    for i in range(k)
+                ],
             )
             .groupBy("id")
-            .agg(
-                F.aggregate(
-                    F.collect_list("contrib"),
-                    _zero_array(k),
-                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-                ).alias("mass")
-            )
+            .agg(*[F.sum(f"c{i}").alias(f"m{i}") for i in range(k)])
         )
 
-        received = ranks.select("id").join(msgs, "id", "left").select(
-            "id", F.coalesce("mass", _zero_array(k)).alias("mass")
+        # lazily checkpoint received mass (the reference's per-iteration
+        # SequenceFile, RunPersonalizedPageRankBasic.java:513-514): the
+        # missing-mass aggregate below is then the ONE action per iteration
+        # that both computes the shuffle and pins its result, truncating
+        # lineage without a second materialization pass.
+        received = (
+            ranks.select("id")
+            .join(msgs, "id", "left")
+            .select(
+                "id",
+                F.array(
+                    *[F.coalesce(F.col(f"m{i}"), F.lit(0.0)) for i in range(k)]
+                ).alias("mass"),
+            )
+            .localCheckpoint(eager=False)
         )
 
         # driver-side scalar: missing mass per source (1 - total received),
@@ -136,7 +150,8 @@ def personalized_pagerank(
         ).collect()[0]
         missing = [max(0.0, 1.0 - totals[i]) for i in range(k)]
 
-        # phase 2: jump + dangling mass go only to each slot's source
+        # phase 2: jump + dangling mass go only to each slot's source — a
+        # narrow map, left lazy to fuse into the next iteration's join.
         one_minus = 1.0 - alpha
         new_mass = F.array(
             *[
@@ -149,7 +164,7 @@ def personalized_pagerank(
                 for i in range(k)
             ]
         )
-        ranks = received.select("id", new_mass.alias("mass")).localCheckpoint()
+        ranks = received.select("id", new_mass.alias("mass"))
 
     return ranks
 
