@@ -712,3 +712,15 @@ register(
 # shape are pinned in tests/test_multimodal.py.
 register("media_features", MM.q_media_features)
 register("video_frames", MM.q_video_frames)
+
+# --- reference-native format connectors (SURVEY §2.1 S1/S2/S8) ---------------
+
+from ..sources import formats as FMT  # noqa: E402
+
+register(
+    "tbl_scan_nation",
+    FMT.q_tbl_scan_nation,
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
