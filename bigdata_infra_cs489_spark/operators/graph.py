@@ -79,6 +79,37 @@ def build_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(num_nodes, num_edges, num_dangling) — the reference's counter
+    side-aggregates (SURVEY A8: BuildPersonalizedPageRankRecords.java:99-104
+    NODE_COUNT/EDGE_COUNT counters) as a one-row aggregate over the node
+    records; no separate metric channel needed."""
+    g = build_graph(spark, sf_dir)
+    return g.agg(
+        F.count(F.lit(1)).alias("num_nodes"),
+        F.sum("outdeg").cast("bigint").alias("num_edges"),
+        F.sum((F.col("outdeg") == 0).cast("bigint")).alias("num_dangling"),
+    )
+
+
+def graph_with_observed_stats(spark: SparkSession, sf_dir: str):
+    """build_graph plus an attached ``Observation`` — the closer analogue of
+    MapReduce counters when the node records themselves are the job output:
+    metrics fall out of the SAME pass that materializes the graph, no
+    second scan. Returns (DataFrame, Observation); read
+    ``observation.get`` after an action on the DataFrame."""
+    from pyspark.sql import Observation
+
+    obs = Observation("graph_stats")
+    g = build_graph(spark, sf_dir).observe(
+        obs,
+        F.count(F.lit(1)).alias("num_nodes"),
+        F.sum("outdeg").cast("bigint").alias("num_edges"),
+        F.sum((F.col("outdeg") == 0).cast("bigint")).alias("num_dangling"),
+    )
+    return g, obs
+
+
 def _zero_array(k: int):
     return F.array_repeat(F.lit(0.0).cast("double"), k)
 

@@ -275,6 +275,22 @@ register(
     """,
 )
 
+register(
+    "ppr_graph_stats",
+    G.graph_stats,
+    """
+    WITH n AS (SELECT count(*) AS c FROM documents),
+    e AS (
+        SELECT DISTINCT doc_id AS src,
+               (doc_id * k + 1) % (SELECT c FROM n) AS dst
+        FROM documents, unnest(range(1, (doc_id % 5) + 1)) AS t(k)
+    )
+    SELECT (SELECT c FROM n) AS num_nodes,
+           (SELECT count(*) FROM e) AS num_edges,
+           (SELECT c FROM n) - (SELECT count(DISTINCT src) FROM e) AS num_dangling
+    """,
+)
+
 # Iterative fixpoint: not SQL-expressible -> rows-only driver check; the
 # numerics are pinned by a NumPy replay oracle in tests/test_graph.py.
 register(

@@ -77,3 +77,25 @@ def test_ppr_topk_shape(spark, sf_smoke):
     for masses in by_source.values():
         assert len(masses) == 10
         assert masses == sorted(masses, reverse=True)
+
+
+def test_graph_stats_match_oracle(spark, sf_correct):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["ppr_graph_stats"]
+    sql = entrymod.oracle_sql()["ppr_graph_stats"]
+    assert_matches_oracle(q(spark, sf_correct), sql, sf_correct)
+
+
+def test_observed_stats_match_aggregate(spark, sf_smoke):
+    """The Observation metrics (same pass as materializing the graph) agree
+    with the standalone one-row aggregate."""
+    from bigdata_infra_cs489_spark.operators.graph import (
+        graph_stats,
+        graph_with_observed_stats,
+    )
+
+    g, obs = graph_with_observed_stats(spark, sf_smoke)
+    g.write.format("noop").mode("overwrite").save()  # one action, no sink
+    want = graph_stats(spark, sf_smoke).collect()[0].asDict()
+    assert obs.get == want
