@@ -141,6 +141,91 @@ def ivf_topk(
     )
 
 
+def kmeans_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = N_CENTROIDS,
+    iterations: int = 5,
+) -> DataFrame:
+    """Spherical k-means (Lloyd's) over unit-normalized vectors:
+    (centroid_id, cvec array<double>).
+
+    DataFrame-iterative like the PageRank loop: per iteration, broadcast
+    the current centroids, assign every vector to its argmax-cosine
+    centroid, recompute each centroid as the renormalized element-wise mean
+    of its members. The mean is posexplode -> groupBy(centroid, dim).avg —
+    two partial-aggregatable shuffles whose width is vectors*dim rows, so
+    the pass is a narrow linear scan at any corpus size. Centroids (model
+    state, C*dim doubles) are collected to the driver between iterations —
+    model-sized, not data-sized. Init = first C vectors (deterministic; the
+    same rule the static IVF uses), ties to the lowest centroid id.
+    """
+    emb = _emb(spark, sf_dir)
+    # norm once per row (a sibling column, not inside the transform lambda —
+    # there it would be re-evaluated per element), then cache the unit
+    # vectors: every iteration re-reads them.
+    unit = (
+        emb.select(
+            "vec_id",
+            F.col("embedding").alias("e"),
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
+        .select("vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("u"))
+        .cache()
+    )
+    cent_rows = (
+        unit.where(F.col("vec_id") < n_centroids)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("u").alias("cvec"))
+        .collect()
+    )
+    centroids = [(int(r["centroid_id"]), list(r["cvec"])) for r in cent_rows]
+
+    for _ in range(iterations):
+        cent_df = F.broadcast(
+            spark.createDataFrame(centroids, "centroid_id int, cvec array<double>")
+        )
+        assigned = (
+            unit.crossJoin(cent_df)
+            .select(
+                "vec_id",
+                "u",
+                "centroid_id",
+                _dot(F.col("u"), F.col("cvec")).alias("cos"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.struct("centroid_id", "u"),
+                    F.struct(F.col("cos"), -F.col("centroid_id")),
+                ).alias("best")
+            )
+            .select(F.col("best.centroid_id").alias("centroid_id"), F.col("best.u").alias("u"))
+        )
+        dim_means = (
+            assigned.select("centroid_id", F.posexplode("u").alias("pos", "v"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("mean")
+            )
+        )
+        new = dim_means.select(
+            "centroid_id",
+            F.transform(
+                "mean", lambda x: x / F.sqrt(_dot(F.col("mean"), F.col("mean")))
+            ).alias("cvec"),
+        ).collect()
+        by_id = {int(r["centroid_id"]): list(r["cvec"]) for r in new}
+        # empty clusters keep their previous centroid
+        centroids = [(cid, by_id.get(cid, vec)) for cid, vec in centroids]
+
+    unit.unpersist()
+    return spark.createDataFrame(centroids, "centroid_id int, cvec array<double>")
+
+
 def cosine_near_duplicate_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = PAIR_THRESHOLD
 ) -> DataFrame:

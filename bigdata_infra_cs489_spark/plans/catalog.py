@@ -548,6 +548,13 @@ register(
     """,
 )
 
+# Iterative Lloyd's loop: not SQL-expressible -> rows-only driver check;
+# numerics pinned by the NumPy replay in tests/test_similarity.py.
+register(
+    "ivf_train_centroids",
+    lambda spark, sf: S.kmeans_centroids(spark, sf),
+)
+
 # --- text analysis (north-star extensions) ----------------------------------
 
 from ..operators import textstats as TS  # noqa: E402

@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis): the Spark column-expression
+implementations agree with plain-Python reference implementations on
+arbitrary inputs, not just the fixtures."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+try:
+    from hypothesis import given, settings, strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+
+def py_tokenize(line: str) -> list[str]:
+    """The reference tokenizer (util/Tokenizer.scala:8-12) in pure Python:
+    whitespace split -> lowercase -> strip leading/trailing non-[a-z] ->
+    drop empties."""
+    toks = [
+        re.sub(r"(^[^a-z]+|[^a-z]+$)", "", t)
+        for t in re.split(r"\s+", line.lower())
+    ]
+    return [t for t in toks if t]
+
+
+ascii_lines = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(lines=ascii_lines)
+def test_tokenize_matches_python(spark, lines):
+    from pyspark.sql import functions as F
+
+    from bigdata_infra_cs489_spark.functions.text import tokenize
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(lines)], "i int, text string")
+    got = {
+        r["i"]: list(r["toks"])
+        for r in df.select("i", tokenize("text").alias("toks")).collect()
+    }
+    want = {i: py_tokenize(s) for i, s in enumerate(lines)}
+    assert got == want
+
+
+# --- boolean postfix compiler vs a Python set-algebra model -----------------
+
+VOCAB = ["fast", "slow", "table", "data", "query", "zzznotaword"]
+
+postfix_exprs = st.recursive(
+    st.sampled_from(VOCAB),
+    lambda sub: st.tuples(sub, sub, st.sampled_from(["AND", "OR"])).map(
+        lambda t: f"{t[0]} {t[1]} {t[2]}"
+    ),
+    max_leaves=4,
+)
+
+
+def py_eval_postfix(query: str, doc_terms: dict[int, set[str]]) -> set[int]:
+    stack: list[set[int]] = []
+    for tok in query.split():
+        if tok in ("AND", "OR"):
+            right, left = stack.pop(), stack.pop()
+            stack.append(left & right if tok == "AND" else left | right)
+        else:
+            stack.append({d for d, ts in doc_terms.items() if tok in ts})
+    (result,) = stack
+    return result
+
+
+@pytest.fixture(scope="module")
+def doc_terms(spark, sf_smoke):
+    from bigdata_infra_cs489_spark.sources.tables import load
+
+    rows = load(spark, sf_smoke, "documents").select("doc_id", "text").collect()
+    return {r["doc_id"]: set(py_tokenize(r["text"])) for r in rows}
+
+
+@settings(max_examples=8, deadline=None)
+@given(query=postfix_exprs)
+def test_boolean_retrieval_matches_set_model(spark, sf_smoke, doc_terms, query):
+    from bigdata_infra_cs489_spark.operators.index import boolean_retrieval
+
+    got = {r["doc_id"] for r in boolean_retrieval(spark, sf_smoke, query).collect()}
+    assert got == py_eval_postfix(query, doc_terms)

@@ -36,3 +36,48 @@ def test_ivf_recall_vs_bruteforce(spark, sf_correct):
     exact = {r.vec_id for r in cosine_topk(spark, sf_correct).collect()}
     approx = {r.vec_id for r in ivf_topk(spark, sf_correct).collect()}
     assert len(exact & approx) >= 3
+
+
+def test_kmeans_matches_numpy_replay(spark, sf_correct):
+    """Spherical k-means centroids match a NumPy replay of the same
+    algorithm (deterministic init = first C unit vectors, argmax-cosine
+    assignment with ties to the lowest centroid id, renormalized means)."""
+    import numpy as np
+
+    from bigdata_infra_cs489_spark.operators.similarity import kmeans_centroids
+
+    C, ITERS = 8, 3
+    got = {
+        r["centroid_id"]: np.array(r["cvec"])
+        for r in kmeans_centroids(spark, sf_correct, n_centroids=C, iterations=ITERS).collect()
+    }
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_correct}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    E = np.array([r[1] for r in rows], dtype=np.float64)
+    U = E / np.linalg.norm(E, axis=1, keepdims=True)
+    cent = U[:C].copy()
+    for _ in range(ITERS):
+        sims = U @ cent.T
+        assign = sims.argmax(axis=1)  # first max = lowest centroid id
+        for c in range(C):
+            members = U[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / np.linalg.norm(m)
+    assert set(got) == set(range(C))
+    for c in range(C):
+        assert np.allclose(got[c], cent[c], atol=1e-6), f"centroid {c} diverged"
+
+
+def test_kmeans_centroids_are_unit_vectors(spark, sf_correct):
+    import numpy as np
+
+    from bigdata_infra_cs489_spark.operators.similarity import kmeans_centroids
+
+    for r in kmeans_centroids(spark, sf_correct, n_centroids=4, iterations=2).collect():
+        assert abs(np.linalg.norm(np.array(r["cvec"])) - 1.0) < 1e-9
