@@ -168,6 +168,49 @@ def apply_ensemble_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ranking_auc(scored: DataFrame, label_col: str = "label", score_col: str = "score") -> DataFrame:
+    """One-row (n_pos, n_neg, auc, roca_pct) from (label, score) rows.
+
+    Mann-Whitney AUC with proper tie handling (average ranks): the
+    reference reports classifier quality as 1-ROCA% (assignment6.md:3-29),
+    which is (1 - AUC) * 100. avg rank of a tie group = min-rank +
+    (group size - 1)/2, both window functions over the global score order —
+    a global sort, acceptable for a one-row evaluation metric (the sort is
+    over (score), not the full row payload).
+    """
+    from pyspark.sql.window import Window
+
+    is_pos = (F.col(label_col) == "spam").cast("int")
+    w_rank = Window.orderBy(score_col)
+    w_tie = Window.partitionBy(score_col)
+    ranked = scored.select(
+        is_pos.alias("y"),
+        (F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0).alias(
+            "avg_rank"
+        ),
+    )
+    agg = ranked.agg(
+        F.sum("y").alias("n_pos"),
+        F.sum(1 - F.col("y")).alias("n_neg"),
+        F.sum(F.when(F.col("y") == 1, F.col("avg_rank"))).alias("pos_rank_sum"),
+    )
+    auc = (
+        F.col("pos_rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+    ) / (F.col("n_pos") * F.col("n_neg"))
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(auc, 6).alias("auc"),
+        F.round((1 - auc) * 100, 4).alias("roca_pct"),
+    )
+
+
+def spam_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality of the single trained model, the reference's headline
+    metric shape (1-ROCA%)."""
+    return ranking_auc(apply_spam_classifier(spark, sf_dir))
+
+
 def apply_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vote ensemble: score = #spam-votes − #ham-votes, spam iff majority
     (ApplyEnsembleSpamClassifier.scala:90-104)."""

@@ -329,6 +329,9 @@ register(
     "spam_ensemble_average", lambda spark, sf: M.apply_ensemble_average(spark, sf)
 )
 register("spam_ensemble_vote", lambda spark, sf: M.apply_ensemble_vote(spark, sf))
+# Quality metric over the non-SQL-expressible trained model -> rows-only;
+# the AUC computation itself is pinned vs NumPy in tests/test_skew_and_auc.py.
+register("spam_model_auc", lambda spark, sf: M.spam_model_auc(spark, sf))
 
 # --- deduplication (north-star extensions, BASELINE.json) --------------------
 
