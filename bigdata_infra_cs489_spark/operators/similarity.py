@@ -145,7 +145,7 @@ def kmeans_centroids(
     spark: SparkSession,
     sf_dir: str,
     n_centroids: int = N_CENTROIDS,
-    iterations: int = 5,
+    iterations: int = 3,
 ) -> DataFrame:
     """Spherical k-means (Lloyd's) over unit-normalized vectors:
     (centroid_id, cvec array<double>).
