@@ -1,0 +1,99 @@
+"""Relational vocabulary beyond the reference's inventory.
+
+SURVEY.md §2 notes several operator classes the reference never uses but a
+complete engine must offer (§2.3 "no anti-join", §2.4 "no grouping sets /
+rollup / distinct-aggregate / approximate aggregates", §2.5 "frame specs,
+lead/lag absent"). These close those gaps with Catalyst built-ins, each
+oracle-checked against DuckDB:
+
+- anti-join (customers with no orders) — left_anti, the complement of the
+  reference's semi-join (P6/J3);
+- ROLLUP aggregation over (event_type, month) — grouping-set hierarchy in
+  one pass (one shuffle, Expand feeds partial aggregation);
+- exact percentiles per group — Spark's ``percentile`` (linear
+  interpolation, same definition as DuckDB's quantile_cont);
+- distinct-count by group (countDistinct), with the HyperLogLog
+  ``approx_count_distinct`` scale path exercised in tests (approximate
+  answers can't hash-match an oracle; the test bounds its error vs exact);
+- lead/lag frame computation: per-user inter-event gap seconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import month_str
+from ..sources.tables import load
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti: customers that never placed an order."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def events_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (event_type, month): per-(type, month), per-type subtotal,
+    and grand total in a single pass."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type", month_str("ts").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of value per event_type (linear interpolation —
+    the same definition DuckDB's quantile_cont uses, so values hash-match)."""
+    ev = load(spark, sf_dir, "events")
+    pct = F.percentile("value", F.lit([0.5, 0.9, 0.99]))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.element_at(pct, 1), 6).alias("p50"),
+            F.round(F.element_at(pct, 2), 6).alias("p90"),
+            F.round(F.element_at(pct, 3), 6).alias("p99"),
+        )
+    )
+
+
+def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct user count per event_type (two-phase distinct
+    aggregate). The approximate HLL twin is approx_distinct_users()."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+def approx_distinct_users(
+    spark: SparkSession, sf_dir: str, rsd: float = 0.02
+) -> DataFrame:
+    """HyperLogLog++ distinct count — the 100 TB path: one pass, fixed
+    sketch memory per group, no exact-distinct shuffle of user ids."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=rsd).alias("n_users_approx")
+    )
+
+
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag windowing: seconds since each user's previous event
+    (first event per user -> NULL gap)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev)).alias("gap_sec"),
+    )

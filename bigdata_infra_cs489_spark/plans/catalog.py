@@ -750,3 +750,60 @@ register(
     SELECT n_nationkey, n_name, n_regionkey FROM nation
     """,
 )
+
+# --- relational vocabulary beyond the reference (SURVEY §2.3/2.4/2.5 notes) --
+
+from ..operators import relational_ext as RX  # noqa: E402
+
+register(
+    "customers_without_orders",
+    RX.customers_without_orders,
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+
+register(
+    "events_rollup_counts",
+    RX.events_rollup_counts,
+    """
+    SELECT event_type, strftime(ts, '%Y-%m') AS month,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (event_type, month)
+    """,
+)
+
+register(
+    "events_value_percentiles",
+    RX.events_value_percentiles,
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+
+register(
+    "events_distinct_users",
+    RX.events_distinct_users,
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+
+register(
+    "user_event_gaps",
+    RX.user_event_gaps,
+    """
+    SELECT event_id, user_id,
+           date_diff('second',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS gap_sec
+    FROM events
+    """,
+)

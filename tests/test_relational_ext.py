@@ -1,0 +1,43 @@
+"""Extended relational vocabulary: anti-join, rollup, percentiles,
+distinct aggregates, lead/lag."""
+
+from __future__ import annotations
+
+import pytest
+
+from .oracle import assert_matches_oracle
+
+NAMES = [
+    "customers_without_orders",
+    "events_rollup_counts",
+    "events_value_percentiles",
+    "events_distinct_users",
+    "user_event_gaps",
+]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_matches_oracle(spark, sf_correct, name):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    assert_matches_oracle(q(spark, sf_correct), sql, sf_correct)
+
+
+def test_approx_distinct_within_rsd(spark, sf_correct):
+    """The HLL scale path stays within ~3x the configured relative error
+    of the exact distinct counts."""
+    from bigdata_infra_cs489_spark.operators.relational_ext import (
+        approx_distinct_users,
+        events_distinct_users,
+    )
+
+    exact = {r["event_type"]: r["n_users"] for r in events_distinct_users(spark, sf_correct).collect()}
+    approx = {
+        r["event_type"]: r["n_users_approx"]
+        for r in approx_distinct_users(spark, sf_correct, rsd=0.02).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(2, 0.06 * exact[k])
