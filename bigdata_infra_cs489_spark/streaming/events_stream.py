@@ -134,6 +134,30 @@ def running_user_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once stream dedup on event_id within the watermark horizon —
+    the streaming twin of exact dedup (operators/dedup.py): replayed or
+    at-least-once-delivered events are dropped while state stays bounded
+    (ids older than the watermark are evicted from the state store)."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", WATERMARK)
+    return ev.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+def enriched_events_stream(
+    spark: SparkSession, sf_dir: str, dim: DataFrame
+) -> DataFrame:
+    """Stream-static join: each micro-batch of events joins the static
+    dimension (broadcast per batch; at scale, a small dim broadcasts, a
+    big one becomes a shuffled stream-static join Catalyst plans the same
+    way a batch join would)."""
+    ev = stream_events(spark, sf_dir)
+    return ev.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", "user_id", "event_type", "value", "segment"
+    )
+
+
 def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "complete"):
     """Execute a streaming DF to a memory sink until all available input
     is processed; returns the terminated query (read via table `name`)."""

@@ -60,3 +60,45 @@ def test_stateful_running_counts(spark, sf_correct):
         .collect()
     }
     assert got == want
+
+
+def test_stream_dedup_drops_replays(spark, sf_correct):
+    """A stream that replays the same parquet twice (two globs of the same
+    file) still yields each event_id once."""
+    from bigdata_infra_cs489_spark.operators.events import _events
+    from bigdata_infra_cs489_spark.streaming.events_stream import (
+        dedup_events_stream,
+        run_to_memory,
+    )
+
+    run_to_memory(dedup_events_stream(spark, sf_correct), "t_dedup", "append")
+    got = spark.table("t_dedup")
+    n_ids = _events(spark, sf_correct).select("event_id").distinct().count()
+    assert got.count() == n_ids
+    assert got.select("event_id").distinct().count() == n_ids
+
+
+def test_stream_static_join_enriches(spark, sf_correct):
+    from pyspark.sql import functions as F
+
+    from bigdata_infra_cs489_spark.operators.events import _events
+    from bigdata_infra_cs489_spark.streaming.events_stream import (
+        enriched_events_stream,
+        run_to_memory,
+    )
+
+    dim = (
+        _events(spark, sf_correct)
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd").alias("segment"),
+        )
+    )
+    run_to_memory(
+        enriched_events_stream(spark, sf_correct, dim), "t_enrich", "append"
+    )
+    rows = spark.table("t_enrich").collect()
+    assert rows and all(r.segment in ("even", "odd") for r in rows)
+    assert len(rows) == _events(spark, sf_correct).count()
