@@ -109,23 +109,39 @@ def boolean_retrieval(spark: SparkSession, sf_dir: str, query: str) -> DataFrame
     Grammar is exactly the reference's (BooleanRetrievalCompressed.java:39-58):
     whitespace-separated postfix tokens; ``AND``/``OR`` pop two operand doc
     sets and push the intersection/union; a bare token pushes its doc set.
-    """
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    doc_terms = (
-        docs.select("doc_id", F.explode(tokenize("text")).alias("term")).distinct()
-    )
 
-    stack: list[DataFrame] = []
+    Plan shape: the postfix program compiles to ONE boolean column
+    expression over each document's set of query terms — one corpus scan
+    (filtered to the query's terms before the shuffle) + one aggregation,
+    regardless of query size. The naive translation (one doc-set DataFrame
+    per term, intersect/union per operator) rescans the corpus per term and
+    shuffles per operator — at 100 TB that is #terms scans; this is one.
+    Documents containing none of the query's terms never reach the
+    aggregation; they would evaluate false under every AND/OR combination
+    of term-membership tests, so dropping them early is semantics-free.
+    """
+    terms = [t for t in query.split() if t not in ("AND", "OR")]
+
+    # compile postfix -> boolean expression over the per-doc term set
+    stack: list = []
     for tok in query.split():
         if tok in ("AND", "OR"):
             if len(stack) < 2:
                 raise ValueError(f"malformed postfix query {query!r}")
             right, left = stack.pop(), stack.pop()
-            stack.append(
-                left.intersect(right) if tok == "AND" else left.union(right).distinct()
-            )
+            stack.append(left & right if tok == "AND" else left | right)
         else:
-            stack.append(doc_terms.where(F.col("term") == tok).select("doc_id"))
+            stack.append(F.array_contains("terms", tok))
     if len(stack) != 1:
         raise ValueError(f"malformed postfix query {query!r}")
-    return stack[0].join(docs, "doc_id").select("doc_id", "text")
+    predicate = stack[0]
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    hits = (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+        .where(F.col("term").isin(*terms))
+        .groupBy("doc_id")
+        .agg(F.collect_set("term").alias("terms"))
+        .where(predicate)
+    )
+    return hits.join(docs, "doc_id").select("doc_id", "text")
