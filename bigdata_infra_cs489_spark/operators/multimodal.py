@@ -129,6 +129,41 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(featurize, schema="doc_id bigint, features array<float>")
 
 
+def resize_media(df: DataFrame, target_bytes: int = 32, strict: bool = False) -> DataFrame:
+    """mapInPandas resize stage -> (doc_id, media binary, n_bytes).
+
+    A real implementation decodes, resamples to a target resolution, and
+    re-encodes; without a codec the deterministic stand-in truncates or
+    right-pads the payload by cycling it to ``target_bytes`` — preserving
+    the contract a resize has (fixed-size output derived from input) so
+    batch shape, schema, and downstream stages are testable. strict=True
+    raises NotImplementedError when no codec is installed."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not HAVE_IMAGE_CODEC and strict:
+                raise NotImplementedError(
+                    "no image codec available; install PIL or run with "
+                    "strict=False (deterministic fake resize)"
+                )
+            out = []
+            for m in pdf["media"]:
+                b = bytes(m)
+                reps = (target_bytes + len(b) - 1) // len(b)
+                out.append((b * reps)[:target_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": out,
+                    "n_bytes": [len(o) for o in out],
+                }
+            )
+
+    return df.mapInPandas(
+        resize, schema="doc_id bigint, media binary, n_bytes bigint"
+    )
+
+
 def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
     """Frame sampling for video media: split the payload into FRAME_BYTES
     blocks and keep every ``every``-th -> (doc_id, frame_idx, frame binary).

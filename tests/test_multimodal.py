@@ -95,3 +95,38 @@ def test_video_frames_only_video_docs(spark, sf_smoke):
         assert r.doc_id % 3 == 2  # media_type cycle: doc_id%3==2 -> video
         assert r.frame_idx % 2 == 0
         assert len(bytes(r.frame)) == 16
+
+
+def test_resize_is_deterministic_fixed_size(spark, sf_smoke):
+    from bigdata_infra_cs489_spark.operators.multimodal import (
+        media_table,
+        resize_media,
+    )
+
+    m = media_table(spark, sf_smoke)
+    a = resize_media(m, target_bytes=32).collect()
+    b = resize_media(m, target_bytes=32).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    by_id_a = {r["doc_id"]: bytes(r["media"]) for r in a}
+    by_id_b = {r["doc_id"]: bytes(r["media"]) for r in b}
+    assert by_id_a == by_id_b
+    assert all(len(v) == 32 for v in by_id_a.values())
+    assert all(r["n_bytes"] == 32 for r in a)
+
+
+def test_resize_strict_raises_without_codec(spark, sf_smoke):
+    import pytest
+
+    from bigdata_infra_cs489_spark.operators.multimodal import (
+        HAVE_IMAGE_CODEC,
+        media_table,
+        resize_media,
+    )
+
+    if HAVE_IMAGE_CODEC:
+        pytest.skip("codec installed; strict path decodes for real")
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError)):
+        resize_media(media_table(spark, sf_smoke), strict=True).collect()
