@@ -77,6 +77,45 @@ def postings_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, doc_id, tfidf): tf * ln(N / df) over the postings index —
+    ranked-retrieval weighting the reference's boolean-only index lacks.
+    One extra vocabulary-sized aggregate (df per term) broadcast-joined
+    back onto the postings; N is a scalar."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n_docs = docs.count()
+    p = postings(spark, sf_dir)
+    df_ = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        p.join(F.broadcast(df_), "term")
+        .select(
+            "term",
+            "doc_id",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+
+
+def ranked_retrieval(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10
+) -> DataFrame:
+    """Top-k documents by summed tf-idf of the query's terms (bag of
+    words): one scan filtered to the query terms, one aggregation, one
+    TakeOrderedAndProject — same single-pass shape as boolean_retrieval."""
+    terms = query.split()
+    if not terms:
+        raise ValueError("empty ranked query")
+    scored = (
+        tfidf_scores(spark, sf_dir)
+        .where(F.col("term").isin(*terms))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("tfidf"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def write_bucketed_index(df: DataFrame, path: str, n_buckets: int = N_BUCKETS) -> None:
     """Persist postings hash-bucketed by term for pruned point lookup —
     the Parquet analogue of the reference's MapFile partitions

@@ -260,6 +260,48 @@ register(
     """,
 )
 
+RANKED_QUERY = "fast data table"
+
+register(
+    "tfidf_scores",
+    I.tfidf_scores,
+    f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    p AS (
+        SELECT term, doc_id, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+        GROUP BY term, doc_id),
+    dfs AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT p.term, p.doc_id,
+           round(p.tf * ln((SELECT n FROM n)::DOUBLE / dfs.df), 6) AS tfidf
+    FROM p JOIN dfs USING (term)
+    """,
+)
+
+register(
+    "ranked_retrieval",
+    lambda spark, sf: I.ranked_retrieval(spark, sf, RANKED_QUERY),
+    f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    p AS (
+        SELECT term, doc_id, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+        GROUP BY term, doc_id),
+    dfs AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT p.term, p.doc_id,
+               round(p.tf * ln((SELECT n FROM n)::DOUBLE / dfs.df), 6) AS tfidf
+        FROM p JOIN dfs USING (term)
+        WHERE p.term IN ({", ".join("'" + t + "'" for t in RANKED_QUERY.split())}))
+    SELECT doc_id, round(sum(tfidf), 6) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+
 # --- personalized PageRank (SURVEY §2.9 M1-M5, assignment4) ------------------
 
 from ..operators import graph as G  # noqa: E402

@@ -59,3 +59,21 @@ def test_boolean_retrieval_malformed(spark, sf_smoke):
         boolean_retrieval(spark, sf_smoke, "AND")
     with pytest.raises(ValueError):
         boolean_retrieval(spark, sf_smoke, "fast table")
+
+
+@pytest.mark.parametrize("name", ["tfidf_scores", "ranked_retrieval"])
+def test_ranked_matches_oracle(spark, sf_correct, name):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    assert_matches_oracle(q(spark, sf_correct), sql, sf_correct)
+
+
+def test_ranked_retrieval_orders_descending(spark, sf_smoke):
+    from bigdata_infra_cs489_spark.operators.index import ranked_retrieval
+
+    rows = ranked_retrieval(spark, sf_smoke, "fast data").collect()
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert len(rows) <= 10 and rows
