@@ -89,14 +89,18 @@ def train_spam_classifier(
     shuffle: bool = False,
     seed: int = 42,
     subset_source_mod: int | None = None,
+    ds: DataFrame | None = None,
 ) -> DataFrame:
     """Train one model -> (feature, weight).
 
     ``subset_source_mod`` trains on the subset of documents whose numeric
     source suffix ≡ that value mod N_ENSEMBLE (the ensemble's 3 disjoint
     training groups, standing in for group_x/group_y/britney).
+    ``ds`` lets ensemble callers pass an already-cached training set
+    instead of re-deriving the feature hashing per model.
     """
-    ds = spam_training_set(spark, sf_dir)
+    if ds is None:
+        ds = spam_training_set(spark, sf_dir)
     if subset_source_mod is not None:
         ds = ds.where(
             F.regexp_extract("source", r"(\d+)$", 1).cast("int") % N_ENSEMBLE
@@ -146,10 +150,12 @@ def apply_spam_classifier(
 
 
 def _ensemble_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ds = spam_training_set(spark, sf_dir)
+    # one cached feature derivation feeds all three trainings + scorings
+    # (otherwise the tokenize+hash projection runs 7x per ensemble query)
+    ds = spam_training_set(spark, sf_dir).cache()
     scored = None
     for i in range(N_ENSEMBLE):
-        w = train_spam_classifier(spark, sf_dir, subset_source_mod=i)
+        w = train_spam_classifier(spark, sf_dir, subset_source_mod=i, ds=ds)
         s = _score(ds, w, score_col=f"score_{i}")
         scored = s if scored is None else scored.join(s, ["docid", "label"])
     return scored
