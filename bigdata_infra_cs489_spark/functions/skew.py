@@ -36,6 +36,12 @@ def salted_join(
     rows mid-shuffle). Result equals ``large.join(small, on, how)`` for
     'inner'/'left' joins on unique-keyed ``small`` sides.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        # right/full joins would emit each unmatched small-side row once
+        # per salt replica — silently wrong; refuse instead
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi joins, got {how!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salt = F.pmod(
         F.hash(F.monotonically_increasing_id(), *[F.col(k) for k in keys]),

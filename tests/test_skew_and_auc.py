@@ -85,3 +85,15 @@ def test_auc_extremes_and_ties(spark):
         [("spam", 1.0)] * 4 + [("ham", 1.0)] * 6, "label string, score double"
     )
     assert ranking_auc(tied).collect()[0]["auc"] == 0.5
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    import pytest
+
+    from bigdata_infra_cs489_spark.functions.skew import salted_join
+
+    large = spark.createDataFrame([(1, 10)], "k long, v long")
+    small = spark.createDataFrame([(1, "a")], "k long, name string")
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError):
+            salted_join(large, small, "k", how=how)
