@@ -1,0 +1,82 @@
+"""Interactive query driver (SURVEY §3.3 lifecycle parity).
+
+The reference ships interactive drivers (BooleanRetrievalCompressed reads
+postfix queries and prints matching docs). Equivalent entry points:
+
+    python -m bigdata_infra_cs489_spark boolean "fast slow AND" [--sf-dir D] [-n 20]
+    python -m bigdata_infra_cs489_spark rank "fast data table" [--sf-dir D] [-n 10]
+    python -m bigdata_infra_cs489_spark run <query-name> [--sf-dir D] [-n 20]
+    python -m bigdata_infra_cs489_spark list
+
+``run`` executes any registered query from the driver contract; ``list``
+prints the registry with oracle coverage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="bigdata_infra_cs489_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_common(sp):
+        sp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+        sp.add_argument("-n", "--limit", type=int, default=20)
+
+    b = sub.add_parser("boolean", help="postfix boolean retrieval")
+    b.add_argument("query")
+    add_common(b)
+
+    r = sub.add_parser("rank", help="tf-idf ranked retrieval")
+    r.add_argument("query")
+    add_common(r)
+
+    ru = sub.add_parser("run", help="run a registered query by name")
+    ru.add_argument("name")
+    add_common(ru)
+
+    sub.add_parser("list", help="list registered queries")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .plans import registry
+
+    if args.cmd == "list":
+        qs, oracles = registry.queries(), registry.oracle_sql()
+        for name in sorted(qs):
+            kind = "oracle" if name in oracles else "rows-only"
+            print(f"{name}\t{kind}")
+        return 0
+
+    from .session import get_spark
+
+    spark = get_spark(app_name="interactive")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "boolean":
+        from .operators.index import boolean_retrieval
+
+        df = boolean_retrieval(spark, args.sf_dir, args.query)
+    elif args.cmd == "rank":
+        from .operators.index import ranked_retrieval
+
+        df = ranked_retrieval(spark, args.sf_dir, args.query, k=args.limit)
+    else:
+        qs = registry.queries()
+        if args.name not in qs:
+            print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+            return 2
+        df = qs[args.name](spark, args.sf_dir)
+
+    df.show(args.limit, truncate=80)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

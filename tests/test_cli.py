@@ -1,0 +1,28 @@
+"""The interactive driver entry points (python -m bigdata_infra_cs489_spark)."""
+
+from __future__ import annotations
+
+
+def test_cli_list(capsys):
+    from bigdata_infra_cs489_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "boolean_retrieval\toracle" in out
+    assert "ppr_topk\trows-only" in out
+
+
+def test_cli_boolean_and_rank(spark, sf_smoke, capsys):
+    from bigdata_infra_cs489_spark.__main__ import main
+
+    assert main(["boolean", "fast slow AND", "--sf-dir", sf_smoke]) == 0
+    assert main(["rank", "fast data", "--sf-dir", sf_smoke, "-n", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "doc_id" in out and "score" in out
+
+
+def test_cli_run_and_unknown(spark, sf_smoke, capsys):
+    from bigdata_infra_cs489_spark.__main__ import main
+
+    assert main(["run", "wordcount", "--sf-dir", sf_smoke]) == 0
+    assert main(["run", "no_such_query", "--sf-dir", sf_smoke]) == 2
