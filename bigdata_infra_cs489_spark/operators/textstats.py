@@ -110,6 +110,37 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLEAN_LANG = "en"
+CLEAN_MIN_QUALITY = 0.55
+CLEAN_MIN_TOKENS = 10
+CLEAN_MAX_TOKENS = 80
+
+
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data cleaning pipeline as ONE declarative plan:
+    exact dedup (keep the canonical copy), language gate, quality gate,
+    token budget. (doc_id, n_tokens, quality_score, lang_score).
+
+    This is the composition a 100 TB curation job runs: each stage is a
+    narrow projection or a single keyed exchange, and Catalyst fuses the
+    gates into the scans — no stage materializes an intermediate corpus.
+    """
+    from .dedup import exact_dedup
+
+    docs = _docs(spark, sf_dir)
+    canon = exact_dedup(docs).where(~F.col("is_duplicate")).select("doc_id")
+    lang = language_id(spark, sf_dir).where(F.col("lang_pred") == CLEAN_LANG)
+    qual = text_quality(spark, sf_dir).where(
+        (F.col("quality_score") >= CLEAN_MIN_QUALITY)
+        & F.col("n_tokens").between(CLEAN_MIN_TOKENS, CLEAN_MAX_TOKENS)
+    )
+    return (
+        canon.join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .select("doc_id", "n_tokens", "quality_score", "lang_score")
+    )
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, fingerprint, band): order-sensitive polynomial rolling hash
     of the token sequence, fp = fold(acc*31 + h8(tok)) mod (2^31-1); band

@@ -849,3 +849,48 @@ register(
     FROM events
     """,
 )
+
+# --- end-to-end training-data cleaning pipeline ------------------------------
+
+register(
+    "clean_corpus",
+    TS.clean_corpus,
+    f"""
+    WITH t AS (SELECT doc_id, text, {DUCK_TOKS} AS toks FROM documents),
+    canon AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+            FROM documents)
+        WHERE keep),
+    scored AS (
+        SELECT doc_id,
+           {_SCORES_SQL}
+        FROM t),
+    lang AS (
+        SELECT doc_id, round(best, 6) AS lang_score
+        FROM (SELECT *, {_BEST_SQL} AS best FROM scored)
+        WHERE {_PRED_SQL} = '{TS.CLEAN_LANG}'),
+    m AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(toks) AS n_tokens,
+               length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS ls,
+               len(list_filter(toks, t -> list_contains({_EN_SQL}, t))) AS stop_hits
+        FROM t),
+    qual AS (
+        SELECT doc_id, n_tokens,
+               round(greatest(0.0, least(1.0,
+                   0.5 + stop_hits / greatest(n_tokens, 1)
+                       - (n_chars - ls) / greatest(n_chars, 1) * 5)), 6) AS quality_score
+        FROM m
+        WHERE round(greatest(0.0, least(1.0,
+                  0.5 + stop_hits / greatest(n_tokens, 1)
+                      - (n_chars - ls) / greatest(n_chars, 1) * 5)), 6)
+              >= {TS.CLEAN_MIN_QUALITY}
+          AND n_tokens BETWEEN {TS.CLEAN_MIN_TOKENS} AND {TS.CLEAN_MAX_TOKENS}
+    )
+    SELECT canon.doc_id, qual.n_tokens, qual.quality_score, lang.lang_score
+    FROM canon JOIN lang USING (doc_id) JOIN qual USING (doc_id)
+    """,
+)

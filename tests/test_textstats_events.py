@@ -61,3 +61,30 @@ def test_sessionize_gap_semantics(spark, sf_correct):
         assert r.duration_sec >= 0
     for sids in by_user.values():
         assert sorted(sids) == list(range(1, len(sids) + 1))
+
+
+def test_clean_corpus_matches_oracle(spark, sf_correct):
+    import __spark_entry__ as entrymod
+
+    from .oracle import assert_matches_oracle
+
+    q = entrymod.queries()["clean_corpus"]
+    sql = entrymod.oracle_sql()["clean_corpus"]
+    assert_matches_oracle(q(spark, sf_correct), sql, sf_correct)
+
+
+def test_clean_corpus_filters_are_effective(spark, sf_correct):
+    from bigdata_infra_cs489_spark.operators.textstats import (
+        CLEAN_MAX_TOKENS,
+        CLEAN_MIN_QUALITY,
+        CLEAN_MIN_TOKENS,
+        clean_corpus,
+    )
+    from bigdata_infra_cs489_spark.sources.tables import load
+
+    rows = clean_corpus(spark, sf_correct).collect()
+    n_docs = load(spark, sf_correct, "documents").count()
+    assert 0 < len(rows) < n_docs  # gates actually drop documents
+    for r in rows:
+        assert r["quality_score"] >= CLEAN_MIN_QUALITY
+        assert CLEAN_MIN_TOKENS <= r["n_tokens"] <= CLEAN_MAX_TOKENS
