@@ -79,6 +79,17 @@ def build_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def partition_graph(graph: DataFrame, n_partitions: int) -> DataFrame:
+    """Hash-repartition node records on id (SURVEY M4, PartitionGraph.java).
+
+    The reference job is an identity MapReduce whose only effect is the
+    default hash partitioner; its ``useRange`` flag is parsed but never
+    wired (PartitionGraph.java:91) — deliberately not replicated. In this
+    engine the iteration's groupBy already hash-partitions by id, so this
+    exists for explicit layout control (e.g. matching a bucketed sink)."""
+    return graph.repartition(n_partitions, "id")
+
+
 def graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(num_nodes, num_edges, num_dangling) — the reference's counter
     side-aggregates (SURVEY A8: BuildPersonalizedPageRankRecords.java:99-104
