@@ -116,6 +116,45 @@ def ranked_retrieval(
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_retrieval(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10
+) -> DataFrame:
+    """Top-k documents by BM25 (Okapi; Lucene's +1 idf smoothing so scores
+    stay positive): same single-scan shape as ranked_retrieval with two
+    extra model-sized statistics — per-doc length dl and the corpus avgdl
+    (exact: integer token-count sum / doc count, so the value is
+    bit-reproducible in the oracle)."""
+    terms = query.split()
+    if not terms:
+        raise ValueError("empty bm25 query")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    p = postings(spark, sf_dir)
+    dl = p.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    total_tokens = dl.agg(F.sum("dl")).collect()[0][0]
+    avgdl = float(total_tokens) / float(n_docs)
+    df_ = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
+    )
+    scored = (
+        p.where(F.col("term").isin(*terms))
+        .join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.round(idf * tf_norm, 6)), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def write_bucketed_index(df: DataFrame, path: str, n_buckets: int = N_BUCKETS) -> None:
     """Persist postings hash-bucketed by term for pruned point lookup —
     the Parquet analogue of the reference's MapFile partitions

@@ -302,6 +302,39 @@ register(
     """,
 )
 
+register(
+    "bm25_retrieval",
+    lambda spark, sf: I.bm25_retrieval(spark, sf, RANKED_QUERY),
+    f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    p AS (
+        SELECT term, doc_id, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+        GROUP BY term, doc_id),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM p GROUP BY doc_id),
+    stats AS (
+        SELECT (SELECT count(*) FROM documents) AS n,
+               (SELECT sum(dl) FROM dl)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+    dfs AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+    scored AS (
+        SELECT p.doc_id,
+               round(ln((stats.n::DOUBLE - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+                     * (p.tf * ({I.BM25_K1} + 1))
+                     / (p.tf + {I.BM25_K1} * (1 - {I.BM25_B}
+                        + {I.BM25_B} * dl.dl / stats.avgdl)), 6) AS s
+        FROM p
+        JOIN dfs USING (term)
+        JOIN dl ON dl.doc_id = p.doc_id
+        CROSS JOIN stats
+        WHERE p.term IN ({", ".join("'" + t + "'" for t in RANKED_QUERY.split())}))
+    SELECT doc_id, round(sum(s), 6) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+
 # --- personalized PageRank (SURVEY §2.9 M1-M5, assignment4) ------------------
 
 from ..operators import graph as G  # noqa: E402

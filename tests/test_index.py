@@ -77,3 +77,11 @@ def test_ranked_retrieval_orders_descending(spark, sf_smoke):
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert len(rows) <= 10 and rows
+
+
+def test_bm25_matches_oracle(spark, sf_correct):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["bm25_retrieval"]
+    sql = entrymod.oracle_sql()["bm25_retrieval"]
+    assert_matches_oracle(q(spark, sf_correct), sql, sf_correct)
