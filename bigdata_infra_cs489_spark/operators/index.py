@@ -131,19 +131,28 @@ def bm25_retrieval(
     terms = query.split()
     if not terms:
         raise ValueError("empty bm25 query")
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    n_docs = docs.count()
-    p = postings(spark, sf_dir)
+    # doc count from a column-pruned scan; postings cached: dl, df and the
+    # scoring scan below otherwise each re-run tokenize+explode+groupBy
+    n_docs = load(spark, sf_dir, "documents").select("doc_id").count()
+    p = postings(spark, sf_dir).cache()
     dl = p.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     total_tokens = dl.agg(F.sum("dl")).collect()[0][0]
+    if n_docs == 0 or total_tokens is None:
+        # empty corpus / nothing tokenizes: no document can score
+        return spark.createDataFrame([], "doc_id bigint, score double")
     avgdl = float(total_tokens) / float(n_docs)
     df_ = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
+    # grouping and operand types mirror the DuckDB oracle exactly
+    # (idf * ((tf*(k1+1)) / denom), all-double literals) so values are
+    # bit-identical at the 6-decimal rounding
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
-    tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (
-        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
+    tf_norm = (F.col("tf") * F.lit(BM25_K1 + 1)) / (
+        F.col("tf")
+        + F.lit(BM25_K1)
+        * (F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
     )
     scored = (
         p.where(F.col("term").isin(*terms))

@@ -318,11 +318,14 @@ register(
                    / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
     dfs AS (SELECT term, count(*) AS df FROM p GROUP BY term),
     scored AS (
+        -- grouping/typing mirrors the Spark side exactly: idf * ((tf*(k1+1))
+        -- / denom) with all-DOUBLE literals (a DECIMAL literal would make
+        -- tf*(k1+1) decimal-exact and shift the last ulp vs Spark)
         SELECT p.doc_id,
                round(ln((stats.n::DOUBLE - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
-                     * (p.tf * ({I.BM25_K1} + 1))
-                     / (p.tf + {I.BM25_K1} * (1 - {I.BM25_B}
-                        + {I.BM25_B} * dl.dl / stats.avgdl)), 6) AS s
+                     * ((p.tf * {I.BM25_K1 + 1!r}::DOUBLE)
+                        / (p.tf + {I.BM25_K1!r}::DOUBLE * ({1 - I.BM25_B!r}::DOUBLE
+                           + {I.BM25_B!r}::DOUBLE * dl.dl / stats.avgdl))), 6) AS s
         FROM p
         JOIN dfs USING (term)
         JOIN dl ON dl.doc_id = p.doc_id

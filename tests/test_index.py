@@ -85,3 +85,17 @@ def test_bm25_matches_oracle(spark, sf_correct):
     q = entrymod.queries()["bm25_retrieval"]
     sql = entrymod.oracle_sql()["bm25_retrieval"]
     assert_matches_oracle(q(spark, sf_correct), sql, sf_correct)
+
+
+def test_bm25_empty_tokenization_returns_empty(spark, tmp_path):
+    """A corpus whose docs tokenize to nothing yields an empty result, not
+    a crash (the dl sum is NULL there)."""
+    from bigdata_infra_cs489_spark.operators.index import bm25_retrieval
+
+    docs = spark.createDataFrame(
+        [(0, "123 456"), (1, "!!! ???")], "doc_id long, text string"
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = bm25_retrieval(spark, str(tmp_path), "fast data")
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["doc_id", "score"]
