@@ -26,23 +26,29 @@ NEG_INF = float("-inf")  # log(0): the reference's initial mass for non-sources
 def log_add_exp(a: Column, b: Column) -> Column:
     """log(e^a + e^b), stable for very negative a/b — the reference's
     sumLogProbs. Handles the -inf identity (log 0 + x = x) explicitly,
-    since exp(-inf - -inf) would be NaN."""
+    since exp(-inf - -inf) would be NaN. NULL operands propagate NULL:
+    least/greatest SKIP nulls, so without the explicit guard a NULL next
+    to x would fabricate x + log(2)."""
     lo, hi = F.least(a, b), F.greatest(a, b)
-    return F.when(lo == F.lit(NEG_INF), hi).otherwise(
-        hi + F.log1p(F.exp(lo - hi))
-    )
+    return F.when(a.isNull() | b.isNull(), F.lit(None).cast("double")).when(
+        lo == F.lit(NEG_INF), hi
+    ).otherwise(hi + F.log1p(F.exp(lo - hi)))
 
 
 def sum_log_probs(values: Column) -> Column:
     """Fold log_add_exp over an array<double> of log-probabilities:
     log(Σ e^v). Max-shifted so intermediate exps can't overflow/underflow:
-    m + log(Σ e^(v-m)) with m = max(values)."""
+    m + log(Σ e^(v-m)) with m = max(values). An empty array is log of an
+    empty sum = -inf (array_max([]) is NULL, which would otherwise leak
+    NULL through the guard)."""
     m = F.array_max(values)
     shifted_sum = F.aggregate(
         values,
         F.lit(0.0),
         lambda acc, v: acc + F.exp(v - m),
     )
-    return F.when(m == F.lit(NEG_INF), F.lit(NEG_INF)).otherwise(
-        m + F.log(shifted_sum)
+    return (
+        F.when(F.size(values) == 0, F.lit(NEG_INF))
+        .when(m == F.lit(NEG_INF), F.lit(NEG_INF))
+        .otherwise(m + F.log(shifted_sum))
     )

@@ -15,12 +15,17 @@ from pyspark.sql import functions as F
 # a0/WordCount.java:46-49): whitespace split -> lowercase -> strip
 # leading/trailing non-[a-z] -> drop empties.
 TOKEN_STRIP_RE = "(^[^a-z]+|[^a-z]+$)"
+# Java's \s spelled out: [ \t\n\x0B\f\r]. Kept explicit because the DuckDB
+# oracle twin runs on RE2, whose \s omits \x0B — with bare \s+ the two
+# engines tokenize 'a\x0Bb' differently and every tokenizer-based oracle
+# silently compares different token sets.
+TOKEN_SPLIT_RE = "[ \\t\\n\\x0B\\f\\r]+"
 
 
 def tokenize(col: Column | str) -> Column:
     """text -> array<string> of cleaned tokens (reference tokenizer F1)."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(F.lower(c), r"\s+")
+    toks = F.split(F.lower(c), TOKEN_SPLIT_RE)
     cleaned = F.transform(toks, lambda t: F.regexp_replace(t, TOKEN_STRIP_RE, ""))
     return F.filter(cleaned, lambda t: F.length(t) > 0)
 

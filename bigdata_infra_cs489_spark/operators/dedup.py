@@ -50,9 +50,8 @@ SIMHASH_BLOCKS = 4  # 8 bits each -> catches all pairs with hamming <= 3
 HAMMING_THRESHOLD = 3
 
 
-def _h8(col: Column) -> Column:
-    """First 8 hex digits of md5 as a non-negative bigint (portable)."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+# the shared portable hash primitive (single owner: functions/hashing.py)
+from ..functions.hashing import h8 as _h8  # noqa: E402
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -208,6 +208,9 @@ def personalized_pagerank(
         )
         ranks = received.select("id", new_mass.alias("mass"))
 
+    # the final ranks read from the last checkpoint, not the graph — release
+    # the cached graph so long-lived sessions don't accumulate pinned storage
+    graph.unpersist()
     return ranks
 
 

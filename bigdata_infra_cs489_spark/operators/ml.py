@@ -45,10 +45,10 @@ N_ENSEMBLE = 3
 
 
 def _feature_id(col):
-    """Portable stable token hash: first 8 hex digits of md5, mod 10007."""
-    return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % FEATURE_MOD).cast(
-        "int"
-    )
+    """Portable stable token hash: h8 (functions/hashing.py), mod 10007."""
+    from ..functions.hashing import h8
+
+    return (h8(col) % FEATURE_MOD).cast("int")
 
 
 def spam_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,9 +200,12 @@ def ranking_auc(scored: DataFrame, label_col: str = "label", score_col: str = "s
         F.sum(1 - F.col("y")).alias("n_neg"),
         F.sum(F.when(F.col("y") == 1, F.col("avg_rank"))).alias("pos_rank_sum"),
     )
-    auc = (
+    raw_auc = (
         F.col("pos_rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
     ) / (F.col("n_pos") * F.col("n_neg"))
+    # single-class input: AUC is undefined — surface an explicit NULL
+    # rather than an accidental divide-by-zero NULL
+    auc = F.when(F.col("n_pos") * F.col("n_neg") > 0, raw_auc)
     return agg.select(
         "n_pos",
         "n_neg",

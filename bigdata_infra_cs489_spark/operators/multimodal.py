@@ -86,17 +86,21 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
     """mapInPandas decode stage -> (doc_id, width, height, channels).
 
     Arrow moves the binary column in columnar batches; each pandas batch is
-    decoded in bulk. With no codec installed: strict=True raises
-    NotImplementedError (the honest contract), strict=False uses the
+    decoded in bulk. strict=True always raises
+    NotImplementedError (no real decode exists yet — the honest contract,
+    codec installed or not); strict=False uses the
     deterministic fake so downstream plumbing stays testable.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not HAVE_IMAGE_CODEC and strict:
+            if strict:
+                # no real decode path exists yet, codec installed or not —
+                # strict mode must never present fake dims as real
                 raise NotImplementedError(
-                    "no image codec available in this environment; "
-                    "install PIL or run with strict=False (fake decode)"
+                    "real media decode not implemented"
+                    + ("" if HAVE_IMAGE_CODEC else " (and no codec installed)")
+                    + "; run with strict=False for the deterministic fake"
                 )
             dims = [_fake_decode(m) for m in pdf["media"]]
             yield pd.DataFrame(
@@ -137,14 +141,15 @@ def resize_media(df: DataFrame, target_bytes: int = 32, strict: bool = False) ->
     right-pads the payload by cycling it to ``target_bytes`` — preserving
     the contract a resize has (fixed-size output derived from input) so
     batch shape, schema, and downstream stages are testable. strict=True
-    raises NotImplementedError when no codec is installed."""
+    always raises NotImplementedError (no real resample exists yet)."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not HAVE_IMAGE_CODEC and strict:
+            if strict:
                 raise NotImplementedError(
-                    "no image codec available; install PIL or run with "
-                    "strict=False (deterministic fake resize)"
+                    "real media resize not implemented"
+                    + ("" if HAVE_IMAGE_CODEC else " (and no codec installed)")
+                    + "; run with strict=False for the deterministic fake"
                 )
             out = []
             for m in pdf["media"]:

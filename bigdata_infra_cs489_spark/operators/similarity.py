@@ -212,12 +212,22 @@ def kmeans_centroids(
                 ).alias("mean")
             )
         )
-        new = dim_means.select(
-            "centroid_id",
-            F.transform(
-                "mean", lambda x: x / F.sqrt(_dot(F.col("mean"), F.col("mean")))
-            ).alias("cvec"),
-        ).collect()
+        # norm hoisted to a sibling column (inside the lambda it would be
+        # re-evaluated per element — O(dim^2)); zero-vector means are
+        # dropped so the cluster falls back to its previous centroid
+        new = (
+            dim_means.select(
+                "centroid_id",
+                "mean",
+                F.sqrt(_dot(F.col("mean"), F.col("mean"))).alias("nrm"),
+            )
+            .where(F.col("nrm") > 0)
+            .select(
+                "centroid_id",
+                F.transform("mean", lambda x: x / F.col("nrm")).alias("cvec"),
+            )
+            .collect()
+        )
         by_id = {int(r["centroid_id"]): list(r["cvec"]) for r in new}
         # empty clusters keep their previous centroid
         centroids = [(cid, by_id.get(cid, vec)) for cid, vec in centroids]

@@ -121,23 +121,69 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact dedup (keep the canonical copy), language gate, quality gate,
     token budget. (doc_id, n_tokens, quality_score, lang_score).
 
-    This is the composition a 100 TB curation job runs: each stage is a
-    narrow projection or a single keyed exchange, and Catalyst fuses the
-    gates into the scans — no stage materializes an intermediate corpus.
+    Single corpus scan: the dedup canonical flag, the per-language
+    stopword ratios, and the quality metrics are all computed over one
+    tokenization of one pass (plus the dedup window's exchange on the
+    content digest — the only shuffle). Composing the standalone
+    language_id/text_quality/exact_dedup operators instead would scan and
+    tokenize the corpus three times and re-join on doc_id twice.
     """
-    from .dedup import exact_dedup
+    from pyspark.sql.window import Window
 
     docs = _docs(spark, sf_dir)
-    canon = exact_dedup(docs).where(~F.col("is_duplicate")).select("doc_id")
-    lang = language_id(spark, sf_dir).where(F.col("lang_pred") == CLEAN_LANG)
-    qual = text_quality(spark, sf_dir).where(
-        (F.col("quality_score") >= CLEAN_MIN_QUALITY)
-        & F.col("n_tokens").between(CLEAN_MIN_TOKENS, CLEAN_MAX_TOKENS)
+    w = Window.partitionBy(F.md5("text"))
+    base = docs.select(
+        "doc_id",
+        "text",
+        tokenize("text").alias("toks"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
     )
+
+    n_chars = F.length("text")
+    n_tokens = F.size("toks")
+    letters_spaces = F.length(F.regexp_replace(F.lower("text"), "[^a-z ]", ""))
+    punct_ratio = (n_chars - letters_spaces) / F.greatest(n_chars, F.lit(1))
+    stop_ratio = _stopword_hits(F.col("toks"), LANG_STOPWORDS["en"]) / F.greatest(
+        n_tokens, F.lit(1)
+    )
+    quality = F.greatest(
+        F.lit(0.0), F.least(F.lit(1.0), F.lit(0.5) + stop_ratio - punct_ratio * 5)
+    )
+
+    scored = base.select(
+        "doc_id",
+        "is_canonical",
+        n_tokens.alias("n_tokens"),
+        F.round(quality, 6).alias("quality_score"),
+        *[
+            (
+                _stopword_hits(F.col("toks"), words)
+                / F.greatest(F.size("toks"), F.lit(1))
+            ).alias(f"s_{lang}")
+            for lang, words in LANG_STOPWORDS.items()
+        ],
+    )
+    best_score = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_STOPWORDS])
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_STOPWORDS)):  # first lang wins ties
+        pred = F.when(
+            (F.col(f"s_{lang}") == best_score) & (best_score >= LANG_MIN_SCORE),
+            F.lit(lang),
+        ).otherwise(pred)
+
     return (
-        canon.join(lang, "doc_id")
-        .join(qual, "doc_id")
-        .select("doc_id", "n_tokens", "quality_score", "lang_score")
+        scored.where(
+            F.col("is_canonical")
+            & (pred == CLEAN_LANG)
+            & (F.col("quality_score") >= CLEAN_MIN_QUALITY)
+            & F.col("n_tokens").between(CLEAN_MIN_TOKENS, CLEAN_MAX_TOKENS)
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality_score",
+            F.round(best_score, 6).alias("lang_score"),
+        )
     )
 
 
@@ -145,7 +191,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, fingerprint, band): order-sensitive polynomial rolling hash
     of the token sequence, fp = fold(acc*31 + h8(tok)) mod (2^31-1); band
     = fp % 1024 groups documents for shard-local comparison."""
-    from .dedup import _h8
+    from ..functions.hashing import h8 as _h8
 
     toks = _docs(spark, sf_dir).select("doc_id", tokenize("text").alias("toks"))
     fp = F.aggregate(

@@ -11,9 +11,12 @@ from ..operators import text_analytics as T
 from .registry import register
 
 # DuckDB twin of the reference tokenizer (functions/text.py tokenize()):
-# whitespace split -> lowercase -> strip leading/trailing non-[a-z] -> drop empties.
+# whitespace split -> lowercase -> strip leading/trailing non-[a-z] -> drop
+# empties. The split class is the explicit Java-\s set shared with
+# TOKEN_SPLIT_RE (RE2's \s omits \x0B, so a bare \s+ would diverge).
 DUCK_TOKS = (
-    "list_filter(list_transform(string_split_regex(lower(text), '\\s+'), "
+    "list_filter(list_transform("
+    "string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), "
     "t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$)', '', 'g')), t -> len(t) > 0)"
 )
 
@@ -416,15 +419,18 @@ register("spam_model_auc", lambda spark, sf: M.spam_model_auc(spark, sf))
 from ..operators import dedup as D  # noqa: E402
 
 # DuckDB twins of the dedup building blocks (operators/dedup.py):
-# h8 = first 8 md5 hex digits as bigint; 3-gram shingles over the tokenizer.
-DUCK_H8 = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+# h8 = first 8 md5 hex digits as bigint; SHINGLE_N-gram shingles over the
+# tokenizer. Derived constants are interpolated from the SAME Python names
+# the Spark side uses, so changing SHINGLE_N/NUM_HASHES/NUM_BANDS moves
+# both engines together instead of silently desyncing the oracle.
+from ..functions.hashing import DUCK_H8  # noqa: E402  (single hash owner)
 DUCK_SHINGLES = f"""
     toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
     sh AS (
         SELECT doc_id,
-               list_distinct(CASE WHEN len(toks) >= 3
-                   THEN list_transform(range(1, len(toks) - 1),
-                        i -> array_to_string(toks[i:i+2], ' '))
+               list_distinct(CASE WHEN len(toks) >= {D.SHINGLE_N}
+                   THEN list_transform(range(1, len(toks) - {D.SHINGLE_N - 2}),
+                        i -> array_to_string(toks[i:i+{D.SHINGLE_N - 1}], ' '))
                    ELSE [array_to_string(toks, ' ')] END) AS sh
         FROM toks)
 """
@@ -469,7 +475,10 @@ register(
         FROM sh),
     bands AS (
         SELECT doc_id, b,
-               array_to_string(list_transform(sig[b*4+1:b*4+4], v -> v::VARCHAR), ':') AS band_key
+               array_to_string(list_transform(
+                   sig[b*{D.NUM_HASHES // D.NUM_BANDS}+1
+                       : b*{D.NUM_HASHES // D.NUM_BANDS}+{D.NUM_HASHES // D.NUM_BANDS}],
+                   v -> v::VARCHAR), ':') AS band_key
         FROM sigs, unnest(range(0, {D.NUM_BANDS})) t(b)),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -755,7 +764,8 @@ register(
             '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*) AS n_events
-    FROM events, unnest([0, {E.SLIDE_STEP_SEC}]) AS t(off)
+    FROM events,
+         unnest({list(range(0, E.SLIDE_WINDOW_SEC, E.SLIDE_STEP_SEC))}) AS t(off)
     GROUP BY window_start, event_type
     """,
 )

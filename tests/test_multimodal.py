@@ -42,8 +42,6 @@ def test_decode_strict_raises_without_codec(spark, sf_smoke):
     )
 
     df = media_table(spark, sf_smoke).limit(4)
-    if HAVE_IMAGE_CODEC:
-        pytest.skip("codec present; strict path not applicable")
     from py4j.protocol import Py4JJavaError
     from pyspark.errors import PythonException
 
@@ -123,8 +121,6 @@ def test_resize_strict_raises_without_codec(spark, sf_smoke):
         resize_media,
     )
 
-    if HAVE_IMAGE_CODEC:
-        pytest.skip("codec installed; strict path decodes for real")
     from py4j.protocol import Py4JJavaError
     from pyspark.errors import PythonException
 

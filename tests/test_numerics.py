@@ -65,3 +65,26 @@ def test_underflow_regime_where_linear_space_fails(spark):
     stable = df.select(sum_log_probs(F.col("v")).alias("r")).collect()[0]["r"]
     assert linear is None or math.isinf(linear)  # log(0) -> null/-inf: broken
     assert stable == pytest.approx(-800.0 + math.log(2), rel=1e-12)
+
+
+def test_null_and_empty_edges(spark):
+    """NULL operands propagate NULL (least/greatest would otherwise skip
+    them and fabricate x + ln 2); an empty array sums to -inf."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bigdata_infra_cs489_spark.functions.numerics import (
+        log_add_exp,
+        sum_log_probs,
+    )
+
+    df = spark.range(1)
+    null_d = F.lit(None).cast("double")
+    r = df.select(
+        log_add_exp(F.lit(0.0), null_d).alias("a"),
+        log_add_exp(null_d, F.lit(-3.0)).alias("b"),
+        sum_log_probs(F.array().cast("array<double>")).alias("c"),
+    ).collect()[0]
+    assert r["a"] is None and r["b"] is None
+    assert math.isinf(r["c"]) and r["c"] < 0
