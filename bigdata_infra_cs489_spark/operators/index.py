@@ -101,8 +101,9 @@ def tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ranked_retrieval(
     spark: SparkSession, sf_dir: str, query: str, k: int = 10
 ) -> DataFrame:
-    """Top-k documents by summed tf-idf of the query's terms (bag of
-    words): one scan filtered to the query terms, one aggregation, one
+    """Top-k documents by summed tf-idf of the query's distinct terms
+    (a duplicated query term contributes once — IN-list semantics on both
+    engines): one scan filtered to the query terms, one aggregation, one
     TakeOrderedAndProject — same single-pass shape as boolean_retrieval."""
     terms = query.split()
     if not terms:
