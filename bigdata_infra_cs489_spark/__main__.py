@@ -30,8 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("query")
     add_common(b)
 
-    r = sub.add_parser("rank", help="tf-idf ranked retrieval")
+    r = sub.add_parser("rank", help="ranked retrieval (tf-idf, or BM25 with --bm25)")
     r.add_argument("query")
+    r.add_argument("--bm25", action="store_true")
     add_common(r)
 
     ru = sub.add_parser("run", help="run a registered query by name")
@@ -64,9 +65,10 @@ def main(argv: list[str] | None = None) -> int:
 
         df = boolean_retrieval(spark, args.sf_dir, args.query)
     elif args.cmd == "rank":
-        from .operators.index import ranked_retrieval
+        from .operators.index import bm25_retrieval, ranked_retrieval
 
-        df = ranked_retrieval(spark, args.sf_dir, args.query, k=args.limit)
+        scorer = bm25_retrieval if args.bm25 else ranked_retrieval
+        df = scorer(spark, args.sf_dir, args.query, k=args.limit)
     else:
         qs = registry.queries()
         if args.name not in qs:

@@ -26,3 +26,10 @@ def test_cli_run_and_unknown(spark, sf_smoke, capsys):
 
     assert main(["run", "wordcount", "--sf-dir", sf_smoke]) == 0
     assert main(["run", "no_such_query", "--sf-dir", sf_smoke]) == 2
+
+
+def test_cli_rank_bm25(spark, sf_smoke, capsys):
+    from bigdata_infra_cs489_spark.__main__ import main
+
+    assert main(["rank", "fast data", "--bm25", "--sf-dir", sf_smoke, "-n", "5"]) == 0
+    assert "score" in capsys.readouterr().out

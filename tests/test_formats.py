@@ -73,3 +73,18 @@ def test_adjacency_roundtrip(spark, sf_smoke, tmp_path):
     b = {r["id"]: list(r["adj"]) for r in back.collect()}
     assert a == b
     assert any(len(v) == 0 for v in b.values())  # dangling nodes survive
+
+
+def test_ingest_tbl_to_parquet_roundtrip(spark, sf_smoke, tmp_path):
+    """text -> columnar ingest: the parquet copy carries the same rows and
+    schema as the .tbl source."""
+    from bigdata_infra_cs489_spark.sources.formats import ingest_tbl_to_parquet
+
+    src = load(spark, sf_smoke, "supplier")
+    tbl_dir = str(tmp_path / "supplier_tbl")
+    pq_dir = str(tmp_path / "supplier_pq")
+    write_tbl(src, tbl_dir)
+    ingest_tbl_to_parquet(spark, tbl_dir, pq_dir, src.schema)
+    back = spark.read.parquet(pq_dir)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
