@@ -75,3 +75,55 @@ def test_ngram_jaccard_sparse(spark, synthetic_docs):
     }
     assert rows[(0, 1)] == 1.0
     assert (0, 3) not in rows
+
+
+def test_minhash_signatures_match_python_replay(spark):
+    """Signatures equal a hashlib-based replay of the same construction
+    (shingle -> md5-prefix base hash -> (a_i*x+b_i) mod P mins) —
+    independent of the DuckDB oracle."""
+    import hashlib
+    import re
+
+    from bigdata_infra_cs489_spark.operators.dedup import (
+        MINHASH_PRIME,
+        NUM_HASHES,
+        SHINGLE_N,
+        minhash_params,
+        minhash_signatures,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "completely different text here",
+        "ab",  # shorter than the shingle width
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(docs).collect()}
+
+    def tokenize_py(line):
+        toks = [
+            re.sub(r"(^[^a-z]+|[^a-z]+$)", "", t)
+            for t in re.split(r"[ \t\n\x0b\f\r]+", line.lower())
+        ]
+        return [t for t in toks if t]
+
+    def shingles_py(line):
+        toks = tokenize_py(line)
+        if len(toks) >= SHINGLE_N:
+            grams = [
+                " ".join(toks[i : i + SHINGLE_N])
+                for i in range(len(toks) - SHINGLE_N + 1)
+            ]
+        else:
+            grams = [" ".join(toks)]
+        return list(dict.fromkeys(grams))
+
+    def h8_py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    params = minhash_params(NUM_HASHES)
+    for i, text in enumerate(texts):
+        xs = [h8_py(s) for s in shingles_py(text)]
+        want = [min((a * x + b) % MINHASH_PRIME for x in xs) for a, b in params]
+        assert got[i] == want, f"doc {i}"
