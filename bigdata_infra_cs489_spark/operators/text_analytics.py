@@ -63,16 +63,8 @@ def prefix_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bigram_relative_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(left, right) -> count(left,right)/count(left,*), plus the '*'
-    marginal rows the reference emits (raw marginal count in rel_freq).
-
-    Reference ...Pairs.scala:55-95 generates sliding-window bigrams plus
-    explicit (left,'*') marginal rows, then relies on a left-hash partitioner
-    + in-partition sort so each marginal precedes its group. Here the
-    marginal is a window sum over the aggregated bigram counts — one
-    groupBy shuffle + one window (same key, AQE reuses the partitioning).
-    """
+def _bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(left, right, cnt): sliding-window bigram counts over the corpus."""
     toks = _corpus(spark, sf_dir).select(tokenize("text").alias("toks"))
     bigrams = (
         toks.where(F.size("toks") > 1)
@@ -86,7 +78,50 @@ def bigram_relative_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("bg.left").alias("left"), F.col("bg.right").alias("right"))
     )
-    counts = bigrams.groupBy("left", "right").agg(F.count(F.lit(1)).alias("cnt"))
+    return bigrams.groupBy("left", "right").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def bigram_stripes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(left_token, stripe): the reference's map-valued 'stripes' layout
+    (a2/ComputeBigramRelativeFrequencyStripes.scala:34-58 — word ->
+    {coword: count} associative maps, SURVEY §1.1/A5).
+
+    The stripe is rendered as a canonical sorted-key string
+    '{"right":cnt,...}' rather than a MapType column: map equality and
+    printing are not portable across engines, a deterministic string is —
+    so the DuckDB oracle can hash-match it. Built FROM normalized pair
+    rows (one groupBy), the direction the survey recommends over
+    map-merging aggregation."""
+    counts = _bigram_counts(spark, sf_dir)
+    entry = lambda s: F.concat(  # noqa: E731
+        F.lit('"'), s["right"], F.lit('":'), s["cnt"].cast("string")
+    )
+    stripe = F.concat(
+        F.lit("{"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("right", "cnt"))), entry
+            ),
+        ),
+        F.lit("}"),
+    )
+    return counts.groupBy(F.col("left").alias("left_token")).agg(
+        stripe.alias("stripe")
+    )
+
+
+def bigram_relative_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(left, right) -> count(left,right)/count(left,*), plus the '*'
+    marginal rows the reference emits (raw marginal count in rel_freq).
+
+    Reference ...Pairs.scala:55-95 generates sliding-window bigrams plus
+    explicit (left,'*') marginal rows, then relies on a left-hash partitioner
+    + in-partition sort so each marginal precedes its group. Here the
+    marginal is a window sum over the aggregated bigram counts — one
+    groupBy shuffle + one window (same key, AQE reuses the partitioning).
+    """
+    counts = _bigram_counts(spark, sf_dir)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("left")

@@ -174,6 +174,26 @@ register(
 )
 
 register(
+    "bigram_stripes",
+    lambda spark, sf: T.bigram_stripes(spark, sf),
+    f"""
+    WITH toks AS (SELECT {DUCK_TOKS} AS toks FROM documents),
+    bg AS (
+        SELECT unnest(toks[1:len(toks)-1]) AS lt, unnest(toks[2:len(toks)]) AS rt
+        FROM toks WHERE len(toks) > 1
+    ),
+    counts AS (SELECT lt, rt, count(*) AS cnt FROM bg GROUP BY lt, rt)
+    SELECT lt AS left_token,
+           '{{' || array_to_string(
+               list_transform(
+                   list_sort(list(struct_pack(rt := rt, cnt := cnt))),
+                   s -> '"' || s.rt || '":' || s.cnt::VARCHAR),
+               ',') || '}}' AS stripe
+    FROM counts GROUP BY lt
+    """,
+)
+
+register(
     "pmi_word_line_counts",
     lambda spark, sf: T.pmi_word_line_counts(spark, sf),
     f"""

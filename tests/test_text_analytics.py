@@ -10,6 +10,7 @@ TEXT = [
     "wordcount",
     "prefix_count",
     "bigram_rel_freq",
+    "bigram_stripes",
     "pmi_word_line_counts",
     "pmi_pairs",
 ]
