@@ -86,6 +86,35 @@ def approx_distinct_users(
     )
 
 
+def events_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates with a portable oracle: approximate answers can't
+    hash-match a different engine, so the query emits the EXACT answer plus
+    booleans asserting the sketches landed within 5% of it — the oracle
+    reproduces the exact column and expects the booleans to be true.
+
+    The sketches are the 100 TB path: HyperLogLog++ distinct count and
+    t-digest-style quantiles run in one pass with fixed memory per group,
+    where exact distinct/percentile would shuffle the full value sets.
+    """
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_hll"),
+        F.percentile("value", F.lit(0.5)).alias("_p50"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("_ap50"),
+    )
+
+    def within5(approx: str, exact: str):
+        return F.abs(F.col(approx) - F.col(exact)) <= F.abs(F.col(exact)) * 0.05
+
+    return g.select(
+        "event_type",
+        "n_users",
+        within5("_hll", "n_users").alias("hll_ok"),
+        within5("_ap50", "_p50").alias("p50_ok"),
+    )
+
+
 def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lead/lag windowing: seconds since each user's previous event
     (first event per user -> NULL gap)."""

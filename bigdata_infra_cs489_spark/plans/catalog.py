@@ -916,6 +916,55 @@ register(
     """,
 )
 
+register(
+    "events_sketch_check",
+    RX.events_sketch_check,
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users,
+           TRUE AS hll_ok, TRUE AS p50_ok
+    FROM events GROUP BY event_type
+    """,
+)
+
+# --- temporal joins (as-of + binned interval join; no reference counterpart) -
+
+from ..operators import temporal as TJ  # noqa: E402
+
+register(
+    "events_asof_last_click",
+    lambda spark, sf: TJ.asof_last_event(spark, sf),
+    f"""
+    SELECT a.event_id, a.user_id,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           count(b.event_id) AS prior_click_cnt,
+           strftime(max(b.ts), '%Y-%m-%d %H:%M:%S') AS last_click_ts
+    FROM events a
+    LEFT JOIN events b
+      ON b.user_id = a.user_id
+     AND b.event_type = '{TJ.ASOF_RIGHT_TYPE}'
+     AND b.ts < a.ts
+    WHERE a.event_type = '{TJ.ASOF_LEFT_TYPE}'
+    GROUP BY a.event_id, a.user_id, a.ts
+    """,
+)
+
+register(
+    "error_click_window_counts",
+    TJ.error_click_window_counts,
+    f"""
+    SELECT e.event_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+           count(c.event_id) AS click_cnt
+    FROM events e
+    LEFT JOIN events c
+      ON c.event_type = 'click'
+     AND c.ts >= e.ts
+     AND c.ts < e.ts + INTERVAL {TJ.ERR_WINDOW_SEC} SECOND
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id, e.ts
+    """,
+)
+
 # --- end-to-end training-data cleaning pipeline ------------------------------
 
 register(
