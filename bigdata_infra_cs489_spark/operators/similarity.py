@@ -236,6 +236,92 @@ def kmeans_centroids(
     return spark.createDataFrame(centroids, "centroid_id int, cvec array<double>")
 
 
+N_HYPERPLANES = 16
+LSH_BAND_BITS = 4
+LSH_N_BANDS = N_HYPERPLANES // LSH_BAND_BITS
+
+
+def lsh_codes(
+    spark: SparkSession, sf_dir: str, n_hyperplanes: int = N_HYPERPLANES
+) -> DataFrame:
+    """(vec_id, code): 16-bit random-hyperplane (sign) LSH code per vector —
+    bit j set iff dot(v, h_j) > 0. Hyperplanes are the deterministic first
+    ``n_hyperplanes`` vectors (the same convention the static IVF uses for
+    centroids), so the whole computation is oracle-reproducible.
+
+    Scale shape: one broadcast of the tiny hyperplane table, one narrow
+    pass over the big side, one partial-aggregatable groupBy(vec_id) whose
+    input is n_hyperplanes rows per vector. No O(n^2) anywhere.
+    """
+    emb = _emb(spark, sf_dir)
+    hp = emb.where(F.col("vec_id") < n_hyperplanes).select(
+        F.col("vec_id").alias("h_id"), F.col("embedding").alias("hvec")
+    )
+    bits = emb.crossJoin(F.broadcast(hp)).select(
+        "vec_id",
+        "h_id",
+        (_dot(F.col("embedding"), F.col("hvec")) > 0).alias("bit"),
+    )
+    return bits.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("bit"), F.expr("shiftleft(CAST(1 AS BIGINT), h_id)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("code")
+    )
+
+
+def lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = QUERY_VEC_ID,
+    k: int = TOP_K,
+) -> DataFrame:
+    """ANN top-k via banded sign-LSH: candidates are vectors sharing at
+    least one of the LSH_N_BANDS band values with the query's code; exact
+    cosine reranks the candidates. The third ANN family next to brute
+    force (exactness baseline) and IVF (partition-probe): LSH needs no
+    trained structure and its candidate generation is a pure equi-join on
+    (band, band_value) — at 100 TB that's one shuffle of narrow
+    (vec_id, band, value) rows against a handful of query band rows
+    (broadcast), never a distance computation outside the candidate set.
+    """
+    codes = lsh_codes(spark, sf_dir)
+    band_ids = F.array(*[F.lit(b) for b in range(LSH_N_BANDS)])
+    mask = (1 << LSH_BAND_BITS) - 1
+    bands = codes.select(
+        "vec_id", "code", F.explode(band_ids).alias("band")
+    ).select(
+        "vec_id",
+        "band",
+        F.expr(f"shiftright(code, band * {LSH_BAND_BITS}) & {mask}").alias(
+            "band_val"
+        ),
+    )
+    qbands = bands.where(F.col("vec_id") == query_vec_id).select(
+        "band", "band_val"
+    )
+    cand = (
+        bands.join(F.broadcast(qbands), ["band", "band_val"])
+        .select("vec_id")
+        .distinct()
+    )
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q")
+    )
+    return (
+        emb.join(cand, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(_cosine(F.col("embedding"), F.col("q")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def cosine_near_duplicate_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = PAIR_THRESHOLD
 ) -> DataFrame:

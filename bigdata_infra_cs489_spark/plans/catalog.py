@@ -665,6 +665,50 @@ register(
     lambda spark, sf: S.kmeans_centroids(spark, sf),
 )
 
+# Sign-LSH codes + banded ANN (deterministic hyperplanes = first N vectors,
+# so DuckDB reproduces the full computation).
+DUCK_LSH_CODES = f"""
+    hp AS (SELECT vec_id AS h, v AS hv FROM e WHERE vec_id < {S.N_HYPERPLANES}),
+    codes AS (
+        SELECT e.vec_id,
+               CAST(sum(CASE WHEN list_inner_product(e.v, hp.hv) > 0
+                             THEN (CAST(1 AS BIGINT) << hp.h) ELSE 0 END)
+                    AS BIGINT) AS code
+        FROM e, hp GROUP BY e.vec_id)
+"""
+
+register(
+    "lsh_codes",
+    lambda spark, sf: S.lsh_codes(spark, sf),
+    f"""
+    WITH e AS ({DUCK_EMB}),
+    {DUCK_LSH_CODES}
+    SELECT vec_id, code FROM codes
+    """,
+)
+
+register(
+    "lsh_topk",
+    lambda spark, sf: S.lsh_topk(spark, sf),
+    f"""
+    WITH e AS ({DUCK_EMB}),
+    {DUCK_LSH_CODES},
+    bands AS (
+        SELECT vec_id, b,
+               (code >> (b * {S.LSH_BAND_BITS})) & {(1 << S.LSH_BAND_BITS) - 1}
+                   AS bv
+        FROM codes, unnest(range(0, {S.LSH_N_BANDS})) t(b)),
+    qb AS (SELECT b, bv FROM bands WHERE vec_id = {S.QUERY_VEC_ID}),
+    cand AS (SELECT DISTINCT bands.vec_id FROM bands JOIN qb USING (b, bv)),
+    q AS (SELECT v AS q FROM e WHERE vec_id = {S.QUERY_VEC_ID})
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.v, (SELECT q FROM q)), 6) AS cosine
+    FROM e JOIN cand ON e.vec_id = cand.vec_id
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT {S.TOP_K}
+    """,
+)
+
 # --- text analysis (north-star extensions) ----------------------------------
 
 from ..operators import textstats as TS  # noqa: E402

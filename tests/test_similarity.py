@@ -6,7 +6,14 @@ import pytest
 
 from .oracle import assert_matches_oracle
 
-SIM = ["cosine_topk", "ivf_assignments", "ivf_topk", "embedding_near_duplicates"]
+SIM = [
+    "cosine_topk",
+    "ivf_assignments",
+    "ivf_topk",
+    "embedding_near_duplicates",
+    "lsh_codes",
+    "lsh_topk",
+]
 
 
 @pytest.mark.parametrize("name", SIM)
@@ -36,6 +43,39 @@ def test_ivf_recall_vs_bruteforce(spark, sf_correct):
     exact = {r.vec_id for r in cosine_topk(spark, sf_correct).collect()}
     approx = {r.vec_id for r in ivf_topk(spark, sf_correct).collect()}
     assert len(exact & approx) >= 3
+
+
+def test_lsh_recall_and_pruning(spark, sf_correct):
+    """Banded sign-LSH must actually prune (candidate set well under the
+    corpus) while recovering a usable share of the true top-10. Random
+    fixtures have no cluster structure, so the recall floor is loose."""
+    from pyspark.sql import functions as F
+
+    from bigdata_infra_cs489_spark.operators import similarity as S
+
+    exact = {r.vec_id for r in S.cosine_topk(spark, sf_correct).collect()}
+    approx = {r.vec_id for r in S.lsh_topk(spark, sf_correct).collect()}
+    assert len(exact & approx) >= 3
+
+    total = S._emb(spark, sf_correct).count()
+    codes = S.lsh_codes(spark, sf_correct)
+    n_codes = codes.select("code").distinct().count()
+    assert n_codes > total * 0.5  # codes spread, not collapsed
+
+    # candidate fraction: vectors sharing >=1 band with the query
+    mask = (1 << S.LSH_BAND_BITS) - 1
+    bands = codes.select(
+        "vec_id",
+        "code",
+        F.explode(F.array(*[F.lit(b) for b in range(S.LSH_N_BANDS)])).alias("band"),
+    ).select(
+        "vec_id",
+        "band",
+        F.expr(f"shiftright(code, band * {S.LSH_BAND_BITS}) & {mask}").alias("bv"),
+    )
+    qb = bands.where(F.col("vec_id") == S.QUERY_VEC_ID).select("band", "bv")
+    n_cand = bands.join(qb, ["band", "bv"]).select("vec_id").distinct().count()
+    assert n_cand < total * 0.5
 
 
 def test_kmeans_matches_numpy_replay(spark, sf_correct):
