@@ -1,0 +1,50 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+A training-data pipeline needs samples and train/val/test splits that are
+(a) reproducible across runs and engines, (b) stable under repartitioning,
+and (c) assignable in a single narrow pass with no shuffle. Seeded
+``df.sample`` gives none of these across engines (RNG streams are
+partition-dependent), so both operators here derive the decision from the
+shared portable hash (functions/hashing.h8) of the row key: the DuckDB
+oracle reproduces membership bit-for-bit, and at 100 TB the operators are
+pure map-side filters/projections that parallelize trivially.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h8
+from ..sources.tables import load
+
+SAMPLE_PCT = 10  # events_hash_sample keeps h8(event_id) % 100 < 10
+SPLIT_SALT = "split-v1"  # version the split without touching the data
+TRAIN_PCT = 80
+VAL_PCT = 10  # test = remainder
+
+
+def events_hash_sample(
+    spark: SparkSession, sf_dir: str, pct: int = SAMPLE_PCT
+) -> DataFrame:
+    """Reproducible ~pct% sample of events keyed on event_id — the same
+    rows come back on every run, engine, and partitioning."""
+    ev = load(spark, sf_dir, "events")
+    bucket = h8(F.col("event_id").cast("string")) % 100
+    return ev.where(bucket < pct).select("event_id", "user_id", "event_type")
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, split): salted-hash assignment of every document to
+    train/val/test (80/10/10). The salt versions the split — bumping it
+    reshuffles membership deterministically, and joining any feature table
+    on doc_id inherits the split without re-deriving it."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = h8(F.concat(F.col("doc_id").cast("string"), F.lit(SPLIT_SALT))) % 100
+    return docs.select(
+        "doc_id",
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

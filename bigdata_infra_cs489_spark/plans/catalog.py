@@ -970,6 +970,35 @@ register(
     """,
 )
 
+# --- deterministic sampling / dataset splits (training-pipeline ops) ---------
+
+from ..operators import sampling as SA  # noqa: E402
+
+register(
+    "events_hash_sample",
+    lambda spark, sf: SA.events_hash_sample(spark, sf),
+    f"""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE {DUCK_H8.format(x='CAST(event_id AS VARCHAR)')} % 100 < {SA.SAMPLE_PCT}
+    """,
+)
+
+register(
+    "dataset_split",
+    SA.dataset_split,
+    f"""
+    SELECT doc_id,
+           CASE WHEN b < {SA.TRAIN_PCT} THEN 'train'
+                WHEN b < {SA.TRAIN_PCT + SA.VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 {DUCK_H8.format(x=f"(CAST(doc_id AS VARCHAR) || '{SA.SPLIT_SALT}')")}
+                     % 100 AS b
+          FROM documents)
+    """,
+)
+
 # --- temporal joins (as-of + binned interval join; no reference counterpart) -
 
 from ..operators import temporal as TJ  # noqa: E402

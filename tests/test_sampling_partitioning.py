@@ -1,0 +1,87 @@
+"""Deterministic hash sampling / splits (oracle-checked) and the
+date-partitioned sink's partition-pruning property (plan-checked)."""
+
+from __future__ import annotations
+
+import pytest
+
+from .oracle import assert_matches_oracle
+
+NAMES = ["events_hash_sample", "dataset_split"]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_matches_oracle(spark, sf_correct, name):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    assert_matches_oracle(q(spark, sf_correct), sql, sf_correct)
+
+
+def test_split_fractions(spark, sf_correct):
+    from bigdata_infra_cs489_spark.operators.sampling import dataset_split
+
+    counts = {
+        r["split"]: r["n"]
+        for r in dataset_split(spark, sf_correct).groupBy("split").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    total = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.7 < counts["train"] / total < 0.9
+    assert counts["val"] / total < 0.2 and counts["test"] / total < 0.2
+
+
+def test_sample_stable_under_repartition(spark, sf_correct):
+    """Membership is a pure function of the key — repartitioning the input
+    must not change which rows are kept (the property df.sample lacks)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_infra_cs489_spark.functions.hashing import h8
+    from bigdata_infra_cs489_spark.operators.sampling import SAMPLE_PCT
+    from bigdata_infra_cs489_spark.sources.tables import load
+
+    base = {
+        r["event_id"]
+        for r in load(spark, sf_correct, "events")
+        .where(h8(F.col("event_id").cast("string")) % 100 < SAMPLE_PCT)
+        .select("event_id").collect()
+    }
+    rep = {
+        r["event_id"]
+        for r in load(spark, sf_correct, "events").repartition(17)
+        .where(h8(F.col("event_id").cast("string")) % 100 < SAMPLE_PCT)
+        .select("event_id").collect()
+    }
+    assert base == rep and len(base) > 0
+
+
+def test_partitioned_sink_prunes(spark, sf_correct, tmp_path):
+    """A date-equality read of the partitioned copy must plan partition
+    pruning (non-empty PartitionFilters) and return exactly the rows a
+    full-scan filter returns."""
+    from pyspark.sql import functions as F
+
+    from bigdata_infra_cs489_spark.sources.partitioning import (
+        read_partitioned,
+        scan_is_partition_pruned,
+        write_date_partitioned,
+    )
+    from bigdata_infra_cs489_spark.sources.tables import load
+
+    ev = load(spark, sf_correct, "events")
+    path = str(tmp_path / "events_by_date")
+    write_date_partitioned(ev, path)
+
+    day = "2024-01-05"
+    pruned = read_partitioned(spark, path).where(
+        F.col("event_date") == F.lit(day)
+    )
+    assert scan_is_partition_pruned(pruned)
+
+    expect = ev.where(F.to_date("ts") == F.lit(day)).count()
+    assert pruned.count() == expect and expect > 0
+
+    # an unfiltered read must NOT claim pruning (guards the helper itself)
+    assert not scan_is_partition_pruned(read_partitioned(spark, path))
