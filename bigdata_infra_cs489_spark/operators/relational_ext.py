@@ -86,6 +86,29 @@ def approx_distinct_users(
     )
 
 
+ROLLING_WINDOW_SEC = 3600
+
+
+def user_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-1-hour rolling sum/count of value at every event —
+    a RANGE frame over event time (the frame-spec vocabulary SURVEY §2.5
+    notes the reference lacks), and the standard shape of point-in-time
+    feature engineering: one shuffle on user_id, one sort, then each row's
+    feature reads only its trailing frame."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-ROLLING_WINDOW_SEC, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("rolling_sum_1h"),
+        F.count(F.lit(1)).over(w).alias("rolling_cnt_1h"),
+    )
+
+
 def events_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates with a portable oracle: approximate answers can't
     hash-match a different engine, so the query emits the EXACT answer plus

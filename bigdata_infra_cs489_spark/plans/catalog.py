@@ -961,6 +961,21 @@ register(
 )
 
 register(
+    "user_rolling_value",
+    RX.user_rolling_value,
+    f"""
+    SELECT event_id, user_id,
+           round(sum(value) OVER w, 2) AS rolling_sum_1h,
+           count(*) OVER w AS rolling_cnt_1h
+    FROM (SELECT event_id, user_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN {RX.ROLLING_WINDOW_SEC} PRECEDING
+                           AND CURRENT ROW)
+    """,
+)
+
+register(
     "events_sketch_check",
     RX.events_sketch_check,
     """

@@ -158,6 +158,54 @@ def enriched_events_stream(
     )
 
 
+def error_click_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: every (error, click) pair with the
+    click inside [error_ts, error_ts + ERR_WINDOW_SEC) — the streaming twin
+    of the batch binned interval join (operators/temporal.py). Watermarks
+    on BOTH sides plus the two-sided time-range condition let Spark bound
+    the join state: each side keeps only rows younger than watermark +
+    window, so state is O(rate x window), not O(stream)."""
+    from ..operators.temporal import ERR_WINDOW_SEC, _BUCKET_US
+
+    ev = stream_events(spark, sf_dir)
+    # Spark refuses stream-stream joins without an equality predicate; the
+    # SAME time-bucket binning that bounds the batch join's candidates
+    # (operators/temporal.py) supplies it — errors explode into the <=2
+    # buckets their window overlaps, clicks carry their single bucket.
+    us_err = F.unix_micros(F.col("err_ts"))
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("error_id"), F.col("ts").alias("err_ts"))
+        .withWatermark("err_ts", WATERMARK)
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(us_err / _BUCKET_US),
+                    F.floor(
+                        (us_err + ERR_WINDOW_SEC * 1_000_000 - 1) / _BUCKET_US
+                    ),
+                )
+            ),
+        )
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", WATERMARK)
+        .withColumn("bucket", F.floor(F.unix_micros(F.col("click_ts")) / _BUCKET_US))
+    )
+    cond = (
+        (errors.bucket == clicks.bucket)
+        & (F.col("click_ts") >= F.col("err_ts"))
+        & (
+            F.col("click_ts")
+            < F.col("err_ts") + F.expr(f"interval {ERR_WINDOW_SEC} seconds")
+        )
+    )
+    return errors.join(clicks, cond, "inner").select("error_id", "click_id")
+
+
 def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "complete"):
     """Execute a streaming DF to a memory sink until all available input
     is processed; returns the terminated query (read via table `name`)."""

@@ -102,3 +102,43 @@ def test_stream_static_join_enriches(spark, sf_correct):
     rows = spark.table("t_enrich").collect()
     assert rows and all(r.segment in ("even", "odd") for r in rows)
     assert len(rows) == _events(spark, sf_correct).count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_smoke):
+    """The watermarked stream-stream interval join emits exactly the
+    (error, click) pairs the batch range predicate defines (smoke SF keeps
+    the pair count small)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_infra_cs489_spark.operators.temporal import ERR_WINDOW_SEC
+    from bigdata_infra_cs489_spark.sources.tables import load
+    from bigdata_infra_cs489_spark.streaming.events_stream import (
+        error_click_join_stream,
+        run_to_memory,
+    )
+
+    run_to_memory(error_click_join_stream(spark, sf_smoke), "t_ssj", "append")
+    got = {
+        (r.error_id, r.click_id)
+        for r in spark.table("t_ssj").collect()
+    }
+
+    ev = load(spark, sf_smoke, "events")
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("err_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    expect = {
+        (r.error_id, r.click_id)
+        for r in e.join(
+            c,
+            (F.col("click_ts") >= F.col("err_ts"))
+            & (
+                F.col("click_ts")
+                < F.col("err_ts") + F.expr(f"interval {ERR_WINDOW_SEC} seconds")
+            ),
+        ).collect()
+    }
+    assert got == expect and len(expect) > 0

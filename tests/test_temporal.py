@@ -12,6 +12,7 @@ NAMES = [
     "events_asof_last_click",
     "error_click_window_counts",
     "events_sketch_check",
+    "user_rolling_value",
 ]
 
 
