@@ -870,6 +870,52 @@ register(
     """,
 )
 
+register(
+    "user_funnel",
+    lambda spark, sf: E.user_funnel(spark, sf),
+    f"""
+    WITH t1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = '{E.FUNNEL_STAGES[0]}' GROUP BY user_id),
+    t2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = '{E.FUNNEL_STAGES[1]}' AND e.ts > t1.t1
+        GROUP BY e.user_id),
+    t3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = '{E.FUNNEL_STAGES[2]}' AND e.ts > t2.t2
+        GROUP BY e.user_id)
+    SELECT u.user_id,
+           strftime(t1.t1, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+           strftime(t2.t2, '%Y-%m-%d %H:%M:%S') AS first_click_ts,
+           strftime(t3.t3, '%Y-%m-%d %H:%M:%S') AS first_purchase_ts,
+           CAST((t1.t1 IS NOT NULL)::INT + (t2.t2 IS NOT NULL)::INT
+                + (t3.t3 IS NOT NULL)::INT AS INT) AS stage
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN t1 ON u.user_id = t1.user_id
+    LEFT JOIN t2 ON u.user_id = t2.user_id
+    LEFT JOIN t3 ON u.user_id = t3.user_id
+    """,
+)
+
+register(
+    "top_users_by_type",
+    lambda spark, sf: E.top_users_by_type(spark, sf),
+    f"""
+    WITH totals AS (
+        SELECT event_type, user_id, round(sum(value), 2) AS total_value
+        FROM events GROUP BY event_type, user_id),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                     ORDER BY total_value DESC, user_id ASC) AS rank
+        FROM totals)
+    SELECT event_type, user_id, total_value, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {E.TOPK_USERS}
+    """,
+)
+
 # --- multimodal columns (north-star extensions) ------------------------------
 
 from ..operators import multimodal as MM  # noqa: E402

@@ -15,6 +15,8 @@ NAMES = [
     "events_sliding_counts",
     "events_sessionize",
     "events_json_stats",
+    "user_funnel",
+    "top_users_by_type",
 ]
 
 
