@@ -86,6 +86,20 @@ def approx_distinct_users(
     )
 
 
+def events_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (event_type, month): all four grouping sets — per-cell, each
+    one-dimension marginal, and the grand total — in one Expand + hash
+    aggregate pass (the rollup twin covers the hierarchical subset)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.cube("event_type", month_str("ts").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 ROLLING_WINDOW_SEC = 3600
 
 

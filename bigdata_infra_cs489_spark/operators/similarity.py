@@ -141,6 +141,26 @@ def ivf_topk(
     )
 
 
+def semantic_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = QUERY_VEC_ID,
+    k: int = TOP_K,
+) -> DataFrame:
+    """End-to-end cross-modal retrieval: exact top-k in embedding space,
+    then the k-row result broadcast-joins back to the documents table for
+    the payload (doc_id == vec_id row correspondence). The expensive side
+    (vector scan) never carries text; only k winners touch the wide table.
+    """
+    top = cosine_topk(spark, sf_dir, query_vec_id, k)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        F.broadcast(top)
+        .join(docs, top.vec_id == docs.doc_id)
+        .select("doc_id", "cosine", "text")
+    )
+
+
 def kmeans_centroids(
     spark: SparkSession,
     sf_dir: str,

@@ -665,6 +665,23 @@ register(
     lambda spark, sf: S.kmeans_centroids(spark, sf),
 )
 
+register(
+    "semantic_search",
+    lambda spark, sf: S.semantic_search(spark, sf),
+    f"""
+    WITH e AS ({DUCK_EMB}),
+    q AS (SELECT v AS q FROM e WHERE vec_id = {S.QUERY_VEC_ID}),
+    top AS (
+        SELECT vec_id,
+               round(list_cosine_similarity(v, (SELECT q FROM q)), 6) AS cosine
+        FROM e
+        ORDER BY cosine DESC, vec_id
+        LIMIT {S.TOP_K})
+    SELECT d.doc_id, top.cosine, d.text
+    FROM top JOIN documents d ON top.vec_id = d.doc_id
+    """,
+)
+
 # Sign-LSH codes + banded ANN (deterministic hyperplanes = first N vectors,
 # so DuckDB reproduces the full computation).
 DUCK_LSH_CODES = f"""
@@ -970,6 +987,17 @@ register(
            count(*) AS n_events, round(sum(value), 2) AS sum_value
     FROM events
     GROUP BY ROLLUP (event_type, month)
+    """,
+)
+
+register(
+    "events_cube_counts",
+    RX.events_cube_counts,
+    """
+    SELECT event_type, strftime(ts, '%Y-%m') AS month,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, month)
     """,
 )
 

@@ -226,3 +226,19 @@ def q_tbl_scan_nation(spark: SparkSession, sf_dir: str):
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_tbl_nation_{sf_tag}")
     write_tbl(src, path)
     return read_tbl(spark, path, src.schema)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Scan JSON-lines (one JSON object per line). An explicit schema skips
+    the inference pass — mandatory at scale (inference reads the data
+    twice) and the only way to keep types stable across engines."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """DataFrame -> JSON-lines (S8 twin for nested/self-describing rows —
+    the interchange format corpus pipelines actually exchange)."""
+    df.write.mode("overwrite").json(path)

@@ -88,3 +88,29 @@ def test_ingest_tbl_to_parquet_roundtrip(spark, sf_smoke, tmp_path):
     back = spark.read.parquet(pq_dir)
     assert back.schema == src.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_jsonl_roundtrip(spark, sf_smoke, tmp_path):
+    """events -> JSONL -> back: schema-pinned read returns the same rows
+    (timestamps carried as epoch micros to stay JSON-portable)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_infra_cs489_spark.sources.formats import read_jsonl, write_jsonl
+    from bigdata_infra_cs489_spark.sources.tables import load
+
+    ev = load(spark, sf_smoke, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type", "value"
+    )
+    path = str(tmp_path / "events_jsonl")
+    write_jsonl(ev, path)
+
+    back = read_jsonl(
+        spark,
+        path,
+        schema="event_id bigint, ts_us bigint, user_id bigint, "
+        "event_type string, value double",
+    )
+    assert sorted(back.columns) == sorted(ev.columns)
+    a = {tuple(r) for r in ev.collect()}
+    b = {tuple(r[c] for c in ev.columns) for r in back.collect()}
+    assert a == b and len(a) > 0

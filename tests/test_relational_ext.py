@@ -10,6 +10,7 @@ from .oracle import assert_matches_oracle
 NAMES = [
     "customers_without_orders",
     "events_rollup_counts",
+    "events_cube_counts",
     "events_value_percentiles",
     "events_distinct_users",
     "user_event_gaps",

@@ -13,6 +13,7 @@ SIM = [
     "embedding_near_duplicates",
     "lsh_codes",
     "lsh_topk",
+    "semantic_search",
 ]
 
 
