@@ -322,3 +322,61 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(_docs(spark, sf_dir))
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(id, cluster_id): connected components by iterative min-label
+    propagation — each round every node adopts the smallest label among
+    itself and its neighbors, converging in O(component diameter) rounds
+    (detected by the monotonically decreasing global label sum; labels
+    never increase, so an unchanged sum IS the fixpoint).
+
+    Per round: one equi-join of labels onto edge sources, one groupBy(dst)
+    min, one left join back — all shuffles keyed by node id. Fine for the
+    short-diameter components dedup produces; a high-diameter graph would
+    want the large-star/small-star variant (same building blocks, fewer
+    rounds). `localCheckpoint(eager=False)` truncates lineage; the
+    convergence aggregate both computes and pins it (an eager checkpoint
+    would run the round's shuffles twice).
+
+    ``nodes``: one `id` column; ``edges``: (src, dst), any direction.
+    """
+    both = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = nodes.select("id", F.col("id").alias("label"))
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (
+            both.join(labels, both.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.id == nbr_min.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def q_near_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id): transitive closure of the MinHash near-dup
+    pairs — the step that turns pairwise 'A~B, B~C' verdicts into dedup
+    groups with a canonical (minimum) id per group; singleton docs are
+    their own cluster."""
+    nodes = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    pairs = q_minhash_near_duplicates(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(nodes, pairs)
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id")

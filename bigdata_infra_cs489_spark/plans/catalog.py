@@ -485,11 +485,9 @@ register(
     """,
 )
 
-register(
-    "minhash_near_duplicates",
-    D.q_minhash_near_duplicates,
-    f"""
-    WITH {DUCK_SHINGLES},
+# Shared CTE chain ending in `pairs` = (doc_a, doc_b, jaccard) near-dup
+# pairs above threshold; reused by the clustering oracle below.
+DUCK_MINHASH_PAIR_CTES = f"""{DUCK_SHINGLES},
     sigs AS (
         SELECT doc_id, {DUCK_MINHASH_SIG} AS sig
         FROM sh),
@@ -503,15 +501,43 @@ register(
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key
-        WHERE a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b,
-           round(len(list_intersect(sa.sh, sb.sh)) /
-                 len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
-    FROM cand
-    JOIN sh sa ON sa.doc_id = doc_a
-    JOIN sh sb ON sb.doc_id = doc_b
-    WHERE round(len(list_intersect(sa.sh, sb.sh)) /
-                len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= {D.JACCARD_THRESHOLD}
+        WHERE a.doc_id < b.doc_id),
+    pairs AS (
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(sa.sh, sb.sh)) /
+                     len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b)"""
+
+register(
+    "minhash_near_duplicates",
+    D.q_minhash_near_duplicates,
+    f"""
+    WITH {DUCK_MINHASH_PAIR_CTES}
+    SELECT doc_a, doc_b, jaccard
+    FROM pairs
+    WHERE jaccard >= {D.JACCARD_THRESHOLD}
+    """,
+)
+
+register(
+    "near_duplicate_clusters",
+    D.q_near_duplicate_clusters,
+    f"""
+    WITH RECURSIVE {DUCK_MINHASH_PAIR_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        WHERE jaccard >= {D.JACCARD_THRESHOLD}
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+        WHERE jaccard >= {D.JACCARD_THRESHOLD}),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src AS doc_id, min(dst) AS cluster_id
+    FROM reach GROUP BY src
     """,
 )
 

@@ -14,6 +14,7 @@ DEDUP = [
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
     "simhash_near_duplicates",
+    "near_duplicate_clusters",
 ]
 
 
@@ -127,3 +128,19 @@ def test_minhash_signatures_match_python_replay(spark):
         xs = [h8_py(s) for s in shingles_py(text)]
         want = [min((a * x + b) % MINHASH_PRIME for x in xs) for a, b in params]
         assert got[i] == want, f"doc {i}"
+
+
+def test_connected_components_chain(spark):
+    """A~B, B~C, D~E: transitive closure must merge {A,B,C} under min id
+    and keep {D,E} separate; isolated F stays a singleton."""
+    from bigdata_infra_cs489_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}

