@@ -233,3 +233,52 @@ def boolean_retrieval(spark: SparkSession, sf_dir: str, query: str) -> DataFrame
         .where(predicate)
     )
     return hits.join(docs, "doc_id").select("doc_id", "text")
+
+
+PHRASE_QUERY = "fast table"
+
+
+def positional_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, doc_id, positions): sorted 1-based token positions per
+    (term, doc) — the positional extension of the reference's frequency
+    index (tf == size(positions)). Same single-shuffle shape as postings():
+    posexplode -> groupBy(term, doc_id)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    return (
+        toks.select("doc_id", F.posexplode("toks").alias("pos0", "term"))
+        .groupBy("term", "doc_id")
+        .agg(F.array_sort(F.collect_list(F.col("pos0") + 1)).alias("positions"))
+    )
+
+
+def phrase_retrieval(
+    spark: SparkSession, sf_dir: str, phrase: str = PHRASE_QUERY
+) -> DataFrame:
+    """(doc_id, n_matches): documents containing the words of ``phrase``
+    consecutively, with the exact-adjacency occurrence count.
+
+    Classic positional-index evaluation: for term i, shift its positions
+    left by i; a phrase occurrence is a position present in EVERY shifted
+    list, so the per-doc work is an inner join of the terms' posting rows
+    followed by one array_intersect fold — no text rescan, no UDF. The
+    joins are broadcast-friendly (each term's postings are a sliver of the
+    index) and keyed on doc_id."""
+    terms = phrase.split()
+    if not terms:
+        raise ValueError("empty phrase")
+    pp = positional_postings(spark, sf_dir)
+    acc = None
+    for i, t in enumerate(terms):
+        side = pp.where(F.col("term") == t).select(
+            "doc_id",
+            F.transform("positions", lambda x: x - i).alias(f"p{i}"),  # noqa: B023
+        )
+        acc = side if acc is None else acc.join(side, "doc_id")
+    inter = F.col("p0")
+    for i in range(1, len(terms)):
+        inter = F.array_intersect(inter, F.col(f"p{i}"))
+    return (
+        acc.select("doc_id", F.size(inter).alias("n_matches"))
+        .where(F.col("n_matches") > 0)
+    )

@@ -283,6 +283,51 @@ register(
     """,
 )
 
+DUCK_POSITIONS = f"""
+    toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS term,
+                  unnest(range(1, len(toks) + 1)) AS pos
+           FROM toks),
+    pp AS (SELECT doc_id, term, list_sort(list(pos)) AS positions
+           FROM ex GROUP BY doc_id, term)
+"""
+
+register(
+    "positional_postings",
+    lambda spark, sf: I.positional_postings(spark, sf),
+    f"""
+    WITH {DUCK_POSITIONS}
+    SELECT term, doc_id, positions FROM pp
+    """,
+)
+
+
+def _duck_phrase_sql(phrase: str) -> str:
+    terms = phrase.split()
+    joins = "pp t0"
+    for i in range(1, len(terms)):
+        joins += f" JOIN pp t{i} USING (doc_id)"
+    preds = " AND ".join(f"t{i}.term = '{t}'" for i, t in enumerate(terms))
+    inter = "t0.positions"
+    for i in range(1, len(terms)):
+        inter = (
+            f"list_intersect({inter}, "
+            f"list_transform(t{i}.positions, x -> x - {i}))"
+        )
+    return f"""
+    WITH {DUCK_POSITIONS}
+    SELECT t0.doc_id, CAST(len({inter}) AS INT) AS n_matches
+    FROM {joins}
+    WHERE {preds} AND len({inter}) > 0
+    """
+
+
+register(
+    "phrase_retrieval",
+    lambda spark, sf: I.phrase_retrieval(spark, sf),
+    _duck_phrase_sql(I.PHRASE_QUERY),
+)
+
 RANKED_QUERY = "fast data table"
 
 register(

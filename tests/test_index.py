@@ -9,7 +9,13 @@ import pytest
 
 from .oracle import assert_matches_oracle
 
-INDEX = ["inverted_index_postings", "inverted_index_df", "boolean_retrieval"]
+INDEX = [
+    "inverted_index_postings",
+    "inverted_index_df",
+    "boolean_retrieval",
+    "positional_postings",
+    "phrase_retrieval",
+]
 
 
 @pytest.mark.parametrize("name", INDEX)
@@ -99,3 +105,29 @@ def test_bm25_empty_tokenization_returns_empty(spark, tmp_path):
     out = bm25_retrieval(spark, str(tmp_path), "fast data")
     assert out.collect() == []
     assert [f.name for f in out.schema.fields] == ["doc_id", "score"]
+
+
+def test_phrase_retrieval_adjacency(spark):
+    """Only consecutive occurrences count: 'fast table' matches doc 0 twice,
+    doc 1 (reversed order) and doc 2 (gap between words) not at all."""
+    from bigdata_infra_cs489_spark.operators import index as I
+    from bigdata_infra_cs489_spark.sources import tables
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a fast table and another fast table here"),
+            (1, "table fast"),
+            (2, "fast and slow table"),
+        ],
+        "doc_id long, text string",
+    )
+    orig = tables.load
+    try:
+        I.load = lambda s, d, n: docs
+        got = {
+            r["doc_id"]: r["n_matches"]
+            for r in I.phrase_retrieval(spark, "unused", "fast table").collect()
+        }
+    finally:
+        I.load = orig
+    assert got == {0: 2}
