@@ -6,6 +6,7 @@ postfix queries and prints matching docs). Equivalent entry points:
     python -m bigdata_infra_cs489_spark boolean "fast slow AND" [--sf-dir D] [-n 20]
     python -m bigdata_infra_cs489_spark rank "fast data table" [--sf-dir D] [-n 10]
     python -m bigdata_infra_cs489_spark run <query-name> [--sf-dir D] [-n 20]
+    python -m bigdata_infra_cs489_spark explain <query-name> [--sf-dir D]
     python -m bigdata_infra_cs489_spark list
 
 ``run`` executes any registered query from the driver contract; ``list``
@@ -38,6 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
     ru = sub.add_parser("run", help="run a registered query by name")
     ru.add_argument("name")
     add_common(ru)
+
+    ex = sub.add_parser(
+        "explain", help="print a registered query's physical plan"
+    )
+    ex.add_argument("name")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
 
     sub.add_parser("list", help="list registered queries")
     return p
@@ -75,6 +82,9 @@ def main(argv: list[str] | None = None) -> int:
             print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
             return 2
         df = qs[args.name](spark, args.sf_dir)
+        if args.cmd == "explain":
+            df.explain("formatted")
+            return 0
 
     df.show(args.limit, truncate=80)
     return 0

@@ -33,3 +33,11 @@ def test_cli_rank_bm25(spark, sf_smoke, capsys):
 
     assert main(["rank", "fast data", "--bm25", "--sf-dir", sf_smoke, "-n", "5"]) == 0
     assert "score" in capsys.readouterr().out
+
+
+def test_cli_explain(spark, sf_smoke, capsys):
+    from bigdata_infra_cs489_spark.__main__ import main
+
+    assert main(["explain", "q6_pricing_summary", "--sf-dir", sf_smoke]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "HashAggregate" in out
