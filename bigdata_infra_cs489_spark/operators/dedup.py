@@ -343,7 +343,12 @@ def connected_components(
 
     ``nodes``: one `id` column; ``edges``: (src, dst), any direction.
     """
-    both = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # pin the symmetrized edges once — they are re-joined every round, and
+    # without this the full upstream lineage (for dedup clustering: the
+    # whole shingle->MinHash->LSH pipeline) would re-execute per iteration
+    both = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
     labels = nodes.select("id", F.col("id").alias("label"))
     prev_sum = None
     for _ in range(max_iter):
