@@ -18,13 +18,15 @@ from __future__ import annotations
 import argparse
 import sys
 
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="bigdata_infra_cs489_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def add_common(sp):
-        sp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+        sp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
         sp.add_argument("-n", "--limit", type=int, default=20)
 
     b = sub.add_parser("boolean", help="postfix boolean retrieval")
@@ -44,7 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
         "explain", help="print a registered query's physical plan"
     )
     ex.add_argument("name")
-    ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ex.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
 
     sub.add_parser("list", help="list registered queries")
     return p

@@ -244,9 +244,14 @@ def positional_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     index (tf == size(positions)). Same single-shuffle shape as postings():
     posexplode -> groupBy(term, doc_id)."""
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    # posexplode fused into the projection that builds the token array:
+    # naming the array in one select and exploding it in the next re-runs
+    # the whole tokenize expression ~3x per row via an inferred
+    # size>0 filter (InferFiltersFromGenerate; see dedup.shingle_index)
     return (
-        toks.select("doc_id", F.posexplode("toks").alias("pos0", "term"))
+        docs.select(
+            "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos0", "term")
+        )
         .groupBy("term", "doc_id")
         .agg(F.array_sort(F.collect_list(F.col("pos0") + 1)).alias("positions"))
     )

@@ -291,6 +291,23 @@ def lsh_codes(
     )
 
 
+def lsh_bands(codes: DataFrame) -> DataFrame:
+    """(vec_id, band, band_val): each code split into its LSH_N_BANDS
+    band values — the single owner of the banding scheme (lsh_topk and the
+    pruning tests both derive candidates from this)."""
+    band_ids = F.array(*[F.lit(b) for b in range(LSH_N_BANDS)])
+    mask = (1 << LSH_BAND_BITS) - 1
+    return codes.select(
+        "vec_id", "code", F.explode(band_ids).alias("band")
+    ).select(
+        "vec_id",
+        "band",
+        F.expr(f"shiftright(code, band * {LSH_BAND_BITS}) & {mask}").alias(
+            "band_val"
+        ),
+    )
+
+
 def lsh_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -307,17 +324,7 @@ def lsh_topk(
     (broadcast), never a distance computation outside the candidate set.
     """
     codes = lsh_codes(spark, sf_dir)
-    band_ids = F.array(*[F.lit(b) for b in range(LSH_N_BANDS)])
-    mask = (1 << LSH_BAND_BITS) - 1
-    bands = codes.select(
-        "vec_id", "code", F.explode(band_ids).alias("band")
-    ).select(
-        "vec_id",
-        "band",
-        F.expr(f"shiftright(code, band * {LSH_BAND_BITS}) & {mask}").alias(
-            "band_val"
-        ),
-    )
+    bands = lsh_bands(codes)
     qbands = bands.where(F.col("vec_id") == query_vec_id).select(
         "band", "band_val"
     )

@@ -11,9 +11,6 @@ correctness (tests pin it via the plan's PartitionFilters instead).
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -22,8 +19,6 @@ def write_date_partitioned(
     df: DataFrame, path: str, ts_col: str = "ts", date_col: str = "event_date"
 ) -> None:
     """Write df as parquet partitioned by the date of ts_col."""
-    if os.path.exists(path):
-        shutil.rmtree(path)
     (
         df.withColumn(date_col, F.to_date(F.col(ts_col)))
         .write.mode("overwrite")

@@ -15,7 +15,13 @@ import pytest
 # Iterative drivers (collect between rounds) are exercised by their own
 # tests and priced by bench; building their final-plan string here would
 # re-run the whole loop, so they are asserted separately below.
-ITERATIVE = {"ppr_topk", "ivf_train_centroids", "spam_train", "spam_train_shuffled"}
+ITERATIVE = {
+    "ppr_topk",
+    "ivf_train_centroids",
+    "spam_train",
+    "spam_train_shuffled",
+    "near_duplicate_clusters",
+}
 
 
 def _plan(df) -> str:

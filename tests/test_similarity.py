@@ -64,18 +64,13 @@ def test_lsh_recall_and_pruning(spark, sf_correct):
     assert n_codes > total * 0.5  # codes spread, not collapsed
 
     # candidate fraction: vectors sharing >=1 band with the query
-    mask = (1 << S.LSH_BAND_BITS) - 1
-    bands = codes.select(
-        "vec_id",
-        "code",
-        F.explode(F.array(*[F.lit(b) for b in range(S.LSH_N_BANDS)])).alias("band"),
-    ).select(
-        "vec_id",
-        "band",
-        F.expr(f"shiftright(code, band * {S.LSH_BAND_BITS}) & {mask}").alias("bv"),
+    bands = S.lsh_bands(codes)
+    qb = bands.where(F.col("vec_id") == S.QUERY_VEC_ID).select(
+        "band", "band_val"
     )
-    qb = bands.where(F.col("vec_id") == S.QUERY_VEC_ID).select("band", "bv")
-    n_cand = bands.join(qb, ["band", "bv"]).select("vec_id").distinct().count()
+    n_cand = (
+        bands.join(qb, ["band", "band_val"]).select("vec_id").distinct().count()
+    )
     assert n_cand < total * 0.5
 
 
