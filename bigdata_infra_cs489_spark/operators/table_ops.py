@@ -1,0 +1,107 @@
+"""Whole-table utility operators a data-pipeline team reaches for daily:
+one-pass column profiling and snapshot diffing (CDC-style change
+detection). No reference counterpart; both are pure DataFrame compositions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+
+PROFILE_TABLE = "lineitem"
+PROFILE_COLS = (
+    "l_orderkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+)
+
+
+def profile_columns(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """(column, n_rows, n_nulls, n_distinct, min_value, max_value) per
+    column, computed in ONE scan: all per-column aggregates run in a single
+    groupBy-less agg (the distinct counts share one Expand), then the wide
+    row unpivots via stack. min/max are cast to string so heterogeneous
+    column types share one output schema."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS "
+            "(column, n_nulls, n_distinct, min_value, max_value)"
+        ),
+        "n_rows",
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_columns(load(spark, sf_dir, PROFILE_TABLE), PROFILE_COLS)
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, cols: list[str]
+) -> DataFrame:
+    """(key, change_type): rows added/removed/changed between two snapshots
+    of the same table — one full-outer join on the key plus per-column
+    null-safe comparisons; unchanged rows are dropped. The join shuffles
+    both sides once on the key; at 100 TB both snapshots would be bucketed
+    on the key, making the diff shuffle-free (sources/bucketing.py)."""
+    # presence flags are sentinel columns, not payload nullability (a
+    # legitimately-NULL payload column must not read as "row absent")
+    o = old.select(
+        key, F.lit(1).alias("_o"), *[F.col(c).alias(f"o_{c}") for c in cols]
+    )
+    n = new.select(
+        key, F.lit(1).alias("_n"), *[F.col(c).alias(f"n_{c}") for c in cols]
+    )
+    joined = o.join(n, key, "full_outer")
+    differs = F.lit(False)
+    for c in cols:
+        differs = differs | ~F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}"))
+    change = (
+        F.when(F.col("_o").isNull(), "added")
+        .when(F.col("_n").isNull(), "removed")
+        .when(differs, "changed")
+    )
+    return (
+        joined.select(key, change.alias("change_type"))
+        .where(F.col("change_type").isNotNull())
+    )
+
+
+# Derived snapshot pair over events (the fixtures ship no history): the
+# "old" snapshot drops event_id % 10 == 0, the "new" one drops
+# event_id % 7 == 0 and bumps value where event_id % 3 == 0 — yielding
+# all three change classes deterministically.
+DIFF_COLS = ["user_id", "event_type", "value"]
+
+
+def _snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    ev = load(spark, sf_dir, "events").select("event_id", *DIFF_COLS)
+    old = ev.where(F.col("event_id") % 10 != 0)
+    new = ev.where(F.col("event_id") % 7 != 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 3 == 0, F.col("value") + 1).otherwise(
+            F.col("value")
+        ),
+    )
+    return old, new
+
+
+def q_events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old, new = _snapshots(spark, sf_dir)
+    return snapshot_diff(old, new, "event_id", DIFF_COLS)

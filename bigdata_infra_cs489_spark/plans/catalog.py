@@ -1198,6 +1198,53 @@ register(
     """,
 )
 
+# --- whole-table utilities: profiling + snapshot diff ------------------------
+
+from ..operators import table_ops as TO  # noqa: E402
+
+_PROFILE_UNION = "\n    UNION ALL\n".join(
+    f"""    SELECT '{c}' AS "column", count(*) AS n_rows,
+           count(*) - count({c}) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           min({c})::VARCHAR AS min_value, max({c})::VARCHAR AS max_value
+    FROM {TO.PROFILE_TABLE}"""
+    for c in TO.PROFILE_COLS
+)
+
+register(
+    "profile_lineitem",
+    TO.q_profile_lineitem,
+    _PROFILE_UNION,
+)
+
+register(
+    "events_snapshot_diff",
+    TO.q_events_snapshot_diff,
+    """
+    WITH old AS (
+        SELECT event_id, user_id, event_type, value FROM events
+        WHERE event_id % 10 <> 0),
+    new AS (
+        SELECT event_id, user_id, event_type,
+               CASE WHEN event_id % 3 = 0 THEN value + 1 ELSE value END AS value
+        FROM events WHERE event_id % 7 <> 0)
+    SELECT coalesce(old.event_id, new.event_id) AS event_id,
+           CASE WHEN old.event_id IS NULL THEN 'added'
+                WHEN new.event_id IS NULL THEN 'removed'
+                WHEN old.user_id IS DISTINCT FROM new.user_id
+                     OR old.event_type IS DISTINCT FROM new.event_type
+                     OR old.value IS DISTINCT FROM new.value THEN 'changed'
+           END AS change_type
+    FROM old FULL OUTER JOIN new USING (event_id)
+    WHERE CASE WHEN old.event_id IS NULL THEN 'added'
+               WHEN new.event_id IS NULL THEN 'removed'
+               WHEN old.user_id IS DISTINCT FROM new.user_id
+                    OR old.event_type IS DISTINCT FROM new.event_type
+                    OR old.value IS DISTINCT FROM new.value THEN 'changed'
+          END IS NOT NULL
+    """,
+)
+
 # --- end-to-end training-data cleaning pipeline ------------------------------
 
 register(

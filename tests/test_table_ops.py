@@ -1,0 +1,60 @@
+"""Table profiling and snapshot diff: oracle parity + targeted semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from .oracle import assert_matches_oracle
+
+NAMES = ["profile_lineitem", "events_snapshot_diff"]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_matches_oracle(spark, sf_correct, name):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    assert_matches_oracle(q(spark, sf_correct), sql, sf_correct)
+
+
+def test_diff_covers_all_change_classes(spark, sf_correct):
+    from bigdata_infra_cs489_spark.operators.table_ops import (
+        q_events_snapshot_diff,
+    )
+
+    kinds = {
+        r["change_type"]
+        for r in q_events_snapshot_diff(spark, sf_correct).collect()
+    }
+    assert kinds == {"added", "removed", "changed"}
+
+
+def test_diff_null_payload_not_row_absence(spark):
+    """A NULL payload column must not masquerade as an added/removed row,
+    and NULL -> value must register as 'changed' (null-safe compare)."""
+    from bigdata_infra_cs489_spark.operators.table_ops import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, "y")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None)], "k long, v string"
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, "k", ["v"]).collect()
+    }
+    assert got == {3: "changed"}  # 1 unchanged (NULL==NULL), 2 unchanged
+
+
+def test_profile_single_scan(spark, sf_correct):
+    """The profile must stay one scan of the table (one FileScan in the
+    plan), whatever the column count."""
+    from bigdata_infra_cs489_spark.operators.table_ops import q_profile_lineitem
+
+    plan = (
+        q_profile_lineitem(spark, sf_correct)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan parquet") == 1
