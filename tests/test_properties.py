@@ -90,3 +90,48 @@ def test_boolean_retrieval_matches_set_model(spark, sf_smoke, doc_terms, query):
 
     got = {r["doc_id"] for r in boolean_retrieval(spark, sf_smoke, query).collect()}
     assert got == py_eval_postfix(query, doc_terms)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 19), st.integers(0, 19)),
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation equals a driver-side union-find on random
+    graphs over 20 nodes (self-loops and duplicate edges included)."""
+    from bigdata_infra_cs489_spark.operators.dedup import connected_components
+
+    n = 20
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component
+    want = {}
+    comp_min = {}
+    for i in range(n):
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    for i in range(n):
+        want[i] = comp_min[find(i)]
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edf = spark.createDataFrame(
+        edges or [(0, 0)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(nodes, edf).collect()
+    }
+    assert got == want
