@@ -244,3 +244,49 @@ def ppr_top_k(
         .where(F.col("rn") <= k)
         .select("source", "node_id", F.round("mass", 6).alias("mass"))
     )
+
+
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(degree, n_nodes): out-degree histogram over ALL nodes (dangling
+    nodes count at degree 0 via a left join of nodes onto edge counts).
+    Two partial-aggregatable shuffles; no node ever carries its edge list.
+    """
+    docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    deg = (
+        graph_edges(spark, sf_dir)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        docs.join(deg, "id", "left")
+        .select(F.coalesce("degree", F.lit(0)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row (n_triangles) over the undirected fixture graph.
+
+    Canonical orientation first: symmetrize, dedupe, keep a < b — every
+    triangle then appears exactly once as (a<b<c) in the two-hop join
+    e(a,b) ⋈ e(b,c) ⋈ e(a,c). Orienting by id bounds the join fan-out by
+    the ordered degree (the standard trick that keeps hub nodes from
+    exploding the candidate two-paths at scale; ordering by degree instead
+    of id would tighten it further)."""
+    e = graph_edges(spark, sf_dir)
+    und = (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    ab = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    two_hop = ab.join(
+        und.select(F.col("a").alias("y"), F.col("b").alias("z")), "y"
+    )
+    closed = two_hop.join(
+        und.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"]
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))

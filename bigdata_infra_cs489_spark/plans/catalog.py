@@ -959,6 +959,68 @@ register(
 )
 
 register(
+    "events_gap_filled_counts",
+    lambda spark, sf: E.gap_filled_counts(spark, sf),
+    f"""
+    WITH bounds AS (
+        SELECT CAST(floor(min(epoch(ts)) / {E.TUMBLE_SEC}) * {E.TUMBLE_SEC} AS BIGINT) AS lo,
+               CAST(floor(max(epoch(ts)) / {E.TUMBLE_SEC}) * {E.TUMBLE_SEC} AS BIGINT) AS hi
+        FROM events),
+    spine AS (
+        SELECT strftime(make_timestamp(s * 1000000), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               event_type
+        FROM bounds,
+             unnest(range(lo, hi + {E.TUMBLE_SEC}, {E.TUMBLE_SEC})) t(s),
+             (SELECT DISTINCT event_type FROM events) ty),
+    actual AS (
+        SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / {E.TUMBLE_SEC})
+                    * {E.TUMBLE_SEC} * 1000000 AS BIGINT)),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n
+        FROM events GROUP BY window_start, event_type)
+    SELECT spine.window_start, spine.event_type,
+           coalesce(actual.n, 0) AS n_events
+    FROM spine LEFT JOIN actual USING (window_start, event_type)
+    """,
+)
+
+register(
+    "degree_distribution",
+    lambda spark, sf: G.degree_distribution(spark, sf),
+    """
+    WITH n AS (SELECT count(*) AS c FROM documents),
+    e AS (
+        SELECT DISTINCT doc_id AS src,
+               (doc_id * k + 1) % (SELECT c FROM n) AS dst
+        FROM documents, unnest(range(1, (doc_id % 5) + 1)) AS t(k)),
+    deg AS (SELECT src, count(*) AS degree FROM e GROUP BY src)
+    SELECT coalesce(deg.degree, 0) AS degree, count(*) AS n_nodes
+    FROM documents LEFT JOIN deg ON documents.doc_id = deg.src
+    GROUP BY coalesce(deg.degree, 0)
+    """,
+)
+
+register(
+    "triangle_count",
+    lambda spark, sf: G.triangle_count(spark, sf),
+    """
+    WITH n AS (SELECT count(*) AS c FROM documents),
+    e AS (
+        SELECT DISTINCT doc_id AS src,
+               (doc_id * k + 1) % (SELECT c FROM n) AS dst
+        FROM documents, unnest(range(1, (doc_id % 5) + 1)) AS t(k)),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e WHERE src <> dst)
+    SELECT count(*) AS n_triangles
+    FROM und ab
+    JOIN und bc ON ab.b = bc.a
+    JOIN und ac ON ac.a = ab.a AND ac.b = bc.b
+    """,
+)
+
+register(
     "user_funnel",
     lambda spark, sf: E.user_funnel(spark, sf),
     f"""

@@ -108,3 +108,31 @@ def test_partition_graph_layout_and_content(spark, sf_smoke):
     p = partition_graph(g, 4)
     assert p.rdd.getNumPartitions() == 4
     assert sorted(r["id"] for r in p.collect()) == sorted(r["id"] for r in g.collect())
+
+
+@pytest.mark.parametrize("name", ["degree_distribution", "triangle_count"])
+def test_graph_analytics_match_oracle(spark, sf_correct, name):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    assert_matches_oracle(q(spark, sf_correct), sql, sf_correct)
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 minus one edge has exactly 2 triangles; direction and duplicate
+    edges must not change the count."""
+    from bigdata_infra_cs489_spark.operators import graph as G
+    from bigdata_infra_cs489_spark.sources import tables
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (1, 3), (3, 4), (2, 4)],
+        "src long, dst long",
+    )
+    orig = G.graph_edges
+    try:
+        G.graph_edges = lambda s, d: edges
+        n = G.triangle_count(spark, "unused").collect()[0]["n_triangles"]
+    finally:
+        G.graph_edges = orig
+    assert n == 2

@@ -17,6 +17,7 @@ NAMES = [
     "events_json_stats",
     "user_funnel",
     "top_users_by_type",
+    "events_gap_filled_counts",
 ]
 
 
