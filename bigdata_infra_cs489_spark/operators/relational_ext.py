@@ -152,6 +152,35 @@ def events_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one row per user, one count column per event_type. The type
+    list is pinned (PIVOT_TYPES) — at scale an unpinned pivot needs an
+    extra distinct pass AND makes the output schema data-dependent, so
+    production pivots always enumerate."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(PIVOT_TYPES))
+        .count()
+        .na.fill(0, list(PIVOT_TYPES))
+    )
+
+
+def order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) over order totals: (o_orderkey, quartile). Equal-height
+    bucketing via global sort — the one window here that genuinely needs a
+    total order; at scale ntile is better served by approx quantile cutoffs
+    (events_sketch_check shows that path), kept exact here for the oracle."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey", F.ntile(4).over(w).alias("quartile")
+    )
+
+
 def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lead/lag windowing: seconds since each user's previous event
     (first event per user -> NULL gap)."""

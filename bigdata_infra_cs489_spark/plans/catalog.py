@@ -1168,6 +1168,30 @@ register(
 )
 
 register(
+    "user_type_pivot",
+    RX.user_type_pivot,
+    f"""
+    SELECT user_id,
+           {", ".join(
+               f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+               for t in RX.PIVOT_TYPES
+           )}
+    FROM events GROUP BY user_id
+    """,
+)
+
+register(
+    "order_quartiles",
+    RX.order_quartiles,
+    """
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
+                AS INT) AS quartile
+    FROM orders
+    """,
+)
+
+register(
     "user_rolling_value",
     RX.user_rolling_value,
     f"""

@@ -14,6 +14,8 @@ NAMES = [
     "events_value_percentiles",
     "events_distinct_users",
     "user_event_gaps",
+    "user_type_pivot",
+    "order_quartiles",
 ]
 
 
