@@ -1,0 +1,103 @@
+"""Edge-case behavior of the session's newer operators on degenerate
+inputs: missing terms/types, empty sides, disjoint keys."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _patch_events(module, df):
+    """Swap the module-level load() for a constant-events stub."""
+    orig = module.load
+    module.load = lambda spark, sf_dir, name: df
+    return orig
+
+
+def test_phrase_with_unknown_term_is_empty(spark, sf_smoke):
+    from bigdata_infra_cs489_spark.operators.index import phrase_retrieval
+
+    out = phrase_retrieval(spark, sf_smoke, "fast zzzznotaword")
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n_matches"]
+
+
+def test_asof_with_no_right_events(spark, sf_smoke):
+    """No clicks at all: every view row survives with count 0 / NULL ts."""
+    from bigdata_infra_cs489_spark.operators import temporal as TJ
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, 1, "view", t0 + dt.timedelta(minutes=i)) for i in range(3)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    orig = _patch_events(TJ, df)
+    try:
+        rows = TJ.asof_last_event(spark, sf_smoke).collect()
+    finally:
+        TJ.load = orig
+    assert len(rows) == 3
+    assert all(r.prior_click_cnt == 0 and r.last_click_ts is None for r in rows)
+
+
+def test_funnel_missing_stage_caps(spark, sf_smoke):
+    """Users without the later stages stop at the stage they reached, and
+    out-of-order events don't count (purchase before click)."""
+    from bigdata_infra_cs489_spark.operators import events as E
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, uid, typ, minutes):
+        return (i, t0 + dt.timedelta(minutes=minutes), uid, typ, 0.0, "{}")
+
+    df = spark.createDataFrame(
+        [
+            ev(1, 1, "signup", 0),
+            ev(2, 1, "click", 1),
+            ev(3, 1, "purchase", 2),  # full funnel
+            ev(4, 2, "signup", 0),  # stops at 1
+            ev(5, 3, "signup", 0),
+            ev(6, 3, "purchase", 1),  # purchase BEFORE any click: stage 1
+            ev(7, 3, "click", 2),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = _patch_events(E, df)
+    try:
+        got = {
+            r.user_id: r.stage for r in E.user_funnel(spark, sf_smoke).collect()
+        }
+    finally:
+        E.load = orig
+    assert got == {1: 3, 2: 1, 3: 2}  # user 3: signup + later click, no
+    # purchase after that click
+
+
+def test_snapshot_diff_disjoint_keys(spark):
+    from bigdata_infra_cs489_spark.operators.table_ops import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    new = spark.createDataFrame([(3, "c")], "k long, v string")
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, "k", ["v"]).collect()
+    }
+    assert got == {1: "removed", 2: "removed", 3: "added"}
+
+
+def test_gap_fill_covers_span_without_holes(spark, sf_smoke):
+    """The spine is dense: bucket count per type == (hi-lo)/step + 1 and
+    every count matches the raw tumbling aggregation."""
+    from bigdata_infra_cs489_spark.operators import events as E
+
+    out = E.gap_filled_counts(spark, sf_smoke)
+    per_type = (
+        out.groupBy("event_type").count().select("count").distinct().collect()
+    )
+    assert len(per_type) == 1  # same dense bucket count for every type
+    total_events = out.agg(F.sum("n_events")).collect()[0][0]
+    from bigdata_infra_cs489_spark.sources.tables import load
+
+    assert total_events == load(spark, sf_smoke, "events").count()
