@@ -42,6 +42,12 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)
+        # isolation: operators may cache subtrees reused inside their own
+        # plan; dropping them between queries keeps each measurement
+        # independent and stops storage-memory buildup over the 80-query
+        # run (leaked cache entries live in the CacheManager for the whole
+        # session otherwise)
+        spark.catalog.clearCache()
     total = round(time.time() - t_all, 3)
 
     print(

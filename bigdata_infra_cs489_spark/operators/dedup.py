@@ -55,7 +55,7 @@ from ..functions.hashing import h8 as _h8  # noqa: E402
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "documents").select("doc_id", "text")
+    return load(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
 
 
 # --- exact dedup ------------------------------------------------------------

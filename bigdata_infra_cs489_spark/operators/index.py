@@ -43,7 +43,7 @@ def postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     One explode + one shuffle on (term, doc_id); partial aggregation
     collapses duplicate tokens map-side before the exchange.
     """
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
     return (
         docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
         .groupBy("term", "doc_id")
@@ -82,19 +82,21 @@ def tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked-retrieval weighting the reference's boolean-only index lacks.
     One extra vocabulary-sized aggregate (df per term) broadcast-joined
     back onto the postings; N is a scalar."""
+    from pyspark.sql.window import Window
+
     docs = load(spark, sf_dir, "documents").select("doc_id")
     n_docs = docs.count()
     p = postings(spark, sf_dir)
-    df_ = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    return (
-        p.join(F.broadcast(df_), "term")
-        .select(
-            "term",
-            "doc_id",
-            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
-                "tfidf"
-            ),
-        )
+    # df as a window count over term: ONE computation of the postings
+    # subtree + one narrow shuffle by term — the aggregate-then-join
+    # version computes the tokenize/explode/groupBy subtree twice (once to
+    # build the broadcast df table, once for the probe side), since
+    # Catalyst does not share common subtrees across a broadcast exchange
+    df_ = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    return p.select(
+        "term",
+        "doc_id",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / df_), 6).alias("tfidf"),
     )
 
 
@@ -224,7 +226,7 @@ def boolean_retrieval(spark: SparkSession, sf_dir: str, query: str) -> DataFrame
         raise ValueError(f"malformed postfix query {query!r}")
     predicate = stack[0]
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
     hits = (
         docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
         .where(F.col("term").isin(*terms))
@@ -243,7 +245,7 @@ def positional_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (term, doc) — the positional extension of the reference's frequency
     index (tf == size(positions)). Same single-shuffle shape as postings():
     posexplode -> groupBy(term, doc_id)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallelize=True)
     # posexplode fused into the projection that builds the token array:
     # naming the array in one select and exploding it in the next re-runs
     # the whole tokenize expression ~3x per row via an inferred

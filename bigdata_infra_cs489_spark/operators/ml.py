@@ -54,7 +54,7 @@ def _feature_id(col):
 def spam_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(docid, label, features array<int>) in the reference's input shape
     (TrainSpamClassifier.scala:44-54), derived from documents."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    docs = load(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text", "source")
     return docs.select(
         F.col("doc_id").alias("docid"),
         F.when(F.col("doc_id") % 3 == 0, "spam").otherwise("ham").alias("label"),
@@ -149,16 +149,57 @@ def apply_spam_classifier(
     )
 
 
+def _train_ensemble_models(ds: DataFrame) -> DataFrame:
+    """(model_id, feature, weight) for the N_ENSEMBLE disjoint source
+    groups, trained in ONE grouped fold: the per-model folds are
+    independent, so grouping by model id runs them as parallel tasks of a
+    single shuffle instead of N serial single-task jobs. Within each group
+    the fold still sees exactly the rows of that source subset in docid
+    order — bit-for-bit the same weights as training each model alone."""
+    prepared = ds.select(
+        (
+            F.regexp_extract("source", r"(\d+)$", 1).cast("int") % N_ENSEMBLE
+        ).alias("g"),
+        F.col("docid").cast("double").alias("sort_key"),
+        F.when(F.col("label") == "spam", 1).otherwise(0).alias("is_spam"),
+        "features",
+    )
+
+    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = _sgd_fold(pdf)
+        out.insert(0, "model_id", int(key[0]))
+        return out
+
+    return prepared.groupBy("g").applyInPandas(
+        fold, schema="model_id int, feature int, weight double"
+    )
+
+
 def _ensemble_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # one cached feature derivation feeds all three trainings + scorings
-    # (otherwise the tokenize+hash projection runs 7x per ensemble query)
+    # one cached feature derivation feeds the training + the scoring scan
+    # (otherwise the tokenize+hash projection runs per model)
     ds = spam_training_set(spark, sf_dir).cache()
-    scored = None
-    for i in range(N_ENSEMBLE):
-        w = train_spam_classifier(spark, sf_dir, subset_source_mod=i, ds=ds)
-        s = _score(ds, w, score_col=f"score_{i}")
-        scored = s if scored is None else scored.join(s, ["docid", "label"])
-    return scored
+    weights = _train_ensemble_models(ds)
+    # all three models scored in one pass: explode the corpus once, join
+    # the (model_id, feature, weight) table, pivot per model — versus the
+    # per-model explode ⋈ weights ⋈ 3-way join of the serial version
+    exploded = ds.select(
+        "docid", "label", F.explode_outer("features").alias("feature")
+    )
+    pivoted = (
+        exploded.join(F.broadcast(weights), "feature", "left")
+        .groupBy("docid", "label")
+        .pivot("model_id", list(range(N_ENSEMBLE)))
+        .agg(F.sum("weight"))
+    )
+    return pivoted.select(
+        "docid",
+        "label",
+        *[
+            F.coalesce(F.col(str(i)), F.lit(0.0)).alias(f"score_{i}")
+            for i in range(N_ENSEMBLE)
+        ],
+    )
 
 
 def apply_ensemble_average(spark: SparkSession, sf_dir: str) -> DataFrame:

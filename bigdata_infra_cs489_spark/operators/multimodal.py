@@ -45,10 +45,11 @@ def attach_media(docs: DataFrame) -> DataFrame:
     multimodal column layout. repeat(md5) keeps it deterministic."""
     digest = F.unhex(F.md5("text"))
     repeats = (F.col("doc_id") % 4 + 1).cast("int")
-    media = F.expr(
-        "aggregate(sequence(1, cast(doc_id % 4 + 1 as int)), "
-        "cast('' as binary), (acc, i) -> concat(acc, unhex(md5(text))))"
-    )
+    # digest repeated `repeats` times: repeating the hex string and
+    # unhexing once is byte-identical to concatenating the digest, and
+    # stays a single codegen'd expression (one md5 per row) instead of an
+    # interpreted higher-order aggregate re-hashing per element
+    media = F.unhex(F.repeat(F.md5("text"), repeats))
     return docs.select(
         "doc_id",
         media.alias("media"),
@@ -63,7 +64,7 @@ def attach_media(docs: DataFrame) -> DataFrame:
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return attach_media(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    return attach_media(load(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text"))
 
 
 def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,8 +15,14 @@ don't fit one machine:
   deterministic first C vectors (a k-means step would drop in without
   changing the dataflow).
 - pairwise cosine near-dup: embedding-space near-duplicate detection;
-  the fixture-scale implementation is the exact O(n^2/2) self-join —
-  the LSH/IVF bucketing above is the scale path.
+  exact all-pairs via a block-pair grid of per-task BLAS matmuls — the
+  LSH/IVF bucketing above is the path for corpora where even a blocked
+  n^2 is too much.
+
+Single-vector scoring paths (cosine_topk, IVF probe) stay as JVM
+higher-order column expressions — one dot per row is cheap there; the
+batch-matmul Pandas kernels are reserved for the all-pairs / all-planes
+shapes where the interpreted-lambda cost multiplies.
 
 All math is float64 over the float32 fixtures (identical widening in
 Spark and DuckDB, so oracle hashes match at 6 decimals).
@@ -170,16 +176,20 @@ def kmeans_centroids(
     """Spherical k-means (Lloyd's) over unit-normalized vectors:
     (centroid_id, cvec array<double>).
 
-    DataFrame-iterative like the PageRank loop: per iteration, broadcast
-    the current centroids, assign every vector to its argmax-cosine
-    centroid, recompute each centroid as the renormalized element-wise mean
-    of its members. The mean is posexplode -> groupBy(centroid, dim).avg —
-    two partial-aggregatable shuffles whose width is vectors*dim rows, so
-    the pass is a narrow linear scan at any corpus size. Centroids (model
-    state, C*dim doubles) are collected to the driver between iterations —
-    model-sized, not data-sized. Init = first C vectors (deterministic; the
-    same rule the static IVF uses), ties to the lowest centroid id.
+    DataFrame-iterative like the PageRank loop, with the per-iteration
+    pass shaped like MLlib's treeAggregate: broadcast the current C×dim
+    centroid matrix, then one ``mapInPandas`` scan where each Arrow batch
+    does a single BLAS matmul (U @ C.T), argmax-assigns its vectors (ties
+    to the lowest centroid id = lowest row index), and emits per-centroid
+    partial sums + counts. Only those model-sized partials (≤ C rows per
+    batch, C×dim doubles) cross to the driver, which finishes the means
+    and renormalizes — data-sized rows never leave the executors, so the
+    pass is a narrow linear scan at any corpus size. Init = first C
+    vectors (deterministic; the same rule the static IVF uses).
     """
+    import numpy as np
+    import pandas as pd
+
     emb = _emb(spark, sf_dir)
     # norm once per row (a sibling column, not inside the transform lambda —
     # there it would be re-evaluated per element), then cache the unit
@@ -193,64 +203,63 @@ def kmeans_centroids(
         .select("vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("u"))
         .cache()
     )
-    cent_rows = (
-        unit.where(F.col("vec_id") < n_centroids)
-        .select(F.col("vec_id").alias("centroid_id"), F.col("u").alias("cvec"))
-        .collect()
+    cent_rows = sorted(
+        unit.where(F.col("vec_id") < n_centroids).collect(),
+        key=lambda r: int(r["vec_id"]),
     )
-    centroids = [(int(r["centroid_id"]), list(r["cvec"])) for r in cent_rows]
+    # row index in the broadcast matrix == centroid_id (0..C-1), so
+    # np.argmax's first-max rule reproduces the ties-to-lowest-id rule
+    centroids = [(int(r["vec_id"]), list(r["u"])) for r in cent_rows]
+    sc = spark.sparkContext
 
     for _ in range(iterations):
-        cent_df = F.broadcast(
-            spark.createDataFrame(centroids, "centroid_id int, cvec array<double>")
-        )
-        assigned = (
-            unit.crossJoin(cent_df)
-            .select(
-                "vec_id",
-                "u",
-                "centroid_id",
-                _dot(F.col("u"), F.col("cvec")).alias("cos"),
-            )
-            .groupBy("vec_id")
-            .agg(
-                F.max_by(
-                    F.struct("centroid_id", "u"),
-                    F.struct(F.col("cos"), -F.col("centroid_id")),
-                ).alias("best")
-            )
-            .select(F.col("best.centroid_id").alias("centroid_id"), F.col("best.u").alias("u"))
-        )
-        dim_means = (
-            assigned.select("centroid_id", F.posexplode("u").alias("pos", "v"))
-            .groupBy("centroid_id", "pos")
-            .agg(F.avg("v").alias("m"))
-            .groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-                ).alias("mean")
-            )
-        )
-        # norm hoisted to a sibling column (inside the lambda it would be
-        # re-evaluated per element — O(dim^2)); zero-vector means are
-        # dropped so the cluster falls back to its previous centroid
-        new = (
-            dim_means.select(
-                "centroid_id",
-                "mean",
-                F.sqrt(_dot(F.col("mean"), F.col("mean"))).alias("nrm"),
-            )
-            .where(F.col("nrm") > 0)
-            .select(
-                "centroid_id",
-                F.transform("mean", lambda x: x / F.col("nrm")).alias("cvec"),
-            )
-            .collect()
-        )
-        by_id = {int(r["centroid_id"]): list(r["cvec"]) for r in new}
-        # empty clusters keep their previous centroid
-        centroids = [(cid, by_id.get(cid, vec)) for cid, vec in centroids]
+        cmat = np.array([vec for _, vec in centroids], dtype=np.float64)
+        bc = sc.broadcast(cmat)
+
+        def partial_sums(batches):
+            cm = bc.value
+            k, dim = cm.shape
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                u = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["u"]]
+                )
+                assign = (u @ cm.T).argmax(axis=1)
+                sums = np.zeros((k, dim))
+                np.add.at(sums, assign, u)
+                cnts = np.bincount(assign, minlength=k)
+                live = cnts > 0
+                yield pd.DataFrame(
+                    {
+                        "centroid_id": np.arange(k)[live],
+                        "psum": list(sums[live]),
+                        "cnt": cnts[live],
+                    }
+                )
+
+        partials = unit.mapInPandas(
+            partial_sums, "centroid_id int, psum array<double>, cnt long"
+        ).collect()
+        sums: dict[int, np.ndarray] = {}
+        cnts: dict[int, int] = {}
+        for r in partials:
+            cid = int(r["centroid_id"])
+            vec = np.asarray(r["psum"], dtype=np.float64)
+            sums[cid] = sums.get(cid, 0) + vec
+            cnts[cid] = cnts.get(cid, 0) + int(r["cnt"])
+        new_centroids = []
+        for cid, vec in centroids:
+            if cnts.get(cid, 0):
+                m = sums[cid] / cnts[cid]
+                nrm = float(np.sqrt(m @ m))
+                # zero-vector mean (or empty cluster) keeps the previous
+                # centroid
+                if nrm > 0:
+                    vec = (m / nrm).tolist()
+            new_centroids.append((cid, vec))
+        centroids = new_centroids
+        bc.unpersist()
 
     unit.unpersist()
     return spark.createDataFrame(centroids, "centroid_id int, cvec array<double>")
@@ -261,6 +270,18 @@ LSH_BAND_BITS = 4
 LSH_N_BANDS = N_HYPERPLANES // LSH_BAND_BITS
 
 
+def _hyperplanes(spark: SparkSession, sf_dir: str, n_hyperplanes: int):
+    """The deterministic hyperplane matrix (row order = h_id = vec_id):
+    bit j of every LSH code is sign(dot(v, row j))."""
+    import numpy as np
+
+    rows = sorted(
+        _emb(spark, sf_dir).where(F.col("vec_id") < n_hyperplanes).collect(),
+        key=lambda r: int(r["vec_id"]),
+    )
+    return np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+
+
 def lsh_codes(
     spark: SparkSession, sf_dir: str, n_hyperplanes: int = N_HYPERPLANES
 ) -> DataFrame:
@@ -269,26 +290,35 @@ def lsh_codes(
     ``n_hyperplanes`` vectors (the same convention the static IVF uses for
     centroids), so the whole computation is oracle-reproducible.
 
-    Scale shape: one broadcast of the tiny hyperplane table, one narrow
-    pass over the big side, one partial-aggregatable groupBy(vec_id) whose
-    input is n_hyperplanes rows per vector. No O(n^2) anywhere.
+    Scale shape: one broadcast of the tiny hyperplane matrix (16 x dim
+    doubles — model-sized), then a single narrow ``mapInPandas`` pass where
+    each Arrow batch computes all 16 sign bits at once with one float64
+    BLAS matmul and packs them into the code. No shuffle, no O(n^2)
+    anywhere; the scan parallelizes with the input partitioning.
     """
+    import numpy as np
+    import pandas as pd
+
     emb = _emb(spark, sf_dir)
-    hp = emb.where(F.col("vec_id") < n_hyperplanes).select(
-        F.col("vec_id").alias("h_id"), F.col("embedding").alias("hvec")
-    )
-    bits = emb.crossJoin(F.broadcast(hp)).select(
-        "vec_id",
-        "h_id",
-        (_dot(F.col("embedding"), F.col("hvec")) > 0).alias("bit"),
-    )
-    return bits.groupBy("vec_id").agg(
-        F.sum(
-            F.when(
-                F.col("bit"), F.expr("shiftleft(CAST(1 AS BIGINT), h_id)")
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("code")
-    )
+    hmat = _hyperplanes(spark, sf_dir, n_hyperplanes)
+    weights = (np.int64(1) << np.arange(hmat.shape[0], dtype=np.int64))
+    bc = spark.sparkContext.broadcast(hmat)
+
+    def codes(batches):
+        hm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            bits = (u @ hm.T) > 0
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "code": bits.astype(np.int64) @ weights,
+                }
+            )
+
+    return emb.mapInPandas(codes, "vec_id bigint, code bigint")
 
 
 def lsh_bands(codes: DataFrame) -> DataFrame:
@@ -323,20 +353,37 @@ def lsh_topk(
     (vec_id, band, value) rows against a handful of query band rows
     (broadcast), never a distance computation outside the candidate set.
     """
+    import numpy as np
+
     codes = lsh_codes(spark, sf_dir)
-    bands = lsh_bands(codes)
-    qbands = bands.where(F.col("vec_id") == query_vec_id).select(
-        "band", "band_val"
-    )
-    cand = (
-        bands.join(F.broadcast(qbands), ["band", "band_val"])
-        .select("vec_id")
-        .distinct()
-    )
     emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q")
     )
+    # the query's band values are computed driver-side from the same
+    # hyperplane matrix and same float64 matmul as lsh_codes (a 1-row
+    # model-sized computation) — referencing the distributed codes subtree
+    # a second time would re-run the whole Python scan just to read one row
+    hmat = _hyperplanes(spark, sf_dir, N_HYPERPLANES)
+    qvec = np.asarray(q.collect()[0]["q"], dtype=np.float64)
+    bits = (qvec @ hmat.T) > 0
+    qcode = int(
+        (bits.astype(np.int64) * (np.int64(1) << np.arange(hmat.shape[0]))).sum()
+    )
+    # "shares >= 1 band with the query" as a plain OR-of-equalities column
+    # predicate over the packed code — same scheme lsh_bands materializes,
+    # but with no explode, no join and no distinct: the candidate filter is
+    # a narrow scan of the (vec_id, code) table
+    mask = (1 << LSH_BAND_BITS) - 1
+    cond = None
+    for b in range(LSH_N_BANDS):
+        qval = (qcode >> (b * LSH_BAND_BITS)) & mask
+        c = (
+            F.expr(f"shiftright(code, {b * LSH_BAND_BITS}) & {mask}")
+            == F.lit(qval)
+        )
+        cond = c if cond is None else (cond | c)
+    cand = codes.where(cond).select("vec_id")
     return (
         emb.join(cand, "vec_id")
         .crossJoin(F.broadcast(q))
@@ -349,38 +396,88 @@ def lsh_topk(
     )
 
 
+N_PAIR_BLOCKS = 8
+
+
 def cosine_near_duplicate_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = PAIR_THRESHOLD
 ) -> DataFrame:
     """(vec_a, vec_b, cosine) for all pairs with cosine >= threshold.
 
-    Two scale levers on the O(n^2) pair scan:
-    - each side's norm is computed once per row before the join (the same
-      sqrt(dot(v, v)) operation sequence as inside the per-pair cosine, so
-      values stay bit-identical to the oracle), leaving one dot per pair;
-    - the stream side is repartitioned to the cluster parallelism — a small
-      vector table arrives as one parquet split, and a cartesian scan
-      inherits the stream side's partitioning, so without this the whole
-      n^2 evaluation runs in a single task (measured 36 s vs 3 s on 32
-      cores at sf0.1). The one-time shuffle of the vector table is
-      negligible against the n^2/parallelism pair work it unlocks.
+    Exact O(n^2) scan organized as a block-pair grid (the classic
+    distributed all-pairs layout): vectors hash into B = N_PAIR_BLOCKS
+    blocks by vec_id; each unordered block pair (i <= j) becomes one
+    ``applyInPandas`` group whose task computes the (n/B) x (n/B) cosine
+    matrix with a single float64 BLAS matmul and keeps only the
+    above-threshold, vec_a < vec_b entries. Each row is replicated B+1
+    times (its row in the grid plus its column), so shuffle volume is
+    O(n*B) while pair work is O(n^2/B(B+1)/2) per task — B tunes task
+    memory at any corpus size, and no data-sized collect or driver
+    broadcast of the matrix is needed. The sound-pruning variants for
+    corpora where even n^2/B^2 is too much are the LSH / IVF / MinHash
+    families in this package.
     """
+    import numpy as np
+    import pandas as pd
+
+    b_blocks = N_PAIR_BLOCKS
     emb = _emb(spark, sf_dir)
-    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-    a = emb.repartition(spark.sparkContext.defaultParallelism).select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        norm.alias("na"),
+    blk = (F.col("vec_id") % b_blocks).cast("int")
+    # role 0 = the row block of pair (i, j): partners j >= i
+    # role 1 = the column block:             partners i <= j
+    # the diagonal pair (b, b) takes the row role only (one copy per row)
+    low = emb.select(
+        "vec_id",
+        "embedding",
+        F.lit(0).alias("role"),
+        F.explode(F.sequence(blk * b_blocks + blk, blk * b_blocks + (b_blocks - 1))).alias(
+            "pair_id"
+        ),
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        norm.alias("nb"),
+    all_blocks = F.sequence(F.lit(0), F.lit(b_blocks - 1))
+    high = emb.select(
+        "vec_id",
+        "embedding",
+        F.lit(1).alias("role"),
+        F.explode(
+            F.transform(
+                F.filter(all_blocks, lambda i: i < blk),
+                lambda i: i * b_blocks + blk,
+            )
+        ).alias("pair_id"),
     )
-    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+
+    def block_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pair_id = int(key[0])
+        diag = (pair_id // b_blocks) == (pair_id % b_blocks)
+        rows = pdf[pdf["role"] == 0]
+        cols = rows if diag else pdf[pdf["role"] == 1]
+        if not len(rows) or not len(cols):
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        ra = np.stack([np.asarray(v, dtype=np.float64) for v in rows["embedding"]])
+        cb = np.stack([np.asarray(v, dtype=np.float64) for v in cols["embedding"]])
+        ia = rows["vec_id"].to_numpy()
+        ib = cols["vec_id"].to_numpy()
+        cos = (ra @ cb.T) / np.outer(
+            np.sqrt((ra * ra).sum(axis=1)), np.sqrt((cb * cb).sum(axis=1))
+        )
+        cos = np.round(cos, 6)
+        if diag:
+            # same block on both axes: keep the upper triangle only
+            ai, bi = np.nonzero((cos >= threshold) & (ia[:, None] < ib[None, :]))
+            va, vb = ia[ai], ib[bi]
+        else:
+            # disjoint blocks: every hit is a distinct pair; block order
+            # does not imply id order, so emit (min, max)
+            ai, bi = np.nonzero(cos >= threshold)
+            va = np.minimum(ia[ai], ib[bi])
+            vb = np.maximum(ia[ai], ib[bi])
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cosine": cos[ai, bi]})
+
     return (
-        a.crossJoin(b)
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
-        .where(F.round(cos, 6) >= threshold)
+        low.unionByName(high)
+        .groupBy("pair_id")
+        .applyInPandas(block_pairs, "vec_a bigint, vec_b bigint, cosine double")
     )

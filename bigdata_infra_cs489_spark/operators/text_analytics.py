@@ -35,7 +35,7 @@ PMI_TOKEN_CAP = 100  # PairsPMI.java:56 (first 100 non-empty cleaned tokens)
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text plays the reference's one-line-per-document corpus."""
-    return load(spark, sf_dir, "documents").select("doc_id", "text")
+    return load(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
 
 
 def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,7 +30,7 @@ FINGERPRINT_BANDS = 1024
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "documents").select("doc_id", "text")
+    return load(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
 
 
 def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:

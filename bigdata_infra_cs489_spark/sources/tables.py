@@ -33,7 +33,9 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, name: str, *, parallelize: bool = False
+) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy parquet scan).
 
     events.ts is TIMESTAMP(NANOS) in the parquet footer, which Spark's
@@ -41,6 +43,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     set here too because the driver supplies its own session) and convert
     with integer division — ns epochs (~1.7e18) exceed double's 2^53
     mantissa, so float math would corrupt timestamps.
+
+    ``parallelize=True`` round-robins the scan across the cluster before
+    the caller's computation. The fixtures are single-row-group files, so
+    a plain scan is ONE task; callers whose per-row work dominates the
+    row's byte cost (tokenize + md5 feature hashing, minhash shingling,
+    media decode) opt in: the tiny shuffle buys full-width CPU. Catalyst
+    still pushes filters and column pruning through the exchange into the
+    scan. Callers doing cheap columnar work leave it off — and at cluster
+    scale, where inputs arrive as many splits, the same flag is how a
+    compute-bound stage rebalances skewed file sizes.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
@@ -54,8 +66,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if parallelize:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

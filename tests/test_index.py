@@ -123,7 +123,7 @@ def test_phrase_retrieval_adjacency(spark):
     )
     orig = tables.load
     try:
-        I.load = lambda s, d, n: docs
+        I.load = lambda s, d, n, **kw: docs
         got = {
             r["doc_id"]: r["n_matches"]
             for r in I.phrase_retrieval(spark, "unused", "fast table").collect()

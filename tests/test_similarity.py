@@ -74,6 +74,28 @@ def test_lsh_recall_and_pruning(spark, sf_correct):
     assert n_cand < total * 0.5
 
 
+def test_near_duplicate_pairs_low_threshold_matches_oracle(spark, sf_correct):
+    """The registered 0.9 threshold finds nothing in the random fixtures
+    (0 == 0 is vacuous), so exercise the block-pair matmul kernel where it
+    actually emits pairs: every pair >= 0.5 must match DuckDB exactly —
+    including pairs whose two vec_ids land in the same block (upper-triangle
+    path) and in different blocks (min/max path)."""
+    from bigdata_infra_cs489_spark.operators.similarity import (
+        cosine_near_duplicate_pairs,
+    )
+
+    got = cosine_near_duplicate_pairs(spark, sf_correct, threshold=0.5)
+    assert got.count() > 0
+    sql = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.5
+    """
+    assert_matches_oracle(got, sql, sf_correct)
+
+
 def test_kmeans_matches_numpy_replay(spark, sf_correct):
     """Spherical k-means centroids match a NumPy replay of the same
     algorithm (deterministic init = first C unit vectors, argmax-cosine
