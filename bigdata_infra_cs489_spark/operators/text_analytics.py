@@ -111,6 +111,45 @@ def bigram_stripes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pmi_stripes(
+    spark: SparkSession, sf_dir: str, min_count: int = MIN_COUNT
+) -> DataFrame:
+    """(word, stripe): the map-valued stripes layout of the PMI computation
+    (a1/StripesPMI.java:44-118, CooccurrenceStripes.java:34-135 — word ->
+    {coword: pmi} HMapStIW values, SURVEY §1.1/A5).
+
+    Same serialization convention as bigram_stripes: a canonical
+    sorted-key '{"coword":pmi,...}' string the DuckDB oracle can
+    hash-match; pmi values render as fixed %.6f of the already-6-decimal
+    rounded doubles, so both engines print identical digits. Built FROM
+    the normalized pmi_pairs rows (one extra vocabulary-sized groupBy on
+    top of the pairs plan) — the reference's map-merging combiner becomes
+    an ordinary aggregation, and the early-HAVING undercount of its
+    stripes combiner (StripesPMI.java:110, SURVEY §4) is deliberately NOT
+    replicated: pairs semantics are authoritative."""
+    pairs = pmi_pairs(spark, sf_dir, min_count)
+    entry = lambda s: F.concat(  # noqa: E731
+        F.lit('"'),
+        s["right_token"],
+        F.lit('":'),
+        F.format_string("%.6f", s["pmi"]),
+    )
+    stripe = F.concat(
+        F.lit("{"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("right_token", "pmi"))),
+                entry,
+            ),
+        ),
+        F.lit("}"),
+    )
+    return pairs.groupBy(F.col("left_token").alias("word")).agg(
+        stripe.alias("stripe")
+    )
+
+
 def bigram_relative_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(left, right) -> count(left,right)/count(left,*), plus the '*'
     marginal rows the reference emits (raw marginal count in rel_freq).

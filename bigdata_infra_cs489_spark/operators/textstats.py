@@ -204,3 +204,64 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         (fp % FINGERPRINT_BANDS).alias("band"),
     )
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, distinct_token_ratio, top_token_frac,
+    top_bigram_frac): Gopher-style repetition signals — boilerplate and
+    degenerate generations repeat tokens/bigrams far above natural prose,
+    so training-data filters threshold on exactly these fractions.
+
+    Plan shape: two partial-aggregatable explode->groupBy passes (token
+    mode, bigram mode) joined on doc_id; every aggregation is keyed by
+    doc_id so it shuffles narrow count rows, never text. Docs with no
+    tokens report 0 ratios; docs with a single token have no bigrams and
+    report top_bigram_frac 0.
+    """
+    toks = _docs(spark, sf_dir).select("doc_id", tokenize("text").alias("toks"))
+
+    tok_counts = (
+        toks.select("doc_id", F.explode("toks").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("max_tok"),
+        )
+    )
+    bigrams = toks.where(F.size("toks") > 1).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda l, r: F.concat(l, F.lit(" "), r),
+            )
+        ).alias("b"),
+    )
+    bg_counts = (
+        bigrams.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bg"), F.max("c").alias("max_bg"))
+    )
+    base = _docs(spark, sf_dir).select("doc_id")
+    return (
+        base.join(tok_counts, "doc_id", "left")
+        .join(bg_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tok"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.coalesce(F.col("n_distinct") / F.col("n_tok"), F.lit(0.0)), 6
+            ).alias("distinct_token_ratio"),
+            F.round(
+                F.coalesce(F.col("max_tok") / F.col("n_tok"), F.lit(0.0)), 6
+            ).alias("top_token_frac"),
+            F.round(
+                F.coalesce(F.col("max_bg") / F.col("n_bg"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+        )
+    )

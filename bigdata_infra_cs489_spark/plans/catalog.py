@@ -208,10 +208,8 @@ register(
     """,
 )
 
-register(
-    "pmi_pairs",
-    lambda spark, sf: T.pmi_pairs(spark, sf),
-    f"""
+# shared by pmi_pairs and the stripes re-layout below
+_PMI_PAIRS_SQL = f"""
     WITH toks AS (
         SELECT doc_id, list_distinct(({DUCK_TOKS})[1:{T.PMI_TOKEN_CAP}]) AS toks
         FROM documents
@@ -233,6 +231,26 @@ register(
     FROM pairs
     JOIN wc wx ON wx.word = lt
     JOIN wc wy ON wy.word = rt
+"""
+
+register(
+    "pmi_pairs",
+    lambda spark, sf: T.pmi_pairs(spark, sf),
+    _PMI_PAIRS_SQL,
+)
+
+register(
+    "pmi_stripes",
+    lambda spark, sf: T.pmi_stripes(spark, sf),
+    f"""
+    WITH pmi AS ({_PMI_PAIRS_SQL})
+    SELECT left_token AS word,
+           '{{' || array_to_string(
+               list_transform(
+                   list_sort(list(struct_pack(rt := right_token, pmi := pmi))),
+                   s -> '"' || s.rt || '":' || printf('%.6f', s.pmi)),
+               ',') || '}}' AS stripe
+    FROM pmi GROUP BY left_token
     """,
 )
 
@@ -883,6 +901,40 @@ register(
         FROM t)
     SELECT doc_id, fingerprint, fingerprint % {TS.FINGERPRINT_BANDS} AS band
     FROM fp
+    """,
+)
+
+register(
+    "repetition_stats",
+    lambda spark, sf: TS.repetition_stats(spark, sf),
+    f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    tc AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        GROUP BY doc_id, tok),
+    tagg AS (
+        SELECT doc_id, sum(c) AS n_tok, count(*) AS n_distinct,
+               max(c) AS max_tok
+        FROM tc GROUP BY doc_id),
+    bc AS (
+        SELECT doc_id, b, count(*) AS c
+        FROM (
+            SELECT doc_id,
+                   unnest(toks[1:len(toks)-1]) || ' ' || unnest(toks[2:len(toks)])
+                       AS b
+            FROM t WHERE len(toks) > 1)
+        GROUP BY doc_id, b),
+    bagg AS (SELECT doc_id, sum(c) AS n_bg, max(c) AS max_bg
+             FROM bc GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(n_tok, 0) AS BIGINT) AS n_tokens,
+           round(coalesce(n_distinct / n_tok, 0), 6) AS distinct_token_ratio,
+           round(coalesce(max_tok / n_tok, 0), 6) AS top_token_frac,
+           round(coalesce(max_bg / n_bg, 0), 6) AS top_bigram_frac
+    FROM documents d
+    LEFT JOIN tagg USING (doc_id)
+    LEFT JOIN bagg ON bagg.doc_id = d.doc_id
     """,
 )
 

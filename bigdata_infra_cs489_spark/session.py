@@ -57,7 +57,13 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # long-lived sessions (bench sweeps, services) accumulate broadcast
+        # pieces and shuffle state that the ContextCleaner only reclaims
+        # after a driver GC; with a large heap, full GCs are rare enough
+        # that state piles up and mid-query GC pauses dominate tail
+        # queries. A periodic GC bounds that.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

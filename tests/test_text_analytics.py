@@ -13,6 +13,7 @@ TEXT = [
     "bigram_stripes",
     "pmi_word_line_counts",
     "pmi_pairs",
+    "pmi_stripes",
 ]
 
 

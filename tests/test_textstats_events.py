@@ -11,6 +11,7 @@ NAMES = [
     "text_quality",
     "token_counts",
     "doc_fingerprints",
+    "repetition_stats",
     "events_tumbling_counts",
     "events_sliding_counts",
     "events_sessionize",
@@ -91,3 +92,32 @@ def test_clean_corpus_filters_are_effective(spark, sf_correct):
     for r in rows:
         assert r["quality_score"] >= CLEAN_MIN_QUALITY
         assert CLEAN_MIN_TOKENS <= r["n_tokens"] <= CLEAN_MAX_TOKENS
+
+
+def test_repetition_stats_degenerate_docs(spark):
+    """Empty doc -> all zeros; single token -> no bigrams; a pure
+    repetition doc pins all three fractions."""
+    from bigdata_infra_cs489_spark.operators import textstats as TS
+
+    docs = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "hello"),
+            (2, "spam spam spam spam"),
+            (3, "a b a b"),
+        ],
+        ["doc_id", "text"],
+    )
+    orig = TS.load
+    try:
+        TS.load = lambda s, d, n, **kw: docs
+        got = {r["doc_id"]: r for r in TS.repetition_stats(spark, "unused").collect()}
+    finally:
+        TS.load = orig
+    assert got[0]["n_tokens"] == 0 and got[0]["top_bigram_frac"] == 0.0
+    assert got[1]["n_tokens"] == 1 and got[1]["top_bigram_frac"] == 0.0
+    assert got[2]["distinct_token_ratio"] == 0.25
+    assert got[2]["top_token_frac"] == 1.0
+    assert got[2]["top_bigram_frac"] == 1.0  # "spam spam" x3 of 3
+    assert got[3]["top_token_frac"] == 0.5
+    assert got[3]["top_bigram_frac"] == pytest.approx(2 / 3, abs=1e-6)
