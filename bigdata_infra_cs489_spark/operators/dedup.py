@@ -385,3 +385,48 @@ def q_near_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cc = connected_components(nodes, pairs)
     return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+CONTAM_EVAL_MAX_ID = 20  # doc_id < 20 stand in for the held-out benchmark
+
+
+def contamination_flags(
+    corpus: DataFrame, eval_docs: DataFrame, n: int = SHINGLE_N
+) -> DataFrame:
+    """(doc_id, n_hits, contaminated): benchmark decontamination — flag
+    every training document sharing at least one distinct word n-gram
+    with a held-out evaluation set, the standard leakage check run before
+    an LLM training mix ships.
+
+    Shape: both sides reduce to (doc, shingle) streams; the eval side is
+    benchmark-sized (thousands of docs, not terabytes), so its distinct
+    shingle set broadcasts and the check is a map-side semi-join over the
+    corpus shingle stream — no shuffle of the corpus, no text movement.
+    n_hits counts the doc's distinct overlapping shingles (a triage
+    severity signal: 1 hit ~ phrase coincidence, hundreds ~ verbatim
+    inclusion).
+    """
+    corpus_sh = shingle_index(corpus, n)
+    eval_sh = shingle_index(eval_docs, n).select("s").distinct()
+    hits = (
+        corpus_sh.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return contamination_flags(
+        docs.where(F.col("doc_id") >= CONTAM_EVAL_MAX_ID),
+        docs.where(F.col("doc_id") < CONTAM_EVAL_MAX_ID),
+    )

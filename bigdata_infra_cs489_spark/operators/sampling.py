@@ -48,3 +48,36 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+STRATA_RATES = (100, 50, 20, 5)  # keep-% per quality quartile, best first
+STRATA_SALT = "strata-v1"
+
+
+def quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, quartile): quality-aware downsampling — keep all of the
+    best quality quartile and progressively less of worse ones
+    (STRATA_RATES), the selection step that rebalances a web-scale corpus
+    toward its high-quality tail without discarding diversity entirely.
+
+    Membership composes the two deterministic primitives of this package:
+    the quartile comes from ntile(4) over the quality order (a
+    metadata-only global sort: 2 narrow columns; at larger scale swap in
+    percentile_approx cutoffs), the keep/drop decision from the salted
+    portable hash — so the sample is reproducible across runs, engines
+    and partitionings, and the oracle replays it bit-for-bit.
+    """
+    from pyspark.sql.window import Window
+
+    from .textstats import text_quality
+
+    q = text_quality(spark, sf_dir)
+    w = Window.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    strat = q.select(
+        "doc_id", "quality_score", F.ntile(4).over(w).alias("quartile")
+    )
+    rate = F.element_at(
+        F.array(*[F.lit(r) for r in STRATA_RATES]), F.col("quartile")
+    )
+    bucket = h8(F.concat(F.col("doc_id").cast("string"), F.lit(STRATA_SALT))) % 100
+    return strat.where(bucket < rate).select("doc_id", "quartile")

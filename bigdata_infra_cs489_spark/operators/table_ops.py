@@ -103,3 +103,72 @@ def _snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
 def q_events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     old, new = _snapshots(spark, sf_dir)
     return snapshot_diff(old, new, "event_id", DIFF_COLS)
+
+
+def apply_changes(
+    base: DataFrame, changes: DataFrame, key: str, cols: list[str]
+) -> DataFrame:
+    """CDC apply / MERGE: ``changes`` rows carry (key, op, seq, payload
+    cols); op 'delete' drops the key from the base, 'upsert'
+    inserts-or-replaces its payload, and when a key has several change
+    rows the highest ``seq`` wins (the replay-order contract every CDC
+    consumer needs). Plan: one window dedup shuffled on the key, one
+    left-anti join, one union — with base and changes bucketed on the key
+    (sources/bucketing.py) both shuffles disappear at scale, and no
+    collect or driver-side state anywhere."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(F.desc("seq"))
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    kept = base.join(latest.select(key), key, "left_anti")
+    ups = latest.where(F.col("op") == "upsert").select(key, *cols)
+    return kept.unionByName(ups)
+
+
+def _changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed between the two derived snapshots: the same one-pass
+    full-outer comparison as snapshot_diff, but carrying the new payload
+    so the feed can be replayed (op, seq, payload)."""
+    old, new = _snapshots(spark, sf_dir)
+    o = old.select(
+        "event_id",
+        F.lit(1).alias("_o"),
+        *[F.col(c).alias(f"o_{c}") for c in DIFF_COLS],
+    )
+    n = new.select(
+        "event_id",
+        F.lit(1).alias("_n"),
+        *[F.col(c).alias(f"n_{c}") for c in DIFF_COLS],
+    )
+    joined = o.join(n, "event_id", "full_outer")
+    differs = F.lit(False)
+    for c in DIFF_COLS:
+        differs = differs | ~F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}"))
+    op = (
+        F.when(F.col("_n").isNull(), "delete")
+        .when(F.col("_o").isNull() | differs, "upsert")
+    )
+    return (
+        joined.select(
+            "event_id",
+            op.alias("op"),
+            F.lit(1).cast("bigint").alias("seq"),
+            *[F.col(f"n_{c}").alias(c) for c in DIFF_COLS],
+        )
+        .where(F.col("op").isNotNull())
+    )
+
+
+def q_events_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replaying the change feed onto the old snapshot must reproduce the
+    new snapshot exactly — the oracle computes the new snapshot directly,
+    so the hash-match IS the merge-correctness proof."""
+    old, _ = _snapshots(spark, sf_dir)
+    merged = apply_changes(old, _changes(spark, sf_dir), "event_id", DIFF_COLS)
+    return merged.select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )

@@ -252,3 +252,60 @@ def pmi_pairs(
             ).alias("pmi"),
         )
     )
+
+
+LM_K = 0.5  # add-k smoothing mass
+
+
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, avg_nll): corpus-trained bigram language model
+    scored back over every document — the KenLM/CCNet-style perplexity
+    quality signal an LLM pipeline thresholds on (gibberish and boilerplate
+    score high, fluent in-domain text low). avg_nll = mean -log10 of
+    P(right|left) = (c(l,r) + k) / (c(l,_) + k*V), add-k smoothed so
+    unseen bigrams stay finite; docs need >= 2 tokens to score.
+
+    Shape: the model IS two aggregates of the corpus (bigram counts +
+    left marginals) joined back onto the per-doc bigram stream — counts
+    are vocabulary^2-sized at worst, so the joins are ordinary shuffles
+    (broadcast when the vocabulary is small); V is one scalar. Training
+    and scoring stay one declarative plan; nothing data-sized touches the
+    driver.
+    """
+    counts = _bigram_counts(spark, sf_dir)
+    marginals = counts.groupBy("left").agg(F.sum("cnt").alias("lcnt"))
+    vocab = (
+        _corpus(spark, sf_dir)
+        .select(F.explode(tokenize("text")).alias("w"))
+        .agg(F.countDistinct("w"))
+        .collect()[0][0]
+    )  # model-sized scalar (vocabulary cardinality)
+
+    toks = _corpus(spark, sf_dir).select(
+        "doc_id", tokenize("text").alias("toks")
+    )
+    doc_bigrams = (
+        toks.where(F.size("toks") > 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, F.size("toks") - 1).alias("left"),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1).alias("right"),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.left").alias("left"), F.col("bg.right").alias("right"))
+    )
+    p = (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(LM_K)) / (
+        F.coalesce(F.col("lcnt"), F.lit(0)) + F.lit(LM_K) * F.lit(float(vocab))
+    )
+    return (
+        doc_bigrams.join(counts, ["left", "right"], "left")
+        .join(marginals, "left", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log10(p)), 6).alias("avg_nll"),
+        )
+    )

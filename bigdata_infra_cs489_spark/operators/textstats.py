@@ -265,3 +265,38 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_bigram_frac"),
         )
     )
+
+
+TOKEN_BUDGET = 10_000
+
+
+def token_budget_pack(
+    spark: SparkSession, sf_dir: str, budget: int = TOKEN_BUDGET
+) -> DataFrame:
+    """(doc_id, n_tokens, quality_score, cum_tokens): greedy quality-first
+    corpus packing — take documents in descending quality order until the
+    cumulative token count fills the training budget. The standard "data
+    mixing under a token budget" selection step of an LLM pipeline.
+
+    Exact-greedy needs a running sum over the global quality order (one
+    total sort). That is the right plan up to ~billions of metadata rows
+    (the sort carries 3 narrow columns, never text); past that, replace
+    the exact boundary with quality-quantile cutoffs (percentile_approx)
+    and pack whole buckets — identical selection except inside the single
+    boundary bucket.
+    """
+    from pyspark.sql.window import Window
+
+    q = text_quality(spark, sf_dir)
+    w = Window.orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        q.select(
+            "doc_id",
+            "n_tokens",
+            "quality_score",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+        )
+        .where(F.col("cum_tokens") <= budget)
+    )

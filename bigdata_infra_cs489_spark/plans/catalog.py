@@ -850,10 +850,7 @@ register(
 
 _EN_SQL = "[" + ", ".join(f"'{w}'" for w in TS.LANG_STOPWORDS["en"]) + "]"
 
-register(
-    "text_quality",
-    lambda spark, sf: TS.text_quality(spark, sf),
-    f"""
+_TEXT_QUALITY_SQL = f"""
     WITH t AS (SELECT doc_id, text, {DUCK_TOKS} AS toks FROM documents),
     m AS (
         SELECT doc_id,
@@ -871,6 +868,28 @@ register(
                0.5 + stop_hits / greatest(n_tokens, 1)
                    - (n_chars - ls) / greatest(n_chars, 1) * 5)), 6) AS quality_score
     FROM m
+"""
+
+register(
+    "text_quality",
+    lambda spark, sf: TS.text_quality(spark, sf),
+    _TEXT_QUALITY_SQL,
+)
+
+register(
+    "token_budget_pack",
+    lambda spark, sf: TS.token_budget_pack(spark, sf),
+    f"""
+    WITH tq AS ({_TEXT_QUALITY_SQL}),
+    c AS (
+        SELECT doc_id, n_tokens, quality_score,
+               sum(n_tokens) OVER (
+                   ORDER BY quality_score DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens
+        FROM tq)
+    SELECT doc_id, n_tokens, quality_score, cum_tokens
+    FROM c WHERE cum_tokens <= {TS.TOKEN_BUDGET}
     """,
 )
 
@@ -1297,6 +1316,26 @@ register(
     """,
 )
 
+register(
+    "quality_stratified_sample",
+    lambda spark, sf: SA.quality_stratified_sample(spark, sf),
+    f"""
+    WITH tq AS ({_TEXT_QUALITY_SQL}),
+    strat AS (
+        SELECT doc_id,
+               ntile(4) OVER (ORDER BY quality_score DESC, doc_id) AS quartile
+        FROM tq)
+    SELECT doc_id, quartile
+    FROM strat
+    WHERE {DUCK_H8.format(x=f"(CAST(doc_id AS VARCHAR) || '{SA.STRATA_SALT}')")}
+              % 100
+          < CASE quartile WHEN 1 THEN {SA.STRATA_RATES[0]}
+                          WHEN 2 THEN {SA.STRATA_RATES[1]}
+                          WHEN 3 THEN {SA.STRATA_RATES[2]}
+                          ELSE {SA.STRATA_RATES[3]} END
+    """,
+)
+
 # --- temporal joins (as-of + binned interval join; no reference counterpart) -
 
 from ..operators import temporal as TJ  # noqa: E402
@@ -1383,6 +1422,19 @@ register(
     """,
 )
 
+# the oracle computes the NEW snapshot directly — hash-matching it proves
+# replaying the change feed onto the old snapshot reproduces it exactly
+register(
+    "events_apply_changes",
+    TO.q_events_apply_changes,
+    """
+    SELECT event_id, user_id, event_type,
+           round(CASE WHEN event_id % 3 = 0 THEN value + 1 ELSE value END, 2)
+               AS value
+    FROM events WHERE event_id % 7 <> 0
+    """,
+)
+
 # --- end-to-end training-data cleaning pipeline ------------------------------
 
 register(
@@ -1425,5 +1477,52 @@ register(
     )
     SELECT canon.doc_id, qual.n_tokens, qual.quality_score, lang.lang_score
     FROM canon JOIN lang USING (doc_id) JOIN qual USING (doc_id)
+    """,
+)
+
+# --- LLM-pipeline additions: decontamination + perplexity quality signal ----
+
+register(
+    "contamination_flags",
+    D.q_contamination_flags,
+    f"""
+    WITH {DUCK_SHINGLES},
+    corpus AS (SELECT doc_id, unnest(sh) AS s FROM sh
+               WHERE doc_id >= {D.CONTAM_EVAL_MAX_ID}),
+    ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh
+           WHERE doc_id < {D.CONTAM_EVAL_MAX_ID}),
+    hits AS (
+        SELECT doc_id, count(*) AS n_hits
+        FROM corpus JOIN ev USING (s) GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(n_hits, 0) AS n_hits,
+           coalesce(n_hits, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id >= {D.CONTAM_EVAL_MAX_ID}) d
+    LEFT JOIN hits USING (doc_id)
+    """,
+)
+
+register(
+    "bigram_lm_perplexity",
+    lambda spark, sf: T.bigram_lm_perplexity(spark, sf),
+    f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    bg AS (
+        SELECT doc_id, unnest(toks[1:len(toks)-1]) AS lt,
+               unnest(toks[2:len(toks)]) AS rt
+        FROM toks WHERE len(toks) > 1),
+    counts AS (SELECT lt, rt, count(*) AS cnt FROM bg GROUP BY lt, rt),
+    marg AS (SELECT lt, sum(cnt) AS lcnt FROM counts GROUP BY lt),
+    v AS (SELECT count(DISTINCT t) AS v
+          FROM (SELECT unnest(toks) AS t FROM toks)),
+    scored AS (
+        SELECT b.doc_id,
+               (coalesce(c.cnt, 0) + {T.LM_K})
+                   / (coalesce(m.lcnt, 0) + {T.LM_K} * (SELECT v FROM v)) AS p
+        FROM bg b
+        LEFT JOIN counts c ON b.lt = c.lt AND b.rt = c.rt
+        LEFT JOIN marg m ON b.lt = m.lt)
+    SELECT doc_id, count(*) AS n_bigrams, round(avg(-log10(p)), 6) AS avg_nll
+    FROM scored GROUP BY doc_id
     """,
 )

@@ -15,6 +15,7 @@ DEDUP = [
     "simhash_fingerprints",
     "simhash_near_duplicates",
     "near_duplicate_clusters",
+    "contamination_flags",
 ]
 
 
@@ -144,3 +145,24 @@ def test_connected_components_chain(spark):
         for r in connected_components(nodes, edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_contamination_flags_on_planted_leak(spark):
+    """A corpus doc that verbatim-contains an eval doc's text must flag
+    with many hits; an unrelated doc must not flag."""
+    from bigdata_infra_cs489_spark.operators.dedup import contamination_flags
+
+    eval_docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (100, "prefix words the quick brown fox jumps over the lazy dog suffix"),
+            (101, "completely unrelated text about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in contamination_flags(corpus, eval_docs).collect()}
+    assert got[100]["contaminated"] and got[100]["n_hits"] >= 5
+    assert not got[101]["contaminated"] and got[101]["n_hits"] == 0

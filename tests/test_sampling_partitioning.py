@@ -7,7 +7,7 @@ import pytest
 
 from .oracle import assert_matches_oracle
 
-NAMES = ["events_hash_sample", "dataset_split"]
+NAMES = ["events_hash_sample", "dataset_split", "quality_stratified_sample"]
 
 
 @pytest.mark.parametrize("name", NAMES)
@@ -85,3 +85,20 @@ def test_partitioned_sink_prunes(spark, sf_correct, tmp_path):
 
     # an unfiltered read must NOT claim pruning (guards the helper itself)
     assert not scan_is_partition_pruned(read_partitioned(spark, path))
+
+
+def test_stratified_sample_rates_decrease_with_quality(spark, sf_correct):
+    """Keep-fraction must fall from the best quartile to the worst
+    (within hash noise): quartile 1 keeps everything, quartile 4 almost
+    nothing."""
+    from bigdata_infra_cs489_spark.operators.sampling import (
+        quality_stratified_sample,
+    )
+
+    kept = {
+        r["quartile"]: r["n"]
+        for r in quality_stratified_sample(spark, sf_correct)
+        .groupBy("quartile").count().withColumnRenamed("count", "n").collect()
+    }
+    assert kept.get(1, 0) > kept.get(2, 0) > kept.get(4, 0)
+    assert kept.get(3, 0) > kept.get(4, 0)

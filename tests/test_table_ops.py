@@ -6,7 +6,7 @@ import pytest
 
 from .oracle import assert_matches_oracle
 
-NAMES = ["profile_lineitem", "events_snapshot_diff"]
+NAMES = ["profile_lineitem", "events_snapshot_diff", "events_apply_changes"]
 
 
 @pytest.mark.parametrize("name", NAMES)
@@ -68,3 +68,29 @@ def test_profile_scans_are_pruned_and_expand_free(spark, sf_correct):
     assert len(schemas) == len(PROFILE_COLS)
     for s in schemas:
         assert s.count(":") == 1  # exactly one column per branch scan
+
+
+def test_apply_changes_latest_seq_wins(spark):
+    """Replay-order contract: several change rows for one key apply as
+    highest-seq-wins; a trailing delete beats earlier upserts and vice
+    versa."""
+    from bigdata_infra_cs489_spark.operators.table_ops import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "upsert", 1, "a1"),
+            (1, "delete", 2, None),      # delete after upsert -> gone
+            (2, "delete", 1, None),
+            (2, "upsert", 2, "b2"),      # upsert after delete -> survives
+            (4, "upsert", 1, "d1"),      # brand-new key
+        ],
+        "id long, op string, seq long, v string",
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in apply_changes(base, changes, "id", ["v"]).collect()
+    }
+    assert got == {2: "b2", 3: "c", 4: "d1"}

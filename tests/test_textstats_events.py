@@ -12,6 +12,7 @@ NAMES = [
     "token_counts",
     "doc_fingerprints",
     "repetition_stats",
+    "token_budget_pack",
     "events_tumbling_counts",
     "events_sliding_counts",
     "events_sessionize",
