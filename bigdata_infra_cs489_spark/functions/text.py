@@ -30,6 +30,25 @@ def tokenize(col: Column | str) -> Column:
     return F.filter(cleaned, lambda t: F.length(t) > 0)
 
 
+def exploded_tokens(df, text_col: str = "text", keep: tuple[str, ...] = ()):
+    """df -> df of one ``word`` row per token (plus the ``keep`` columns),
+    same token multiset per row as ``explode(tokenize(text))``.
+
+    For operators that immediately explode (word/prefix counts, postings),
+    the per-token strip runs here as a flat codegen'd column op AFTER the
+    explode; inside tokenize() the same strip is an interpreted array
+    lambda (higher-order functions are CodegenFallback), which costs ~2x
+    on a token-heavy scan. Token ORDER is lost relative to the array form
+    — only multiset consumers may use this."""
+    raw = df.select(
+        *keep,
+        F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)).alias("w"),
+    )
+    return raw.select(
+        *keep, F.regexp_replace("w", TOKEN_STRIP_RE, "").alias("word")
+    ).where(F.length("word") > 0)
+
+
 def _prefix_to_range(dt: str) -> tuple[str, str]:
     """ISO date prefix -> [lo, hi) timestamp bounds with identical semantics.
 

@@ -228,8 +228,11 @@ def simhash_fingerprints(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame
     """(doc_id, simhash): per-token md5 hash, tf-weighted bit votes, sign
     -> fingerprint. The vote is bits separate partial-aggregatable sums
     (no collect_list), so map-side combine applies at any scale."""
+    from ..functions.text import exploded_tokens
+
     toks = (
-        docs.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+        exploded_tokens(docs, keep=("doc_id",))
+        .withColumnRenamed("word", "tok")
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("h", _h8(F.col("tok")))

@@ -43,9 +43,12 @@ def postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     One explode + one shuffle on (term, doc_id); partial aggregation
     collapses duplicate tokens map-side before the exchange.
     """
+    from ..functions.text import exploded_tokens
+
     docs = load(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
     return (
-        docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+        exploded_tokens(docs, keep=("doc_id",))
+        .withColumnRenamed("word", "term")
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -227,8 +230,11 @@ def boolean_retrieval(spark: SparkSession, sf_dir: str, query: str) -> DataFrame
     predicate = stack[0]
 
     docs = load(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
+    from ..functions.text import exploded_tokens
+
     hits = (
-        docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+        exploded_tokens(docs, keep=("doc_id",))
+        .withColumnRenamed("word", "term")
         .where(F.col("term").isin(*terms))
         .groupBy("doc_id")
         .agg(F.collect_set("term").alias("terms"))

@@ -44,9 +44,10 @@ def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-side partial aggregation (the reference's combiner / in-mapper
     combining, MyMapperIMC :56-87) is automatic in Tungsten hash aggregate.
     """
+    from ..functions.text import exploded_tokens
+
     return (
-        _corpus(spark, sf_dir)
-        .select(F.explode(tokenize("text")).alias("word"))
+        exploded_tokens(_corpus(spark, sf_dir))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("count"))
     )
@@ -54,9 +55,10 @@ def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def prefix_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-2-chars prefix -> count (PrefixCount.java:43-57)."""
+    from ..functions.text import exploded_tokens
+
     return (
-        _corpus(spark, sf_dir)
-        .select(F.explode(tokenize("text")).alias("word"))
+        exploded_tokens(_corpus(spark, sf_dir))
         .select(F.substring("word", 1, 2).alias("prefix"))
         .groupBy("prefix")
         .agg(F.count(F.lit(1)).alias("count"))
@@ -274,10 +276,11 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     counts = _bigram_counts(spark, sf_dir)
     marginals = counts.groupBy("left").agg(F.sum("cnt").alias("lcnt"))
+    from ..functions.text import exploded_tokens
+
     vocab = (
-        _corpus(spark, sf_dir)
-        .select(F.explode(tokenize("text")).alias("w"))
-        .agg(F.countDistinct("w"))
+        exploded_tokens(_corpus(spark, sf_dir))
+        .agg(F.countDistinct("word"))
         .collect()[0][0]
     )  # model-sized scalar (vocabulary cardinality)
 

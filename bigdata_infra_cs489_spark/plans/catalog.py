@@ -1526,3 +1526,38 @@ register(
     FROM scored GROUP BY doc_id
     """,
 )
+
+# --- streaming queries in the driver contract -------------------------------
+# The streams run to completion (availableNow) inside the callable and the
+# memory-sink result is hash-checked like any batch query.
+
+from ..streaming import events_stream as STR  # noqa: E402
+
+register(
+    "stream_tumbling_counts",
+    STR.q_stream_tumbling_counts,
+    f"""
+    SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / {E.TUMBLE_SEC})
+                * {E.TUMBLE_SEC} * 1000000 AS BIGINT)),
+            '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+
+register(
+    "stream_error_click_join",
+    STR.q_stream_error_click_join,
+    f"""
+    SELECT e.event_id AS error_id, c.event_id AS click_id
+    FROM events e
+    JOIN events c
+      ON e.event_type = 'error' AND c.event_type = 'click'
+     AND c.ts >= e.ts
+     AND c.ts < e.ts + INTERVAL {TJ.ERR_WINDOW_SEC} SECOND
+    """,
+)

@@ -218,3 +218,25 @@ def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "complete"):
     )
     q.awaitTermination()
     return q
+
+
+_SINK_SEQ = __import__("itertools").count()
+
+
+def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: run the tumbling-window STREAM to completion
+    (availableNow backfill into a memory sink) and return the result as a
+    batch DataFrame — the streaming plan itself hash-checks against the
+    same DuckDB oracle as its batch twin, so watermarking/window assembly
+    can't silently drift from batch semantics."""
+    name = f"drv_stream_tumble_{next(_SINK_SEQ)}"
+    run_to_memory(tumbling_counts_stream(spark, sf_dir), name, "complete")
+    return spark.table(name)
+
+
+def q_stream_error_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the watermarked stream-stream interval
+    join; output is id pairs only, so the oracle is engine-portable."""
+    name = f"drv_stream_ssj_{next(_SINK_SEQ)}"
+    run_to_memory(error_click_join_stream(spark, sf_dir), name, "append")
+    return spark.table(name)

@@ -142,3 +142,21 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_smoke):
         ).collect()
     }
     assert got == expect and len(expect) > 0
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "name", ["stream_tumbling_counts", "stream_error_click_join"]
+)
+def test_stream_queries_match_oracle(spark, sf_correct, name):
+    """The driver-contract streaming entries (availableNow -> memory sink)
+    hash-match the same DuckDB oracles as batch queries."""
+    import __spark_entry__ as entrymod
+
+    from .oracle import assert_matches_oracle
+
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    assert_matches_oracle(q(spark, sf_correct), sql, sf_correct)
