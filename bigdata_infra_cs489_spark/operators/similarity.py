@@ -481,3 +481,66 @@ def cosine_near_duplicate_pairs(
         .groupBy("pair_id")
         .applyInPandas(block_pairs, "vec_a bigint, vec_b bigint, cosine double")
     )
+
+
+def ivf_topk_trained(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = QUERY_VEC_ID,
+    k: int = TOP_K,
+    n_centroids: int = N_CENTROIDS,
+    nprobe: int = N_PROBE,
+    iterations: int = 3,
+) -> DataFrame:
+    """End-to-end trained ANN: spherical k-means learns the coarse
+    quantizer, then the IVF probe runs against THOSE centroids — the full
+    train -> index -> query lifecycle of a production vector index (the
+    static ivf_topk uses the deterministic first-C centroids instead).
+
+    The trained centroid table is model-sized (C x dim doubles), so it
+    broadcasts; assignment is one narrow pass over the vectors; the probe
+    touches ~nprobe/C of the corpus and exact-ranks inside. Iterative
+    training is rows-only for the driver (no SQL oracle); quality is
+    pinned by the recall test against brute force.
+    """
+    cent = kmeans_centroids(spark, sf_dir, n_centroids, iterations)
+    cent_b = F.broadcast(
+        cent.select("centroid_id", F.col("cvec").alias("cvec"))
+    )
+    emb = _emb(spark, sf_dir)
+    assignments = (
+        emb.crossJoin(cent_b)
+        .select(
+            "vec_id",
+            "centroid_id",
+            _cosine(F.col("embedding"), F.col("cvec")).alias("cos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("centroid_id"),
+                F.struct(F.col("cos"), -F.col("centroid_id")),
+            ).alias("centroid_id")
+        )
+    )
+    q = emb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q")
+    )
+    probed = (
+        cent_b.crossJoin(F.broadcast(q))
+        .select("centroid_id", _cosine(F.col("cvec"), F.col("q")).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    return (
+        emb.join(assignments, "vec_id")
+        .join(F.broadcast(probed), "centroid_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(_cosine(F.col("embedding"), F.col("q")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

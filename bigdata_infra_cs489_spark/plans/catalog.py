@@ -754,6 +754,13 @@ register(
     lambda spark, sf: S.kmeans_centroids(spark, sf),
 )
 
+# trained quantizer feeding the probe: iterative -> rows-only check;
+# recall vs brute force pinned in tests/test_similarity.py
+register(
+    "ivf_topk_trained",
+    lambda spark, sf: S.ivf_topk_trained(spark, sf),
+)
+
 register(
     "semantic_search",
     lambda spark, sf: S.semantic_search(spark, sf),

@@ -18,6 +18,7 @@ import pytest
 ITERATIVE = {
     "ppr_topk",
     "ivf_train_centroids",
+    "ivf_topk_trained",
     "spam_train",
     "spam_train_shuffled",
     "near_duplicate_clusters",

@@ -139,3 +139,18 @@ def test_kmeans_centroids_are_unit_vectors(spark, sf_correct):
 
     for r in kmeans_centroids(spark, sf_correct, n_centroids=4, iterations=2).collect():
         assert abs(np.linalg.norm(np.array(r["cvec"])) - 1.0) < 1e-9
+
+
+def test_trained_ivf_recall_vs_bruteforce(spark, sf_correct):
+    """The kmeans-trained IVF probe must recover a usable share of the
+    true top-10 (same loose bound as the static-centroid IVF)."""
+    from bigdata_infra_cs489_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_trained,
+    )
+
+    exact = {r.vec_id for r in cosine_topk(spark, sf_correct).collect()}
+    approx = {r.vec_id for r in ivf_topk_trained(spark, sf_correct).collect()}
+    assert len(exact & approx) >= 3
+    cosines = [r.cosine for r in ivf_topk_trained(spark, sf_correct).collect()]
+    assert cosines == sorted(cosines, reverse=True)
