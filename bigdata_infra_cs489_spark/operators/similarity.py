@@ -409,8 +409,9 @@ def cosine_near_duplicate_pairs(
     blocks by vec_id; each unordered block pair (i <= j) becomes one
     ``applyInPandas`` group whose task computes the (n/B) x (n/B) cosine
     matrix with a single float64 BLAS matmul and keeps only the
-    above-threshold, vec_a < vec_b entries. Each row is replicated B+1
-    times (its row in the grid plus its column), so shuffle volume is
+    above-threshold, vec_a < vec_b entries. Each row is replicated B
+    times (B-b pairs as the row side, b as the column side), so shuffle
+    volume is
     O(n*B) while pair work is O(n^2/B(B+1)/2) per task — B tunes task
     memory at any corpus size, and no data-sized collect or driver
     broadcast of the matrix is needed. The sound-pruning variants for
