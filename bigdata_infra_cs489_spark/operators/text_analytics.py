@@ -274,8 +274,16 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     and scoring stay one declarative plan; nothing data-sized touches the
     driver.
     """
-    counts = _bigram_counts(spark, sf_dir)
-    marginals = counts.groupBy("left").agg(F.sum("cnt").alias("lcnt"))
+    from pyspark.sql.window import Window
+
+    # left-marginal as a window sum attached to the counts rows: ONE
+    # computation of the tokenize/explode/groupBy subtree + one narrow
+    # shuffle by left — a separate marginal aggregate would make the final
+    # plan evaluate the counts subtree twice (Catalyst does not share
+    # common subtrees across joins)
+    counts = _bigram_counts(spark, sf_dir).withColumn(
+        "lcnt", F.sum("cnt").over(Window.partitionBy("left"))
+    )
     from ..functions.text import exploded_tokens
 
     vocab = (
@@ -305,7 +313,6 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         doc_bigrams.join(counts, ["left", "right"], "left")
-        .join(marginals, "left", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
