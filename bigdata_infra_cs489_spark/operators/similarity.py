@@ -238,16 +238,31 @@ def kmeans_centroids(
                     }
                 )
 
-        partials = unit.mapInPandas(
-            partial_sums, "centroid_id int, psum array<double>, cnt long"
-        ).collect()
-        sums: dict[int, np.ndarray] = {}
-        cnts: dict[int, int] = {}
-        for r in partials:
-            cid = int(r["centroid_id"])
-            vec = np.asarray(r["psum"], dtype=np.float64)
-            sums[cid] = sums.get(cid, 0) + vec
-            cnts[cid] = cnts.get(cid, 0) + int(r["cnt"])
+        # Spark-side reduce of the per-batch partials BEFORE the collect:
+        # one C-row exchange per iteration, so driver traffic is O(C x dim)
+        # regardless of how many Arrow batches the scan produced (at 100 TB
+        # the raw partials are millions of model-sized frames).
+        dim = cmat.shape[1]
+        reduced = (
+            unit.mapInPandas(
+                partial_sums, "centroid_id int, psum array<double>, cnt long"
+            )
+            .groupBy("centroid_id")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                *[F.sum(F.col("psum")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        sums: dict[int, np.ndarray] = {
+            int(r["centroid_id"]): np.array(
+                [r[f"s{i}"] for i in range(dim)], dtype=np.float64
+            )
+            for r in reduced
+        }
+        cnts: dict[int, int] = {
+            int(r["centroid_id"]): int(r["cnt"]) for r in reduced
+        }
         new_centroids = []
         for cid, vec in centroids:
             if cnts.get(cid, 0):

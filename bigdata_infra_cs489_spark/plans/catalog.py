@@ -6,6 +6,8 @@ callables live in the operator modules.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..operators import relational as R
 from ..operators import text_analytics as T
 from .registry import register
@@ -310,12 +312,21 @@ DUCK_POSITIONS = f"""
            FROM ex GROUP BY doc_id, term)
 """
 
+# positions rendered as a canonical comma-joined string on BOTH engines —
+# the driver canonicalizer cannot hash array cells (bigram_stripes
+# convention); the array-typed form stays available via I.positional_postings
 register(
     "positional_postings",
-    lambda spark, sf: I.positional_postings(spark, sf),
+    lambda spark, sf: I.positional_postings(spark, sf).select(
+        "term",
+        "doc_id",
+        F.array_join(F.col("positions").cast("array<string>"), ",").alias(
+            "positions"
+        ),
+    ),
     f"""
     WITH {DUCK_POSITIONS}
-    SELECT term, doc_id, positions FROM pp
+    SELECT term, doc_id, array_to_string(positions, ',') AS positions FROM pp
     """,
 )
 
@@ -466,15 +477,25 @@ register(
 
 from ..operators import ml as M  # noqa: E402
 
+# features rendered as a canonical comma-joined string on BOTH engines
+# (driver canonicalizer cannot hash array cells); the array-typed training
+# set the SGD fold consumes stays available via M.spam_training_set
 register(
     "spam_training_set",
-    lambda spark, sf: M.spam_training_set(spark, sf),
+    lambda spark, sf: M.spam_training_set(spark, sf).select(
+        "docid",
+        "label",
+        F.array_join(F.col("features").cast("array<string>"), ",").alias(
+            "features"
+        ),
+        "source",
+    ),
     f"""
     SELECT doc_id AS docid,
            CASE WHEN doc_id % 3 = 0 THEN 'spam' ELSE 'ham' END AS label,
-           list_transform({DUCK_TOKS},
+           array_to_string(list_transform({DUCK_TOKS},
                t -> CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
-                         % {M.FEATURE_MOD} AS INT)) AS features,
+                         % {M.FEATURE_MOD} AS INT)), ',') AS features,
            source
     FROM documents
     """,
@@ -538,12 +559,18 @@ DUCK_MINHASH_SIG = f"""list_transform(range(0, {D.NUM_HASHES}),
                           + ((2654435769 * (i + 1)) % {D.MINHASH_PRIME}))
                          % {D.MINHASH_PRIME})))"""
 
+# sig rendered as a canonical comma-joined string on BOTH engines (driver
+# canonicalizer cannot hash array cells); LSH banding keeps consuming the
+# array form via D.minhash_signatures
 register(
     "minhash_signatures",
-    D.q_minhash_signatures,
+    lambda spark, sf: D.q_minhash_signatures(spark, sf).select(
+        "doc_id",
+        F.array_join(F.col("sig").cast("array<string>"), ",").alias("sig"),
+    ),
     f"""
     WITH {DUCK_SHINGLES}
-    SELECT doc_id, {DUCK_MINHASH_SIG} AS sig
+    SELECT doc_id, array_to_string({DUCK_MINHASH_SIG}, ',') AS sig
     FROM sh
     """,
 )
@@ -748,10 +775,17 @@ register(
 )
 
 # Iterative Lloyd's loop: not SQL-expressible -> rows-only driver check;
-# numerics pinned by the NumPy replay in tests/test_similarity.py.
+# numerics pinned by the NumPy replay in tests/test_similarity.py. cvec is
+# rendered as a fixed-format comma-joined string so the driver canonicalizer
+# can hash the rows-only result.
 register(
     "ivf_train_centroids",
-    lambda spark, sf: S.kmeans_centroids(spark, sf),
+    lambda spark, sf: S.kmeans_centroids(spark, sf).select(
+        "centroid_id",
+        F.array_join(
+            F.transform("cvec", lambda x: F.format_string("%.6f", x)), ","
+        ).alias("cvec"),
+    ),
 )
 
 # trained quantizer feeding the probe: iterative -> rows-only check;
