@@ -38,11 +38,17 @@ def load(
 ) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy parquet scan).
 
-    events.ts is TIMESTAMP(NANOS) in the parquet footer, which Spark's
-    vectorized reader rejects; we read it as long nanos (session conf,
-    set here too because the driver supplies its own session) and convert
-    with integer division — ns epochs (~1.7e18) exceed double's 2^53
-    mantissa, so float math would corrupt timestamps.
+    events.ts arrives in whatever physical form the fixture generator
+    used — TIMESTAMP(NANOS) (older fixtures; surfaces as long nanos under
+    the legacy nanosAsLong conf) or TIMESTAMP(MICROS, isAdjustedToUTC=
+    false) (current fixtures; surfaces as TIMESTAMP_NTZ). Both are
+    normalized here to a plain session-TZ TIMESTAMP so every consumer
+    (unix_micros, window, watermark, date_format) sees one type. The
+    session TZ is pinned to UTC (session.py), so the NTZ->LTZ cast is a
+    wall-clock identity and DuckDB oracles reading the same parquet agree
+    byte-for-byte. The nanos path uses integer division — ns epochs
+    (~1.7e18) exceed double's 2^53 mantissa, so float math would corrupt
+    timestamps.
 
     ``parallelize=True`` round-robins the scan across the cluster before
     the caller's computation. The fixtures are single-row-group files, so
@@ -62,10 +68,13 @@ def load(
         except Exception:
             pass  # static conf on some builds; session factory sets it then
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+        ts_type = dict(df.dtypes).get("ts")
+        from pyspark.sql import functions as F
 
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if parallelize:

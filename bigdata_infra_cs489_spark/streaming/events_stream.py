@@ -26,18 +26,21 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 from ..operators.events import SESSION_GAP_SEC, TUMBLE_SEC
 
 WATERMARK = "10 minutes"
 
-# events.parquet physical schema: ts is TIMESTAMP(NANOS) read as long
-# (see sources/tables.py); the stream applies the same ns->us conversion.
+# events.parquet physical schema: ts is TIMESTAMP(MICROS, isAdjustedToUTC=
+# false) — declared NTZ here and cast to the session-TZ TIMESTAMP (UTC, a
+# wall-clock identity) so the stream sees exactly what the batch registry
+# (sources/tables.py) produces.
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -48,16 +51,12 @@ EVENTS_SCHEMA = StructType(
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded events source over the fixture directory."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
