@@ -220,26 +220,25 @@ def ranking_auc(scored: DataFrame, label_col: str = "label", score_col: str = "s
 
     Mann-Whitney AUC with proper tie handling (average ranks): the
     reference reports classifier quality as 1-ROCA% (assignment6.md:3-29),
-    which is (1 - AUC) * 100. avg rank of a tie group = min-rank +
-    (group size - 1)/2, both window functions over the global score order —
-    a global sort, acceptable for a one-row evaluation metric (the sort is
-    over (score), not the full row payload).
+    which is (1 - AUC) * 100. Fully distributed: ties collapse into one
+    row per distinct score with (count, pos-count) — map-side partial
+    aggregation, so the shuffle carries distinct scores, not rows — then
+    the running count over the score order comes from the range-partitioned
+    prefix sum (operators/distsort.py), never a single-partition window.
+    avg rank of a tie group = rows-before + (group size + 1)/2.
     """
-    from pyspark.sql.window import Window
+    from .distsort import with_running_totals
 
     is_pos = (F.col(label_col) == "spam").cast("int")
-    w_rank = Window.orderBy(score_col)
-    w_tie = Window.partitionBy(score_col)
-    ranked = scored.select(
-        is_pos.alias("y"),
-        (F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0).alias(
-            "avg_rank"
-        ),
+    g = scored.groupBy(score_col).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(is_pos).alias("pos")
     )
-    agg = ranked.agg(
-        F.sum("y").alias("n_pos"),
-        F.sum(1 - F.col("y")).alias("n_neg"),
-        F.sum(F.when(F.col("y") == 1, F.col("avg_rank"))).alias("pos_rank_sum"),
+    g = with_running_totals(g, [F.asc(score_col)], {"cum": "cnt"})
+    avg_rank = F.col("cum") - F.col("cnt") + (F.col("cnt") + 1) / 2.0
+    agg = g.agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("n_neg"),
+        F.sum(F.col("pos") * avg_rank).alias("pos_rank_sum"),
     )
     raw_auc = (
         F.col("pos_rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0

@@ -171,14 +171,19 @@ def user_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(4) over order totals: (o_orderkey, quartile). Equal-height
-    bucketing via global sort — the one window here that genuinely needs a
-    total order; at scale ntile is better served by approx quantile cutoffs
-    (events_sketch_check shows that path), kept exact here for the oracle."""
+    bucketing needs a total order; the distributed ntile
+    (operators/distsort.py) derives it from range-partitioned prefix
+    ranks, so no task ever holds more than its slice — exact SQL NTILE
+    semantics for the oracle at any scale."""
+    from .distsort import with_ntile
+
     o = load(spark, sf_dir, "orders")
-    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
-    return o.select(
-        "o_orderkey", F.ntile(4).over(w).alias("quartile")
-    )
+    return with_ntile(
+        o.select("o_orderkey", "o_totalprice"),
+        [F.asc("o_totalprice"), F.asc("o_orderkey")],
+        4,
+        "quartile",
+    ).select("o_orderkey", "quartile")
 
 
 def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:

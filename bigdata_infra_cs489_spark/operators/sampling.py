@@ -61,20 +61,21 @@ def quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     toward its high-quality tail without discarding diversity entirely.
 
     Membership composes the two deterministic primitives of this package:
-    the quartile comes from ntile(4) over the quality order (a
-    metadata-only global sort: 2 narrow columns; at larger scale swap in
-    percentile_approx cutoffs), the keep/drop decision from the salted
-    portable hash — so the sample is reproducible across runs, engines
-    and partitionings, and the oracle replays it bit-for-bit.
+    the quartile comes from distributed ntile(4) over the quality order
+    (range-partitioned prefix ranks, operators/distsort.py — no
+    single-partition sort, 2 narrow columns), the keep/drop decision from
+    the salted portable hash — so the sample is reproducible across runs,
+    engines and partitionings, and the oracle replays it bit-for-bit.
     """
-    from pyspark.sql.window import Window
-
+    from .distsort import with_ntile
     from .textstats import text_quality
 
     q = text_quality(spark, sf_dir)
-    w = Window.orderBy(F.desc("quality_score"), F.asc("doc_id"))
-    strat = q.select(
-        "doc_id", "quality_score", F.ntile(4).over(w).alias("quartile")
+    strat = with_ntile(
+        q.select("doc_id", "quality_score"),
+        [F.desc("quality_score"), F.asc("doc_id")],
+        4,
+        "quartile",
     )
     rate = F.element_at(
         F.array(*[F.lit(r) for r in STRATA_RATES]), F.col("quartile")

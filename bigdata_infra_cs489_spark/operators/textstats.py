@@ -278,25 +278,17 @@ def token_budget_pack(
     cumulative token count fills the training budget. The standard "data
     mixing under a token budget" selection step of an LLM pipeline.
 
-    Exact-greedy needs a running sum over the global quality order (one
-    total sort). That is the right plan up to ~billions of metadata rows
-    (the sort carries 3 narrow columns, never text); past that, replace
-    the exact boundary with quality-quantile cutoffs (percentile_approx)
-    and pack whole buckets — identical selection except inside the single
-    boundary bucket.
+    Exact-greedy needs a running sum over the global quality order; the
+    range-partitioned prefix sum (operators/distsort.py) supplies it
+    without a single-partition sort — each task sorts only its slice of
+    the (3 narrow columns, never text) metadata, so the exact boundary
+    stays cheap at any corpus size.
     """
-    from pyspark.sql.window import Window
+    from .distsort import with_running_totals
 
     q = text_quality(spark, sf_dir)
-    w = Window.orderBy(
-        F.desc("quality_score"), F.asc("doc_id")
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
-        q.select(
-            "doc_id",
-            "n_tokens",
-            "quality_score",
-            F.sum("n_tokens").over(w).alias("cum_tokens"),
-        )
-        .where(F.col("cum_tokens") <= budget)
-    )
+    return with_running_totals(
+        q.select("doc_id", "n_tokens", "quality_score"),
+        [F.desc("quality_score"), F.asc("doc_id")],
+        {"cum_tokens": "n_tokens"},
+    ).where(F.col("cum_tokens") <= budget)

@@ -5,10 +5,15 @@ regression in any operator module fails loudly.
 - No BatchEvalPython anywhere: row-at-a-time Python UDFs are banned; the
   only Python surfaces are Arrow-batched (ArrowEvalPython / MapInPandas /
   FlatMapGroupsInPandas), which appear under different plan nodes.
+- No single-partition Window: a partition-less window spec funnels the
+  whole input through one task; total-order operators must go through
+  the distributed prefix primitives (operators/distsort.py) instead.
 - Every parquet scan is vectorized (Batched: true).
 """
 
 from __future__ import annotations
+
+import re
 
 import pytest
 
@@ -35,10 +40,31 @@ def _all_queries():
     return [(n, fn) for n, fn in entrymod.queries().items() if n not in ITERATIVE]
 
 
+def _global_window_lines(plan: str) -> list[str]:
+    # A physical Window node prints `Window [exprs], [partSpec], [orderSpec]`,
+    # omitting whichever trailing spec is empty. Partition-less = fewer than
+    # two trailing groups AND the sole group (if any) is an ORDER spec
+    # (contains a sort direction) rather than a partition spec.
+    bad = []
+    for ln in plan.splitlines():
+        if not re.search(r"(?:^|[- ])Window \[", ln):
+            continue
+        groups = ln.count("], [")
+        if groups >= 2:
+            continue
+        last = ln.rsplit("], [", 1)[-1]
+        if groups == 0 or " ASC" in last or " DESC" in last:
+            bad.append(ln.strip())
+    return bad
+
+
 @pytest.mark.parametrize("name,fn", _all_queries(), ids=[n for n, _ in _all_queries()])
 def test_no_row_at_a_time_python(spark, sf_smoke, name, fn):
     plan = _plan(fn(spark, sf_smoke))
     assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+    assert not _global_window_lines(plan), (
+        f"{name} has a single-partition window: {_global_window_lines(plan)}"
+    )
 
 
 # Queries whose source is line-oriented text (.tbl CSV connector) — no
