@@ -214,6 +214,36 @@ def personalized_pagerank(
     return ranks
 
 
+def ppr_mass_conservation(
+    spark: SparkSession,
+    sf_dir: str,
+    sources: tuple[int, ...] = SOURCES,
+    iterations: int = DEFAULT_ITERATIONS,
+) -> DataFrame:
+    """(source, total_mass): each source's mass summed over every node
+    after the final jump phase. The reference's phase-2 invariant
+    (RunPersonalizedPageRankBasic.java:442-468: dangling mass reclaimed,
+    jump mass re-injected at the source) makes each distribution a
+    probability vector — total mass is exactly 1.0 per source at every
+    iteration, so this pins the whole iterative pipeline against a
+    constant oracle instead of a rows-only check. Rounded 6dp to absorb
+    fp64 summation noise."""
+    ranks = personalized_pagerank(spark, sf_dir, sources, iterations)
+    agg = ranks.agg(
+        *[
+            F.sum(F.element_at("mass", i + 1)).alias(f"t{i}")
+            for i in range(len(sources))
+        ]
+    )
+    # k scalar sums -> k rows; the stack is over a single aggregated row
+    pairs = ", ".join(
+        f"CAST({s} AS BIGINT), round(t{i}, 6)" for i, s in enumerate(sources)
+    )
+    return agg.selectExpr(
+        f"stack({len(sources)}, {pairs}) AS (source, total_mass)"
+    )
+
+
 def ppr_top_k(
     spark: SparkSession,
     sf_dir: str,

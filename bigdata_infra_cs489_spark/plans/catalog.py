@@ -473,6 +473,19 @@ register(
     lambda spark, sf: G.ppr_top_k(spark, sf),
 )
 
+# The conservation invariant IS SQL-expressible (a constant): after every
+# jump phase each source's distribution sums to exactly 1, so the full
+# 10-iteration pipeline hash-checks against a literal table — a real
+# driver-green gate on the iterative operator ppr_topk exercises.
+register(
+    "ppr_mass_conservation",
+    lambda spark, sf: G.ppr_mass_conservation(spark, sf),
+    "SELECT CAST(s AS BIGINT) AS source, CAST(m AS DOUBLE) AS total_mass "
+    "FROM (VALUES "
+    + ", ".join(f"({s}, 1.0)" for s in G.SOURCES)
+    + ") AS t(s, m)",
+)
+
 # --- spam classifier (SURVEY §2.9 M6-M9, assignment6) ------------------------
 
 from ..operators import ml as M  # noqa: E402
