@@ -233,6 +233,17 @@ def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: built-in session windows run to completion.
+    The oracle replicates session_window's close rule — a session ends
+    when the next event is >= gap after the last one (the batch sessionize
+    splits on strictly-greater; identical on any data without an
+    exact-gap-length silence, asserted equal in tests/test_streaming.py)."""
+    name = f"drv_stream_sess_{next(_SINK_SEQ)}"
+    run_to_memory(session_windows_stream(spark, sf_dir), name, "complete")
+    return spark.table(name)
+
+
 def q_stream_error_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry for the watermarked stream-stream interval
     join; output is id pairs only, so the oracle is engine-portable."""
