@@ -131,9 +131,24 @@ def personalized_pagerank(
     sources: tuple[int, ...] = SOURCES,
     iterations: int = DEFAULT_ITERATIONS,
     alpha: float = ALPHA,
+    log_space: bool = False,
 ) -> DataFrame:
     """Run the two-phase iteration; returns (id, mass array<double>) with
-    one slot per source, each summing to ~1."""
+    one slot per source, each summing to ~1.
+
+    ``log_space=True`` switches the mass arithmetic to the reference's
+    log-domain ⊕ (sumLogProbs, RunPersonalizedPageRankBasic.java:617-629)
+    as an underflow escape hatch for graphs large enough that linear fp64
+    (~1e-308 floor) could round tiny masses to zero — see the module
+    docstring for why that is out of reach at any realistic scale. The
+    linear path stays the default: the log path's grouped log-sum-exp
+    needs a max-then-sum pass, one extra co-partitioned join per iteration
+    (no extra shuffle — messages are repartitioned on id once and every
+    downstream agg/join reuses that partitioning)."""
+    if log_space:
+        return _personalized_pagerank_log(
+            spark, sf_dir, sources, iterations, alpha
+        )
     k = len(sources)
     graph = build_graph(spark, sf_dir).cache()
 
@@ -212,6 +227,135 @@ def personalized_pagerank(
     # the cached graph so long-lived sessions don't accumulate pinned storage
     graph.unpersist()
     return ranks
+
+
+def _personalized_pagerank_log(
+    spark: SparkSession,
+    sf_dir: str,
+    sources: tuple[int, ...],
+    iterations: int,
+    alpha: float,
+) -> DataFrame:
+    """Log-domain twin of the linear loop (same two phases, same driver
+    scalars). Masses live as log-mass columns; message aggregation is a
+    grouped log-sum-exp: max per destination, then max + log(Σ exp(c−max))
+    — the distributed form of the reference's pairwise sumLogProbs. The
+    final select exponentiates back so downstream consumers see the same
+    (id, mass array<double>) contract."""
+    import math
+
+    k = len(sources)
+    NEG_INF = float("-inf")
+    graph = build_graph(spark, sf_dir).cache()
+
+    # log initial mass: log(1)=0 at each source's own slot, -inf elsewhere
+    ranks = graph.select(
+        "id",
+        *[
+            F.when(F.col("id") == s, F.lit(0.0))
+            .otherwise(F.lit(NEG_INF))
+            .alias(f"lm{i}")
+            for i, s in enumerate(sources)
+        ],
+    )
+
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(graph, "id")
+            .where(F.col("outdeg") > 0)
+            .select(
+                F.explode("adj").alias("id"),
+                *[
+                    (F.col(f"lm{i}") - F.log("outdeg")).alias(f"c{i}")
+                    for i in range(k)
+                ],
+            )
+        )
+        # one explicit shuffle; the max agg, the back-join, and the sum agg
+        # below all key on id, so EnsureRequirements reuses this partitioning
+        msgs = contrib.repartition("id")
+        mx = msgs.groupBy("id").agg(
+            *[F.max(f"c{i}").alias(f"x{i}") for i in range(k)]
+        )
+        summed = (
+            msgs.join(mx, "id")
+            .groupBy("id")
+            .agg(
+                *[F.max(f"x{i}").alias(f"x{i}") for i in range(k)],
+                *[
+                    F.sum(F.exp(F.col(f"c{i}") - F.col(f"x{i}"))).alias(f"s{i}")
+                    for i in range(k)
+                ],
+            )
+            .select(
+                "id",
+                *[
+                    # all-(-inf) groups (slot unreachable so far): exp(c-x)
+                    # is NaN there, guard back to log(0)
+                    F.when(F.col(f"x{i}") == NEG_INF, F.lit(NEG_INF))
+                    .otherwise(F.col(f"x{i}") + F.log(F.col(f"s{i}")))
+                    .alias(f"r{i}")
+                    for i in range(k)
+                ],
+            )
+        )
+        received = (
+            ranks.select("id")
+            .join(summed, "id", "left")
+            .select(
+                "id",
+                *[
+                    F.coalesce(F.col(f"r{i}"), F.lit(NEG_INF)).alias(f"lm{i}")
+                    for i in range(k)
+                ],
+            )
+            .localCheckpoint(eager=False)
+        )
+
+        # driver scalars: global log-sum-exp per slot -> linear totals.
+        # Two tiny aggregates over the pinned frame (max pass, sum pass).
+        gmax = received.agg(
+            *[F.max(f"lm{i}").alias(f"x{i}") for i in range(k)]
+        ).collect()[0]
+        sums = received.agg(
+            *[
+                F.sum(
+                    F.when(F.col(f"lm{i}") == NEG_INF, F.lit(0.0)).otherwise(
+                        F.exp(F.col(f"lm{i}") - F.lit(float(gmax[i])))
+                    )
+                ).alias(f"s{i}")
+                for i in range(k)
+            ]
+        ).collect()[0]
+        totals = [
+            0.0 if gmax[i] == NEG_INF else math.exp(gmax[i]) * sums[i]
+            for i in range(k)
+        ]
+        missing = [max(0.0, 1.0 - t) for t in totals]
+
+        one_minus = 1.0 - alpha
+        ranks = received.select(
+            "id",
+            *[
+                F.when(
+                    F.col("id") == sources[i],
+                    F.log(
+                        F.lit(alpha)
+                        + F.lit(one_minus)
+                        * (F.exp(F.col(f"lm{i}")) + F.lit(missing[i]))
+                    ),
+                )
+                .otherwise(F.lit(math.log(one_minus)) + F.col(f"lm{i}"))
+                .alias(f"lm{i}")
+                for i in range(k)
+            ],
+        )
+
+    graph.unpersist()
+    return ranks.select(
+        "id",
+        F.array(*[F.exp(F.col(f"lm{i}")) for i in range(k)]).alias("mass"),
+    )
 
 
 def ppr_mass_conservation(
@@ -298,12 +442,15 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row (n_triangles) over the undirected fixture graph.
 
-    Canonical orientation first: symmetrize, dedupe, keep a < b — every
-    triangle then appears exactly once as (a<b<c) in the two-hop join
-    e(a,b) ⋈ e(b,c) ⋈ e(a,c). Orienting by id bounds the join fan-out by
-    the ordered degree (the standard trick that keeps hub nodes from
-    exploding the candidate two-paths at scale; ordering by degree instead
-    of id would tighten it further)."""
+    Degree-ordered orientation: symmetrize + dedupe, then point every
+    undirected edge from its lower-(degree, id) endpoint to the higher one.
+    Every triangle appears exactly once as a rank-increasing path x→y→z
+    closed by x→z, and — the point of ranking by degree rather than id —
+    each node's out-degree in the oriented graph is bounded by O(√m)
+    (arboricity), so a hub with millions of neighbors generates almost no
+    two-paths: its edges all point INTO it. This is what keeps the two-hop
+    join's fan-out bounded on power-law graphs at 100 TB scale; id-ordering
+    would let a low-id hub explode the wedge count."""
     e = graph_edges(spark, sf_dir)
     und = (
         e.select(
@@ -312,11 +459,29 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
-    ab = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    two_hop = ab.join(
-        und.select(F.col("a").alias("y"), F.col("b").alias("z")), "y"
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ranked = (
+        und.join(deg.withColumnRenamed("id", "a"), "a")
+        .withColumnRenamed("deg", "da")
+        .join(
+            deg.selectExpr("id AS b", "deg AS db"), "b"
+        )
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint(eager=False)
+    two_hop = o.select(F.col("u").alias("x"), F.col("v").alias("y")).join(
+        o.select(F.col("u").alias("y"), F.col("v").alias("z")), "y"
     )
     closed = two_hop.join(
-        und.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"]
+        o.select(F.col("u").alias("x"), F.col("v").alias("z")), ["x", "z"]
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))

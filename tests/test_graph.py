@@ -57,6 +57,28 @@ def test_ppr_matches_numpy(spark, sf_smoke):
             assert got[i][si] == pytest.approx(want[si, i], abs=1e-9)
 
 
+def test_ppr_log_space_matches_linear(spark, sf_smoke):
+    """The log-domain ⊕ path (reference sumLogProbs parity, behind the
+    log_space flag) must agree with the default linear-fp64 loop to fp
+    round-off."""
+    from bigdata_infra_cs489_spark.operators.graph import personalized_pagerank
+
+    lin = {
+        r.id: list(r.mass)
+        for r in personalized_pagerank(spark, sf_smoke, iterations=5).collect()
+    }
+    log = {
+        r.id: list(r.mass)
+        for r in personalized_pagerank(
+            spark, sf_smoke, iterations=5, log_space=True
+        ).collect()
+    }
+    assert set(lin) == set(log)
+    for i, masses in lin.items():
+        for si, m in enumerate(masses):
+            assert log[i][si] == pytest.approx(m, abs=1e-9)
+
+
 def test_ppr_mass_sums_to_one(spark, sf_smoke):
     from bigdata_infra_cs489_spark.operators.graph import personalized_pagerank
 
