@@ -801,6 +801,29 @@ register(
     ),
 )
 
+# Spherical k-means invariant, PPR-mass-conservation-style: every trained
+# centroid is unit-normalized (init = normalized vectors; each Lloyd update
+# renormalizes; empty clusters keep the previous unit vector), so the full
+# iterative trainer hash-checks against a constant table of C ones.
+register(
+    "ivf_centroid_norms",
+    lambda spark, sf: S.kmeans_centroids(spark, sf).select(
+        "centroid_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "cvec",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            ),
+            6,
+        ).alias("l2_norm"),
+    ),
+    "SELECT CAST(range AS INT) AS centroid_id, CAST(1.0 AS DOUBLE) AS l2_norm "
+    f"FROM range({S.N_CENTROIDS})",
+)
+
 # trained quantizer feeding the probe: iterative -> rows-only check;
 # recall vs brute force pinned in tests/test_similarity.py
 register(
