@@ -221,6 +221,26 @@ def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "complete"):
 
 _SINK_SEQ = __import__("itertools").count()
 
+# State-store partition count for the driver-contract backfills: each
+# shuffle partition is a state-store instance with per-batch commit/
+# snapshot overhead, and an availableNow run over one fixture file is a
+# single micro-batch — 32 instances cost ~4x more wall time than 8 while
+# holding identical state. On a real cluster, size this to executor count
+# (it is a per-query knob: set before .start(), sticky per checkpoint).
+STREAM_STATE_PARTITIONS = 8
+
+
+def _run_contract(spark: SparkSession, build, name: str, mode: str) -> DataFrame:
+    """Run a stream built by ``build()`` to completion under the stream
+    state-partition count, restoring the session's batch setting after."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        run_to_memory(build(), name, mode)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
+
 
 def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry: run the tumbling-window STREAM to completion
@@ -229,8 +249,9 @@ def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     same DuckDB oracle as its batch twin, so watermarking/window assembly
     can't silently drift from batch semantics."""
     name = f"drv_stream_tumble_{next(_SINK_SEQ)}"
-    run_to_memory(tumbling_counts_stream(spark, sf_dir), name, "complete")
-    return spark.table(name)
+    return _run_contract(
+        spark, lambda: tumbling_counts_stream(spark, sf_dir), name, "complete"
+    )
 
 
 def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,13 +261,15 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits on strictly-greater; identical on any data without an
     exact-gap-length silence, asserted equal in tests/test_streaming.py)."""
     name = f"drv_stream_sess_{next(_SINK_SEQ)}"
-    run_to_memory(session_windows_stream(spark, sf_dir), name, "complete")
-    return spark.table(name)
+    return _run_contract(
+        spark, lambda: session_windows_stream(spark, sf_dir), name, "complete"
+    )
 
 
 def q_stream_error_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry for the watermarked stream-stream interval
     join; output is id pairs only, so the oracle is engine-portable."""
     name = f"drv_stream_ssj_{next(_SINK_SEQ)}"
-    run_to_memory(error_click_join_stream(spark, sf_dir), name, "append")
-    return spark.table(name)
+    return _run_contract(
+        spark, lambda: error_click_join_stream(spark, sf_dir), name, "append"
+    )
