@@ -50,6 +50,56 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_SALT = "mix-v1"
+_PPM = 1_000_000
+
+
+def lang_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, total_tokens, keep_ppm): per-language keep rates that
+    rebalance the corpus to an equal-token-mass mixture — the data-mixing
+    step of a training pipeline, here with uniform targets (the smallest
+    language is kept whole; every other is downsampled toward its mass).
+
+    keep_ppm = (min_total * 1e6) DIV total — pure int64 arithmetic so the
+    DuckDB oracle reproduces the rate bit-for-bit with no fp-rounding
+    hazard (int64 caps the exact path around ~1e12 total tokens; past
+    that, switch the ppm computation to decimal).
+
+    Scale shape: one partial-aggregated shuffle to #langs rows, then a
+    broadcast of the (tiny) totals to attach the global min — the corpus
+    itself is never reshuffled."""
+    from .textstats import text_quality
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    toks = text_quality(spark, sf_dir).select("doc_id", "n_tokens")
+    totals = (
+        docs.join(toks, "doc_id")
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").alias("total_tokens"))
+    )
+    mn = totals.agg(F.min("total_tokens").alias("mn"))
+    return totals.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        "total_tokens",
+        F.expr(f"mn * {_PPM} DIV total_tokens").alias("keep_ppm"),
+    )
+
+
+def lang_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang): the documents kept by the equal-token-mass mixture
+    (lang_mixture_rates) via the salted portable hash — a map-side filter
+    against a broadcast #langs-row rate table, reproducible across
+    engines and partitionings like every sampler in this module."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    rates = lang_mixture_rates(spark, sf_dir).select("lang", "keep_ppm")
+    bucket = h8(F.concat(F.col("doc_id").cast("string"), F.lit(MIX_SALT))) % _PPM
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .where(bucket < F.col("keep_ppm"))
+        .select("doc_id", "lang")
+    )
+
+
 STRATA_RATES = (100, 50, 20, 5)  # keep-% per quality quartile, best first
 STRATA_SALT = "strata-v1"
 

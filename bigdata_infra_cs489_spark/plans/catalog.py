@@ -1413,6 +1413,37 @@ register(
     """,
 )
 
+_MIX_RATES_SQL = f"""
+    WITH tq AS ({_TEXT_QUALITY_SQL}),
+    tl AS (
+        SELECT d.lang, sum(tq.n_tokens) AS total_tokens
+        FROM tq JOIN documents d USING (doc_id)
+        GROUP BY d.lang),
+    m AS (SELECT min(total_tokens) AS mn FROM tl)
+    SELECT lang, total_tokens,
+           (SELECT mn FROM m) * 1000000 // total_tokens AS keep_ppm
+    FROM tl
+"""
+
+register(
+    "lang_mixture_rates",
+    lambda spark, sf: SA.lang_mixture_rates(spark, sf),
+    _MIX_RATES_SQL,
+)
+
+register(
+    "lang_mixture_sample",
+    lambda spark, sf: SA.lang_mixture_sample(spark, sf),
+    f"""
+    WITH r AS ({_MIX_RATES_SQL})
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r USING (lang)
+    WHERE {DUCK_H8.format(x=f"(CAST(doc_id AS VARCHAR) || '{SA.MIX_SALT}')")}
+              % 1000000
+          < r.keep_ppm
+    """,
+)
+
 # --- temporal joins (as-of + binned interval join; no reference counterpart) -
 
 from ..operators import temporal as TJ  # noqa: E402

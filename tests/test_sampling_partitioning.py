@@ -7,7 +7,13 @@ import pytest
 
 from .oracle import assert_matches_oracle
 
-NAMES = ["events_hash_sample", "dataset_split", "quality_stratified_sample"]
+NAMES = [
+    "events_hash_sample",
+    "dataset_split",
+    "quality_stratified_sample",
+    "lang_mixture_rates",
+    "lang_mixture_sample",
+]
 
 
 @pytest.mark.parametrize("name", NAMES)
@@ -31,6 +37,20 @@ def test_split_fractions(spark, sf_correct):
     assert set(counts) == {"train", "val", "test"}
     assert 0.7 < counts["train"] / total < 0.9
     assert counts["val"] / total < 0.2 and counts["test"] / total < 0.2
+
+
+def test_mixture_rebalances_token_mass(spark, sf_correct):
+    """The smallest language is kept whole (ppm = 1e6) and every kept
+    language's expected token mass is ~the smallest language's mass."""
+    from bigdata_infra_cs489_spark.operators.sampling import lang_mixture_rates
+
+    rows = lang_mixture_rates(spark, sf_correct).collect()
+    assert rows
+    mn = min(r.total_tokens for r in rows)
+    for r in rows:
+        assert r.keep_ppm == (mn * 1_000_000) // r.total_tokens
+        assert 0 < r.keep_ppm <= 1_000_000
+    assert any(r.keep_ppm == 1_000_000 for r in rows)
 
 
 def test_sample_stable_under_repartition(spark, sf_correct):
