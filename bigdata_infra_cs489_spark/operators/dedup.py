@@ -390,6 +390,65 @@ def q_near_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+BOILERPLATE_MIN_DOCS = 3  # a shingle in >= this many docs is boilerplate
+
+
+def boilerplate_ngrams(
+    corpus: DataFrame, n: int = SHINGLE_N, min_docs: int = BOILERPLATE_MIN_DOCS
+) -> DataFrame:
+    """(s, n_docs): word n-grams shared by >= min_docs distinct documents —
+    the corpus-frequent template/boilerplate spans (nav chrome, license
+    headers, scraped-site furniture) a CCNet-style cleaning pass strips
+    before training. Per-doc-distinct shingles (shingle_index) make the
+    count a distinct-document count with ONE partial-aggregated shuffle —
+    no distinct pass, no doc-pair expansion."""
+    return (
+        shingle_index(corpus, n)
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_fraction(
+    corpus: DataFrame, n: int = SHINGLE_N, min_docs: int = BOILERPLATE_MIN_DOCS
+) -> DataFrame:
+    """(doc_id, n_shingles, n_boiler, boiler_frac): how much of each
+    document is corpus-frequent boilerplate — the per-doc quality signal
+    a mixing pipeline thresholds on (a page that is 90% template text is
+    not worth training on even if globally unique).
+
+    Shape: the shingle stream is aggregated twice on different keys —
+    per-shingle doc counts (boilerplate_ngrams), then an equi-join back on
+    s and a per-doc count. Both aggregations are partial-aggregatable; the
+    join key is the shingle, so skew is bounded by the most-common shingle
+    and AQE's skew-join split handles the tail at scale."""
+    sh = shingle_index(corpus, n)
+    boiler = boilerplate_ngrams(corpus, n, min_docs).select("s")
+    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        sh.join(boiler, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return per_doc.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
+        F.round(
+            F.coalesce(F.col("n_boiler"), F.lit(0)) / F.col("n_shingles"), 6
+        ).alias("boiler_frac"),
+    )
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boilerplate_ngrams(_docs(spark, sf_dir))
+
+
+def q_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boilerplate_fraction(_docs(spark, sf_dir))
+
+
 CONTAM_EVAL_MAX_ID = 20  # doc_id < 20 stand in for the held-out benchmark
 
 

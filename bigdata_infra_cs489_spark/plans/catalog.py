@@ -1610,6 +1610,39 @@ register(
     """,
 )
 
+# CCNet-style cross-document boilerplate: corpus-frequent n-grams and the
+# per-doc fraction of them (the "page is mostly template text" signal).
+register(
+    "boilerplate_ngrams",
+    D.q_boilerplate_ngrams,
+    f"""
+    WITH {DUCK_SHINGLES},
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh)
+    SELECT s, count(*) AS n_docs
+    FROM ex GROUP BY s
+    HAVING count(*) >= {D.BOILERPLATE_MIN_DOCS}
+    """,
+)
+
+register(
+    "boilerplate_fraction",
+    D.q_boilerplate_fraction,
+    f"""
+    WITH {DUCK_SHINGLES},
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    b AS (SELECT s FROM ex GROUP BY s
+          HAVING count(*) >= {D.BOILERPLATE_MIN_DOCS}),
+    per_doc AS (SELECT doc_id, count(*) AS n_shingles FROM ex GROUP BY doc_id),
+    hits AS (SELECT doc_id, count(*) AS n_boiler
+             FROM ex JOIN b USING (s) GROUP BY doc_id)
+    SELECT p.doc_id, p.n_shingles,
+           coalesce(h.n_boiler, 0) AS n_boiler,
+           round(CAST(coalesce(h.n_boiler, 0) AS DOUBLE) / p.n_shingles, 6)
+               AS boiler_frac
+    FROM per_doc p LEFT JOIN hits h USING (doc_id)
+    """,
+)
+
 register(
     "bigram_lm_perplexity",
     lambda spark, sf: T.bigram_lm_perplexity(spark, sf),

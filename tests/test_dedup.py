@@ -16,6 +16,8 @@ DEDUP = [
     "simhash_near_duplicates",
     "near_duplicate_clusters",
     "contamination_flags",
+    "boilerplate_ngrams",
+    "boilerplate_fraction",
 ]
 
 
@@ -129,6 +131,16 @@ def test_minhash_signatures_match_python_replay(spark):
         xs = [h8_py(s) for s in shingles_py(text)]
         want = [min((a * x + b) % MINHASH_PRIME for x in xs) for a, b in params]
         assert got[i] == want, f"doc {i}"
+
+
+def test_boilerplate_flags_planted_template(spark, synthetic_docs):
+    """Docs 0/1/2 share the synthetic base sentence's shingles (>= 3 docs)
+    -> those shingles are boilerplate and the unrelated doc 3 has none."""
+    from bigdata_infra_cs489_spark.operators.dedup import boilerplate_fraction
+
+    rows = {r.doc_id: r for r in boilerplate_fraction(synthetic_docs).collect()}
+    assert rows[0].boiler_frac > 0.8  # near-identical trio: mostly template
+    assert rows[3].n_boiler == 0 and rows[3].boiler_frac == 0.0
 
 
 def test_connected_components_chain(spark):
