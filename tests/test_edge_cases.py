@@ -101,3 +101,91 @@ def test_gap_fill_covers_span_without_holes(spark, sf_smoke):
     from bigdata_infra_cs489_spark.sources.tables import load
 
     assert total_events == load(spark, sf_smoke, "events").count()
+
+
+# --- distsort primitives (operators/distsort.py) ----------------------------
+# The range-partitioned prefix machinery backs 4 oracle-checked queries;
+# these pin its behavior where range partitioning degenerates.
+
+
+def _prefix(spark, rows, **kw):
+    from bigdata_infra_cs489_spark.operators.distsort import with_running_totals
+
+    df = spark.createDataFrame(rows, "k long, v long")
+    return with_running_totals(df, [F.asc("k")], {"cum": "v"}, **kw)
+
+
+def test_distsort_empty_input(spark):
+    assert _prefix(spark, []).collect() == []
+
+
+def test_distsort_single_row(spark):
+    rows = _prefix(spark, [(5, 7)], row_col="rn").collect()
+    assert [(r.k, r.v, r.cum, r.rn) for r in rows] == [(5, 7, 7, 1)]
+
+
+def test_distsort_fewer_rows_than_partitions(spark):
+    # 3 rows, 32 shuffle partitions: most range slices are empty
+    rows = _prefix(spark, [(3, 30), (1, 10), (2, 20)], row_col="rn").collect()
+    got = sorted((r.k, r.cum, r.rn) for r in rows)
+    assert got == [(1, 10, 1), (2, 30, 2), (3, 60, 3)]
+
+
+def test_distsort_all_equal_keys_total_is_exact(spark):
+    # a single-value key degenerates range partitioning to one slice;
+    # the inclusive running sum must still end at the exact total
+    rows = _prefix(spark, [(1, 1)] * 100).collect()
+    assert len(rows) == 100
+    assert max(r.cum for r in rows) == 100
+    assert sorted(r.cum for r in rows) == list(range(1, 101))
+
+
+def test_distsort_matches_single_partition_window(spark):
+    # parity against the plan distsort exists to replace
+    import random
+
+    from pyspark.sql.window import Window
+
+    rnd = random.Random(7)
+    data = [(rnd.randrange(50), rnd.randrange(100)) for _ in range(500)]
+    # total order requires a tiebreaker: make keys unique
+    data = [(k * 1000 + i, v) for i, (k, v) in enumerate(data)]
+    got = {
+        r.k: (r.cum, r.rn)
+        for r in _prefix(spark, data, row_col="rn").collect()
+    }
+    df = spark.createDataFrame(data, "k long, v long")
+    w = Window.orderBy("k")
+    want = {
+        r.k: (r.cum, r.rn)
+        for r in df.select(
+            "k",
+            F.sum("v")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("cum"),
+            F.row_number().over(w).alias("rn"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_distsort_ntile_matches_builtin(spark):
+    from pyspark.sql.window import Window
+
+    from bigdata_infra_cs489_spark.operators.distsort import with_ntile
+
+    for n_rows in (1, 3, 10, 103):
+        data = [((i * 37) % n_rows, i) for i in range(n_rows)]
+        df = spark.createDataFrame(data, "k long, i long")
+        got = {
+            r.i: r.q
+            for r in with_ntile(df, [F.asc("k"), F.asc("i")], 4, "q").collect()
+        }
+        want = {
+            r.i: r.q
+            for r in df.select(
+                "i",
+                F.ntile(4).over(Window.orderBy("k", "i")).alias("q"),
+            ).collect()
+        }
+        assert got == want, f"n_rows={n_rows}"
