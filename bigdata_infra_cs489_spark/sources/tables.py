@@ -63,6 +63,11 @@ def load(
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     if name == "events":
+        # The driver runs these queries in ITS OWN session; the UTC pin
+        # (normally set by session.py) is what makes the NTZ->LTZ cast and
+        # every date_format/unix_timestamp agree with the DuckDB oracles,
+        # so re-assert it here. Runtime-settable, idempotent.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:

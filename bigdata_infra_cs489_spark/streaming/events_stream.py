@@ -51,6 +51,9 @@ EVENTS_SCHEMA = StructType(
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded events source over the fixture directory."""
+    # same foreign-session UTC pin as sources/tables.py::load — the NTZ
+    # cast and window/date_format rendering below assume it
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
