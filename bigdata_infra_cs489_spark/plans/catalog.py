@@ -1718,6 +1718,16 @@ register(
 )
 
 register(
+    "stream_running_counts",
+    STR.q_stream_running_counts,
+    """
+    SELECT user_id, count(*) AS n_events,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS last_seen_sec
+    FROM events GROUP BY user_id
+    """,
+)
+
+register(
     "stream_error_click_join",
     STR.q_stream_error_click_join,
     f"""

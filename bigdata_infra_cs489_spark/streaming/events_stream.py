@@ -269,6 +269,22 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the applyInPandasWithState operator: the
+    update-mode memory sink holds one row per (user, micro-batch) — the
+    max per user is the final state however the input was batched, and
+    THAT is batch-expressible (count + max event time per user), so the
+    custom stateful operator gets a real hash-checked oracle."""
+    name = f"drv_stream_run_{next(_SINK_SEQ)}"
+    updates = _run_contract(
+        spark, lambda: running_user_counts_stream(spark, sf_dir), name, "update"
+    )
+    return updates.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("last_seen_sec").alias("last_seen_sec"),
+    )
+
+
 def q_stream_error_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry for the watermarked stream-stream interval
     join; output is id pairs only, so the oracle is engine-portable."""
