@@ -1728,6 +1728,25 @@ register(
 )
 
 register(
+    "stream_dedup",
+    STR.q_stream_dedup,
+    """
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+)
+
+register(
+    "stream_enriched",
+    STR.q_stream_enriched,
+    """
+    SELECT event_id, user_id, event_type, value,
+           CASE WHEN user_id < 10000
+                THEN 's' || CAST(user_id % 4 AS VARCHAR) END AS segment
+    FROM events
+    """,
+)
+
+register(
     "stream_error_click_join",
     STR.q_stream_error_click_join,
     f"""

@@ -285,6 +285,43 @@ def q_stream_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for dropDuplicatesWithinWatermark: the
+    fixture's event_ids are unique, so the deduped stream must equal the
+    table — the machinery (state keyed on event_id, watermark eviction)
+    still runs end-to-end, and the replayed-duplicate positive case lives
+    in tests/test_streaming.py."""
+    name = f"drv_stream_dedup_{next(_SINK_SEQ)}"
+    return _run_contract(
+        spark, lambda: dedup_events_stream(spark, sf_dir), name, "append"
+    )
+
+
+SEGMENTS = ("s0", "s1", "s2", "s3")
+
+
+def q_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the stream-static join: events enriched
+    with a deterministic user-segment dimension (user_id mod 4 — derived,
+    so the oracle can rebuild it) broadcast per micro-batch."""
+    from pyspark.sql import functions as F2
+
+    dim = spark.range(0, 10_000).select(
+        F2.col("id").alias("user_id"),
+        F2.element_at(
+            F2.array(*[F2.lit(s) for s in SEGMENTS]),
+            (F2.col("id") % len(SEGMENTS) + 1).cast("int"),
+        ).alias("segment"),
+    )
+    name = f"drv_stream_enrich_{next(_SINK_SEQ)}"
+    return _run_contract(
+        spark,
+        lambda: enriched_events_stream(spark, sf_dir, dim),
+        name,
+        "append",
+    )
+
+
 def q_stream_error_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry for the watermarked stream-stream interval
     join; output is id pairs only, so the oracle is engine-portable."""
