@@ -1691,6 +1691,22 @@ register(
 )
 
 register(
+    "stream_sliding_counts",
+    STR.q_stream_sliding_counts,
+    f"""
+    SELECT strftime(make_timestamp(CAST(
+               (floor((epoch(ts) - off) / {E.SLIDE_WINDOW_SEC})
+                * {E.SLIDE_WINDOW_SEC} + off) * 1000000 AS BIGINT)),
+            '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events
+    FROM events,
+         unnest({list(range(0, E.SLIDE_WINDOW_SEC, E.SLIDE_STEP_SEC))}) AS t(off)
+    GROUP BY window_start, event_type
+    """,
+)
+
+register(
     "stream_session_windows",
     STR.q_stream_session_windows,
     f"""

@@ -29,7 +29,7 @@ from pyspark.sql.types import (
     TimestampNTZType,
 )
 
-from ..operators.events import SESSION_GAP_SEC, TUMBLE_SEC
+from ..operators.events import SESSION_GAP_SEC, SLIDE_STEP_SEC, SLIDE_WINDOW_SEC, TUMBLE_SEC
 
 WATERMARK = "10 minutes"
 
@@ -81,6 +81,29 @@ def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "sum_value",
             "avg_value",
+        )
+    )
+
+
+def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 10-minute windows sliding every 5 minutes per event_type
+    — the built-in overlapping-window form of the batch explode-offsets
+    plan (operators/events.py::sliding_counts, same output columns)."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", WATERMARK)
+    return (
+        ev.groupBy(
+            F.window(
+                "ts", f"{SLIDE_WINDOW_SEC} seconds", f"{SLIDE_STEP_SEC} seconds"
+            ),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
         )
     )
 
@@ -254,6 +277,15 @@ def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"drv_stream_tumble_{next(_SINK_SEQ)}"
     return _run_contract(
         spark, lambda: tumbling_counts_stream(spark, sf_dir), name, "complete"
+    )
+
+
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: sliding windows to completion; hash-checks
+    against the same oracle shape as the batch sliding_counts."""
+    name = f"drv_stream_slide_{next(_SINK_SEQ)}"
+    return _run_contract(
+        spark, lambda: sliding_counts_stream(spark, sf_dir), name, "complete"
     )
 
 
