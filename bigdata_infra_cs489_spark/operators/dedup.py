@@ -418,26 +418,31 @@ def boilerplate_fraction(
     a mixing pipeline thresholds on (a page that is 90% template text is
     not worth training on even if globally unique).
 
-    Shape: the shingle stream is aggregated twice on different keys —
-    per-shingle doc counts (boilerplate_ngrams), then an equi-join back on
-    s and a per-doc count. Both aggregations are partial-aggregatable; the
-    join key is the shingle, so skew is bounded by the most-common shingle
-    and AQE's skew-join split handles the tail at scale."""
+    Shape: two passes over the shingle stream, the inherent minimum (the
+    boilerplate set is a global aggregate the second pass conditions on) —
+    pass 1 computes per-shingle doc counts, pass 2 left-joins the flags
+    and folds n_shingles and n_boiler in ONE per-doc aggregation. The
+    join key is the shingle, so skew is bounded by the most-common
+    shingle and AQE's skew-join split handles the tail at scale."""
     sh = shingle_index(corpus, n)
-    boiler = boilerplate_ngrams(corpus, n, min_docs).select("s")
-    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        sh.join(boiler, "s")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    boiler = boilerplate_ngrams(corpus, n, min_docs).select(
+        "s", F.lit(1).alias("is_boiler")
     )
-    return per_doc.join(hits, "doc_id", "left").select(
-        "doc_id",
-        "n_shingles",
-        F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
-        F.round(
-            F.coalesce(F.col("n_boiler"), F.lit(0)) / F.col("n_shingles"), 6
-        ).alias("boiler_frac"),
+    return (
+        sh.join(boiler, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("is_boiler").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_shingles"), 6).alias(
+                "boiler_frac"
+            ),
+        )
     )
 
 
