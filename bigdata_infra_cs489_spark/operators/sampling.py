@@ -65,23 +65,31 @@ def lang_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     hazard (int64 caps the exact path around ~1e12 total tokens; past
     that, switch the ppm computation to decimal).
 
-    Scale shape: one partial-aggregated shuffle to #langs rows, then a
-    broadcast of the (tiny) totals to attach the global min — the corpus
-    itself is never reshuffled."""
+    Scale shape: ONE partial-aggregated pass over the corpus down to
+    #langs rows, collected to the driver (the same O(tiny) collect
+    discipline as the PPR scalars and distsort offsets) where the min and
+    the per-language ppm are finished — referencing the global min as a
+    second DataFrame branch would make Catalyst evaluate the whole
+    tokenize+agg subtree twice (no common-subplan sharing across a
+    self-cross-join), doubling the corpus scans."""
     from .textstats import text_quality
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     toks = text_quality(spark, sf_dir).select("doc_id", "n_tokens")
-    totals = (
+    totals = sorted(
         docs.join(toks, "doc_id")
         .groupBy("lang")
         .agg(F.sum("n_tokens").alias("total_tokens"))
+        .collect(),
+        key=lambda r: r["lang"],
     )
-    mn = totals.agg(F.min("total_tokens").alias("mn"))
-    return totals.crossJoin(F.broadcast(mn)).select(
-        "lang",
-        "total_tokens",
-        F.expr(f"mn * {_PPM} DIV total_tokens").alias("keep_ppm"),
+    mn = min((r["total_tokens"] for r in totals), default=0)
+    return spark.createDataFrame(
+        [
+            (r["lang"], r["total_tokens"], mn * _PPM // r["total_tokens"])
+            for r in totals
+        ],
+        "lang string, total_tokens bigint, keep_ppm bigint",
     )
 
 
