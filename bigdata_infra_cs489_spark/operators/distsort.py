@@ -18,10 +18,13 @@ equivalent, the classic distributed prefix-sum:
    pattern the PageRank loop uses for missing mass — turned into
    exclusive prefix offsets, and broadcast-joined back.
 
-Net cost at any scale: one range shuffle + one tiny offsets job; no task
-ever materializes more than its slice. The intermediate is pinned with an
-eager ``localCheckpoint`` so the offsets job and the main job see the
-same (sampled, hence job-dependent) range partitioning.
+Net cost at any scale: one range shuffle, one tiny offsets job, and one
+narrow re-exchange on the partition id (the checkpoint boundary hides the
+range partitioning from Catalyst, so the window re-clusters by pid — same
+rows, same slices, narrow columns); no task ever materializes more than
+its slice. The intermediate is pinned with an eager ``localCheckpoint``
+so the offsets job and the main job see the same (sampled, hence
+job-dependent) range partitioning.
 """
 
 from __future__ import annotations
