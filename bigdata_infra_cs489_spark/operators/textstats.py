@@ -267,6 +267,45 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEQ_LEN = 2048  # tokens per packed training sequence
+PACK_SALT = "pack-v1"
+
+
+def sequence_pack(
+    spark: SparkSession, sf_dir: str, seq_len: int = SEQ_LEN
+) -> DataFrame:
+    """(doc_id, n_tokens, seq_id, seq_offset): concat-and-chunk packing of
+    the corpus into fixed ``seq_len``-token training sequences — the step
+    between a cleaned corpus and pretraining batches. Documents are laid
+    end-to-end in a deterministic salted-hash order (reshuffles with the
+    salt, reproducible across engines/partitionings like every sampler
+    here); each doc records the sequence its first token lands in and the
+    offset within it. Sequences are exactly full except the last; a doc
+    whose tokens straddle a boundary continues into the next sequence,
+    exactly like the GPT-style pack-then-chunk pipeline.
+
+    The global running token sum comes from the range-partitioned prefix
+    machinery (operators/distsort.py) — pure int64 arithmetic end-to-end,
+    so the DuckDB oracle reproduces every (seq_id, offset) bit-for-bit."""
+    from ..functions.hashing import h8
+    from .distsort import with_running_totals
+
+    q = text_quality(spark, sf_dir).select("doc_id", "n_tokens")
+    ordered = q.withColumn(
+        "ok", h8(F.concat(F.col("doc_id").cast("string"), F.lit(PACK_SALT)))
+    )
+    packed = with_running_totals(
+        ordered, [F.asc("ok"), F.asc("doc_id")], {"cum": "n_tokens"}
+    )
+    before = F.col("cum") - F.col("n_tokens")
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"(cum - n_tokens) DIV {seq_len}").alias("seq_id"),
+        (before % seq_len).alias("seq_offset"),
+    )
+
+
 TOKEN_BUDGET = 10_000
 
 

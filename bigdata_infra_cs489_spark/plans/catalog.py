@@ -954,6 +954,28 @@ register(
 )
 
 register(
+    "sequence_pack",
+    lambda spark, sf: TS.sequence_pack(spark, sf),
+    f"""
+    WITH tq AS ({_TEXT_QUALITY_SQL}),
+    o AS (
+        SELECT doc_id, n_tokens,
+               {DUCK_H8.format(x=f"(CAST(doc_id AS VARCHAR) || '{TS.PACK_SALT}')")}
+                   AS ok
+        FROM tq),
+    c AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY ok, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM o)
+    SELECT doc_id, n_tokens,
+           (cum - n_tokens) // {TS.SEQ_LEN} AS seq_id,
+           (cum - n_tokens) % {TS.SEQ_LEN} AS seq_offset
+    FROM c
+    """,
+)
+
+register(
     "token_budget_pack",
     lambda spark, sf: TS.token_budget_pack(spark, sf),
     f"""

@@ -13,6 +13,7 @@ NAMES = [
     "doc_fingerprints",
     "repetition_stats",
     "token_budget_pack",
+    "sequence_pack",
     "events_tumbling_counts",
     "events_sliding_counts",
     "events_sessionize",
@@ -52,6 +53,30 @@ def test_language_id_positive(spark):
     ).collect()
     hits = {r.doc_id: r.hits for r in hit}
     assert hits[0] >= 4 and hits[1] == 0
+
+
+def test_sequence_pack_invariants(spark, sf_correct):
+    """Packing covers a contiguous token stream: offsets stay inside the
+    sequence, every doc starts exactly where the running sum says, and
+    seq_ids cover 0..total_tokens//L with no holes."""
+    from bigdata_infra_cs489_spark.operators.textstats import SEQ_LEN, sequence_pack
+
+    rows = sequence_pack(spark, sf_correct).collect()
+    assert rows
+    total = sum(r.n_tokens for r in rows)
+    assert all(0 <= r.seq_offset < SEQ_LEN for r in rows)
+    assert max(r.seq_id for r in rows) <= total // SEQ_LEN
+    # reconstruct: sort by (seq_id, seq_offset) -> running sum matches
+    # zero-token docs share a start position with their successor; order
+    # them first so the running sum stays exact
+    ordered = sorted(
+        rows, key=lambda r: (r.seq_id, r.seq_offset, r.n_tokens != 0, r.doc_id)
+    )
+    cum = 0
+    for r in ordered:
+        assert r.seq_id * SEQ_LEN + r.seq_offset == cum
+        cum += r.n_tokens
+    assert cum == total
 
 
 def test_sessionize_gap_semantics(spark, sf_correct):
