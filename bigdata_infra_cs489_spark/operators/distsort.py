@@ -47,7 +47,12 @@ def _range_prefix(
     total row count).
     """
     spark = df.sparkSession
-    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except ValueError:
+        # some managed runtimes set the conf to a non-numeric value
+        # (e.g. "auto"); fall back to the input's own parallelism
+        npart = max(df.rdd.getNumPartitions(), 1)
     part = (
         df.repartitionByRange(npart, *order)
         .withColumn(_PID, F.spark_partition_id())

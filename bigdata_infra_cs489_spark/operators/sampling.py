@@ -83,10 +83,17 @@ def lang_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect(),
         key=lambda r: r["lang"],
     )
-    mn = min((r["total_tokens"] for r in totals), default=0)
+    # the mixture floor is the smallest POSITIVE mass: a language whose
+    # docs all tokenize to zero tokens contributes nothing and gets
+    # keep_ppm=0 (rather than dividing by zero / dragging mn to 0)
+    mn = min((r["total_tokens"] for r in totals if r["total_tokens"]), default=0)
     return spark.createDataFrame(
         [
-            (r["lang"], r["total_tokens"], mn * _PPM // r["total_tokens"])
+            (
+                r["lang"],
+                r["total_tokens"],
+                mn * _PPM // r["total_tokens"] if r["total_tokens"] else 0,
+            )
             for r in totals
         ],
         "lang string, total_tokens bigint, keep_ppm bigint",

@@ -1441,9 +1441,11 @@ _MIX_RATES_SQL = f"""
         SELECT d.lang, sum(tq.n_tokens) AS total_tokens
         FROM tq JOIN documents d USING (doc_id)
         GROUP BY d.lang),
-    m AS (SELECT min(total_tokens) AS mn FROM tl)
+    m AS (SELECT min(total_tokens) AS mn FROM tl WHERE total_tokens > 0)
     SELECT lang, total_tokens,
-           (SELECT mn FROM m) * 1000000 // total_tokens AS keep_ppm
+           CASE WHEN total_tokens = 0 THEN 0
+                ELSE (SELECT mn FROM m) * 1000000 // total_tokens
+           END AS keep_ppm
     FROM tl
 """
 

@@ -67,6 +67,14 @@ def load(
         # (normally set by session.py) is what makes the NTZ->LTZ cast and
         # every date_format/unix_timestamp agree with the DuckDB oracles,
         # so re-assert it here. Runtime-settable, idempotent.
+        #
+        # CONTRACT NOTE: this intentionally mutates the caller session's TZ
+        # for its remaining lifetime. A save/restore around the read would
+        # be unsound: Spark reads the session TZ at query EXECUTION, not at
+        # DataFrame construction, so restoring the conf here would make the
+        # lazily-executed plan render timestamps in the caller's TZ and
+        # silently diverge from the oracles. Sessions that need a non-UTC
+        # TZ for other work should use a separate SparkSession.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

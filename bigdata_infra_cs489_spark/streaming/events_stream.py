@@ -33,32 +33,50 @@ from ..operators.events import SESSION_GAP_SEC, SLIDE_STEP_SEC, SLIDE_WINDOW_SEC
 
 WATERMARK = "10 minutes"
 
-# events.parquet physical schema: ts is TIMESTAMP(MICROS, isAdjustedToUTC=
-# false) — declared NTZ here and cast to the session-TZ TIMESTAMP (UTC, a
-# wall-clock identity) so the stream sees exactly what the batch registry
-# (sources/tables.py) produces.
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", TimestampNTZType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# events.parquet's ts physical type has flipped between fixture
+# generations (TIMESTAMP(NANOS) -> long under nanosAsLong vs
+# TIMESTAMP(MICROS, isAdjustedToUTC=false) -> TIMESTAMP_NTZ), so the
+# stream schema is picked per-directory by probing the footer through a
+# 0-row batch read — mirroring the dual-path normalization in
+# sources/tables.py::load. Both forms normalize to the session-TZ
+# TIMESTAMP (UTC pin makes the NTZ cast a wall-clock identity).
+def _events_schema(ts_is_long: bool) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType() if ts_is_long else TimestampNTZType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded events source over the fixture directory."""
+    import os
+
     # same foreign-session UTC pin as sources/tables.py::load — the NTZ
     # cast and window/date_format rendering below assume it
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # static conf on some builds; session factory sets it then
+    # footer probe: schema-only batch read (no data scan) tells us which
+    # physical form this fixture generation uses
+    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_is_long = dict(probe.dtypes).get("ts") == "bigint"
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_is_long))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    if ts_is_long:
+        # nanos epoch as int64: integer-divide to micros (ns epochs exceed
+        # double's 2^53 mantissa, so float math would corrupt timestamps)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 

@@ -22,11 +22,23 @@ import pytest
 # re-run the whole loop, so they are asserted separately below.
 ITERATIVE = {
     "ppr_topk",
+    "ppr_mass_conservation",
     "ivf_train_centroids",
     "ivf_topk_trained",
+    "ivf_centroid_norms",
     "spam_train",
     "spam_train_shuffled",
     "near_duplicate_clusters",
+    # the stream_* driver-contract queries execute a complete
+    # availableNow streaming job just to build the final memory-table
+    # scan — their plans are post-hoc scans, not worth the run
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_running_counts",
+    "stream_dedup",
+    "stream_enriched",
+    "stream_error_click_join",
 }
 
 
