@@ -32,14 +32,83 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
         _ORACLES[name] = oracle
 
 
+# The driver's correctness run covers the FIRST 50 entries of queries().
+# Rounds 1-2 both checked the same first-50, so the 50 queries registered
+# later (the whole streaming/temporal/CDC/sampling/textstats surface) never
+# produced a driver row. This list rotates the never-driver-checked,
+# oracle-backed queries (plus this round's new/newly-oracled entries) into
+# the window; everything else follows in registration order. The union of
+# CORRECTNESS_r{1,2,3} then covers every oracle-able query. Names and
+# semantics are untouched — this is purely an export-order contract.
+_DRIVER_WINDOW_FIRST = (
+    "sequence_pack",
+    "token_budget_pack",
+    "token_counts",
+    "doc_fingerprints",
+    "repetition_stats",
+    "events_tumbling_counts",
+    "events_sliding_counts",
+    "events_sessionize",
+    "events_json_stats",
+    "events_gap_filled_counts",
+    "degree_distribution",
+    "triangle_count",
+    "user_funnel",
+    "top_users_by_type",
+    "media_meta",
+    "tbl_scan_nation",
+    "customers_without_orders",
+    "events_rollup_counts",
+    "events_cube_counts",
+    "events_value_percentiles",
+    "events_distinct_users",
+    "user_event_gaps",
+    "user_type_pivot",
+    "order_quartiles",
+    "user_rolling_value",
+    "events_sketch_check",
+    "events_hash_sample",
+    "dataset_split",
+    "quality_stratified_sample",
+    "lang_mixture_rates",
+    "lang_mixture_sample",
+    "events_asof_last_click",
+    "error_click_window_counts",
+    "profile_lineitem",
+    "events_snapshot_diff",
+    "events_apply_changes",
+    "clean_corpus",
+    "contamination_flags",
+    "boilerplate_ngrams",
+    "boilerplate_fraction",
+    "bigram_lm_perplexity",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_running_counts",
+    "stream_dedup",
+    "stream_enriched",
+    "stream_error_click_join",
+    # round-3 additions / newly-oracled entries
+    "ppr_topk",
+    "ivf_topk_indexed",
+)
+
+
+def _window_order(names: list[str]) -> list[str]:
+    front = [n for n in _DRIVER_WINDOW_FIRST if n in names]
+    rest = [n for n in names if n not in set(_DRIVER_WINDOW_FIRST)]
+    return front + rest
+
+
 def queries() -> dict[str, QueryFn]:
     _load_all()
-    return dict(_QUERIES)
+    return {n: _QUERIES[n] for n in _window_order(list(_QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
-    return dict(_ORACLES)
+    return {n: _ORACLES[n] for n in _window_order(list(_ORACLES))}
 
 
 _LOADED = False
