@@ -239,30 +239,42 @@ def kmeans_centroids(
                 )
 
         # Spark-side reduce of the per-batch partials BEFORE the collect:
-        # one C-row exchange per iteration, so driver traffic is O(C x dim)
-        # regardless of how many Arrow batches the scan produced (at 100 TB
-        # the raw partials are millions of model-sized frames).
+        # O(C x dim) driver traffic per iteration regardless of how many
+        # Arrow batches the scan produced (at 100 TB the raw partials are
+        # millions of model-sized frames). The reduce is posexplode ->
+        # groupBy(centroid_id, pos) -> sum: the plan stays O(1) in dim
+        # (one aggregate expression, not one per dimension — at embedding
+        # dim 2-4k the per-dim form generates thousands of codegen'd
+        # aggregates), while F.sum still gets Tungsten map-side partial
+        # aggregation, unlike a collect_list-and-fold which would buffer
+        # every batch partial per centroid. cnt rides along on pos 0 so
+        # one pass reduces both.
         dim = cmat.shape[1]
         reduced = (
             unit.mapInPandas(
                 partial_sums, "centroid_id int, psum array<double>, cnt long"
             )
-            .groupBy("centroid_id")
+            .select(
+                "centroid_id", "cnt", F.posexplode("psum").alias("pos", "v")
+            )
+            .groupBy("centroid_id", "pos")
             .agg(
-                F.sum("cnt").alias("cnt"),
-                *[F.sum(F.col("psum")[i]).alias(f"s{i}") for i in range(dim)],
+                F.sum("v").alias("s"),
+                F.sum(
+                    F.when(F.col("pos") == 0, F.col("cnt")).otherwise(F.lit(0))
+                ).alias("c"),
             )
             .collect()
         )
-        sums: dict[int, np.ndarray] = {
-            int(r["centroid_id"]): np.array(
-                [r[f"s{i}"] for i in range(dim)], dtype=np.float64
-            )
-            for r in reduced
-        }
-        cnts: dict[int, int] = {
-            int(r["centroid_id"]): int(r["cnt"]) for r in reduced
-        }
+        sums: dict[int, np.ndarray] = {}
+        cnts: dict[int, int] = {}
+        for r in reduced:
+            cid = int(r["centroid_id"])
+            if cid not in sums:
+                sums[cid] = np.zeros(dim, dtype=np.float64)
+            sums[cid][int(r["pos"])] = r["s"]
+            if int(r["pos"]) == 0:
+                cnts[cid] = int(r["c"])
         new_centroids = []
         for cid, vec in centroids:
             if cnts.get(cid, 0):
