@@ -396,8 +396,12 @@ def ppr_top_k(
     k: int = TOP_K,
 ) -> DataFrame:
     """Per-source top-k nodes by mass (ExtractTopPersonalizedPageRankNodes)
-    as a window rank — (source, node_id, mass). Deterministic tie-break on
-    node_id (the reference's priority queues are tie-unstable)."""
+    as a window rank — (source, node_id, mass). Ranked on the 6dp-ROUNDED
+    mass with a node_id tie-break: ranking raw fp64 would make membership
+    depend on summation order below the rounding the output carries (the
+    reference's priority queues are tie-unstable anyway), while the rounded
+    rank is reproducible across engines — which is what lets the unrolled
+    DuckDB oracle (plans/catalog.py::_PPR_TOPK_SQL) hash-check this query."""
     ranks = personalized_pagerank(spark, sf_dir, sources, iterations)
     per_source = ranks.select(
         "id",
@@ -410,13 +414,13 @@ def ppr_top_k(
     ).select(
         F.col("sm.source").alias("source"),
         F.col("id").alias("node_id"),
-        F.col("sm.mass").alias("mass"),
+        F.round(F.col("sm.mass"), 6).alias("mass"),
     )
     w = Window.partitionBy("source").orderBy(F.desc("mass"), F.asc("node_id"))
     return (
         per_source.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
-        .select("source", "node_id", F.round("mass", 6).alias("mass"))
+        .select("source", "node_id", "mass")
     )
 
 

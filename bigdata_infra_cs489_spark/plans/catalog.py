@@ -466,11 +466,92 @@ register(
     """,
 )
 
-# Iterative fixpoint: not SQL-expressible -> rows-only driver check; the
-# numerics are pinned by a NumPy replay oracle in tests/test_graph.py.
+def _ppr_topk_sql(
+    sources: tuple[int, ...] = G.SOURCES,
+    iterations: int = G.DEFAULT_ITERATIONS,
+    k: int = G.TOP_K,
+    alpha: float = G.ALPHA,
+) -> str:
+    """Fully-unrolled DuckDB twin of the 10-iteration PPR loop.
+
+    The loop has a FIXED iteration count, so it is SQL-expressible after
+    all: each iteration is 4 CTEs (messages, received-with-zeros, missing
+    mass, jump phase) and the generator unrolls them. Every CTE is
+    MATERIALIZED — rec{i} is referenced twice (by mis{i} and r{i}), so
+    inlining would double the plan per iteration (2^10 blowup), and
+    repeated `documents` references would otherwise re-open the parquet
+    per scan. Derived from the data, never from pinned fixture values, so
+    it survives fixture regeneration. Constants render via repr() so both
+    engines parse the identical double.
+    """
+    om, al = repr(1.0 - alpha), repr(alpha)
+    cols = range(len(sources))
+    ctes = [
+        "n AS MATERIALIZED (SELECT count(*) AS c FROM documents)",
+        "nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents)",
+        "edges AS MATERIALIZED (SELECT DISTINCT doc_id AS src,"
+        " (doc_id * k + 1) % (SELECT c FROM n) AS dst"
+        " FROM documents, unnest(range(1, (doc_id % 5) + 1)) AS t(k))",
+        "outdeg AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg"
+        " FROM edges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT id, "
+        + ", ".join(
+            f"CAST(CASE WHEN id = {s} THEN 1.0 ELSE 0.0 END AS DOUBLE) AS m{i}"
+            for i, s in enumerate(sources)
+        )
+        + " FROM nodes)",
+    ]
+    for it in range(1, iterations + 1):
+        p = it - 1
+        msgs = ", ".join(f"sum(r.m{i} / o.outdeg) AS c{i}" for i in cols)
+        ctes.append(
+            f"msg{it} AS MATERIALIZED (SELECT e.dst AS id, {msgs} FROM r{p} r"
+            f" JOIN outdeg o ON o.id = r.id JOIN edges e ON e.src = r.id"
+            f" GROUP BY e.dst)"
+        )
+        recs = ", ".join(
+            f"coalesce(m.c{i}, CAST(0.0 AS DOUBLE)) AS m{i}" for i in cols
+        )
+        ctes.append(
+            f"rec{it} AS MATERIALIZED (SELECT nd.id, {recs}"
+            f" FROM nodes nd LEFT JOIN msg{it} m ON m.id = nd.id)"
+        )
+        mis = ", ".join(
+            f"greatest(CAST(0.0 AS DOUBLE), 1.0 - sum(m{i})) AS x{i}"
+            for i in cols
+        )
+        ctes.append(f"mis{it} AS MATERIALIZED (SELECT {mis} FROM rec{it})")
+        newm = ", ".join(
+            f"CASE WHEN id = {s} THEN {al} + {om} * (m{i} +"
+            f" (SELECT x{i} FROM mis{it})) ELSE {om} * m{i} END AS m{i}"
+            for i, s in enumerate(sources)
+        )
+        ctes.append(f"r{it} AS MATERIALIZED (SELECT id, {newm} FROM rec{it})")
+    union = " UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS source, id AS node_id,"
+        f" m{i} AS mass FROM r{iterations}"
+        for i, s in enumerate(sources)
+    )
+    ctes.append(f"ps AS ({union})")
+    ctes.append(
+        "ranked AS (SELECT source, node_id, round(mass, 6) AS mass,"
+        " row_number() OVER (PARTITION BY source"
+        " ORDER BY round(mass, 6) DESC, node_id) AS rn FROM ps)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT source, node_id, mass FROM ranked WHERE rn <= {k}"
+    )
+
+
+# The fixed-iteration-count loop unrolls into straight-line SQL, so the
+# headline iterative operator gets a full value oracle (both sides rank on
+# the 6dp-rounded mass, making top-k membership fp-reproducible).
 register(
     "ppr_topk",
     lambda spark, sf: G.ppr_top_k(spark, sf),
+    _ppr_topk_sql(),
 )
 
 # The conservation invariant IS SQL-expressible (a constant): after every
