@@ -825,10 +825,7 @@ register(
     """,
 )
 
-register(
-    "ivf_topk",
-    lambda spark, sf: S.ivf_topk(spark, sf),
-    f"""
+_IVF_TOPK_SQL = f"""
     WITH e AS ({DUCK_EMB}),
     q AS (SELECT v AS q FROM e WHERE vec_id = {S.QUERY_VEC_ID}),
     cent AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
@@ -853,7 +850,25 @@ register(
     FROM e JOIN best USING (vec_id) JOIN probed USING (centroid_id)
     ORDER BY cosine DESC, vec_id
     LIMIT {S.TOP_K}
-    """,
+    """
+
+register(
+    "ivf_topk",
+    lambda spark, sf: S.ivf_topk(spark, sf),
+    _IVF_TOPK_SQL,
+)
+
+# Materialized (write-once / probe-many) variant: same probe rule and the
+# same oracle as ivf_topk, but the probe reads the partition-pruned
+# bucketed index (operators/vector_index.py) instead of re-assigning the
+# corpus per query — the reference's build-once index lifecycle
+# (BooleanRetrievalCompressed.java:31-37) applied to vectors.
+from ..operators import vector_index as VI  # noqa: E402
+
+register(
+    "ivf_topk_indexed",
+    lambda spark, sf: VI.ivf_topk_indexed(spark, sf),
+    _IVF_TOPK_SQL,
 )
 
 register(
@@ -951,10 +966,7 @@ register(
     """,
 )
 
-register(
-    "lsh_topk",
-    lambda spark, sf: S.lsh_topk(spark, sf),
-    f"""
+_LSH_TOPK_SQL = f"""
     WITH e AS ({DUCK_EMB}),
     {DUCK_LSH_CODES},
     bands AS (
@@ -970,7 +982,20 @@ register(
     FROM e JOIN cand ON e.vec_id = cand.vec_id
     ORDER BY cosine DESC, e.vec_id
     LIMIT {S.TOP_K}
-    """,
+    """
+
+register(
+    "lsh_topk",
+    lambda spark, sf: S.lsh_topk(spark, sf),
+    _LSH_TOPK_SQL,
+)
+
+# Materialized banded-LSH probe (hash-table-per-band layout): same
+# candidate rule and oracle as lsh_topk against the pruned bucketed index.
+register(
+    "lsh_topk_indexed",
+    lambda spark, sf: VI.lsh_topk_indexed(spark, sf),
+    _LSH_TOPK_SQL,
 )
 
 # --- text analysis (north-star extensions) ----------------------------------

@@ -89,9 +89,11 @@ _DRIVER_WINDOW_FIRST = (
     "stream_dedup",
     "stream_enriched",
     "stream_error_click_join",
-    # round-3 additions / newly-oracled entries
+    # round-3 additions / newly-oracled entries (the window holds 50;
+    # names past slot 50 are simply next in line for a future rotation)
     "ppr_topk",
     "ivf_topk_indexed",
+    "lsh_topk_indexed",
 )
 
 
