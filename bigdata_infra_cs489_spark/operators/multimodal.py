@@ -10,10 +10,19 @@ NotImplementedError in strict mode). Everything Spark-side is real and
 tested: binary column schema, metadata struct, mapInPandas batch shape,
 partitioning behavior.
 
-Media derivation (fixture has no binary column): media = md5 digest bytes
-of the text repeated (doc_id % 4 + 1) times -> 16..64 bytes, media_type
-cycles image/audio/video. Deterministic, so metadata is DuckDB-oracle
-checkable and features are replayable in tests.
+Media derivation (fixture has no binary column): each doc gets a REAL
+format header followed by a deterministic payload (md5 digest bytes of
+the text repeated (doc_id % 4 + 1) times). media_type cycles by doc_id:
+image -> PNG signature + IHDR chunk, audio -> canonical 44-byte WAV
+(RIFF/fmt/data), video -> JPEG SOI + SOF0 frame header (an MJPEG-style
+keyframe). Dimensions / channels / sample rate are encoded INTO the
+bytes per each format's spec (big-endian for PNG/JPEG, little-endian
+for WAV), and ``media_meta`` recovers them by PARSING those bytes —
+magic-number dispatch, marker scan for SOF0 — with JVM byte/hex
+built-ins, no Python and no codec library. The DuckDB oracle constructs
+and parses the same bytes, so width/height are real decoded data, not
+stub arithmetic. (Full image decode — IDAT inflate etc. — still sits
+behind the strict-mode NotImplementedError in decode_media.)
 """
 
 from __future__ import annotations
@@ -40,16 +49,89 @@ except ImportError:
     HAVE_IMAGE_CODEC = False
 
 
+# deterministic per-doc media parameters, all < the format field widths
+# (JPEG SOF0 height/width are u16; WAV channels u16 / sample rate u32)
+def _media_width(doc_id):
+    return (16 + doc_id % 112).cast("int")
+
+
+def _media_height(doc_id):
+    return (16 + (doc_id * 7) % 112).cast("int")
+
+
+def _media_channels(doc_id):
+    return (1 + doc_id % 2).cast("int")
+
+
+def _media_sample_rate(doc_id):
+    return (8000 * (1 + doc_id % 5)).cast("int")
+
+
+def _be_hex(col, nbytes: int):
+    """Big-endian fixed-width hex rendering of an int column."""
+    return F.format_string(f"%0{2 * nbytes}X", col.cast("bigint"))
+
+
+def _le_hex(col, nbytes: int):
+    """Little-endian byte order: emit each byte low-to-high."""
+    c = col.cast("bigint")
+    return F.concat(
+        *[
+            F.format_string("%02X", F.shiftright(c, 8 * i).bitwiseAND(F.lit(255)))
+            for i in range(nbytes)
+        ]
+    )
+
+
 def attach_media(docs: DataFrame) -> DataFrame:
     """(doc_id, media binary, meta struct<media_type,n_bytes>): the opaque
-    multimodal column layout. repeat(md5) keeps it deterministic."""
-    digest = F.unhex(F.md5("text"))
-    repeats = (F.col("doc_id") % 4 + 1).cast("int")
-    # digest repeated `repeats` times: repeating the hex string and
-    # unhexing once is byte-identical to concatenating the digest, and
-    # stays a single codegen'd expression (one md5 per row) instead of an
-    # interpreted higher-order aggregate re-hashing per element
-    media = F.unhex(F.repeat(F.md5("text"), repeats))
+    multimodal column layout. The payload is repeat(md5(text)); the header
+    is a real PNG / WAV / JPEG header with the doc's dimensions / audio
+    params encoded per spec, built as one codegen'd hex-string concat and
+    unhexed once."""
+    doc_id = F.col("doc_id")
+    repeats = (doc_id % 4 + 1).cast("int")
+    payload_hex = F.repeat(F.md5("text"), repeats)
+    datalen = (F.lit(16) * repeats).cast("int")
+    w, h = _media_width(doc_id), _media_height(doc_id)
+    ch, sr = _media_channels(doc_id), _media_sample_rate(doc_id)
+
+    # PNG: 8-byte signature, IHDR length(13) + type, width/height u32 BE,
+    # bit depth 8, color type 2 (truecolor), compression/filter/interlace
+    # 0, then a placeholder CRC (header parsers don't verify it).
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        _be_hex(w, 4),
+        _be_hex(h, 4),
+        F.lit("0802000000" + "00000000"),
+    )
+    # JPEG: SOI, then SOF0 (len 11: precision 8, height/width u16 BE,
+    # 1 component spec 01/11/00) — the MJPEG keyframe shape.
+    jpeg_hex = F.concat(
+        F.lit("FFD8" + "FFC0" + "000B" + "08"),
+        _be_hex(h, 2),
+        _be_hex(w, 2),
+        F.lit("01" + "011100"),
+    )
+    # WAV: canonical 44-byte RIFF/fmt/data header, all multi-byte fields
+    # little-endian; PCM-16 so byte rate = sr*ch*2, block align = ch*2.
+    wav_hex = F.concat(
+        F.lit("52494646"),                      # "RIFF"
+        _le_hex(F.lit(36) + datalen, 4),        # riff size
+        F.lit("57415645" + "666D7420" + "10000000" + "0100"),  # "WAVE","fmt ",16,PCM
+        _le_hex(ch, 2),
+        _le_hex(sr, 4),
+        _le_hex(sr * ch * 2, 4),                # byte rate
+        _le_hex(ch * 2, 2),                     # block align
+        F.lit("1000" + "64617461"),             # bits=16 LE, "data"
+        _le_hex(datalen, 4),
+    )
+    header_hex = (
+        F.when(doc_id % 3 == 0, png_hex)
+        .when(doc_id % 3 == 1, wav_hex)
+        .otherwise(jpeg_hex)
+    )
+    media = F.unhex(F.concat(header_hex, payload_hex))
     return docs.select(
         "doc_id",
         media.alias("media"),
@@ -58,7 +140,7 @@ def attach_media(docs: DataFrame) -> DataFrame:
                 F.array(*[F.lit(t) for t in MEDIA_TYPES]),
                 (F.col("doc_id") % 3 + 1).cast("int"),
             ).alias("media_type"),
-            (F.length(digest) * repeats).cast("bigint").alias("n_bytes"),
+            F.length(media).cast("bigint").alias("n_bytes"),
         ).alias("meta"),
     )
 
@@ -68,12 +150,57 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flattened metadata view (oracle-checkable)."""
-    m = media_table(spark, sf_dir)
+    """Metadata DECODED from the media bytes (oracle-checkable): the type
+    comes from magic-number dispatch, dimensions from the PNG IHDR /
+    JPEG SOF0 (located by marker scan, not a fixed offset) and audio
+    params from the WAV fmt chunk — all with JVM hex/substring/conv
+    built-ins over hex(media), zero Python. Fields a format doesn't
+    carry are NULL (width/height for audio, channels/sample_rate for
+    image/video)."""
+    m = media_table(spark, sf_dir).select(
+        "doc_id", "media", F.hex("media").alias("h")
+    )
+
+    def u(expr: str) -> F.Column:
+        return F.conv(F.expr(expr), 16, 10).cast("int")
+
+    is_png = F.expr("substring(h, 1, 8)") == "89504E47"
+    is_wav = F.expr("substring(h, 1, 8)") == "52494646"
+    is_jpg = F.expr("substring(h, 1, 4)") == "FFD8"
+    # SOF0 marker scan (chars are 2-per-byte; locate returns the char
+    # index of 'FFC0'): len(2B) + precision(1B) follow the marker, then
+    # height u16 BE, width u16 BE
+    sof = F.locate("FFC0", F.col("h"))
+    width = F.when(is_png, u("substring(h, 33, 8)")).when(
+        is_jpg & (sof > 0), u(f"substring(h, locate('FFC0', h) + 14, 4)")
+    )
+    height = F.when(is_png, u("substring(h, 41, 8)")).when(
+        is_jpg & (sof > 0), u(f"substring(h, locate('FFC0', h) + 10, 4)")
+    )
+    # WAV fmt chunk, little-endian: channels u16 at bytes 23-24, sample
+    # rate u32 at bytes 25-28 (canonical RIFF layout) — reassemble the
+    # hex bytes high-to-low before the base-16 parse
+    channels = F.when(
+        is_wav, u("concat(substring(h, 47, 2), substring(h, 45, 2))")
+    )
+    sample_rate = F.when(
+        is_wav,
+        u(
+            "concat(substring(h, 55, 2), substring(h, 53, 2),"
+            " substring(h, 51, 2), substring(h, 49, 2))"
+        ),
+    )
+    media_type = (
+        F.when(is_png, "image").when(is_wav, "audio").when(is_jpg, "video")
+    )
     return m.select(
         "doc_id",
-        F.col("meta.media_type").alias("media_type"),
-        F.col("meta.n_bytes").alias("n_bytes"),
+        media_type.alias("media_type"),
+        F.length("media").cast("bigint").alias("n_bytes"),
+        width.alias("width"),
+        height.alias("height"),
+        channels.alias("channels"),
+        sample_rate.alias("sample_rate"),
     )
 
 

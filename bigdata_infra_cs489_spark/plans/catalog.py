@@ -1346,14 +1346,84 @@ register(
 
 from ..operators import multimodal as MM  # noqa: E402
 
+# The oracle CONSTRUCTS the same media bytes (real PNG/WAV/JPEG headers
+# + repeated-digest payload, operators/multimodal.py::attach_media) and
+# then PARSES the header back out of hex(media) exactly like the Spark
+# side — magic dispatch, SOF0 marker scan, little-endian WAV fields — so
+# the check covers the byte-level decode, not a doc_id formula.
+_MEDIA_HEX_SQL = """
+    WITH params AS (
+        SELECT doc_id,
+               16 + doc_id % 112 AS w,
+               16 + (doc_id * 7) % 112 AS hh,
+               1 + doc_id % 2 AS ch,
+               8000 * (1 + doc_id % 5) AS sr,
+               16 * (doc_id % 4 + 1) AS datalen,
+               repeat(md5(text), CAST(doc_id % 4 + 1 AS INT)) AS payload
+        FROM documents),
+    built AS (
+        SELECT doc_id,
+               CASE doc_id % 3
+               WHEN 0 THEN
+                   '89504E470D0A1A0A' || '0000000D' || '49484452'
+                   || printf('%08X', w) || printf('%08X', hh)
+                   || '0802000000' || '00000000'
+               WHEN 1 THEN
+                   '52494646'
+                   || printf('%02X', (36 + datalen) & 255)
+                   || printf('%02X', ((36 + datalen) >> 8) & 255)
+                   || printf('%02X', ((36 + datalen) >> 16) & 255)
+                   || printf('%02X', ((36 + datalen) >> 24) & 255)
+                   || '57415645' || '666D7420' || '10000000' || '0100'
+                   || printf('%02X', ch & 255) || printf('%02X', (ch >> 8) & 255)
+                   || printf('%02X', sr & 255) || printf('%02X', (sr >> 8) & 255)
+                   || printf('%02X', (sr >> 16) & 255) || printf('%02X', (sr >> 24) & 255)
+                   || printf('%02X', (sr * ch * 2) & 255)
+                   || printf('%02X', ((sr * ch * 2) >> 8) & 255)
+                   || printf('%02X', ((sr * ch * 2) >> 16) & 255)
+                   || printf('%02X', ((sr * ch * 2) >> 24) & 255)
+                   || printf('%02X', (ch * 2) & 255) || printf('%02X', ((ch * 2) >> 8) & 255)
+                   || '1000' || '64617461'
+                   || printf('%02X', datalen & 255) || printf('%02X', (datalen >> 8) & 255)
+                   || printf('%02X', (datalen >> 16) & 255) || printf('%02X', (datalen >> 24) & 255)
+               ELSE
+                   'FFD8' || 'FFC0' || '000B' || '08'
+                   || printf('%04X', hh) || printf('%04X', w)
+                   || '01' || '011100'
+               END || payload AS media_hex
+        FROM params)
+    SELECT doc_id, hex(unhex(media_hex)) AS h FROM built
+"""
+
 register(
     "media_meta",
     MM.q_media_meta,
-    """
+    f"""
+    WITH m AS ({_MEDIA_HEX_SQL})
     SELECT doc_id,
-           (['image', 'audio', 'video'])[doc_id % 3 + 1] AS media_type,
-           CAST(16 * (doc_id % 4 + 1) AS BIGINT) AS n_bytes
-    FROM documents
+           CASE WHEN substring(h, 1, 8) = '89504E47' THEN 'image'
+                WHEN substring(h, 1, 8) = '52494646' THEN 'audio'
+                WHEN substring(h, 1, 4) = 'FFD8' THEN 'video'
+           END AS media_type,
+           CAST(len(h) // 2 AS BIGINT) AS n_bytes,
+           CASE WHEN substring(h, 1, 8) = '89504E47'
+                THEN ('0x' || substring(h, 33, 8))::INT
+                WHEN substring(h, 1, 4) = 'FFD8' AND position('FFC0' IN h) > 0
+                THEN ('0x' || substring(h, position('FFC0' IN h) + 14, 4))::INT
+           END AS width,
+           CASE WHEN substring(h, 1, 8) = '89504E47'
+                THEN ('0x' || substring(h, 41, 8))::INT
+                WHEN substring(h, 1, 4) = 'FFD8' AND position('FFC0' IN h) > 0
+                THEN ('0x' || substring(h, position('FFC0' IN h) + 10, 4))::INT
+           END AS height,
+           CASE WHEN substring(h, 1, 8) = '52494646'
+                THEN ('0x' || substring(h, 47, 2) || substring(h, 45, 2))::INT
+           END AS channels,
+           CASE WHEN substring(h, 1, 8) = '52494646'
+                THEN ('0x' || substring(h, 55, 2) || substring(h, 53, 2)
+                           || substring(h, 51, 2) || substring(h, 49, 2))::INT
+           END AS sample_rate
+    FROM m
     """,
 )
 

@@ -18,6 +18,38 @@ def test_media_meta_matches_oracle(spark, sf_correct):
     assert_matches_oracle(q(spark, sf_correct), sql, sf_correct)
 
 
+def _expected_media(doc_id: int, text: str) -> bytes:
+    """Python twin of attach_media's header+payload generation."""
+    import struct
+
+    payload = hashlib.md5(text.encode()).digest() * (doc_id % 4 + 1)
+    w, hh = 16 + doc_id % 112, 16 + (doc_id * 7) % 112
+    ch, sr = 1 + doc_id % 2, 8000 * (1 + doc_id % 5)
+    dl = 16 * (doc_id % 4 + 1)
+    if doc_id % 3 == 0:  # PNG
+        hdr = (
+            bytes.fromhex("89504E470D0A1A0A0000000D49484452")
+            + struct.pack(">II", w, hh)
+            + bytes.fromhex("080200000000000000")
+        )
+    elif doc_id % 3 == 1:  # canonical WAV
+        hdr = (
+            b"RIFF"
+            + struct.pack("<I", 36 + dl)
+            + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * ch * 2, ch * 2, 16)
+            + b"data"
+            + struct.pack("<I", dl)
+        )
+    else:  # JPEG SOI + SOF0
+        hdr = (
+            bytes.fromhex("FFD8FFC0000B08")
+            + struct.pack(">HH", hh, w)
+            + bytes.fromhex("01011100")
+        )
+    return hdr + payload
+
+
 def test_media_binary_derivation(spark, sf_correct):
     from bigdata_infra_cs489_spark.operators.multimodal import media_table
 
@@ -29,9 +61,35 @@ def test_media_binary_derivation(spark, sf_correct):
         ).fetchall()
     )
     for r in rows:
-        digest = hashlib.md5(texts[r.doc_id].encode()).digest()
-        assert bytes(r.media) == digest * (r.doc_id % 4 + 1)
+        assert bytes(r.media) == _expected_media(r.doc_id, texts[r.doc_id])
         assert r.meta.n_bytes == len(bytes(r.media))
+
+
+def test_media_meta_parses_real_headers(spark, sf_smoke):
+    from bigdata_infra_cs489_spark.operators.multimodal import media_meta
+
+    rows = {r.doc_id: r for r in media_meta(spark, sf_smoke).collect()}
+    for doc_id, r in rows.items():
+        if doc_id % 3 == 0:
+            assert r.media_type == "image"
+            assert (r.width, r.height) == (
+                16 + doc_id % 112,
+                16 + (doc_id * 7) % 112,
+            )
+            assert r.channels is None and r.sample_rate is None
+        elif doc_id % 3 == 1:
+            assert r.media_type == "audio"
+            assert (r.channels, r.sample_rate) == (
+                1 + doc_id % 2,
+                8000 * (1 + doc_id % 5),
+            )
+            assert r.width is None and r.height is None
+        else:
+            assert r.media_type == "video"
+            assert (r.width, r.height) == (
+                16 + doc_id % 112,
+                16 + (doc_id * 7) % 112,
+            )
 
 
 def test_decode_strict_raises_without_codec(spark, sf_smoke):
@@ -76,7 +134,7 @@ def test_features_shape_and_determinism(spark, sf_smoke):
     text0 = con.execute(
         "SELECT text FROM read_parquet('/root/testdata/sf0.001/documents.parquet') WHERE doc_id = 0"
     ).fetchone()[0]
-    media0 = hashlib.md5(text0.encode()).digest() * 1
+    media0 = _expected_media(0, text0)
     want = [hashlib.md5(media0).digest()[i] / 256.0 for i in range(N_FEATURES)]
     assert [pytest.approx(f, abs=1e-6) for f in want] == list(one.features)
 
