@@ -22,6 +22,15 @@ from pyspark.sql import functions as F
 DEFAULT_SALTS = 16
 
 
+def salt_column(keys: list[str], n_salts: int):
+    """The deterministic per-row salt salted_join scatters the large side
+    with (exposed so tests can assert the spread a hot key gets)."""
+    return F.pmod(
+        F.hash(F.monotonically_increasing_id(), *[F.col(k) for k in keys]),
+        F.lit(n_salts),
+    )
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,
@@ -43,11 +52,7 @@ def salted_join(
             f"salted_join supports inner/left/left_semi joins, got {how!r}"
         )
     keys = [on] if isinstance(on, str) else list(on)
-    salt = F.pmod(
-        F.hash(F.monotonically_increasing_id(), *[F.col(k) for k in keys]),
-        F.lit(n_salts),
-    )
-    salted_large = large.withColumn("_salt", salt)
+    salted_large = large.withColumn("_salt", salt_column(keys, n_salts))
     replicated_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -411,7 +411,10 @@ def boilerplate_ngrams(
 
 
 def boilerplate_fraction(
-    corpus: DataFrame, n: int = SHINGLE_N, min_docs: int = BOILERPLATE_MIN_DOCS
+    corpus: DataFrame,
+    n: int = SHINGLE_N,
+    min_docs: int = BOILERPLATE_MIN_DOCS,
+    n_salts: int = 16,
 ) -> DataFrame:
     """(doc_id, n_shingles, n_boiler, boiler_frac): how much of each
     document is corpus-frequent boilerplate — the per-doc quality signal
@@ -420,17 +423,28 @@ def boilerplate_fraction(
 
     Shape: two passes over the shingle stream, the inherent minimum (the
     boilerplate set is a global aggregate the second pass conditions on) —
-    pass 1 computes per-shingle doc counts, pass 2 left-joins the flags
-    and folds n_shingles and n_boiler in ONE per-doc aggregation. The
-    join key is the shingle, so skew is bounded by the most-common
-    shingle and AQE's skew-join split handles the tail at scale."""
+    pass 1 computes per-shingle doc counts, pass 2 joins the flags and
+    folds n_shingles and n_boiler in ONE per-doc aggregation. The join
+    key is the shingle, and this join is skewed BY CONSTRUCTION: the
+    boilerplate side is precisely the corpus's hottest shingles (a
+    license header present in half the crawl is one join key). So the
+    flag join goes through salted_join (functions/skew.py) — each hot
+    shingle spreads across ``n_salts`` tasks structurally, rather than
+    relying on AQE's skew split observing the hot partition at runtime.
+    ``n_salts=1`` degenerates to the plain join (tests pin parity)."""
+    from ..functions.skew import salted_join
+
     sh = shingle_index(corpus, n)
     boiler = boilerplate_ngrams(corpus, n, min_docs).select(
         "s", F.lit(1).alias("is_boiler")
     )
-    return (
+    joined = (
         sh.join(boiler, "s", "left")
-        .groupBy("doc_id")
+        if n_salts <= 1
+        else salted_join(sh, boiler, "s", n_salts=n_salts, how="left")
+    )
+    return (
+        joined.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.count("is_boiler").alias("n_boiler"),

@@ -87,6 +87,55 @@ def test_auc_extremes_and_ties(spark):
     assert ranking_auc(tied).collect()[0]["auc"] == 0.5
 
 
+def test_boilerplate_fraction_salted_on_hot_shingle_fixture(spark):
+    """A corpus where one shingle appears in EVERY doc (the worst-case
+    hot join key): the salted path must (a) return exactly the plain-join
+    result and (b) actually spread the hot key's rows across salts with a
+    bounded max/expected task-size ratio — the property that keeps one
+    reducer from absorbing the whole hot key at scale."""
+    from bigdata_infra_cs489_spark.functions.skew import salt_column
+    from bigdata_infra_cs489_spark.operators.dedup import (
+        SHINGLE_N,
+        boilerplate_fraction,
+        shingle_index,
+    )
+
+    n_docs, n_salts = 200, 8
+    hot = "alpha beta gamma"  # SHINGLE_N=3: one shared 3-gram per doc
+    corpus = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(hot + " unique"),
+            F.col("id").cast("string"),
+            F.lit(" filler"),
+            (F.col("id") * 7 % 13).cast("string"),
+        ).alias("text"),
+    )
+
+    plain = sorted(
+        map(tuple, boilerplate_fraction(corpus, n_salts=1).collect())
+    )
+    salted = sorted(
+        map(tuple, boilerplate_fraction(corpus, n_salts=n_salts).collect())
+    )
+    assert plain == salted
+    # every doc contains the hot shingle -> boiler_frac > 0 everywhere
+    assert all(row[3] > 0 for row in salted)
+
+    # spread check: the hot shingle's rows land in every salt bucket and
+    # no bucket exceeds 2x the uniform share
+    sh = shingle_index(corpus, SHINGLE_N)
+    hot_rows = sh.where(F.col("s") == hot).withColumn(
+        "_salt", salt_column(["s"], n_salts)
+    )
+    sizes = {
+        r["_salt"]: r["cnt"]
+        for r in hot_rows.groupBy("_salt").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert len(sizes) == n_salts
+    assert max(sizes.values()) <= 2 * (n_docs / n_salts)
+
+
 def test_salted_join_rejects_right_and_full(spark):
     import pytest
 
