@@ -183,25 +183,25 @@ def bigram_relative_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.unionAll(marginals)
 
 
-def _pmi_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pmi_tokens_from(corpus: DataFrame) -> DataFrame:
     """Per-line distinct tokens after the 100-token cap (PairsPMI.java:53-66)."""
-    return (
-        _corpus(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.array_distinct(F.slice(tokenize("text"), 1, PMI_TOKEN_CAP)).alias("toks"),
-        )
-        .where(F.size("toks") > 0)
-    )
+    return corpus.select(
+        "doc_id",
+        F.array_distinct(F.slice(tokenize("text"), 1, PMI_TOKEN_CAP)).alias("toks"),
+    ).where(F.size("toks") > 0)
 
 
-def pmi_word_line_counts(
-    spark: SparkSession, sf_dir: str, min_count: int = MIN_COUNT
+def _pmi_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pmi_tokens_from(_corpus(spark, sf_dir))
+
+
+def pmi_word_line_counts_from(
+    corpus: DataFrame, min_count: int = MIN_COUNT
 ) -> DataFrame:
     """Word -> number of lines containing it, HAVING >= threshold
     (PairsPMI job 1, reducer :97-113)."""
     return (
-        _pmi_tokens(spark, sf_dir)
+        _pmi_tokens_from(corpus)
         .select(F.explode("toks").alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("line_count"))
@@ -209,11 +209,17 @@ def pmi_word_line_counts(
     )
 
 
-def pmi_pairs(
+def pmi_word_line_counts(
     spark: SparkSession, sf_dir: str, min_count: int = MIN_COUNT
 ) -> DataFrame:
+    return pmi_word_line_counts_from(_corpus(spark, sf_dir), min_count)
+
+
+def pmi_pairs_from(corpus: DataFrame, min_count: int = MIN_COUNT) -> DataFrame:
     """Ordered co-occurring word pairs with PMI (CooccurrencePairs.java:57-67
-    mapper, :120-135 reducer).
+    mapper, :120-135 reducer), over any (doc_id, text) corpus — the
+    fixture-independent core pmi_pairs wraps, also exercised by the
+    golden-semantics corpus test (tests/test_pmi_golden.py).
 
     pmi(x,y) = log10( (c(x,y) / (c(x)*c(y))) * N ), pairs with c >= 10,
     where c(w) counts lines containing w and N counts non-empty lines.
@@ -223,7 +229,7 @@ def pmi_pairs(
     vocabulary-sized, so both lookup joins broadcast. N is a 1-row aggregate
     collected to the driver (a scalar, never data-sized).
     """
-    toks = _pmi_tokens(spark, sf_dir).cache()
+    toks = _pmi_tokens_from(corpus).cache()
     n_lines = toks.count()
 
     exploded_a = toks.select("doc_id", "toks", F.explode("toks").alias("left"))
@@ -236,7 +242,7 @@ def pmi_pairs(
         .where(F.col("pair_count") >= min_count)
     )
 
-    wc = pmi_word_line_counts(spark, sf_dir, min_count=min_count)
+    wc = pmi_word_line_counts_from(corpus, min_count=min_count)
     left_wc = wc.select(F.col("word").alias("left"), F.col("line_count").alias("px"))
     right_wc = wc.select(F.col("word").alias("right"), F.col("line_count").alias("py"))
 
@@ -254,6 +260,12 @@ def pmi_pairs(
             ).alias("pmi"),
         )
     )
+
+
+def pmi_pairs(
+    spark: SparkSession, sf_dir: str, min_count: int = MIN_COUNT
+) -> DataFrame:
+    return pmi_pairs_from(_corpus(spark, sf_dir), min_count)
 
 
 LM_K = 0.5  # add-k smoothing mass
