@@ -247,14 +247,19 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
 
 def extract_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction -> (doc_id, features array<float>):
-    N_FEATURES floats in [0,1) derived from the media digest — the batch
-    shape and schema a real embedding model (ONNX/torch) would use."""
+    N_FEATURES floats in [0,1) derived from a digest of the media bytes —
+    the batch shape and schema a real embedding model (ONNX/torch) would
+    use. The digest is md5 over the UPPERCASE-HEX rendering of the bytes
+    (not the raw bytes): hex(media) is exactly what both Spark and DuckDB
+    can compute engine-side, which is what lets the registered query
+    hash-check against a SQL oracle instead of a rows-only check. Each
+    k/256 value is exact in float32, so no fp noise crosses engines."""
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for m in pdf["media"]:
-                h = hashlib.md5(bytes(m)).digest()
+                h = hashlib.md5(bytes(m).hex().upper().encode()).digest()
                 feats.append([h[i] / 256.0 for i in range(N_FEATURES)])
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 

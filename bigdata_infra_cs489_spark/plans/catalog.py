@@ -1427,11 +1427,52 @@ register(
     """,
 )
 
-# Arrow/mapInPandas stages over opaque binary media: decode is stubbed
-# (no codecs in this container) -> rows-only checks; determinism and batch
-# shape are pinned in tests/test_multimodal.py.
-register("media_features", MM.q_media_features)
-register("video_frames", MM.q_video_frames)
+# The Arrow feature stage hashes the uppercase-hex rendering of the media
+# bytes, which DuckDB can reproduce with md5(VARCHAR) over the same
+# constructed hex — so even the mapInPandas stage hash-checks. Features
+# render as %.8f strings (k/256 has exactly 8 fractional digits: exact,
+# no cross-engine rounding-mode hazard; the canonicalizer can't hash
+# array cells anyway, same pattern as spam_training_set).
+register(
+    "media_features",
+    lambda spark, sf: MM.q_media_features(spark, sf).select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                "features",
+                lambda x: F.format_string("%.8f", x.cast("double")),
+            ),
+            ",",
+        ).alias("features"),
+    ),
+    f"""
+    WITH m AS ({_MEDIA_HEX_SQL}),
+    d AS (SELECT doc_id, md5(h) AS dg FROM m)
+    SELECT doc_id,
+           list_aggregate(
+               [printf('%.8f',
+                       ('0x' || substring(dg, 2 * i + 1, 2))::INT / 256.0)
+                FOR i IN range({MM.N_FEATURES})],
+               'string_agg', ',') AS features
+    FROM d
+    """,
+)
+
+# Frame sampling: FRAME_BYTES blocks of the payload, every 2nd frame —
+# byte slicing maps 1:1 onto 2*FRAME_BYTES-char slices of the hex twin.
+register(
+    "video_frames",
+    MM.q_video_frames,
+    f"""
+    WITH m AS ({_MEDIA_HEX_SQL})
+    SELECT doc_id,
+           CAST(j AS INT) AS frame_idx,
+           substring(h, 1 + {2 * MM.FRAME_BYTES} * j, {2 * MM.FRAME_BYTES})
+               AS frame_hex
+    FROM m, unnest(range(0, len(h) // {2 * MM.FRAME_BYTES})) t(j)
+    WHERE doc_id % 3 = 2 AND j % 2 = 0
+    """,
+)
 
 # --- reference-native format connectors (SURVEY §2.1 S1/S2/S8) ---------------
 

@@ -135,7 +135,8 @@ def test_features_shape_and_determinism(spark, sf_smoke):
         "SELECT text FROM read_parquet('/root/testdata/sf0.001/documents.parquet') WHERE doc_id = 0"
     ).fetchone()[0]
     media0 = _expected_media(0, text0)
-    want = [hashlib.md5(media0).digest()[i] / 256.0 for i in range(N_FEATURES)]
+    digest = hashlib.md5(media0.hex().upper().encode()).digest()
+    want = [digest[i] / 256.0 for i in range(N_FEATURES)]
     assert [pytest.approx(f, abs=1e-6) for f in want] == list(one.features)
 
 
