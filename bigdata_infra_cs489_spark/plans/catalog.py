@@ -1486,6 +1486,24 @@ register(
     """,
 )
 
+# --- co-located bucketed join (SURVEY §4 custom-partitioner equivalent) ------
+
+from ..operators import colocated as CO  # noqa: E402
+
+register(
+    "bucketed_customer_orders",
+    lambda spark, sf: CO.bucketed_customer_orders(spark, sf),
+    f"""
+    SELECT c_custkey, c_name,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY total_price DESC, c_custkey
+    LIMIT {CO.TOP_CUSTOMERS}
+    """,
+)
+
 # --- relational vocabulary beyond the reference (SURVEY §2.3/2.4/2.5 notes) --
 
 from ..operators import relational_ext as RX  # noqa: E402
