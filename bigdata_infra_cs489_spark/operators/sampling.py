@@ -115,6 +115,50 @@ def lang_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CAP_PER_SOURCE = 15
+CAP_SALT = "cap-v1"
+
+
+def source_capped_sample(
+    spark: SparkSession, sf_dir: str, cap: int = CAP_PER_SOURCE
+) -> DataFrame:
+    """(doc_id, source): at most ``cap`` documents per source — the
+    per-domain cap every web-corpus pipeline applies so no single crawl
+    host dominates the mixture. Membership is deterministic: docs rank
+    within their source by salted portable hash (doc_id tie-break), so
+    the kept set is stable across runs, engines, and partitionings, and
+    the DuckDB oracle replays it bit-for-bit.
+
+    Scale shape: a per-source count (one partial-aggregated shuffle to
+    #sources rows) splits the corpus first — sources already under the
+    cap pass through with a broadcast anti-join and NEVER pay a sort;
+    only the oversized tail goes through the partitioned rank window. A
+    hot source (half the crawl behind one domain) therefore costs one
+    sorted partition of just that source's rows, not a corpus-wide sort,
+    and everything else is map-side."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    big = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > cap)
+        .select("source")
+    )
+    under_cap = docs.join(F.broadcast(big), "source", "left_anti")
+    rk = h8(F.concat(F.col("doc_id").cast("string"), F.lit(CAP_SALT)))
+    w = Window.partitionBy("source").orderBy(F.asc("rk"), F.asc("doc_id"))
+    capped = (
+        docs.join(F.broadcast(big), "source")
+        .withColumn("rk", rk)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= cap)
+    )
+    return under_cap.select("doc_id", "source").unionByName(
+        capped.select("doc_id", "source")
+    )
+
+
 STRATA_RATES = (100, 50, 20, 5)  # keep-% per quality quartile, best first
 STRATA_SALT = "strata-v1"
 

@@ -1703,6 +1703,21 @@ register(
     """,
 )
 
+register(
+    "source_capped_sample",
+    lambda spark, sf: SA.source_capped_sample(spark, sf),
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {DUCK_H8.format(x=f"(CAST(doc_id AS VARCHAR) || '{SA.CAP_SALT}')")},
+                            doc_id) AS rn
+        FROM documents)
+    SELECT doc_id, source FROM ranked WHERE rn <= {SA.CAP_PER_SOURCE}
+    """,
+)
+
 # --- temporal joins (as-of + binned interval join; no reference counterpart) -
 
 from ..operators import temporal as TJ  # noqa: E402

@@ -94,6 +94,10 @@ _DRIVER_WINDOW_FIRST = (
     "ppr_topk",
     "ivf_topk_indexed",
     "lsh_topk_indexed",
+    "bucketed_customer_orders",
+    "source_capped_sample",
+    "media_features",
+    "video_frames",
 )
 
 

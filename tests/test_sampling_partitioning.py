@@ -122,3 +122,33 @@ def test_stratified_sample_rates_decrease_with_quality(spark, sf_correct):
     }
     assert kept.get(1, 0) > kept.get(2, 0) > kept.get(4, 0)
     assert kept.get(3, 0) > kept.get(4, 0)
+
+
+def test_source_capped_sample_caps_and_is_deterministic(spark, sf_correct):
+    """Per-source cap: no source exceeds CAP_PER_SOURCE, under-cap
+    sources keep every doc, and the kept set is run-stable."""
+    from pyspark.sql import functions as F
+
+    from bigdata_infra_cs489_spark.operators.sampling import (
+        CAP_PER_SOURCE,
+        source_capped_sample,
+    )
+    from bigdata_infra_cs489_spark.sources.tables import load
+
+    kept = source_capped_sample(spark, sf_correct)
+    per_source = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_source and all(n <= CAP_PER_SOURCE for n in per_source.values())
+
+    totals = {
+        r["source"]: r["n"]
+        for r in load(spark, sf_correct, "documents")
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for s, total in totals.items():
+        assert per_source.get(s, 0) == min(total, CAP_PER_SOURCE)
+
+    again = source_capped_sample(spark, sf_correct)
+    assert sorted(map(tuple, kept.collect())) == sorted(map(tuple, again.collect()))
