@@ -9,7 +9,10 @@ def test_cli_list(capsys):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
     assert "boolean_retrieval\toracle" in out
-    assert "ppr_topk\trows-only" in out
+    # ppr_topk gained a full unrolled-SQL oracle in round 3; the
+    # sequential SGD family remains the representative rows-only entry
+    assert "ppr_topk\toracle" in out
+    assert "spam_train\trows-only" in out
 
 
 def test_cli_boolean_and_rank(spark, sf_smoke, capsys):
