@@ -883,10 +883,63 @@ register(
     """,
 )
 
-# Iterative Lloyd's loop: not SQL-expressible -> rows-only driver check;
-# numerics pinned by the NumPy replay in tests/test_similarity.py. cvec is
-# rendered as a fixed-format comma-joined string so the driver canonicalizer
-# can hash the rows-only result.
+def _kmeans_ctes(
+    n_centroids: int = S.N_CENTROIDS, iterations: int = 3
+) -> tuple[str, str]:
+    """Fully-unrolled DuckDB twin of the spherical k-means trainer
+    (operators/similarity.py::kmeans_centroids) — same trick as the PPR
+    oracle (_ppr_topk_sql): the loop has a FIXED iteration count, so each
+    Lloyd step unrolls into 3 materialized CTEs (argmax assignment via a
+    ranked cross join, element-wise mean via per-dimension unnest+sum,
+    renormalize with empty-cluster fallback). Returns (cte_block,
+    final_centroid_cte_name); callers append their own projection."""
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v"
+        " FROM embeddings)",
+        "unit AS MATERIALIZED (SELECT vec_id,"
+        " list_transform(v, x -> x / nrm) AS u"
+        " FROM (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm"
+        " FROM e))",
+        f"c0 AS MATERIALIZED (SELECT vec_id AS centroid_id, u AS cvec"
+        f" FROM unit WHERE vec_id < {n_centroids})",
+    ]
+    for it in range(1, iterations + 1):
+        p = it - 1
+        ctes.append(
+            f"asg{it} AS MATERIALIZED ("
+            f"SELECT vec_id, centroid_id, u FROM ("
+            f" SELECT un.vec_id, c.centroid_id, un.u,"
+            f" row_number() OVER (PARTITION BY un.vec_id"
+            f"  ORDER BY list_inner_product(un.u, c.cvec) DESC, c.centroid_id)"
+            f" AS rn FROM unit un, c{p} c) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"m{it} AS MATERIALIZED ("
+            f"SELECT centroid_id, list(s ORDER BY j) AS mvec FROM ("
+            f" SELECT a.centroid_id, j, sum(a.u[j]) / count(*) AS s"
+            f" FROM asg{it} a, unnest(range(1, len(a.u) + 1)) t(j)"
+            f" GROUP BY a.centroid_id, j) GROUP BY centroid_id)"
+        )
+        ctes.append(
+            f"c{it} AS MATERIALIZED ("
+            f"SELECT p.centroid_id,"
+            f" CASE WHEN mm.centroid_id IS NULL OR mm.nrm = 0 THEN p.cvec"
+            f" ELSE list_transform(mm.mvec, x -> x / mm.nrm) END AS cvec"
+            f" FROM c{p} p LEFT JOIN ("
+            f"  SELECT centroid_id, mvec,"
+            f"  sqrt(list_inner_product(mvec, mvec)) AS nrm"
+            f"  FROM m{it}) mm USING (centroid_id))"
+        )
+    return ",\n".join(ctes), f"c{iterations}"
+
+
+_KMEANS_CTES, _KMEANS_FINAL = _kmeans_ctes()
+
+# The fixed-iteration Lloyd's loop unrolls into straight-line SQL (same
+# pattern as ppr_topk), so the trained-quantizer family hash-checks too;
+# cvec renders as a fixed-format comma-joined string (the canonicalizer
+# cannot hash array cells). NumPy replay + recall tests still pin the
+# numerics in tests/test_similarity.py.
 register(
     "ivf_train_centroids",
     lambda spark, sf: S.kmeans_centroids(spark, sf).select(
@@ -895,6 +948,13 @@ register(
             F.transform("cvec", lambda x: F.format_string("%.6f", x)), ","
         ).alias("cvec"),
     ),
+    f"""
+    WITH {_KMEANS_CTES}
+    SELECT centroid_id,
+           list_aggregate(list_transform(cvec, x -> printf('%.6f', x)),
+                          'string_agg', ',') AS cvec
+    FROM {_KMEANS_FINAL}
+    """,
 )
 
 # Spherical k-means invariant, PPR-mass-conservation-style: every trained
@@ -920,11 +980,32 @@ register(
     f"FROM range({S.N_CENTROIDS})",
 )
 
-# trained quantizer feeding the probe: iterative -> rows-only check;
-# recall vs brute force pinned in tests/test_similarity.py
+# trained quantizer feeding the probe: the same unrolled-k-means CTEs
+# extend to the full train -> assign -> probe -> rank lifecycle
 register(
     "ivf_topk_trained",
     lambda spark, sf: S.ivf_topk_trained(spark, sf),
+    f"""
+    WITH {_KMEANS_CTES},
+    q AS (SELECT v AS q FROM e WHERE vec_id = {S.QUERY_VEC_ID}),
+    best AS (
+        SELECT vec_id, centroid_id
+        FROM (SELECT e.vec_id, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.v, c.cvec) DESC,
+                                  c.centroid_id) AS rn
+              FROM e, {_KMEANS_FINAL} c)
+        WHERE rn = 1),
+    probed AS (
+        SELECT centroid_id FROM {_KMEANS_FINAL}, q
+        ORDER BY list_cosine_similarity(cvec, q) DESC, centroid_id
+        LIMIT {S.N_PROBE})
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.v, (SELECT q FROM q)), 6) AS cosine
+    FROM e JOIN best USING (vec_id) JOIN probed USING (centroid_id)
+    ORDER BY cosine DESC, vec_id
+    LIMIT {S.TOP_K}
+    """,
 )
 
 register(
