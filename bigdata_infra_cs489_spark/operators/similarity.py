@@ -511,6 +511,127 @@ def cosine_near_duplicate_pairs(
     )
 
 
+PQ_M = 4  # subspaces
+PQ_K = 16  # sub-centroids per subspace
+
+
+def _pq_subcentroids(spark: SparkSession, sf_dir: str, m: int, k: int):
+    """(m, k, dim/m) sub-centroid tensor: subvector j of the first k
+    vectors (the same deterministic convention the static IVF and the LSH
+    hyperplanes use, so the whole computation is oracle-reproducible).
+    Model-sized driver state: m*k*(dim/m) = k*dim doubles."""
+    import numpy as np
+
+    rows = sorted(
+        _emb(spark, sf_dir).where(F.col("vec_id") < k).collect(),
+        key=lambda r: int(r["vec_id"]),
+    )
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    return np.stack(np.split(mat, m, axis=1))  # (m, k, dsub)
+
+
+def _pq_sq_dist(sub: Column, cent: list) -> Column:
+    """Σ (x_i - c_i)^2 as a LEFT-TO-RIGHT fold — the DuckDB oracle sums
+    in the same element order, so the distances (hence argmins) are
+    bit-identical across engines."""
+    carr = F.array(*[F.lit(float(c)) for c in cent])
+    return F.aggregate(
+        F.zip_with(sub, carr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codes(
+    spark: SparkSession, sf_dir: str, m: int = PQ_M, k: int = PQ_K
+) -> DataFrame:
+    """(vec_id, codes): product-quantization codes — each embedding is
+    split into ``m`` subvectors and each subvector stores only the id of
+    its nearest sub-centroid (ties to the lowest id). The third leg of
+    the quantization family next to IVF (coarse partitions) and sign-LSH
+    (hash buckets): PQ is the memory-side compression — m*log2(k) bits
+    per vector instead of dim floats, the layout FAISS-style engines keep
+    RAM-resident at billion-vector scale.
+
+    Plan shape: the sub-centroid tensor is model-sized driver state
+    baked into literal column expressions, so coding is ONE narrow
+    JVM-side scan — no join, no shuffle, no Python. codes render as a
+    comma-joined string (the driver canonicalizer cannot hash arrays).
+    """
+    subc = _pq_subcentroids(spark, sf_dir, m, k)
+    dsub = subc.shape[2]
+    emb = _emb(spark, sf_dir)
+    code_cols = []
+    for j in range(m):
+        sub = F.slice("embedding", j * dsub + 1, dsub)
+        darr = F.array(*[_pq_sq_dist(sub, subc[j][ci]) for ci in range(k)])
+        # array_position returns the FIRST index of the min -> ties to
+        # the lowest centroid id, mirrored by the oracle's row_number
+        code_cols.append(
+            (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+        )
+    return emb.select(
+        "vec_id",
+        F.array_join(
+            F.array(*[c.cast("string") for c in code_cols]), ","
+        ).alias("codes"),
+    )
+
+
+def pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = QUERY_VEC_ID,
+    k: int = TOP_K,
+    m: int = PQ_M,
+    n_sub: int = PQ_K,
+) -> DataFrame:
+    """(vec_id, approx_dist): ADC (asymmetric distance computation) top-k
+    — the query stays un-quantized; each database vector's distance is
+    approximated as the sum over subspaces of ||q_sub - centroid[code]||²
+    looked up from a per-query distance table. This is the probe-side
+    payoff of PQ: scoring touches only the m small codes per vector plus
+    an m×k table of precomputed distances (model-sized, baked into the
+    plan as literals) — never the original embeddings.
+
+    Ascending distance, vec_id tie-break, 6dp rounding on output (the
+    ranking itself uses the bit-identical left-to-right fold)."""
+    import numpy as np
+
+    subc = _pq_subcentroids(spark, sf_dir, m, n_sub)
+    dsub = subc.shape[2]
+    emb = _emb(spark, sf_dir)
+    qvec = np.asarray(
+        emb.where(F.col("vec_id") == query_vec_id).collect()[0]["embedding"],
+        dtype=np.float64,
+    )
+    # the approx distance re-derives each vector's code inline (same
+    # literal expressions as pq_codes) and folds the distance-table
+    # lookup in the same projection — one narrow scan, no join
+    dist_expr = None
+    for j in range(m):
+        sub = F.slice("embedding", j * dsub + 1, dsub)
+        darr = F.array(*[_pq_sq_dist(sub, subc[j][ci]) for ci in range(n_sub)])
+        code_j = F.array_position(darr, F.array_min(darr)).cast("int")  # 1-based
+        q_sub = qvec[j * dsub : (j + 1) * dsub]
+        # dt[ci] = ||q_sub - c_ci||^2, left-to-right like _pq_sq_dist
+        table = []
+        for ci in range(n_sub):
+            acc = 0.0
+            for x, y in zip(q_sub, subc[j][ci]):
+                acc = acc + (x - y) * (x - y)
+            table.append(acc)
+        lookup = F.element_at(F.array(*[F.lit(t) for t in table]), code_j)
+        dist_expr = lookup if dist_expr is None else dist_expr + lookup
+    return (
+        emb.select(
+            "vec_id", F.round(dist_expr, 6).alias("approx_dist")
+        )
+        .orderBy(F.asc("approx_dist"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def ivf_topk_trained(
     spark: SparkSession,
     sf_dir: str,

@@ -1008,6 +1008,69 @@ register(
     """,
 )
 
+# Product quantization: sub-centroids = subvectors of the first K
+# vectors (deterministic, data-derived), distances as LEFT-TO-RIGHT
+# elementwise folds on both engines (bit-identical, so argmin codes
+# match exactly). Slicing derives from len(v) — dim-independent, no
+# fixture constant pinned into the SQL.
+_PQ_COMMON = f"""
+    e AS ({DUCK_EMB}),
+    sub AS (
+        SELECT vec_id, j,
+               v[j * (len(v) // {S.PQ_M}) + 1 : (j + 1) * (len(v) // {S.PQ_M})]
+                   AS sv
+        FROM e, unnest(range(0, {S.PQ_M})) t(j)),
+    cent AS (SELECT vec_id AS cid, j, sv AS cv FROM sub
+             WHERE vec_id < {S.PQ_K}),
+    d AS (
+        SELECT s.vec_id, s.j, c.cid,
+               list_sum(list_transform(range(1, len(s.sv) + 1),
+                        i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])))
+                   AS dist
+        FROM sub s JOIN cent c USING (j)),
+    codes AS (
+        SELECT vec_id, j, cid AS code
+        FROM (SELECT vec_id, j, cid,
+                     row_number() OVER (PARTITION BY vec_id, j
+                                        ORDER BY dist ASC, cid ASC) AS rn
+              FROM d)
+        WHERE rn = 1)
+"""
+
+register(
+    "pq_codes",
+    lambda spark, sf: S.pq_codes(spark, sf),
+    f"""
+    WITH {_PQ_COMMON}
+    SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), ',' ORDER BY j) AS codes
+    FROM codes GROUP BY vec_id
+    """,
+)
+
+register(
+    "pq_topk",
+    lambda spark, sf: S.pq_topk(spark, sf),
+    f"""
+    WITH {_PQ_COMMON},
+    q AS (SELECT j, sv AS qv FROM sub WHERE vec_id = {S.QUERY_VEC_ID}),
+    dt AS (
+        SELECT c.j, c.cid,
+               list_sum(list_transform(range(1, len(c.cv) + 1),
+                        i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))
+                   AS qd
+        FROM cent c JOIN q USING (j)),
+    approx AS (
+        SELECT cd.vec_id, list_sum(list(dt.qd ORDER BY cd.j)) AS ad
+        FROM codes cd JOIN dt ON dt.j = cd.j AND dt.cid = cd.code
+        GROUP BY cd.vec_id)
+    SELECT vec_id, round(ad, 6) AS approx_dist
+    FROM approx
+    ORDER BY approx_dist ASC, vec_id ASC
+    LIMIT {S.TOP_K}
+    """,
+)
+
 register(
     "semantic_search",
     lambda spark, sf: S.semantic_search(spark, sf),

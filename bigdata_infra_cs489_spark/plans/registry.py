@@ -98,6 +98,10 @@ _DRIVER_WINDOW_FIRST = (
     "source_capped_sample",
     "media_features",
     "video_frames",
+    "pq_codes",
+    "pq_topk",
+    "ivf_train_centroids",
+    "ivf_topk_trained",
 )
 
 

@@ -154,3 +154,73 @@ def test_trained_ivf_recall_vs_bruteforce(spark, sf_correct):
     assert len(exact & approx) >= 3
     cosines = [r.cosine for r in ivf_topk_trained(spark, sf_correct).collect()]
     assert cosines == sorted(cosines, reverse=True)
+
+
+def test_pq_codes_match_numpy_replay(spark, sf_smoke):
+    """PQ codes equal an independent NumPy argmin over the same
+    deterministic sub-centroids (ties to lowest id)."""
+    import numpy as np
+
+    from bigdata_infra_cs489_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        _emb,
+        pq_codes,
+    )
+
+    rows = sorted(
+        _emb(spark, sf_smoke).collect(), key=lambda r: int(r["vec_id"])
+    )
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    subc = np.stack(np.split(mat[:PQ_K], PQ_M, axis=1))  # (m, k, dsub)
+    subs = np.stack(np.split(mat, PQ_M, axis=1))  # (m, n, dsub)
+    want = {}
+    for idx, r in enumerate(rows):
+        codes = []
+        for j in range(PQ_M):
+            dists = ((subs[j][idx] - subc[j]) ** 2).sum(axis=1)
+            codes.append(int(dists.argmin()))  # first-min = lowest id
+        want[int(r["vec_id"])] = ",".join(map(str, codes))
+
+    got = {
+        r["vec_id"]: r["codes"] for r in pq_codes(spark, sf_smoke).collect()
+    }
+    assert got == want
+
+
+def test_pq_topk_is_adc_over_codes(spark, sf_smoke):
+    """pq_topk equals the NumPy ADC computation: per-subspace distance
+    table lookups summed over each vector's codes, ascending, vec_id
+    tie-break."""
+    import numpy as np
+
+    from bigdata_infra_cs489_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        QUERY_VEC_ID,
+        TOP_K,
+        _emb,
+        pq_topk,
+    )
+
+    rows = sorted(
+        _emb(spark, sf_smoke).collect(), key=lambda r: int(r["vec_id"])
+    )
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    subc = np.stack(np.split(mat[:PQ_K], PQ_M, axis=1))
+    subs = np.stack(np.split(mat, PQ_M, axis=1))
+    qsub = np.stack(np.split(mat[QUERY_VEC_ID], PQ_M))
+    scores = []
+    for idx, r in enumerate(rows):
+        ad = 0.0
+        for j in range(PQ_M):
+            dists = ((subs[j][idx] - subc[j]) ** 2).sum(axis=1)
+            code = int(dists.argmin())
+            ad += float(((qsub[j] - subc[j][code]) ** 2).sum())
+        scores.append((round(ad, 6), int(r["vec_id"])))
+    want = sorted(scores)[:TOP_K]
+    got = [
+        (r["approx_dist"], r["vec_id"])
+        for r in pq_topk(spark, sf_smoke).collect()
+    ]
+    assert [(pytest.approx(a, abs=1e-6), v) for a, v in want] == got
