@@ -85,26 +85,52 @@ def cosine_topk(
     )
 
 
+def _centroid_rows(
+    spark: SparkSession, sf_dir: str, n_centroids: int
+) -> list[tuple[int, list[float]]]:
+    """The deterministic first-C (centroid_id, vector) pairs, collected
+    driver-side (model-sized: C x dim doubles, the same discipline as
+    _hyperplanes), ascending id."""
+    rows = sorted(
+        _emb(spark, sf_dir).where(F.col("vec_id") < n_centroids).collect(),
+        key=lambda r: int(r["vec_id"]),
+    )
+    return [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+
+
+def _nearest_centroid_col(cents: list[tuple[int, list[float]]]) -> Column:
+    """argmax-cosine centroid id as ONE narrow column expression over
+    model-sized centroid literals — ties to the lowest id (the list is
+    id-ascending, and array_position takes the FIRST max). The previous
+    shape (crossJoin with a broadcast centroid table, then
+    groupBy(vec_id) max_by) re-shuffled C x corpus rows just to argmax
+    them back together; at 100 TB that is a C-fold amplified exchange
+    for a computation that needs no exchange at all."""
+    darr = F.array(
+        *[
+            _cosine(
+                F.col("embedding"), F.array(*[F.lit(float(x)) for x in vec])
+            )
+            for _, vec in cents
+        ]
+    )
+    ids = F.array(*[F.lit(cid) for cid, _ in cents])
+    return F.element_at(
+        ids, F.array_position(darr, F.array_max(darr)).cast("int")
+    ).cast("int")
+
+
 def ivf_assignments(
     spark: SparkSession, sf_dir: str, n_centroids: int = N_CENTROIDS
 ) -> DataFrame:
     """(vec_id, centroid_id): nearest centroid by cosine, ties to the
-    lowest centroid id. One broadcast join; no shuffle of the big side."""
+    lowest centroid id. One shuffle-free narrow scan (see
+    _nearest_centroid_col)."""
     emb = _emb(spark, sf_dir)
-    cent = emb.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    cents = _centroid_rows(spark, sf_dir, n_centroids)
+    return emb.select(
+        "vec_id", _nearest_centroid_col(cents).alias("centroid_id")
     )
-    scored = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "centroid_id",
-        _cosine(F.col("embedding"), F.col("cvec")).alias("cos"),
-    )
-    best = scored.groupBy("vec_id").agg(
-        F.max_by(
-            F.col("centroid_id"), F.struct(F.col("cos"), -F.col("centroid_id"))
-        ).alias("centroid_id")
-    )
-    return best
 
 
 def ivf_topk(
@@ -116,27 +142,35 @@ def ivf_topk(
     nprobe: int = N_PROBE,
 ) -> DataFrame:
     """ANN top-k: rank only vectors assigned to the query's top-nprobe
-    centroids. Deterministic; the oracle replicates the same probe rule."""
+    centroids. Deterministic; the oracle replicates the same probe rule.
+
+    Plan shape: centroid ranking is a C-row Spark job (same fold
+    arithmetic as the assignment expression) whose nprobe winners are
+    collected as a scalar id list; the probe itself is then ONE narrow
+    scan — inline argmax assignment + literal IN filter + rerank —
+    with zero joins and zero shuffles before the final top-k."""
     emb = _emb(spark, sf_dir)
-    assignments = ivf_assignments(spark, sf_dir, n_centroids)
+    cents = _centroid_rows(spark, sf_dir, n_centroids)
     q = emb.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q")
     )
     cent = emb.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
-    probed = (
-        cent.crossJoin(F.broadcast(q))
-        .select(
-            "centroid_id", _cosine(F.col("cvec"), F.col("q")).alias("cos")
+    probed = [
+        int(r["centroid_id"])
+        for r in (
+            cent.crossJoin(F.broadcast(q))
+            .select(
+                "centroid_id", _cosine(F.col("cvec"), F.col("q")).alias("cos")
+            )
+            .orderBy(F.desc("cos"), F.asc("centroid_id"))
+            .limit(nprobe)
+            .collect()
         )
-        .orderBy(F.desc("cos"), F.asc("centroid_id"))
-        .limit(nprobe)
-        .select("centroid_id")
-    )
+    ]
     return (
-        emb.join(assignments, "vec_id")
-        .join(F.broadcast(probed), "centroid_id")
+        emb.where(_nearest_centroid_col(cents).isin(probed))
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
@@ -646,45 +680,40 @@ def ivf_topk_trained(
     train -> index -> query lifecycle of a production vector index (the
     static ivf_topk uses the deterministic first-C centroids instead).
 
-    The trained centroid table is model-sized (C x dim doubles), so it
-    broadcasts; assignment is one narrow pass over the vectors; the probe
-    touches ~nprobe/C of the corpus and exact-ranks inside. Iterative
-    training is rows-only for the driver (no SQL oracle); quality is
-    pinned by the recall test against brute force.
+    The trained centroid table is model-sized (C x dim doubles) and
+    already lives on the driver at the end of training, so assignment is
+    the same zero-shuffle literal-argmax scan the static IVF uses
+    (_nearest_centroid_col); the probe touches ~nprobe/C of the corpus
+    and exact-ranks inside. The trained family hash-checks against the
+    unrolled-k-means SQL oracle; recall vs brute force is additionally
+    pinned in tests.
     """
     cent = kmeans_centroids(spark, sf_dir, n_centroids, iterations)
-    cent_b = F.broadcast(
-        cent.select("centroid_id", F.col("cvec").alias("cvec"))
+    cents = sorted(
+        ((int(r["centroid_id"]), list(r["cvec"])) for r in cent.collect()),
+        key=lambda t: t[0],
     )
     emb = _emb(spark, sf_dir)
-    assignments = (
-        emb.crossJoin(cent_b)
-        .select(
-            "vec_id",
-            "centroid_id",
-            _cosine(F.col("embedding"), F.col("cvec")).alias("cos"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.col("centroid_id"),
-                F.struct(F.col("cos"), -F.col("centroid_id")),
-            ).alias("centroid_id")
-        )
-    )
     q = emb.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q")
     )
-    probed = (
-        cent_b.crossJoin(F.broadcast(q))
-        .select("centroid_id", _cosine(F.col("cvec"), F.col("q")).alias("cos"))
-        .orderBy(F.desc("cos"), F.asc("centroid_id"))
-        .limit(nprobe)
-        .select("centroid_id")
+    cent_df = spark.createDataFrame(
+        cents, "centroid_id int, cvec array<double>"
     )
+    probed = [
+        int(r["centroid_id"])
+        for r in (
+            cent_df.crossJoin(F.broadcast(q))
+            .select(
+                "centroid_id", _cosine(F.col("cvec"), F.col("q")).alias("cos")
+            )
+            .orderBy(F.desc("cos"), F.asc("centroid_id"))
+            .limit(nprobe)
+            .collect()
+        )
+    ]
     return (
-        emb.join(assignments, "vec_id")
-        .join(F.broadcast(probed), "centroid_id")
+        emb.where(_nearest_centroid_col(cents).isin(probed))
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",

@@ -50,7 +50,6 @@ from .similarity import (
     _cosine,
     _emb,
     _hyperplanes,
-    ivf_assignments,
     lsh_bands,
     lsh_codes,
 )
@@ -80,15 +79,22 @@ def vector_index_path(sf_dir: str) -> str:
 def write_vector_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     """Build both index layouts in one pass each over the corpus.
 
-    IVF assignment is the broadcast-centroid join of ``ivf_assignments``
-    (no corpus shuffle; the partitioned write re-clusters by the C-valued
+    IVF assignment is the zero-shuffle literal-argmax column of
+    ``ivf_assignments`` computed inline on the scan (no join; the only
+    exchange is the partitioned write's re-cluster on the C-valued
     partition column). The LSH side explodes each code into its
     LSH_N_BANDS (band, band_val) rows — the deliberate replication that
     makes every band a self-contained hash table."""
+    from .similarity import _centroid_rows, _nearest_centroid_col
+
     emb = _emb(spark, sf_dir)
-    asg = ivf_assignments(spark, sf_dir, N_CENTROIDS)
+    cents = _centroid_rows(spark, sf_dir, N_CENTROIDS)
     (
-        emb.join(asg, "vec_id")
+        emb.select(
+            "vec_id",
+            "embedding",
+            _nearest_centroid_col(cents).alias("centroid_id"),
+        )
         .repartition("centroid_id")
         .write.mode("overwrite")
         .partitionBy("centroid_id")

@@ -224,3 +224,18 @@ def test_pq_topk_is_adc_over_codes(spark, sf_smoke):
         for r in pq_topk(spark, sf_smoke).collect()
     ]
     assert [(pytest.approx(a, abs=1e-6), v) for a, v in want] == got
+
+
+def test_ivf_assignment_is_shuffle_free(spark, sf_smoke):
+    """The literal-argmax assignment must plan as one narrow scan: no
+    exchange of any kind (the old crossJoin+groupBy shape re-shuffled
+    C x corpus rows)."""
+    from bigdata_infra_cs489_spark.operators.similarity import ivf_assignments
+
+    plan = (
+        ivf_assignments(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
