@@ -630,24 +630,33 @@ def pq_topk(
 
     Ascending distance, vec_id tie-break, 6dp rounding on output (the
     ranking itself uses the bit-identical left-to-right fold)."""
+    subc = _pq_subcentroids(spark, sf_dir, m, n_sub)
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == query_vec_id).collect()[0]["embedding"]
+    return (
+        emb.select(
+            "vec_id", F.round(_pq_adc_dist(qvec, subc), 6).alias("approx_dist")
+        )
+        .orderBy(F.asc("approx_dist"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _pq_adc_dist(qvec, subc) -> Column:
+    """The ADC approximate-distance column: re-derives each vector's PQ
+    code inline (same literal expressions as pq_codes) and folds the
+    per-subspace distance-table lookups left-to-right in one projection
+    — a narrow scan, no join. Shared by pq_topk and ivfpq_topk."""
     import numpy as np
 
-    subc = _pq_subcentroids(spark, sf_dir, m, n_sub)
-    dsub = subc.shape[2]
-    emb = _emb(spark, sf_dir)
-    qvec = np.asarray(
-        emb.where(F.col("vec_id") == query_vec_id).collect()[0]["embedding"],
-        dtype=np.float64,
-    )
-    # the approx distance re-derives each vector's code inline (same
-    # literal expressions as pq_codes) and folds the distance-table
-    # lookup in the same projection — one narrow scan, no join
+    q = np.asarray(qvec, dtype=np.float64)
+    m, n_sub, dsub = subc.shape
     dist_expr = None
     for j in range(m):
         sub = F.slice("embedding", j * dsub + 1, dsub)
         darr = F.array(*[_pq_sq_dist(sub, subc[j][ci]) for ci in range(n_sub)])
         code_j = F.array_position(darr, F.array_min(darr)).cast("int")  # 1-based
-        q_sub = qvec[j * dsub : (j + 1) * dsub]
+        q_sub = q[j * dsub : (j + 1) * dsub]
         # dt[ci] = ||q_sub - c_ci||^2, left-to-right like _pq_sq_dist
         table = []
         for ci in range(n_sub):
@@ -657,9 +666,54 @@ def pq_topk(
             table.append(acc)
         lookup = F.element_at(F.array(*[F.lit(t) for t in table]), code_j)
         dist_expr = lookup if dist_expr is None else dist_expr + lookup
+    return dist_expr
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = QUERY_VEC_ID,
+    k: int = TOP_K,
+    n_centroids: int = N_CENTROIDS,
+    nprobe: int = N_PROBE,
+    m: int = PQ_M,
+    n_sub: int = PQ_K,
+) -> DataFrame:
+    """IVF+PQ combined probe — the billion-vector production shape
+    (FAISS IVFPQ): the coarse quantizer prunes to the query's nprobe
+    partitions, and scoring inside the surviving partitions uses the
+    compressed ADC distance instead of the raw embeddings. Cost at
+    scale: ~nprobe/C of the corpus scanned, with each scanned vector
+    scored from m table lookups — no full-precision distance anywhere
+    in the hot path. Here both stages are literal column expressions on
+    ONE narrow scan (inline coarse assignment -> IN filter -> inline ADC
+    fold), zero joins, zero shuffles before the final top-k."""
+    emb = _emb(spark, sf_dir)
+    cents = _centroid_rows(spark, sf_dir, n_centroids)
+    subc = _pq_subcentroids(spark, sf_dir, m, n_sub)
+    q = emb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q")
+    )
+    cent = emb.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    probed = [
+        int(r["centroid_id"])
+        for r in (
+            cent.crossJoin(F.broadcast(q))
+            .select(
+                "centroid_id", _cosine(F.col("cvec"), F.col("q")).alias("cos")
+            )
+            .orderBy(F.desc("cos"), F.asc("centroid_id"))
+            .limit(nprobe)
+            .collect()
+        )
+    ]
+    qvec = emb.where(F.col("vec_id") == query_vec_id).collect()[0]["embedding"]
     return (
-        emb.select(
-            "vec_id", F.round(dist_expr, 6).alias("approx_dist")
+        emb.where(_nearest_centroid_col(cents).isin(probed))
+        .select(
+            "vec_id", F.round(_pq_adc_dist(qvec, subc), 6).alias("approx_dist")
         )
         .orderBy(F.asc("approx_dist"), F.asc("vec_id"))
         .limit(k)

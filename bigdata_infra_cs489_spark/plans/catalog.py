@@ -1072,6 +1072,44 @@ register(
 )
 
 register(
+    "ivfpq_topk",
+    lambda spark, sf: S.ivfpq_topk(spark, sf),
+    f"""
+    WITH {_PQ_COMMON},
+    qv AS (SELECT v AS qq FROM e WHERE vec_id = {S.QUERY_VEC_ID}),
+    icent AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
+              WHERE vec_id < {S.N_CENTROIDS}),
+    ibest AS (
+        SELECT vec_id, centroid_id
+        FROM (SELECT e.vec_id, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.v, c.cvec) DESC,
+                                  c.centroid_id) AS rn
+              FROM e, icent c)
+        WHERE rn = 1),
+    probed AS (
+        SELECT centroid_id FROM icent, qv
+        ORDER BY list_cosine_similarity(cvec, qq) DESC, centroid_id
+        LIMIT {S.N_PROBE}),
+    q AS (SELECT j, sv AS qv FROM sub WHERE vec_id = {S.QUERY_VEC_ID}),
+    dt AS (
+        SELECT c.j, c.cid,
+               list_sum(list_transform(range(1, len(c.cv) + 1),
+                        i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))
+                   AS qd
+        FROM cent c JOIN q USING (j)),
+    approx AS (
+        SELECT cd.vec_id, list_sum(list(dt.qd ORDER BY cd.j)) AS ad
+        FROM codes cd JOIN dt ON dt.j = cd.j AND dt.cid = cd.code
+        GROUP BY cd.vec_id)
+    SELECT a.vec_id, round(a.ad, 6) AS approx_dist
+    FROM approx a JOIN ibest USING (vec_id) JOIN probed USING (centroid_id)
+    ORDER BY approx_dist ASC, vec_id ASC
+    LIMIT {S.TOP_K}
+    """,
+)
+
+register(
     "semantic_search",
     lambda spark, sf: S.semantic_search(spark, sf),
     f"""

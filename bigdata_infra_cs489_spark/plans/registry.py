@@ -100,6 +100,7 @@ _DRIVER_WINDOW_FIRST = (
     "video_frames",
     "pq_codes",
     "pq_topk",
+    "ivfpq_topk",
     "ivf_train_centroids",
     "ivf_topk_trained",
 )
