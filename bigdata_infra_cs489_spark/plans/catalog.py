@@ -2219,6 +2219,16 @@ register(
 )
 
 register(
+    "stream_partitioned_sink",
+    STR.q_stream_partitioned_sink,
+    """
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+
+register(
     "stream_error_click_join",
     STR.q_stream_error_click_join,
     f"""

@@ -101,6 +101,7 @@ _DRIVER_WINDOW_FIRST = (
     "pq_codes",
     "pq_topk",
     "ivfpq_topk",
+    "stream_partitioned_sink",
     "ivf_train_centroids",
     "ivf_topk_trained",
 )

@@ -379,3 +379,49 @@ def q_stream_error_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_contract(
         spark, lambda: error_click_join_stream(spark, sf_dir), name, "append"
     )
+
+
+def q_stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the streaming FILE sink — the lakehouse
+    landing shape: the (stateless, append-mode) event stream written as
+    parquet PARTITIONED BY event_type with a checkpoint for exactly-once,
+    then read back and aggregated per partition. Stateless append means
+    every row is emitted regardless of watermark, so the read-back equals
+    the batch table and the whole sink+readback round trip hash-checks
+    against a plain SQL oracle. At scale this is how a stream lands in a
+    partitioned table queryable mid-ingest; the checkpoint makes restarts
+    resume instead of duplicating."""
+    import os
+    import shutil
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+    )
+    out = os.path.join(base, "stream_sink_events")
+    chk = out + "_chk"
+    # fresh sink per call: this query demonstrates (and verifies) one
+    # complete backfill, not incremental resume — tests cover resume
+    for p in (out, chk):
+        shutil.rmtree(p, ignore_errors=True)
+    ev = stream_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .partitionBy("event_type")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

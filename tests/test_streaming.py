@@ -160,3 +160,40 @@ def test_stream_queries_match_oracle(spark, sf_correct, name):
     q = entrymod.queries()[name]
     sql = entrymod.oracle_sql()[name]
     assert_matches_oracle(q(spark, sf_correct), sql, sf_correct)
+
+
+def test_stream_partitioned_sink_layout_and_counts(spark, sf_smoke):
+    """The streaming file sink lands Hive-partitioned parquet whose
+    read-back equals the batch table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_infra_cs489_spark.sources.tables import load
+    from bigdata_infra_cs489_spark.streaming.events_stream import (
+        q_stream_partitioned_sink,
+    )
+
+    got = sorted(
+        map(tuple, q_stream_partitioned_sink(spark, sf_smoke).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            load(spark, sf_smoke, "events")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        "stream_sink_events",
+    )
+    parts = [d for d in os.listdir(out) if d.startswith("event_type=")]
+    assert len(parts) > 1  # Hive-style partition directories
