@@ -489,3 +489,74 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(F.col("u").alias("x"), F.col("v").alias("z")), ["x", "z"]
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+PAGERANK_TOP_K = 20
+
+
+def global_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    iterations: int = DEFAULT_ITERATIONS,
+    alpha: float = ALPHA,
+) -> DataFrame:
+    """Classic (non-personalized) PageRank over the fixture graph — the
+    uniform-teleport sibling of the reference's personalized loop: init
+    1/N everywhere; each iteration distributes mass along edges, then
+    dangling + teleport mass spreads UNIFORMLY (alpha/N + dangling/N to
+    every node) instead of re-injecting at a source. Same scale shape as
+    personalized_pagerank: one shuffle + one scalar collect per
+    iteration, lazy localCheckpoint truncating lineage."""
+    graph = build_graph(spark, sf_dir).cache()
+    n = graph.count()
+    one_minus = 1.0 - alpha
+    ranks = graph.select("id", F.lit(1.0 / n).alias("mass"))
+    for _ in range(iterations):
+        msgs = (
+            ranks.join(graph, "id")
+            .where(F.col("outdeg") > 0)
+            .select(
+                F.explode("adj").alias("id"),
+                (F.col("mass") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("m"))
+        )
+        received = (
+            graph.select("id")
+            .join(msgs, "id", "left")
+            .select("id", F.coalesce(F.col("m"), F.lit(0.0)).alias("mass"))
+            .localCheckpoint(eager=False)
+        )
+        total = received.agg(F.sum("mass")).collect()[0][0]
+        missing = max(0.0, 1.0 - (total or 0.0))
+        ranks = received.select(
+            "id",
+            (
+                F.lit(alpha / n)
+                + F.lit(one_minus)
+                * (F.col("mass") + F.lit(missing / n))
+            ).alias("mass"),
+        )
+    graph.unpersist()
+    return ranks
+
+
+def pagerank_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    iterations: int = DEFAULT_ITERATIONS,
+    k: int = PAGERANK_TOP_K,
+) -> DataFrame:
+    """(node_id, mass): global top-k by PageRank, ranked on the
+    6dp-ROUNDED mass with node_id tie-break (the same fp-reproducible
+    rank rule as ppr_top_k) — hash-checked against the unrolled SQL twin
+    (plans/catalog.py::_pagerank_topk_sql)."""
+    ranks = global_pagerank(spark, sf_dir, iterations)
+    return (
+        ranks.select(
+            F.col("id").alias("node_id"), F.round("mass", 6).alias("mass")
+        )
+        .orderBy(F.desc("mass"), F.asc("node_id"))
+        .limit(k)
+    )

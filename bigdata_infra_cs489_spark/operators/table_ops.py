@@ -172,3 +172,48 @@ def q_events_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_rows_per_file: int,
+) -> DataFrame:
+    """Small-files compaction — the table-maintenance pass every
+    long-lived ingest needs (streaming sinks and micro-batch writers
+    fragment a table into thousands of tiny files; scan cost then goes
+    per-file, not per-byte). Rewrites ``in_path`` into
+    ceil(rows / target_rows_per_file) files at ``out_path`` and returns a
+    one-row stats frame (n_files_before, n_files_after, n_rows).
+
+    Shape: one count (column-pruned scan), one repartition write. The
+    repartition is round-robin — compaction has no key, so no skew; at
+    cluster scale this is the OPTIMIZE/rewrite-data-files maintenance job
+    table formats schedule, expressed directly on parquet directories.
+    Rewriting to a NEW path keeps the operation atomic-by-rename for the
+    caller (swap the table location after success) instead of mutating
+    the live directory in place."""
+    import math
+    import os
+
+    df = spark.read.parquet(in_path)
+    n_rows = df.count()
+    n_files_before = sum(
+        1
+        for root, _, files in os.walk(in_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(n_rows / max(target_rows_per_file, 1)))
+    df.repartition(n_out).write.mode("overwrite").parquet(out_path)
+    n_files_after = sum(
+        1
+        for root, _, files in os.walk(out_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return spark.createDataFrame(
+        [(n_files_before, n_files_after, n_rows)],
+        "n_files_before int, n_files_after int, n_rows bigint",
+    )

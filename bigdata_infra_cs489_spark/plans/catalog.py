@@ -554,6 +554,67 @@ register(
     _ppr_topk_sql(),
 )
 
+
+def _pagerank_topk_sql(
+    iterations: int = G.DEFAULT_ITERATIONS,
+    k: int = G.PAGERANK_TOP_K,
+    alpha: float = G.ALPHA,
+) -> str:
+    """Unrolled DuckDB twin of the global (uniform-teleport) PageRank —
+    the single-mass-column simplification of _ppr_topk_sql."""
+    om, al = repr(1.0 - alpha), repr(alpha)
+    nn = "(SELECT c FROM n)"
+    ctes = [
+        "n AS MATERIALIZED (SELECT count(*) AS c FROM documents)",
+        "nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents)",
+        "edges AS MATERIALIZED (SELECT DISTINCT doc_id AS src,"
+        " (doc_id * k + 1) % (SELECT c FROM n) AS dst"
+        " FROM documents, unnest(range(1, (doc_id % 5) + 1)) AS t(k))",
+        "outdeg AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg"
+        " FROM edges GROUP BY src)",
+        f"r0 AS MATERIALIZED (SELECT id,"
+        f" CAST(1.0 AS DOUBLE) / {nn} AS m FROM nodes)",
+    ]
+    for it in range(1, iterations + 1):
+        p = it - 1
+        ctes.append(
+            f"msg{it} AS MATERIALIZED (SELECT e.dst AS id,"
+            f" sum(r.m / o.outdeg) AS c FROM r{p} r"
+            f" JOIN outdeg o ON o.id = r.id JOIN edges e ON e.src = r.id"
+            f" GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"rec{it} AS MATERIALIZED (SELECT nd.id,"
+            f" coalesce(m.c, CAST(0.0 AS DOUBLE)) AS m"
+            f" FROM nodes nd LEFT JOIN msg{it} m ON m.id = nd.id)"
+        )
+        ctes.append(
+            f"mis{it} AS MATERIALIZED (SELECT"
+            f" greatest(CAST(0.0 AS DOUBLE), 1.0 - sum(m)) AS x FROM rec{it})"
+        )
+        ctes.append(
+            f"r{it} AS MATERIALIZED (SELECT id,"
+            f" {al} / {nn} + {om} * (m + (SELECT x FROM mis{it}) / {nn}) AS m"
+            f" FROM rec{it})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT node_id, mass FROM (
+        SELECT id AS node_id, round(m, 6) AS mass,
+               row_number() OVER (ORDER BY round(m, 6) DESC, id) AS rn
+        FROM r{iterations})
+    WHERE rn <= {k}"""
+    )
+
+
+register(
+    "pagerank_topk",
+    lambda spark, sf: G.pagerank_topk(spark, sf),
+    _pagerank_topk_sql(),
+)
+
 # The conservation invariant IS SQL-expressible (a constant): after every
 # jump phase each source's distribution sums to exactly 1, so the full
 # 10-iteration pipeline hash-checks against a literal table — a real

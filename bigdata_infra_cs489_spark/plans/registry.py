@@ -102,6 +102,7 @@ _DRIVER_WINDOW_FIRST = (
     "pq_topk",
     "ivfpq_topk",
     "stream_partitioned_sink",
+    "pagerank_topk",
     "ivf_train_centroids",
     "ivf_topk_trained",
 )

@@ -158,3 +158,18 @@ def test_triangle_count_known_graph(spark):
     finally:
         G.graph_edges = orig
     assert n == 2
+
+
+def test_global_pagerank_mass_conserved_and_uniform_teleport(spark, sf_smoke):
+    """Global PageRank: total mass stays 1.0 after every jump phase, and
+    with uniform teleport every node's mass is strictly positive (unlike
+    the personalized loop, where non-reachable nodes stay at 0)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_infra_cs489_spark.operators.graph import global_pagerank
+
+    ranks = global_pagerank(spark, sf_smoke, iterations=3)
+    rows = ranks.collect()
+    total = sum(r["mass"] for r in rows)
+    assert abs(total - 1.0) < 1e-9
+    assert all(r["mass"] > 0 for r in rows)

@@ -23,6 +23,7 @@ import pytest
 ITERATIVE = {
     "ppr_topk",
     "ppr_mass_conservation",
+    "pagerank_topk",
     "ivf_train_centroids",
     "ivf_topk_trained",
     "ivf_centroid_norms",

@@ -94,3 +94,22 @@ def test_apply_changes_latest_seq_wins(spark):
         for r in apply_changes(base, changes, "id", ["v"]).collect()
     }
     assert got == {2: "b2", 3: "c", 4: "d1"}
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """A fragmented directory compacts to ceil(rows/target) files with
+    identical data."""
+    from bigdata_infra_cs489_spark.operators.table_ops import compact_parquet
+
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compacted")
+    src = spark.range(0, 1000).selectExpr("id", "id % 7 AS v")
+    src.repartition(40).write.parquet(frag)  # 40 tiny files
+
+    stats = compact_parquet(spark, frag, out, target_rows_per_file=500).collect()[0]
+    assert stats["n_files_before"] == 40
+    assert stats["n_files_after"] == 2  # ceil(1000/500)
+    assert stats["n_rows"] == 1000
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == sorted(
+        map(tuple, src.collect())
+    )
