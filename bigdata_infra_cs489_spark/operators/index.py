@@ -295,3 +295,31 @@ def phrase_retrieval(
         acc.select("doc_id", F.size(inter).alias("n_matches"))
         .where(F.col("n_matches") > 0)
     )
+
+
+KEYWORDS_PER_DOC = 3
+
+
+def doc_keywords(
+    spark: SparkSession, sf_dir: str, k: int = KEYWORDS_PER_DOC
+) -> DataFrame:
+    """(doc_id, term, tfidf, rank): each document's top-k terms by tf-idf
+    — keyword extraction, the per-document inversion of ranked retrieval
+    and a standard corpus-annotation pass (tags for routing, dedup-key
+    enrichment, weak labels). Ranked on the 6dp-ROUNDED score with a term
+    tie-break so membership is fp-reproducible across engines.
+
+    Shape: tfidf_scores' single postings pass, then one partitioned
+    window per doc_id — the partition key is the document, so the rank
+    never funnels the corpus through one task."""
+    from pyspark.sql.window import Window
+
+    scored = tfidf_scores(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )

@@ -377,6 +377,30 @@ register(
 )
 
 register(
+    "doc_keywords",
+    lambda spark, sf: I.doc_keywords(spark, sf),
+    f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    p AS (
+        SELECT term, doc_id, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+        GROUP BY term, doc_id),
+    dfs AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT p.term, p.doc_id,
+               round(p.tf * ln((SELECT n FROM n)::DOUBLE / dfs.df), 6) AS tfidf
+        FROM p JOIN dfs USING (term))
+    SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rank
+        FROM scored)
+    WHERE rank <= {I.KEYWORDS_PER_DOC}
+    """,
+)
+
+register(
     "ranked_retrieval",
     lambda spark, sf: I.ranked_retrieval(spark, sf, RANKED_QUERY),
     f"""

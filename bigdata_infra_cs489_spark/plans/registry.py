@@ -103,6 +103,7 @@ _DRIVER_WINDOW_FIRST = (
     "ivfpq_topk",
     "stream_partitioned_sink",
     "pagerank_topk",
+    "doc_keywords",
     "ivf_train_centroids",
     "ivf_topk_trained",
 )
