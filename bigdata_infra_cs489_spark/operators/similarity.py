@@ -105,12 +105,25 @@ def _nearest_centroid_col(cents: list[tuple[int, list[float]]]) -> Column:
     shape (crossJoin with a broadcast centroid table, then
     groupBy(vec_id) max_by) re-shuffled C x corpus rows just to argmax
     them back together; at 100 TB that is a C-fold amplified exchange
-    for a computation that needs no exchange at all."""
+    for a computation that needs no exchange at all.
+
+    Constant-factor care: higher-order folds are interpreted, so the row
+    norm dot(a,a) is hoisted into ONE fold shared by all C cosines, and
+    each centroid's norm is a Python-computed literal (same left-to-right
+    fold order as the column expression, so the double is bit-identical)
+    — C+1 folds per row instead of 3C."""
+    row_norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+
+    def cnorm(vec: list[float]) -> float:
+        acc = 0.0
+        for x in vec:
+            acc = acc + x * x
+        return acc**0.5
+
     darr = F.array(
         *[
-            _cosine(
-                F.col("embedding"), F.array(*[F.lit(float(x)) for x in vec])
-            )
+            _dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in vec]))
+            / (row_norm * F.lit(cnorm(vec)))
             for _, vec in cents
         ]
     )
