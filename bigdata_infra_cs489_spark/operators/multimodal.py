@@ -204,33 +204,59 @@ def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fake_decode(media: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in for an image codec: dimensions derived from
-    the first bytes. Clearly fake; replaced wholesale when a codec exists."""
-    return media[0] % 64 + 1, media[1] % 64 + 1, media[2] % 3 + 1
+_PNG_SIG = bytes.fromhex("89504E470D0A1A0A")
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> channels
+
+
+def parse_media_header(b: bytes) -> tuple[int | None, int | None, int | None]:
+    """(width, height, channels) parsed from real format headers — a
+    genuine Python decoder for the header layer: PNG IHDR (channels from
+    the color type), JPEG SOF0 located by an actual marker WALK (skipping
+    segments by their length fields, not a fixed offset), WAV fmt chunk
+    (no spatial dims; channels from the fmt chunk). Fields the format
+    doesn't carry are None; unknown magic raises ValueError."""
+    import struct
+
+    if b[:8] == _PNG_SIG:
+        w, h = struct.unpack(">II", b[16:24])
+        return w, h, _PNG_CHANNELS.get(b[25])
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return None, None, struct.unpack("<H", b[22:24])[0]
+    if b[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(b) and b[pos] == 0xFF:
+            marker, seg_len = b[pos + 1], struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0..SOF3
+                h, w = struct.unpack(">HH", b[pos + 5 : pos + 9])
+                return w, h, b[pos + 9]
+            pos += 2 + seg_len
+        raise ValueError("JPEG without SOF marker")
+    raise ValueError(f"unknown media magic {b[:4]!r}")
 
 
 def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
     """mapInPandas decode stage -> (doc_id, width, height, channels).
 
-    Arrow moves the binary column in columnar batches; each pandas batch is
-    decoded in bulk. strict=True always raises
-    NotImplementedError (no real decode exists yet — the honest contract,
-    codec installed or not); strict=False uses the
-    deterministic fake so downstream plumbing stays testable.
+    Arrow moves the binary column in columnar batches; each pandas batch
+    is decoded in bulk by parse_media_header — a REAL header decoder
+    (PNG IHDR / JPEG SOF marker walk / WAV fmt), no codec library
+    needed. strict=True demands full PIXEL decoding (IDAT inflate,
+    JPEG entropy decode), which still has no implementation in this
+    container — the honest NotImplementedError contract is unchanged.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if strict:
-                # no real decode path exists yet, codec installed or not —
-                # strict mode must never present fake dims as real
+                # header metadata is decodable; PIXEL decode is not —
+                # strict mode must never present header-only results as a
+                # full decode
                 raise NotImplementedError(
-                    "real media decode not implemented"
+                    "pixel-level media decode not implemented"
                     + ("" if HAVE_IMAGE_CODEC else " (and no codec installed)")
-                    + "; run with strict=False for the deterministic fake"
+                    + "; strict=False returns the parsed header metadata"
                 )
-            dims = [_fake_decode(m) for m in pdf["media"]]
+            dims = [parse_media_header(bytes(m)) for m in pdf["media"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

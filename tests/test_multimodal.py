@@ -107,17 +107,30 @@ def test_decode_strict_raises_without_codec(spark, sf_smoke):
         decode_media(df, strict=True).collect()
 
 
-def test_fake_decode_deterministic(spark, sf_smoke):
+def test_header_decode_matches_generation(spark, sf_smoke):
+    """decode_media's Python header parser recovers the generation-rule
+    dims: PNG/JPEG width+height (PNG truecolor -> 3 channels, JPEG 1
+    component), WAV channels with no spatial dims."""
     from bigdata_infra_cs489_spark.operators.multimodal import (
         decode_media,
         media_table,
     )
 
     df = media_table(spark, sf_smoke)
-    a = sorted((r.doc_id, r.width, r.height, r.channels) for r in decode_media(df).collect())
-    b = sorted((r.doc_id, r.width, r.height, r.channels) for r in decode_media(df).collect())
-    assert a == b
-    assert all(1 <= w <= 64 and 1 <= h <= 64 and 1 <= c <= 3 for _, w, h, c in a)
+    rows = {r.doc_id: r for r in decode_media(df).collect()}
+    again = {r.doc_id: r for r in decode_media(df).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
+    for doc_id, r in rows.items():
+        w, h = 16 + doc_id % 112, 16 + (doc_id * 7) % 112
+        if doc_id % 3 == 0:  # PNG
+            assert (r.width, r.height, r.channels) == (w, h, 3)
+        elif doc_id % 3 == 1:  # WAV
+            assert (r.width, r.height) == (None, None)
+            assert r.channels == 1 + doc_id % 2
+        else:  # JPEG
+            assert (r.width, r.height, r.channels) == (w, h, 1)
 
 
 def test_features_shape_and_determinism(spark, sf_smoke):
