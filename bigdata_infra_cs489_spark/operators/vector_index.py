@@ -124,6 +124,68 @@ def ensure_vector_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def append_to_vector_index(
+    spark: SparkSession, sf_dir: str, path: str, new_vectors: DataFrame
+) -> None:
+    """Incremental maintenance: assign NEW vectors against the index's
+    EXISTING quantizers (centroids / hyperplanes derive deterministically
+    from the indexed data generation, so appended rows land in the same
+    bucket space) and append their files into the partitioned layouts —
+    no rebuild, no touch of existing files. This is the ingest path a
+    live corpus needs: probes see appended vectors immediately because
+    partition directories are re-listed per query. Compaction of
+    accumulated small files is `table_ops.compact_parquet`'s job.
+
+    ``new_vectors``: (vec_id, embedding array<double>) rows."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _centroid_rows, _nearest_centroid_col, _hyperplanes
+
+    cents = _centroid_rows(spark, sf_dir, N_CENTROIDS)
+    (
+        new_vectors.select(
+            "vec_id",
+            "embedding",
+            _nearest_centroid_col(cents).alias("centroid_id"),
+        )
+        .repartition("centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(path, "ivf"))
+    )
+    hmat = _hyperplanes(spark, sf_dir, N_HYPERPLANES)
+    weights = (np.int64(1) << np.arange(hmat.shape[0], dtype=np.int64))
+    bc = spark.sparkContext.broadcast(hmat)
+
+    def codes(batches):
+        hm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            bits = (u @ hm.T) > 0
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "code": bits.astype(np.int64) @ weights,
+                }
+            )
+
+    new_codes = new_vectors.mapInPandas(codes, "vec_id bigint, code bigint")
+    banded = lsh_bands(new_codes).select("vec_id", "band", "band_val")
+    (
+        new_vectors.join(banded, "vec_id")
+        .select("vec_id", "embedding", "band", "band_val")
+        .repartition("band", "band_val")
+        .write.mode("append")
+        .partitionBy("band", "band_val")
+        .parquet(os.path.join(path, "lsh"))
+    )
+
+
 def ivf_topk_indexed(
     spark: SparkSession,
     sf_dir: str,

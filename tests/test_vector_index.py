@@ -72,3 +72,48 @@ def test_build_is_write_once(spark, sf_smoke, index_path):
     before = os.stat(marker).st_mtime_ns
     VI.ensure_vector_index(spark, sf_smoke)  # same data generation: no-op
     assert os.stat(marker).st_mtime_ns == before
+
+
+def test_append_is_visible_to_probes_without_rebuild(spark, sf_smoke, index_path):
+    """Appending a vector nearly identical to the query makes it the new
+    top hit through the EXISTING index — no rebuild — and existing
+    results are otherwise preserved."""
+    from pyspark.sql import functions as F
+
+    from bigdata_infra_cs489_spark.operators.similarity import QUERY_VEC_ID, _emb
+    from bigdata_infra_cs489_spark.operators.vector_index import (
+        append_to_vector_index,
+        ivf_topk_indexed,
+        lsh_topk_indexed,
+    )
+
+    before_ivf = ivf_topk_indexed(spark, sf_smoke).collect()
+    qvec = (
+        _emb(spark, sf_smoke)
+        .where(F.col("vec_id") == QUERY_VEC_ID)
+        .collect()[0]["embedding"]
+    )
+    new_id = 1_000_000
+    new_vec = spark.createDataFrame(
+        [(new_id, [v * 0.999 for v in qvec])],
+        "vec_id bigint, embedding array<double>",
+    )
+    append_to_vector_index(spark, sf_smoke, index_path, new_vec)
+    try:
+        after_ivf = ivf_topk_indexed(spark, sf_smoke).collect()
+        after_lsh = lsh_topk_indexed(spark, sf_smoke).collect()
+        # the appended scaled copy scores cosine 1.0 and lands right
+        # after the query vector itself (tie at 1.0 broken by vec_id)
+        assert after_ivf[0]["vec_id"] == before_ivf[0]["vec_id"]
+        assert after_ivf[1]["vec_id"] == new_id
+        assert after_ivf[1]["cosine"] == 1.0
+        assert after_lsh[1]["vec_id"] == new_id
+        # everything below shifts down by exactly one slot
+        assert [r["vec_id"] for r in after_ivf[2:]] == [
+            r["vec_id"] for r in before_ivf[1:-1]
+        ]
+    finally:
+        # leave the on-disk index as the build produced it for other tests
+        import shutil
+
+        shutil.rmtree(index_path, ignore_errors=True)
