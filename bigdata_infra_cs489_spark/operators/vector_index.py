@@ -281,3 +281,64 @@ def lsh_topk_indexed(
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ivfpq_topk_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = QUERY_VEC_ID,
+    k: int = TOP_K,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """The full production ANN read path: partition pruning from the
+    MATERIALIZED IVF buckets x compressed ADC scoring — what a
+    billion-vector serving system actually executes per query. The scan
+    touches only the nprobe pruned directories (literal PartitionFilter,
+    no assignment recompute — the bucket IS the assignment), and each
+    surviving vector scores via the m distance-table lookups instead of
+    a full-precision distance. Results are identical to the scan-side
+    ivfpq_topk, so it shares that oracle."""
+    from .similarity import (
+        _centroid_rows,
+        _cosine,
+        _pq_adc_dist,
+        _pq_subcentroids,
+        PQ_K,
+        PQ_M,
+    )
+
+    path = ensure_vector_index(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    subc = _pq_subcentroids(spark, sf_dir, PQ_M, PQ_K)
+    q = emb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q")
+    )
+    cent = emb.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    probed = [
+        int(r["centroid_id"])
+        for r in (
+            cent.crossJoin(F.broadcast(q))
+            .select(
+                "centroid_id", _cosine(F.col("cvec"), F.col("q")).alias("cos")
+            )
+            .orderBy(F.desc("cos"), F.asc("centroid_id"))
+            .limit(nprobe)
+            .collect()
+        )
+    ]
+    qvec = emb.where(F.col("vec_id") == query_vec_id).collect()[0]["embedding"]
+    idx = spark.read.parquet(os.path.join(path, "ivf")).where(
+        F.col("centroid_id").isin(probed)
+    )
+    return (
+        idx.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        .select(
+            "vec_id", F.round(_pq_adc_dist(qvec, subc), 6).alias("approx_dist")
+        )
+        .orderBy(F.asc("approx_dist"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -1156,10 +1156,7 @@ register(
     """,
 )
 
-register(
-    "ivfpq_topk",
-    lambda spark, sf: S.ivfpq_topk(spark, sf),
-    f"""
+_IVFPQ_SQL = f"""
     WITH {_PQ_COMMON},
     qv AS (SELECT v AS qq FROM e WHERE vec_id = {S.QUERY_VEC_ID}),
     icent AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
@@ -1191,7 +1188,20 @@ register(
     FROM approx a JOIN ibest USING (vec_id) JOIN probed USING (centroid_id)
     ORDER BY approx_dist ASC, vec_id ASC
     LIMIT {S.TOP_K}
-    """,
+    """
+
+register(
+    "ivfpq_topk",
+    lambda spark, sf: S.ivfpq_topk(spark, sf),
+    _IVFPQ_SQL,
+)
+
+# The materialized-index composition of the same read path: pruned IVF
+# buckets x ADC scoring, identical results -> identical oracle.
+register(
+    "ivfpq_topk_indexed",
+    lambda spark, sf: VI.ivfpq_topk_indexed(spark, sf),
+    _IVFPQ_SQL,
 )
 
 register(

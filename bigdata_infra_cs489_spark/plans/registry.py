@@ -101,6 +101,7 @@ _DRIVER_WINDOW_FIRST = (
     "pq_codes",
     "pq_topk",
     "ivfpq_topk",
+    "ivfpq_topk_indexed",
     "stream_partitioned_sink",
     "pagerank_topk",
     "doc_keywords",
