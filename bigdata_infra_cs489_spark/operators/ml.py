@@ -15,9 +15,9 @@ Spark-first translation:
 - The order-sensitive fold is *inherently sequential* (each update depends
   on all previous rows); the reference funnels everything through one
   reducer, we funnel through one ``applyInPandas`` group with an explicit
-  in-group sort (docid, or a seeded rand key for the shuffled variant —
+  in-group sort (docid, or a portable hash key for the shuffled variant —
   the reference's unseeded Math.random is replaced per SURVEY §7 risk
-  note). This is a documented scale constraint of the *algorithm*, not the
+  note; see ``shuffle_key``). This is a documented scale constraint of the *algorithm*, not the
   engine; everything around it (feature derivation, scoring) is
   distributed.
 - Scoring is explode ⋈ broadcast(weights) ⋈ groupBy(docid) sum — the
@@ -51,6 +51,17 @@ def _feature_id(col):
     return (h8(col) % FEATURE_MOD).cast("int")
 
 
+def shuffle_key(docid_col: str, seed: int):
+    """Deterministic, engine-portable pre-train shuffle key: h8 of
+    ``"<docid>:<seed>"``. Replaces the reference's unseeded Math.random
+    (TrainSpamClassifier.scala:60-63) — same role (decorrelate the visit
+    order from docid), but reproducible on Spark, DuckDB, and NumPy alike,
+    which is what lets the *shuffled* trainer carry a value oracle."""
+    from ..functions.hashing import h8
+
+    return h8(F.concat_ws(":", F.col(docid_col).cast("string"), F.lit(str(seed))))
+
+
 def spam_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(docid, label, features array<int>) in the reference's input shape
     (TrainSpamClassifier.scala:44-54), derived from documents."""
@@ -64,11 +75,13 @@ def spam_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sgd_fold(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Sequential SGD over rows ordered by sort_key (bit-for-bit the
-    reference fold, TrainSpamClassifier.scala:68-85)."""
+    """Sequential SGD over rows ordered by (sort_key, docid) — bit-for-bit
+    the reference fold (TrainSpamClassifier.scala:68-85); the docid
+    tiebreak makes the visit order total, so the DuckDB recursive-CTE
+    oracle replays the identical sequence."""
     import math
 
-    pdf = pdf.sort_values("sort_key", kind="mergesort")
+    pdf = pdf.sort_values(["sort_key", "docid"], kind="mergesort")
     w: dict[int, float] = {}
     for label, feats in zip(pdf["is_spam"], pdf["features"]):
         score = 0.0
@@ -106,10 +119,11 @@ def train_spam_classifier(
             F.regexp_extract("source", r"(\d+)$", 1).cast("int") % N_ENSEMBLE
             == subset_source_mod
         )
-    sort_key = F.rand(seed) if shuffle else F.col("docid").cast("double")
+    sort_key = shuffle_key("docid", seed) if shuffle else F.col("docid").cast("double")
     prepared = ds.select(
         F.lit(0).alias("g"),
         sort_key.alias("sort_key"),
+        "docid",
         F.when(F.col("label") == "spam", 1).otherwise(0).alias("is_spam"),
         "features",
     )
@@ -161,6 +175,7 @@ def _train_ensemble_models(ds: DataFrame) -> DataFrame:
             F.regexp_extract("source", r"(\d+)$", 1).cast("int") % N_ENSEMBLE
         ).alias("g"),
         F.col("docid").cast("double").alias("sort_key"),
+        "docid",
         F.when(F.col("label") == "spam", 1).otherwise(0).alias("is_spam"),
         "features",
     )

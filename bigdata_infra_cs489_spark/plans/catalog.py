@@ -654,6 +654,7 @@ register(
 
 # --- spam classifier (SURVEY §2.9 M6-M9, assignment6) ------------------------
 
+from ..functions.hashing import DUCK_H8  # noqa: E402  (single hash owner)
 from ..operators import ml as M  # noqa: E402
 
 # features rendered as a canonical comma-joined string on BOTH engines
@@ -680,22 +681,237 @@ register(
     """,
 )
 
-# Sequential SGD and everything downstream of its weights: order-sensitive
-# fold, not SQL-expressible -> rows-only driver checks; numerics pinned by
-# a pure-Python replay oracle in tests/test_ml.py.
-register("spam_train", lambda spark, sf: M.train_spam_classifier(spark, sf))
+# Sequential SGD: the fold is order-sensitive, but the visit order is a
+# *total, engine-portable* order (docid, or the h8 shuffle key), so the
+# whole trainer IS SQL-expressible as a DuckDB recursive CTE that replays
+# the identical update sequence step by step — the same unrolling idea as
+# the k-means / PPR oracles, except the "loop" here is over training rows,
+# which WITH RECURSIVE expresses directly without generating 500 CTEs.
+# Weights are carried as a dense LIST over the (materialized) global
+# vocabulary; each recursive step scores one document in token order and
+# applies the per-occurrence update, exactly like the Python fold
+# (operators/ml.py _sgd_fold, TrainSpamClassifier.scala:68-85). The
+# fp drift between the two engines (list_sum vs left-fold) is orders of
+# magnitude below the 6-decimal output rounding.
+
+_SGD_FEAT = (
+    f"list_transform({DUCK_TOKS}, "
+    f"t -> CAST({DUCK_H8.format(x='t')} % {M.FEATURE_MOD} AS INT))"
+)
+_SGD_SHUF_ORDER = (
+    "CAST(('0x' || substr(md5(CAST(d.docid AS VARCHAR) || ':42'), 1, 8)) "
+    "AS BIGINT), d.docid"
+)
+
+
+def _sgd_with(models: list[tuple[str, str, str]]) -> str:
+    """WITH RECURSIVE prelude computing sgd_weights_<tag> for each
+    (tag, subset_predicate_sql, order_sql) — shared doc/vocab prep plus one
+    recursive trainer per model."""
+    prelude = f"""
+    WITH RECURSIVE
+    sgd_ds AS MATERIALIZED (
+      SELECT doc_id AS docid,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS is_spam,
+             CASE WHEN doc_id % 3 = 0 THEN 'spam' ELSE 'ham' END AS label,
+             TRY_CAST(regexp_extract(source, '(\\d+)$', 1) AS INT)
+                 % {M.N_ENSEMBLE} AS src_g,
+             {_SGD_FEAT} AS feats
+      FROM documents
+    ),
+    sgd_vocab AS MATERIALIZED (
+      SELECT feature, CAST(row_number() OVER (ORDER BY feature) AS INT) AS idx
+      FROM (SELECT DISTINCT unnest(feats) AS feature FROM sgd_ds)
+    ),
+    sgd_nv AS (SELECT CAST(count(*) AS INT) AS n FROM sgd_vocab),
+    sgd_occ AS MATERIALIZED (
+      SELECT docid, unnest(feats) AS feature,
+             generate_subscripts(feats, 1) AS pos
+      FROM sgd_ds
+    ),
+    sgd_doc_idxs AS (
+      SELECT o.docid, list(v.idx ORDER BY o.pos) AS idxs
+      FROM sgd_occ o JOIN sgd_vocab v USING (feature)
+      GROUP BY o.docid
+    ),
+    sgd_docs AS MATERIALIZED (
+      SELECT d.docid, d.is_spam, d.label, d.src_g,
+             coalesce(di.idxs, []) AS idxs,
+             list_transform(range(1, nv.n + 1),
+                 i -> CAST(len(list_filter(coalesce(di.idxs, []), x -> x = i))
+                           AS DOUBLE)) AS cnts
+      FROM sgd_ds d LEFT JOIN sgd_doc_idxs di USING (docid), sgd_nv nv
+    )"""
+    blocks = []
+    for tag, pred, order_sql in models:
+        blocks.append(f"""
+    sgd_sub_{tag} AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY {order_sql}) AS BIGINT) AS rn,
+             d.*
+      FROM sgd_docs d WHERE {pred}
+    ),
+    sgd_nd_{tag} AS (SELECT count(*) AS n FROM sgd_sub_{tag}),
+    sgd_steps_{tag} AS (
+      SELECT CAST(0 AS BIGINT) AS step,
+             list_transform(range(1, nv.n + 1), i -> CAST(0.0 AS DOUBLE)) AS w
+      FROM sgd_nv nv
+      UNION ALL
+      SELECT step + 1,
+             list_transform(w, (x, i) -> CAST(x + upd * cnts[i] AS DOUBLE))
+      FROM (
+        SELECT s.step, s.w, d.cnts,
+               (d.is_spam - 1.0 / (1.0 + exp(-CAST(coalesce(
+                   list_sum(list_transform(d.idxs, j -> s.w[j])), 0.0)
+                   AS DOUBLE)))) * {M.DELTA} AS upd
+        FROM sgd_steps_{tag} s JOIN sgd_sub_{tag} d ON d.rn = s.step + 1
+      )
+    ),
+    sgd_weights_{tag} AS MATERIALIZED (
+      SELECT v.feature, f.w[v.idx] AS weight
+      FROM (SELECT w FROM sgd_steps_{tag}
+            WHERE step = (SELECT n FROM sgd_nd_{tag})) f, sgd_vocab v
+      WHERE v.feature IN (SELECT o.feature FROM sgd_occ o
+                          JOIN sgd_sub_{tag} s ON o.docid = s.docid)
+    )""")
+    return prelude + "," + ",".join(blocks)
+
+
+_SGD_ENSEMBLE_MODELS = [
+    (f"g{i}", f"d.src_g = {i}", "d.docid") for i in range(M.N_ENSEMBLE)
+]
+
+# scoring tail shared by apply/ensemble oracles: explode ⋈ weights ⋈ sum,
+# empty/unknown-feature docs score 0 via the LEFT JOIN back to sgd_ds —
+# mirrors operators/ml.py _score / _ensemble_scores.
+_SGD_APPLY_TAIL = """
+    , sgd_scores AS (
+      SELECT o.docid, coalesce(sum(w.weight), 0.0) AS score
+      FROM sgd_occ o LEFT JOIN sgd_weights_m w USING (feature)
+      GROUP BY o.docid
+    ),
+    sgd_scored AS (
+      SELECT d.docid, d.label,
+             round(coalesce(s.score, 0.0), 6) AS score,
+             CASE WHEN coalesce(s.score, 0.0) > 0 THEN 'spam' ELSE 'ham' END
+                 AS pred
+      FROM sgd_ds d LEFT JOIN sgd_scores s USING (docid)
+    )"""
+
+register(
+    "spam_train",
+    lambda spark, sf: M.train_spam_classifier(spark, sf).select(
+        "feature", F.round("weight", 6).alias("weight")
+    ),
+    _sgd_with([("m", "TRUE", "d.docid")])
+    + "\n    SELECT feature, round(weight, 6) AS weight FROM sgd_weights_m",
+)
 register(
     "spam_train_shuffled",
-    lambda spark, sf: M.train_spam_classifier(spark, sf, shuffle=True),
+    lambda spark, sf: M.train_spam_classifier(spark, sf, shuffle=True).select(
+        "feature", F.round("weight", 6).alias("weight")
+    ),
+    _sgd_with([("m", "TRUE", _SGD_SHUF_ORDER)])
+    + "\n    SELECT feature, round(weight, 6) AS weight FROM sgd_weights_m",
 )
-register("spam_apply", lambda spark, sf: M.apply_spam_classifier(spark, sf))
 register(
-    "spam_ensemble_average", lambda spark, sf: M.apply_ensemble_average(spark, sf)
+    "spam_apply",
+    lambda spark, sf: M.apply_spam_classifier(spark, sf),
+    _sgd_with([("m", "TRUE", "d.docid")])
+    + _SGD_APPLY_TAIL
+    + "\n    SELECT * FROM sgd_scored",
 )
-register("spam_ensemble_vote", lambda spark, sf: M.apply_ensemble_vote(spark, sf))
-# Quality metric over the non-SQL-expressible trained model -> rows-only;
-# the AUC computation itself is pinned vs NumPy in tests/test_skew_and_auc.py.
-register("spam_model_auc", lambda spark, sf: M.spam_model_auc(spark, sf))
+
+
+def _sgd_ensemble_oracle(select_body: str) -> str:
+    """Three per-source-group recursive trainers + one-pass scoring with
+    per-model conditional sums (the SQL twin of the Spark pivot)."""
+    union = "\n      UNION ALL ".join(
+        f"SELECT {i} AS model_id, feature, weight FROM sgd_weights_g{i}"
+        for i in range(M.N_ENSEMBLE)
+    )
+    scores = ",\n             ".join(
+        f"coalesce(sum(CASE WHEN w.model_id = {i} THEN w.weight END), 0.0)"
+        f" AS s{i}"
+        for i in range(M.N_ENSEMBLE)
+    )
+    return (
+        _sgd_with(_SGD_ENSEMBLE_MODELS)
+        + f"""
+    , sgd_weights_all AS ({union}),
+    sgd_pivot AS (
+      SELECT o.docid,
+             {scores}
+      FROM sgd_occ o LEFT JOIN sgd_weights_all w USING (feature)
+      GROUP BY o.docid
+    ),
+    sgd_ens AS (
+      SELECT d.docid, d.label,
+             coalesce(p.s0, 0.0) AS s0,
+             coalesce(p.s1, 0.0) AS s1,
+             coalesce(p.s2, 0.0) AS s2
+      FROM sgd_ds d LEFT JOIN sgd_pivot p USING (docid)
+    )
+    {select_body}"""
+    )
+
+
+register(
+    "spam_ensemble_average",
+    lambda spark, sf: M.apply_ensemble_average(spark, sf),
+    _sgd_ensemble_oracle(f"""
+    SELECT docid, label,
+           round((s0 + s1 + s2) / {M.N_ENSEMBLE}, 6) AS score,
+           CASE WHEN (s0 + s1 + s2) / {M.N_ENSEMBLE} > 0
+                THEN 'spam' ELSE 'ham' END AS pred
+    FROM sgd_ens"""),
+)
+register(
+    "spam_ensemble_vote",
+    lambda spark, sf: M.apply_ensemble_vote(spark, sf),
+    _sgd_ensemble_oracle(f"""
+    SELECT docid, label,
+           CAST(2 * votes - {M.N_ENSEMBLE} AS DOUBLE) AS score,
+           CASE WHEN 2 * votes > {M.N_ENSEMBLE} THEN 'spam' ELSE 'ham' END
+               AS pred
+    FROM (SELECT docid, label,
+                 (CASE WHEN s0 > 0 THEN 1 ELSE 0 END
+                  + CASE WHEN s1 > 0 THEN 1 ELSE 0 END
+                  + CASE WHEN s2 > 0 THEN 1 ELSE 0 END) AS votes
+          FROM sgd_ens)"""),
+)
+# AUC over the single trained model's scores: Mann-Whitney with average
+# ranks over distinct (rounded) scores — the SQL twin of
+# operators/ml.py ranking_auc's prefix-sum formulation.
+register(
+    "spam_model_auc",
+    lambda spark, sf: M.spam_model_auc(spark, sf),
+    _sgd_with([("m", "TRUE", "d.docid")])
+    + _SGD_APPLY_TAIL
+    + """
+    , auc_g AS (
+      SELECT score, count(*) AS cnt,
+             sum(CASE WHEN label = 'spam' THEN 1 ELSE 0 END) AS pos
+      FROM sgd_scored GROUP BY score
+    ),
+    auc_r AS (
+      SELECT pos, cnt, sum(cnt) OVER (ORDER BY score) AS cum FROM auc_g
+    ),
+    auc_a AS (
+      SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(cnt - pos) AS BIGINT) AS n_neg,
+             sum(pos * (cum - cnt + (cnt + 1) / 2.0)) AS prs
+      FROM auc_r
+    )
+    SELECT n_pos, n_neg,
+           round(CASE WHEN n_pos * n_neg > 0
+                 THEN (prs - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+                 END, 6) AS auc,
+           round((1 - CASE WHEN n_pos * n_neg > 0
+                 THEN (prs - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+                 END) * 100, 4) AS roca_pct
+    FROM auc_a
+    """,
+)
 
 # --- deduplication (north-star extensions, BASELINE.json) --------------------
 
@@ -706,7 +922,6 @@ from ..operators import dedup as D  # noqa: E402
 # tokenizer. Derived constants are interpolated from the SAME Python names
 # the Spark side uses, so changing SHINGLE_N/NUM_HASHES/NUM_BANDS moves
 # both engines together instead of silently desyncing the oracle.
-from ..functions.hashing import DUCK_H8  # noqa: E402  (single hash owner)
 DUCK_SHINGLES = f"""
     toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
     sh AS (

@@ -9,10 +9,12 @@ def test_cli_list(capsys):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
     assert "boolean_retrieval\toracle" in out
-    # ppr_topk gained a full unrolled-SQL oracle in round 3; the
-    # sequential SGD family remains the representative rows-only entry
+    # ppr_topk gained a full unrolled-SQL oracle in round 3, and the
+    # sequential SGD family gained recursive-CTE replay oracles — every
+    # registered query now carries a value oracle
     assert "ppr_topk\toracle" in out
-    assert "spam_train\trows-only" in out
+    assert "spam_train\toracle" in out
+    assert "rows-only" not in out
 
 
 def test_cli_boolean_and_rank(spark, sf_smoke, capsys):

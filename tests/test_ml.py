@@ -52,6 +52,17 @@ def test_training_set_matches_oracle(spark, sf_correct):
     assert_matches_oracle(q(spark, sf_correct), sql, sf_correct)
 
 
+def test_sgd_family_matches_recursive_cte_oracle(spark, sf_smoke):
+    """The recursive-CTE replay oracle (plans/catalog.py _sgd_with) tracks
+    the Spark fold bit-for-bit at output rounding — plain, shuffled, and
+    the downstream AUC."""
+    import __spark_entry__ as entrymod
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in ("spam_train", "spam_train_shuffled", "spam_model_auc"):
+        assert_matches_oracle(qs[name](spark, sf_smoke), oracles[name], sf_smoke)
+
+
 def test_sgd_matches_python_replay(spark, sf_smoke):
     from bigdata_infra_cs489_spark.operators.ml import train_spam_classifier
 
