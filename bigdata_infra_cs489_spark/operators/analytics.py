@@ -1,0 +1,125 @@
+"""Classic warehouse analytics over the fixture tables: retention
+cohorts, RFM segmentation, fixed-width histograms.
+
+No reference counterpart (north-star extension, same family as
+operators/events.py): these are the reporting aggregations a product
+or training-data telemetry warehouse runs daily. Everything is built-in
+column expressions with DuckDB oracle twins; the only total-order step
+(the RFM quintiles) routes through the range-partitioned ntile
+(operators/distsort.py), never a single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort_date, day_offset, n_users): users bucketed by first-seen
+    day, counted on each later active day — the standard retention
+    triangle.
+
+    Scale shape: one (user_id, day) dedup shuffle, one per-user min
+    aggregate, a shuffle join back on user_id (users ≫ executors, keys
+    well spread), one final hash aggregate. No window functions, no
+    driver-side state.
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_date"),
+            F.datediff("d", "cohort_d").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+RFM_TILES = 5
+
+
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(custkey, recency_days, frequency, monetary, r_score, f_score,
+    m_score, segment): recency/frequency/monetary quintile segmentation
+    of customers from their order history; score 1 = best (most recent /
+    most orders / highest spend), segment = the concatenated 'rfm' code.
+
+    The three quintile assignments are global ntiles — each runs through
+    the distributed range-partitioned ntile (operators/distsort.py).
+    Monetary is rounded to cents BEFORE ranking so the order (and thus
+    the cross-engine oracle hash) never depends on float summation order.
+    """
+    from .distsort import with_ntile
+
+    orders = load(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    maxd = orders.agg(F.max(F.to_date("o_orderdate")).alias("gmax"))
+    base = base.crossJoin(F.broadcast(maxd)).select(
+        "custkey",
+        F.datediff("gmax", "last_order").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    scored = with_ntile(
+        base, [F.asc("recency_days"), F.asc("custkey")], RFM_TILES, "r_score"
+    )
+    scored = with_ntile(
+        scored, [F.desc("frequency"), F.asc("custkey")], RFM_TILES, "f_score"
+    )
+    scored = with_ntile(
+        scored, [F.desc("monetary"), F.asc("custkey")], RFM_TILES, "m_score"
+    )
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws("", "r_score", "f_score", "m_score").alias("segment"),
+    )
+
+
+HIST_LO = 0.0
+HIST_HI = 500.0
+HIST_BUCKETS = 20  # width 25
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, lo, hi, n_events, sum_value): fixed-width histogram of
+    the event value distribution, out-of-range values clamped into the
+    edge buckets. One partial+final hash aggregate on a derived integer
+    key — the cheapest possible full-scan profile at any scale."""
+    width = (HIST_HI - HIST_LO) / HIST_BUCKETS
+    raw = F.floor((F.col("value") - HIST_LO) / width)
+    bucket = F.least(
+        F.lit(HIST_BUCKETS - 1), F.greatest(F.lit(0), raw)
+    ).cast("int")
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * width + HIST_LO).alias("lo"),
+            ((F.col("bucket") + 1) * width + HIST_LO).alias("hi"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -511,3 +511,45 @@ def q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") >= CONTAM_EVAL_MAX_ID),
         docs.where(F.col("doc_id") < CONTAM_EVAL_MAX_ID),
     )
+
+
+# --- edit-distance near-dup verify ------------------------------------------
+
+EDIT_SIM_MIN = 0.5
+
+
+def edit_distance_pairs(
+    docs: DataFrame, pairs: DataFrame, min_sim: float = EDIT_SIM_MIN
+) -> DataFrame:
+    """(doc_a, doc_b, edit_dist, edit_sim): character-level Levenshtein
+    verification of candidate pairs, keeping pairs with normalized
+    similarity 1 - dist/max(len) >= min_sim. The character-exact
+    complement to the token-level Jaccard verify: catches small in-token
+    edits that shingle sets miss.
+
+    Never all-pairs: candidates come from the MinHash LSH bands, so the
+    quadratic Levenshtein cost is paid only on band collisions; the texts
+    travel to the pair only for the surviving candidate set.
+    """
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    dist = F.levenshtein("ta", "tb")
+    sim = F.lit(1.0) - dist / F.greatest(
+        F.length("ta"), F.length("tb"), F.lit(1)
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.alias("edit_dist"),
+            F.round(sim, 6).alias("edit_sim"),
+        )
+        .where(F.col("edit_sim") >= min_sim)
+    )
+
+
+def q_edit_distance_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return edit_distance_pairs(docs, lsh_candidate_pairs(docs))

@@ -1,0 +1,91 @@
+"""Count-min sketch: fixed-size frequency summaries for heavy-hitter
+detection over unbounded key domains.
+
+Extends the reference's counter/side-aggregate family (SURVEY §2 A8,
+events_sketch_check's exact-vs-approx pattern): at 100 TB you cannot
+hash-aggregate an open token/URL/user domain exactly, but a CMS is a
+constant D×W grid of counters that merges associatively — map-side
+partial aggregation compresses every partition to ≤ D·W cells, and
+estimates are upper bounds (est >= true count, within eps·N w.h.p.).
+
+All hashing rides the shared portable h8 primitive so the DuckDB oracle
+reproduces every cell and estimate exactly; the exact counts carried
+next to the estimates here are the verification twin (same role as
+events_sketch_check), not part of the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h8
+from ..functions.text import tokenize
+from ..sources.tables import load
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 256  # counters per row
+CMS_HH_PPM = 10_000  # heavy hitter: estimated share >= 1% of all tokens
+
+
+def _bucket(token: Column, d: int) -> Column:
+    """Row-d counter index for a token: portable h8 of 'd:token' mod W."""
+    return (
+        h8(F.concat_ws(":", F.lit(str(d)), token)) % CMS_WIDTH
+    ).cast("int")
+
+
+def cms_build(tokens: DataFrame, col: str = "token") -> DataFrame:
+    """(d, bucket, cell_n): the D×W sketch grid from a stream of keys.
+    One narrow pass; the groupBy partial-aggregates map-side so the
+    shuffle carries at most D·W rows per partition regardless of input
+    size."""
+    cells = tokens.select(
+        F.posexplode(
+            F.array(*[_bucket(F.col(col), d) for d in range(CMS_DEPTH)])
+        ).alias("d", "bucket")
+    )
+    return cells.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cell_n"))
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, col: str = "token"
+) -> DataFrame:
+    """(key..., cms_est): point estimates = min over rows of the key's
+    cell. The sketch is at most D·W rows, so it broadcasts; the probe is
+    a narrow pass over the key set."""
+    probes = keys.select(
+        "*",
+        F.posexplode(
+            F.array(*[_bucket(F.col(col), d) for d in range(CMS_DEPTH)])
+        ).alias("d", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy(*keys.columns)
+        .agg(F.min("cell_n").alias("cms_est"))
+    )
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token, exact_n, cms_est, overcount): tokens whose ESTIMATED share
+    of the corpus is >= CMS_HH_PPM parts-per-million, with the exact
+    count alongside as the verification twin — overcount = est - exact
+    is always >= 0, the CMS one-sided error guarantee the oracle pins."""
+    toks = (
+        load(spark, sf_dir, "documents", parallelize=True)
+        .select(F.explode(tokenize("text")).alias("token"))
+    )
+    sketch = cms_build(toks)
+    total = toks.count()
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = cms_estimate(sketch, exact)
+    return (
+        est.where(F.col("cms_est") * 1_000_000 >= CMS_HH_PPM * total)
+        .select(
+            "token",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        )
+    )

@@ -331,3 +331,73 @@ def token_budget_pack(
         [F.desc("quality_score"), F.asc("doc_id")],
         {"cum_tokens": "n_tokens"},
     ).where(F.col("cum_tokens") <= budget)
+
+
+CHUNK_SIZE = 32  # tokens per retrieval chunk
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def doc_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """(doc_id, chunk_id, n_chunk_tokens, chunk_text): overlapping
+    token-window chunking — the document-splitting step of a RAG /
+    embedding-indexing pipeline. Chunk i covers tokens
+    [i*stride, i*stride + size); the final chunk may be short.
+
+    Pure per-row expansion (sequence + posexplode + slice), zero Python
+    and zero shuffle: chunking 100 TB is exactly one narrow scan, and the
+    output inherits the input partitioning for the embedding stage that
+    follows.
+    """
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", tokenize("text").alias("toks")
+    )
+    toks = toks.where(F.size("toks") > 0)
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(stride))
+    chunked = toks.select(
+        "doc_id", F.posexplode(starts).alias("chunk_id", "start"), "toks"
+    )
+    piece = F.slice("toks", F.col("start") + 1, size)
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def token_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus-level Zipf diagnostics: vocabulary size, token
+    count, and the OLS fit of log(frequency) on log(rank) — slope near -1
+    is the natural-text signature; a flat or cliff-shaped fit flags
+    synthetic or template-heavy corpora in a data-quality dashboard.
+
+    The frequency ranking is a total order over the vocabulary, so the
+    global row number comes from the range-partitioned prefix machinery
+    (operators/distsort.py), never a single-partition window; the
+    regression itself is one partial+final aggregate (regr_slope /
+    regr_intercept / regr_r2 are plain JVM aggregates).
+    """
+    from .distsort import with_running_totals
+
+    wc = (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = with_running_totals(
+        wc, [F.desc("cnt"), F.asc("token")], {}, row_col="rank"
+    )
+    y, x = F.log(F.col("cnt").cast("double")), F.log(F.col("rank").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("cnt").alias("n_tokens"),
+        F.round(F.regr_slope(y, x), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("zipf_r2"),
+    )

@@ -2550,3 +2550,175 @@ register(
      AND c.ts < e.ts + INTERVAL {TJ.ERR_WINDOW_SEC} SECOND
     """,
 )
+
+# --- warehouse analytics / sketches / chunking (round-3 extensions) ----------
+
+from ..operators import analytics as AN  # noqa: E402
+from ..operators import sketch as SK  # noqa: E402
+
+register(
+    "user_retention_cohorts",
+    AN.user_retention_cohorts,
+    """
+    WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    f AS (SELECT user_id, min(d) AS cohort_d FROM ev GROUP BY user_id)
+    SELECT strftime(f.cohort_d, '%Y-%m-%d') AS cohort_date,
+           CAST(date_diff('day', f.cohort_d, ev.d) AS INT) AS day_offset,
+           count(*) AS n_users
+    FROM ev JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+
+register(
+    "customer_rfm",
+    AN.customer_rfm,
+    f"""
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             max(CAST(o_orderdate AS DATE)) AS last_order,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    g AS (SELECT max(CAST(o_orderdate AS DATE)) AS gmax FROM orders),
+    r AS (
+      SELECT custkey,
+             CAST(date_diff('day', last_order, g.gmax) AS INT) AS recency_days,
+             frequency, monetary
+      FROM base, g
+    ),
+    s AS (
+      SELECT *,
+             ntile({AN.RFM_TILES}) OVER (ORDER BY recency_days ASC, custkey ASC)
+                 AS r_score,
+             ntile({AN.RFM_TILES}) OVER (ORDER BY frequency DESC, custkey ASC)
+                 AS f_score,
+             ntile({AN.RFM_TILES}) OVER (ORDER BY monetary DESC, custkey ASC)
+                 AS m_score
+      FROM r
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+               || CAST(m_score AS VARCHAR) AS segment
+    FROM s
+    """,
+)
+
+_HIST_W = (AN.HIST_HI - AN.HIST_LO) / AN.HIST_BUCKETS
+register(
+    "events_value_histogram",
+    AN.events_value_histogram,
+    f"""
+    SELECT bucket,
+           CAST(bucket * {_HIST_W} + {AN.HIST_LO} AS DOUBLE) AS lo,
+           CAST((bucket + 1) * {_HIST_W} + {AN.HIST_LO} AS DOUBLE) AS hi,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM (
+      SELECT CAST(least({AN.HIST_BUCKETS - 1},
+                 greatest(0, floor((value - {AN.HIST_LO}) / {_HIST_W})))
+                 AS INT) AS bucket
+           , value
+      FROM events
+    )
+    GROUP BY bucket
+    """,
+)
+
+register(
+    "doc_chunks",
+    lambda spark, sf: TS.doc_chunks(spark, sf),
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {DUCK_TOKS} AS toks FROM documents
+    ),
+    t AS (SELECT doc_id, toks FROM toks WHERE len(toks) > 0),
+    st AS (
+      SELECT doc_id, toks,
+             CAST(generate_subscripts(range(0, len(toks), {TS.CHUNK_STRIDE}), 1)
+                  - 1 AS INT) AS chunk_id,
+             unnest(range(0, len(toks), {TS.CHUNK_STRIDE})) AS start
+      FROM t
+    )
+    SELECT doc_id, chunk_id,
+           len(toks[start + 1 : start + {TS.CHUNK_SIZE}]) AS n_chunk_tokens,
+           array_to_string(toks[start + 1 : start + {TS.CHUNK_SIZE}], ' ')
+               AS chunk_text
+    FROM st
+    """,
+)
+
+register(
+    "token_zipf_stats",
+    TS.token_zipf_stats,
+    f"""
+    WITH wc AS (
+      SELECT token, count(*) AS cnt
+      FROM (SELECT unnest({DUCK_TOKS}) AS token FROM documents)
+      GROUP BY token
+    ),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+      FROM wc
+    )
+    SELECT count(*) AS n_types, sum(cnt) AS n_tokens,
+           round(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope,
+           round(regr_intercept(ln(cnt), ln(rank)), 6) AS zipf_intercept,
+           round(regr_r2(ln(cnt), ln(rank)), 6) AS zipf_r2
+    FROM ranked
+    """,
+)
+
+register(
+    "editdist_near_duplicates",
+    D.q_edit_distance_near_duplicates,
+    f"""
+    WITH {DUCK_MINHASH_PAIR_CTES}
+    SELECT doc_a, doc_b,
+           levenshtein(da.text, db.text) AS edit_dist,
+           round(1.0 - levenshtein(da.text, db.text)
+                 / greatest(len(da.text), len(db.text), 1), 6) AS edit_sim
+    FROM cand
+    JOIN documents da ON da.doc_id = doc_a
+    JOIN documents db ON db.doc_id = doc_b
+    WHERE 1.0 - levenshtein(da.text, db.text)
+          / greatest(len(da.text), len(db.text), 1) >= {D.EDIT_SIM_MIN}
+    """,
+)
+
+_CMS_BUCKET = (
+    "CAST(" + DUCK_H8.format(x="(CAST(d AS VARCHAR) || ':' || token)")
+    + f" % {SK.CMS_WIDTH} AS INT)"
+)
+register(
+    "cms_heavy_hitters",
+    SK.cms_heavy_hitters,
+    f"""
+    WITH toks AS (
+      SELECT unnest({DUCK_TOKS}) AS token FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM toks),
+    cells AS (
+      SELECT d, {_CMS_BUCKET} AS bucket, count(*) AS cell_n
+      FROM toks, range(0, {SK.CMS_DEPTH}) t(d)
+      GROUP BY 1, 2
+    ),
+    exact AS (SELECT token, count(*) AS exact_n FROM toks GROUP BY token),
+    probes AS (
+      SELECT token, exact_n, d, {_CMS_BUCKET} AS bucket
+      FROM exact, range(0, {SK.CMS_DEPTH}) t(d)
+    ),
+    est AS (
+      SELECT p.token, p.exact_n, min(c.cell_n) AS cms_est
+      FROM probes p JOIN cells c ON c.d = p.d AND c.bucket = p.bucket
+      GROUP BY p.token, p.exact_n
+    )
+    SELECT token, exact_n, cms_est, cms_est - exact_n AS overcount
+    FROM est, tot
+    WHERE cms_est * 1000000 >= {SK.CMS_HH_PPM} * tot.n
+    """,
+)
