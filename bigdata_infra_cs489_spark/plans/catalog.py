@@ -1978,6 +1978,15 @@ register(
     """,
 )
 
+register(
+    "orc_roundtrip_customer",
+    FMT.q_orc_roundtrip_customer,
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+
 # --- co-located bucketed join (SURVEY §4 custom-partitioner equivalent) ------
 
 from ..operators import colocated as CO  # noqa: E402

@@ -242,3 +242,21 @@ def write_jsonl(df: DataFrame, path: str) -> None:
     """DataFrame -> JSON-lines (S8 twin for nested/self-describing rows —
     the interchange format corpus pipelines actually exchange)."""
     df.write.mode("overwrite").json(path)
+
+
+def q_orc_roundtrip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered columnar-interchange round-trip: fixture customer ->
+    ORC -> scan. ORC is the other columnar format warehouses exchange;
+    Spark's built-in reader gives it the same pushdown/pruning/row-group
+    machinery as parquet. Hash parity against the parquet-reading oracle
+    proves type fidelity (int64/int32/string/double) through the sink."""
+    import os
+    import tempfile
+
+    from .tables import load
+
+    src = load(spark, sf_dir, "customer")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_orc_customer_{sf_tag}")
+    src.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
