@@ -323,3 +323,29 @@ def doc_keywords(
         .where(F.col("rank") <= k)
         .select("doc_id", "term", "tfidf", F.col("rank").cast("int").alias("rank"))
     )
+
+
+LOOKUP_TERMS = ("fast", "table", "window")
+
+
+def q_term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered build-once/probe-many form of the MapFile/HBase point
+    lookup family (SURVEY §2.1 S5-S7): postings persisted hash-bucketed
+    by term (write_bucketed_index), then pruned point Gets for a fixed
+    probe set, unioned. Each probe's foldable bucket predicate prunes the
+    scan to 1/N_BUCKETS of the files before the term filter runs — the
+    BooleanRetrievalCompressed.java:106-128 seek, as partition pruning.
+    The oracle recomputes the same postings directly, so hash parity
+    proves the sink+lookup path loses nothing."""
+    import os
+    import tempfile
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_term_index_{sf_tag}"
+    )
+    write_bucketed_index(postings(spark, sf_dir), path)
+    out = lookup_term(spark, path, LOOKUP_TERMS[0])
+    for t in LOOKUP_TERMS[1:]:
+        out = out.unionByName(lookup_term(spark, path, t))
+    return out

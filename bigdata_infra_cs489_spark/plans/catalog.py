@@ -261,6 +261,18 @@ register(
 from ..operators import index as I  # noqa: E402
 
 register(
+    "term_lookup",
+    I.q_term_lookup,
+    f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents)
+    SELECT term, doc_id, count(*) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+    WHERE term IN ('fast', 'table', 'window')
+    GROUP BY term, doc_id
+    """,
+)
+
+register(
     "inverted_index_postings",
     lambda spark, sf: I.postings(spark, sf),
     f"""
