@@ -123,3 +123,32 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+ZSCORE_THRESHOLD = 3.0
+
+
+def user_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, user_id, value, zscore): events whose value deviates
+    more than ZSCORE_THRESHOLD population standard deviations from that
+    user's own mean — per-entity outlier detection, the telemetry QA
+    sweep before events feed a training pipeline.
+
+    One grouped aggregate (count/mean/stddev_pop per user, partial+final)
+    broadcast-shape-free: the stats re-join the events on user_id, the
+    same well-spread shuffle key as the aggregation, and AQE plans the
+    join locally. Users with fewer than 2 events or zero variance are
+    skipped (z undefined)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(stats, "user_id")
+        .where((F.col("n") >= 2) & (F.col("sigma") > 0))
+        .where(F.abs(z) > ZSCORE_THRESHOLD)
+        .select("event_id", "user_id", "value", F.round(z, 4).alias("zscore"))
+    )

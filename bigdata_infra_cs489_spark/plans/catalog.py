@@ -2629,6 +2629,23 @@ register(
     """,
 )
 
+register(
+    "user_value_anomalies",
+    AN.user_value_anomalies,
+    f"""
+    WITH stats AS (
+      SELECT user_id, count(*) AS n, avg(value) AS mu,
+             stddev_pop(value) AS sigma
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.value,
+           round((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s USING (user_id)
+    WHERE s.n >= 2 AND s.sigma > 0
+      AND abs((e.value - s.mu) / s.sigma) > {AN.ZSCORE_THRESHOLD}
+    """,
+)
+
 _HIST_W = (AN.HIST_HI - AN.HIST_LO) / AN.HIST_BUCKETS
 register(
     "events_value_histogram",

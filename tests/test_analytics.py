@@ -87,3 +87,26 @@ def test_retention_day_zero_counts_every_user(spark, sf_correct):
     n_users = load(spark, sf_correct, "events").select("user_id").distinct().count()
     assert day0 == n_users
     assert all(r.day_offset >= 0 for r in rows)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_doc_chunks_plan_is_narrow(spark, sf_smoke):
+    """Chunking is pure per-row expansion — no key-based exchange (the
+    only Exchange allowed is load()'s opt-in round-robin rebalance)."""
+    from bigdata_infra_cs489_spark.operators.textstats import doc_chunks
+
+    plan = _plan(doc_chunks(spark, sf_smoke)).lower()
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_cms_probe_broadcasts_sketch(spark, sf_smoke):
+    """The D*W sketch grid joins the probe side as a broadcast, never a
+    shuffle join."""
+    from bigdata_infra_cs489_spark.operators.sketch import cms_heavy_hitters
+
+    plan = _plan(cms_heavy_hitters(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
