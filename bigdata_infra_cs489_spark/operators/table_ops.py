@@ -217,3 +217,46 @@ def compact_parquet(
         [(n_files_before, n_files_after, n_rows)],
         "n_files_before int, n_files_after int, n_rows bigint",
     )
+
+
+PARTITION_PROBE_DAY = "2024-01-15"
+
+
+def q_partitioned_day_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned batch lakehouse write + partition-pruned read:
+    events land partitioned by event date (dynamic partition overwrite,
+    one directory per day), then one day is read back through a foldable
+    partition predicate — the scan touches exactly that directory
+    (PartitionFilters in the plan, asserted in tests), never the table.
+    The batch twin of stream_partitioned_sink's landing layout, and the
+    date-partitioned layout every time-series lake uses so daily
+    pipelines pay O(day), not O(history).
+
+    Returns the probed day's per-type counts; the oracle recomputes them
+    from the raw table, so hash parity proves the partitioned write is
+    lossless."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_events_by_day_{sf_tag}"
+    )
+    ev = load(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    day = spark.read.parquet(path).where(
+        F.col("event_date") == PARTITION_PROBE_DAY
+    )
+    # directory-name partition values are type-inferred as DATE on read;
+    # render back to the written string form for a type-stable contract
+    day = day.withColumn("event_date", F.col("event_date").cast("string"))
+    return day.groupBy("event_date", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -2572,6 +2572,18 @@ register(
     """,
 )
 
+register(
+    "partitioned_day_scan",
+    TO.q_partitioned_day_scan,
+    f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') = '{TO.PARTITION_PROBE_DAY}'
+    GROUP BY 1, 2
+    """,
+)
+
 # --- warehouse analytics / sketches / chunking (round-3 extensions) ----------
 
 from ..operators import analytics as AN  # noqa: E402
