@@ -152,3 +152,51 @@ def user_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(z) > ZSCORE_THRESHOLD)
         .select("event_id", "user_id", "value", F.round(z, 4).alias("zscore"))
     )
+
+
+WAU_WINDOW_DAYS = 7
+
+
+def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, wau): trailing-7-day distinct active users per day — the
+    rolling-distinct metric no plain window aggregate expresses (distinct
+    doesn't decompose over sliding frames).
+
+    Exact formulation: dedup to (user, active_day), fan each activity out
+    to the WAU_WINDOW_DAYS report days it supports, dedup (user, report
+    day), count. The fan-out multiplies the DEDUPED activity table (one
+    row per user-day, not per event) by the window length — at 100 TB of
+    raw events that table is orders of magnitude smaller than the input,
+    and the approximate alternative (per-day HLL sketch union, see
+    relational_ext.approx_distinct_users) is the sketch path when even
+    that is too wide. Report days are clamped to the observed range so
+    every day has full data."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    bounds = ev.agg(
+        F.min("d").alias("dmin"), F.max("d").alias("dmax")
+    )
+    fanned = (
+        ev.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("d"),
+                    F.date_add(F.col("d"), WAU_WINDOW_DAYS - 1),
+                )
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    return (
+        fanned.crossJoin(F.broadcast(bounds))
+        .where(
+            (F.col("day") >= F.date_add("dmin", WAU_WINDOW_DAYS - 1))
+            & (F.col("day") <= F.col("dmax"))
+        )
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )

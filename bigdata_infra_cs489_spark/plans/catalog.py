@@ -2642,6 +2642,23 @@ register(
 )
 
 register(
+    "weekly_active_users",
+    AN.weekly_active_users,
+    f"""
+    WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    b AS (SELECT min(d) AS dmin, max(d) AS dmax FROM ev),
+    fanned AS (
+      SELECT DISTINCT user_id, d + to_days(CAST(o AS INT)) AS day
+      FROM ev, range(0, {AN.WAU_WINDOW_DAYS}) t(o)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS wau
+    FROM fanned, b
+    WHERE day >= b.dmin + to_days({AN.WAU_WINDOW_DAYS - 1}) AND day <= b.dmax
+    GROUP BY 1
+    """,
+)
+
+register(
     "user_value_anomalies",
     AN.user_value_anomalies,
     f"""
