@@ -152,3 +152,41 @@ def test_source_capped_sample_caps_and_is_deterministic(spark, sf_correct):
 
     again = source_capped_sample(spark, sf_correct)
     assert sorted(map(tuple, kept.collect())) == sorted(map(tuple, again.collect()))
+
+
+PARTITIONING_SENSITIVE = [
+    # distsort-backed total orders, the grouped-fold trainer, and the
+    # fan-out WAU — the operators whose WRONG implementation would vary
+    # with the physical partitioning
+    "order_quartiles",
+    "customer_rfm",
+    "sequence_pack",
+    "token_budget_pack",
+    "spam_train_shuffled",
+    "weekly_active_users",
+]
+
+
+def test_results_invariant_to_shuffle_partitioning(spark, sf_smoke):
+    """Identical canonical results at 3 vs 19 shuffle partitions: global
+    order, prefix sums, ntiles, and sequential folds must not depend on
+    how the cluster happens to be partitioned."""
+    import __spark_entry__ as entrymod
+
+    from .oracle import _canon
+
+    qs = entrymod.queries()
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for npart in ("3", "19"):
+            spark.conf.set("spark.sql.shuffle.partitions", npart)
+            for name in PARTITIONING_SENSITIVE:
+                df = qs[name](spark, sf_smoke)
+                results.setdefault(name, []).append(
+                    _canon([tuple(r) for r in df.collect()], df.columns)
+                )
+        for name, (a, b) in results.items():
+            assert a == b, f"{name} varies with shuffle partitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
