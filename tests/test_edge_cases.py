@@ -189,3 +189,29 @@ def test_distsort_ntile_matches_builtin(spark):
             ).collect()
         }
         assert got == want, f"n_rows={n_rows}"
+
+
+def test_cms_unseen_key_estimate_is_collision_bounded(spark):
+    """Probing a key that never occurred returns either no cell hit (no
+    row) or a pure-collision estimate — never negative, never huge."""
+    from bigdata_infra_cs489_spark.operators.sketch import cms_build, cms_estimate
+
+    toks = spark.createDataFrame(
+        [("alpha",)] * 5 + [("beta",)] * 2, "token string"
+    )
+    sketch = cms_build(toks)
+    probe = spark.createDataFrame([("alpha",), ("gamma",)], "token string")
+    est = {r.token: r.cms_est for r in cms_estimate(sketch, probe).collect()}
+    assert est["alpha"] >= 5  # one-sided error
+    # gamma never occurred: any estimate is collision mass from 7 tokens
+    assert est.get("gamma", 0) <= 7
+
+
+def test_edit_distance_pairs_empty_candidates(spark):
+    from bigdata_infra_cs489_spark.operators.dedup import edit_distance_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "some text"), (2, "other text")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert edit_distance_pairs(docs, pairs).count() == 0
