@@ -89,3 +89,69 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
         )
     )
+
+
+BLOOM_BITS = 4096  # m
+BLOOM_HASHES = 3  # k
+BLOOM_ACCTBAL_MIN = 7500.0
+
+
+def _bloom_positions(key: Column, prefix: str = "b") -> Column:
+    """The k bit positions of a key: portable h8 of 'b<i>:<key>' mod m."""
+    return F.array(
+        *[
+            (
+                h8(F.concat_ws(":", F.lit(f"{prefix}{i}"), key.cast("string")))
+                % BLOOM_BITS
+            ).cast("int")
+            for i in range(BLOOM_HASHES)
+        ]
+    )
+
+
+def bloom_prefilter_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row (n_keys, n_bits_set, n_pass_bloom, n_true, n_false_pos):
+    build a Bloom filter over a small key set (high-balance customers),
+    probe every order against it, and compare with the exact semi-join —
+    the join-prefilter sketch that at 100 TB drops most of a fact table
+    before it ever reaches the shuffle, at the cost of a bounded
+    false-positive rate (zero false negatives, asserted by the oracle
+    since both engines compute identical portable hashes).
+
+    Plan shape: the bit-position set is at most m rows, broadcast to the
+    probe; membership = count of matched positions == k per probe key.
+    The exact n_true twin is the verification column, same role as
+    events_sketch_check's exact side."""
+    cust = load(spark, sf_dir, "customer").where(
+        F.col("c_acctbal") > BLOOM_ACCTBAL_MIN
+    )
+    keys = cust.select(F.col("c_custkey").alias("key")).distinct()
+    bits = (
+        keys.select(F.explode(_bloom_positions(F.col("key"))).alias("pos"))
+        .distinct()
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("key")
+    )
+    probe = orders.select(
+        "o_orderkey", "key", F.explode(_bloom_positions(F.col("key"))).alias("pos")
+    )
+    passed = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy("o_orderkey", "key")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .where(F.col("hits") == BLOOM_HASHES)
+        .select("o_orderkey", "key")
+    )
+    true_hits = orders.join(
+        F.broadcast(keys), "key", "left_semi"
+    ).select("o_orderkey")
+    n_keys = keys.count()
+    n_bits = bits.count()
+    n_pass = passed.count()
+    n_true = true_hits.count()
+    return spark.createDataFrame(
+        [(n_keys, n_bits, n_pass, n_true, n_pass - n_true)],
+        "n_keys bigint, n_bits_set bigint, n_pass_bloom bigint, "
+        "n_true bigint, n_false_pos bigint",
+    )

@@ -2757,6 +2757,45 @@ register(
     """,
 )
 
+_BLOOM_POS = (
+    "CAST("
+    + DUCK_H8.format(x="('b' || CAST(i AS VARCHAR) || ':' || CAST({key} AS VARCHAR))")
+    + f" % {SK.BLOOM_BITS} AS INT)"
+)
+register(
+    "bloom_prefilter_check",
+    SK.bloom_prefilter_check,
+    f"""
+    WITH keys AS (
+      SELECT DISTINCT c_custkey AS key FROM customer
+      WHERE c_acctbal > {SK.BLOOM_ACCTBAL_MIN}
+    ),
+    bits AS (
+      SELECT DISTINCT {_BLOOM_POS.format(key="key")} AS pos
+      FROM keys, range(0, {SK.BLOOM_HASHES}) t(i)
+    ),
+    probe AS (
+      SELECT o_orderkey, o_custkey AS key,
+             {_BLOOM_POS.format(key="o_custkey")} AS pos
+      FROM orders, range(0, {SK.BLOOM_HASHES}) t(i)
+    ),
+    passed AS (
+      SELECT o_orderkey FROM probe JOIN bits USING (pos)
+      GROUP BY o_orderkey, key
+      HAVING count(*) = {SK.BLOOM_HASHES}
+    ),
+    true_hits AS (
+      SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT key FROM keys)
+    )
+    SELECT (SELECT count(*) FROM keys) AS n_keys,
+           (SELECT count(*) FROM bits) AS n_bits_set,
+           (SELECT count(*) FROM passed) AS n_pass_bloom,
+           (SELECT count(*) FROM true_hits) AS n_true,
+           (SELECT count(*) FROM passed) - (SELECT count(*) FROM true_hits)
+               AS n_false_pos
+    """,
+)
+
 _CMS_BUCKET = (
     "CAST(" + DUCK_H8.format(x="(CAST(d AS VARCHAR) || ':' || token)")
     + f" % {SK.CMS_WIDTH} AS INT)"
