@@ -42,6 +42,7 @@ from ..sources.tables import load
 DELTA = 0.002  # TrainSpamClassifier.scala:41
 FEATURE_MOD = 10_007
 N_ENSEMBLE = 3
+SHUFFLE_SEED = 42  # the pre-train shuffle key's salt; oracle interpolates it
 
 
 def _feature_id(col):
@@ -100,7 +101,7 @@ def train_spam_classifier(
     spark: SparkSession,
     sf_dir: str,
     shuffle: bool = False,
-    seed: int = 42,
+    seed: int = SHUFFLE_SEED,
     subset_source_mod: int | None = None,
     ds: DataFrame | None = None,
 ) -> DataFrame:

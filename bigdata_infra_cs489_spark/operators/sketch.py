@@ -67,21 +67,45 @@ def cms_estimate(
     )
 
 
+def cms_build_weighted(
+    counts: DataFrame, col: str = "token", weight: str = "n"
+) -> DataFrame:
+    """(d, bucket, cell_n) from an already-aggregated (key, count) table —
+    identical cells to cms_build over the raw stream (each key
+    contributes its count to the same D buckets), one corpus pass
+    cheaper when the exact aggregate is being computed anyway."""
+    cells = counts.select(
+        F.col(weight),
+        F.posexplode(
+            F.array(*[_bucket(F.col(col), d) for d in range(CMS_DEPTH)])
+        ).alias("d", "bucket"),
+    )
+    return cells.groupBy("d", "bucket").agg(F.sum(weight).alias("cell_n"))
+
+
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(token, exact_n, cms_est, overcount): tokens whose ESTIMATED share
     of the corpus is >= CMS_HH_PPM parts-per-million, with the exact
     count alongside as the verification twin — overcount = est - exact
-    is always >= 0, the CMS one-sided error guarantee the oracle pins."""
+    is always >= 0, the CMS one-sided error guarantee the oracle pins.
+
+    ONE corpus scan: the per-token exact aggregate (which this checking
+    query needs anyway) feeds both the weighted sketch build and the
+    probe set; the corpus total folds in as a broadcast scalar aggregate
+    of the same vocabulary-sized table, so nothing re-reads documents."""
     toks = (
         load(spark, sf_dir, "documents", parallelize=True)
         .select(F.explode(tokenize("text")).alias("token"))
     )
-    sketch = cms_build(toks)
-    total = toks.count()
-    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    exact = (
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n")).cache()
+    )
+    sketch = cms_build_weighted(exact, "token", "exact_n")
+    total = exact.agg(F.sum("exact_n").alias("total"))
     est = cms_estimate(sketch, exact)
     return (
-        est.where(F.col("cms_est") * 1_000_000 >= CMS_HH_PPM * total)
+        est.crossJoin(F.broadcast(total))
+        .where(F.col("cms_est") * 1_000_000 >= CMS_HH_PPM * F.col("total"))
         .select(
             "token",
             "exact_n",
@@ -121,37 +145,52 @@ def bloom_prefilter_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the bit-position set is at most m rows, broadcast to the
     probe; membership = count of matched positions == k per probe key.
     The exact n_true twin is the verification column, same role as
-    events_sketch_check's exact side."""
+    events_sketch_check's exact side. Fully lazy: all five counters fold
+    into ONE returned plan (scalar aggregates cross-joined), so the probe
+    pipeline runs once — no driver-side count() round trips. NULL keys
+    are excluded on both sides up front (Bloom membership of NULL is
+    undefined, and the engines' NULL-in-hash renderings differ)."""
     cust = load(spark, sf_dir, "customer").where(
         F.col("c_acctbal") > BLOOM_ACCTBAL_MIN
     )
-    keys = cust.select(F.col("c_custkey").alias("key")).distinct()
+    keys = cust.select(F.col("c_custkey").alias("key")).where(
+        F.col("key").isNotNull()
+    ).distinct()
     bits = (
         keys.select(F.explode(_bloom_positions(F.col("key"))).alias("pos"))
         .distinct()
     )
-    orders = load(spark, sf_dir, "orders").select(
-        "o_orderkey", F.col("o_custkey").alias("key")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", F.col("o_custkey").alias("key"))
+        .where(F.col("key").isNotNull())
     )
     probe = orders.select(
         "o_orderkey", "key", F.explode(_bloom_positions(F.col("key"))).alias("pos")
     )
-    passed = (
-        probe.join(F.broadcast(bits), "pos")
+    per_order = (
+        probe.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
         .groupBy("o_orderkey", "key")
-        .agg(F.count(F.lit(1)).alias("hits"))
-        .where(F.col("hits") == BLOOM_HASHES)
-        .select("o_orderkey", "key")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
+        .join(F.broadcast(keys.withColumn("member", F.lit(1))), "key", "left")
+        .select(
+            (F.col("hits") == BLOOM_HASHES).cast("bigint").alias("bloom_pass"),
+            F.coalesce(F.col("member"), F.lit(0)).cast("bigint").alias("member"),
+        )
     )
-    true_hits = orders.join(
-        F.broadcast(keys), "key", "left_semi"
-    ).select("o_orderkey")
-    n_keys = keys.count()
-    n_bits = bits.count()
-    n_pass = passed.count()
-    n_true = true_hits.count()
-    return spark.createDataFrame(
-        [(n_keys, n_bits, n_pass, n_true, n_pass - n_true)],
-        "n_keys bigint, n_bits_set bigint, n_pass_bloom bigint, "
-        "n_true bigint, n_false_pos bigint",
+    agg = per_order.agg(
+        F.sum("bloom_pass").alias("n_pass_bloom"),
+        F.sum("member").alias("n_true"),
+    )
+    return (
+        keys.agg(F.count(F.lit(1)).alias("n_keys"))
+        .crossJoin(bits.agg(F.count(F.lit(1)).alias("n_bits_set")))
+        .crossJoin(agg)
+        .select(
+            "n_keys",
+            "n_bits_set",
+            "n_pass_bloom",
+            "n_true",
+            (F.col("n_pass_bloom") - F.col("n_true")).alias("n_false_pos"),
+        )
     )

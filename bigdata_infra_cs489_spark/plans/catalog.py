@@ -267,7 +267,7 @@ register(
     WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents)
     SELECT term, doc_id, count(*) AS tf
     FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
-    WHERE term IN ('fast', 'table', 'window')
+    WHERE term IN ({", ".join(repr(t) for t in I.LOOKUP_TERMS)})
     GROUP BY term, doc_id
     """,
 )
@@ -711,8 +711,10 @@ _SGD_FEAT = (
     f"t -> CAST({DUCK_H8.format(x='t')} % {M.FEATURE_MOD} AS INT))"
 )
 _SGD_SHUF_ORDER = (
-    "CAST(('0x' || substr(md5(CAST(d.docid AS VARCHAR) || ':42'), 1, 8)) "
-    "AS BIGINT), d.docid"
+    DUCK_H8.format(
+        x=f"(CAST(d.docid AS VARCHAR) || ':{M.SHUFFLE_SEED}')"
+    )
+    + ", d.docid"
 )
 
 
@@ -2752,8 +2754,8 @@ register(
     FROM cand
     JOIN documents da ON da.doc_id = doc_a
     JOIN documents db ON db.doc_id = doc_b
-    WHERE 1.0 - levenshtein(da.text, db.text)
-          / greatest(len(da.text), len(db.text), 1) >= {D.EDIT_SIM_MIN}
+    WHERE round(1.0 - levenshtein(da.text, db.text)
+          / greatest(len(da.text), len(db.text), 1), 6) >= {D.EDIT_SIM_MIN}
     """,
 )
 
@@ -2768,7 +2770,7 @@ register(
     f"""
     WITH keys AS (
       SELECT DISTINCT c_custkey AS key FROM customer
-      WHERE c_acctbal > {SK.BLOOM_ACCTBAL_MIN}
+      WHERE c_acctbal > {SK.BLOOM_ACCTBAL_MIN} AND c_custkey IS NOT NULL
     ),
     bits AS (
       SELECT DISTINCT {_BLOOM_POS.format(key="key")} AS pos
@@ -2778,6 +2780,7 @@ register(
       SELECT o_orderkey, o_custkey AS key,
              {_BLOOM_POS.format(key="o_custkey")} AS pos
       FROM orders, range(0, {SK.BLOOM_HASHES}) t(i)
+      WHERE o_custkey IS NOT NULL
     ),
     passed AS (
       SELECT o_orderkey FROM probe JOIN bits USING (pos)

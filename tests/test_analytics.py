@@ -110,3 +110,20 @@ def test_cms_probe_broadcasts_sketch(spark, sf_smoke):
 
     plan = _plan(cms_heavy_hitters(spark, sf_smoke))
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_and_cms_match_oracle(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in ("bloom_prefilter_check", "cms_heavy_hitters"):
+        assert_matches_oracle(qs[name](spark, sf_smoke), oracles[name], sf_smoke)
+
+
+def test_bloom_has_no_false_negatives(spark, sf_correct):
+    from bigdata_infra_cs489_spark.operators.sketch import bloom_prefilter_check
+
+    row = bloom_prefilter_check(spark, sf_correct).collect()[0]
+    assert row.n_false_pos >= 0  # pass set is a superset of the true set
+    assert row.n_pass_bloom >= row.n_true
+    assert 0 < row.n_bits_set

@@ -131,5 +131,15 @@ def test_partitioned_day_scan_prunes(spark, sf_smoke):
         if "PartitionFilters" in ln and "event_date" in ln
     ]
     assert pf, f"no partition filter on event_date:\n{plan}"
-    assert df.count() >= 0  # executes: the pruned read is consistent
-    _ = PARTITION_PROBE_DAY
+    # the pruned read returns exactly the raw table's rows for that day
+    from pyspark.sql import functions as F
+
+    from bigdata_infra_cs489_spark.sources.tables import load
+
+    got = df.agg(F.sum("n_events")).collect()[0][0] or 0
+    want = (
+        load(spark, sf_smoke, "events")
+        .where(F.date_format("ts", "yyyy-MM-dd") == PARTITION_PROBE_DAY)
+        .count()
+    )
+    assert got == want
