@@ -169,13 +169,16 @@ def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_jpg = F.expr("substring(h, 1, 4)") == "FFD8"
     # SOF0 marker scan (chars are 2-per-byte; locate returns the char
     # index of 'FFC0'): len(2B) + precision(1B) follow the marker, then
-    # height u16 BE, width u16 BE
-    sof = F.locate("FFC0", F.col("h"))
+    # height u16 BE, width u16 BE. The payload-sized marker scan runs
+    # ONCE via a projected column; the offset arithmetic references it
+    # instead of re-deriving the locate per field.
+    m = m.withColumn("sof", F.locate("FFC0", F.col("h")))
+    sof = F.col("sof")
     width = F.when(is_png, u("substring(h, 33, 8)")).when(
-        is_jpg & (sof > 0), u(f"substring(h, locate('FFC0', h) + 14, 4)")
+        is_jpg & (sof > 0), u("substring(h, sof + 14, 4)")
     )
     height = F.when(is_png, u("substring(h, 41, 8)")).when(
-        is_jpg & (sof > 0), u(f"substring(h, locate('FFC0', h) + 10, 4)")
+        is_jpg & (sof > 0), u("substring(h, sof + 10, 4)")
     )
     # WAV fmt chunk, little-endian: channels u16 at bytes 23-24, sample
     # rate u32 at bytes 25-28 (canonical RIFF layout) — reassemble the

@@ -146,6 +146,42 @@ def ivf_assignments(
     )
 
 
+def probe_centroid_ids(cent_df: DataFrame, q: DataFrame, nprobe: int) -> list[int]:
+    """The ONE probe rule every IVF variant shares: rank centroids by
+    cosine to the query (desc, centroid_id tie-break), collect the
+    top-nprobe ids as a literal filter list. Scan-side, trained,
+    PQ-combined, and bucketed-index probes all route through here —
+    cross-variant identity of this rule is part of the oracle contract
+    ("identical results to ivf_topk"), so it must not be re-implemented
+    per variant. ``cent_df`` carries (centroid_id, cvec); ``q`` is the
+    single-row (q) query frame."""
+    return [
+        int(r["centroid_id"])
+        for r in (
+            cent_df.crossJoin(F.broadcast(q))
+            .select(
+                "centroid_id", _cosine(F.col("cvec"), F.col("q")).alias("cos")
+            )
+            .orderBy(F.desc("cos"), F.asc("centroid_id"))
+            .limit(nprobe)
+            .collect()
+        )
+    ]
+
+
+def query_embedding(emb: DataFrame, query_vec_id: int) -> list | None:
+    """The query row's embedding as a driver-side list, or None when the
+    id is absent — probe entry points degrade to an empty result instead
+    of IndexError'ing on a missing id."""
+    rows = (
+        emb.where(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .limit(1)
+        .collect()
+    )
+    return list(rows[0]["embedding"]) if rows else None
+
+
 def ivf_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -170,18 +206,7 @@ def ivf_topk(
     cent = emb.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
-    probed = [
-        int(r["centroid_id"])
-        for r in (
-            cent.crossJoin(F.broadcast(q))
-            .select(
-                "centroid_id", _cosine(F.col("cvec"), F.col("q")).alias("cos")
-            )
-            .orderBy(F.desc("cos"), F.asc("centroid_id"))
-            .limit(nprobe)
-            .collect()
-        )
-    ]
+    probed = probe_centroid_ids(cent, q, nprobe)
     return (
         emb.where(_nearest_centroid_col(cents).isin(probed))
         .crossJoin(F.broadcast(q))
@@ -370,11 +395,21 @@ def lsh_codes(
     BLAS matmul and packs them into the code. No shuffle, no O(n^2)
     anywhere; the scan parallelizes with the input partitioning.
     """
+    emb = _emb(spark, sf_dir)
+    hmat = _hyperplanes(spark, sf_dir, n_hyperplanes)
+    return lsh_codes_for(spark, emb, hmat)
+
+
+def lsh_codes_for(spark: SparkSession, vectors: DataFrame, hmat) -> DataFrame:
+    """The ONE sign-bit/pack kernel behind every LSH code computation:
+    (vec_id, embedding) rows -> (vec_id, code) via a broadcast hyperplane
+    matrix and a per-Arrow-batch BLAS matmul. ``lsh_codes`` (build/scan)
+    and ``vector_index.append_to_vector_index`` (incremental maintenance)
+    both route through here — appended vectors land in the same buckets
+    as built ones because there is exactly one code path to drift."""
     import numpy as np
     import pandas as pd
 
-    emb = _emb(spark, sf_dir)
-    hmat = _hyperplanes(spark, sf_dir, n_hyperplanes)
     weights = (np.int64(1) << np.arange(hmat.shape[0], dtype=np.int64))
     bc = spark.sparkContext.broadcast(hmat)
 
@@ -392,7 +427,9 @@ def lsh_codes(
                 }
             )
 
-    return emb.mapInPandas(codes, "vec_id bigint, code bigint")
+    return vectors.select("vec_id", "embedding").mapInPandas(
+        codes, "vec_id bigint, code bigint"
+    )
 
 
 def lsh_bands(codes: DataFrame) -> DataFrame:
@@ -645,7 +682,9 @@ def pq_topk(
     ranking itself uses the bit-identical left-to-right fold)."""
     subc = _pq_subcentroids(spark, sf_dir, m, n_sub)
     emb = _emb(spark, sf_dir)
-    qvec = emb.where(F.col("vec_id") == query_vec_id).collect()[0]["embedding"]
+    qvec = query_embedding(emb, query_vec_id)
+    if qvec is None:
+        return spark.createDataFrame([], "vec_id bigint, approx_dist double")
     return (
         emb.select(
             "vec_id", F.round(_pq_adc_dist(qvec, subc), 6).alias("approx_dist")
@@ -710,19 +749,10 @@ def ivfpq_topk(
     cent = emb.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
-    probed = [
-        int(r["centroid_id"])
-        for r in (
-            cent.crossJoin(F.broadcast(q))
-            .select(
-                "centroid_id", _cosine(F.col("cvec"), F.col("q")).alias("cos")
-            )
-            .orderBy(F.desc("cos"), F.asc("centroid_id"))
-            .limit(nprobe)
-            .collect()
-        )
-    ]
-    qvec = emb.where(F.col("vec_id") == query_vec_id).collect()[0]["embedding"]
+    qvec = query_embedding(emb, query_vec_id)
+    if qvec is None:
+        return spark.createDataFrame([], "vec_id bigint, approx_dist double")
+    probed = probe_centroid_ids(cent, q, nprobe)
     return (
         emb.where(_nearest_centroid_col(cents).isin(probed))
         .select(
@@ -767,18 +797,7 @@ def ivf_topk_trained(
     cent_df = spark.createDataFrame(
         cents, "centroid_id int, cvec array<double>"
     )
-    probed = [
-        int(r["centroid_id"])
-        for r in (
-            cent_df.crossJoin(F.broadcast(q))
-            .select(
-                "centroid_id", _cosine(F.col("cvec"), F.col("q")).alias("cos")
-            )
-            .orderBy(F.desc("cos"), F.asc("centroid_id"))
-            .limit(nprobe)
-            .collect()
-        )
-    ]
+    probed = probe_centroid_ids(cent_df, q, nprobe)
     return (
         emb.where(_nearest_centroid_col(cents).isin(probed))
         .crossJoin(F.broadcast(q))

@@ -48,6 +48,8 @@ from .similarity import (
     QUERY_VEC_ID,
     TOP_K,
     _cosine,
+    probe_centroid_ids,
+    query_embedding,
     _emb,
     _hyperplanes,
     lsh_bands,
@@ -137,10 +139,12 @@ def append_to_vector_index(
     accumulated small files is `table_ops.compact_parquet`'s job.
 
     ``new_vectors``: (vec_id, embedding array<double>) rows."""
-    import numpy as np
-    import pandas as pd
-
-    from .similarity import _centroid_rows, _nearest_centroid_col, _hyperplanes
+    from .similarity import (
+        _centroid_rows,
+        _hyperplanes,
+        _nearest_centroid_col,
+        lsh_codes_for,
+    )
 
     cents = _centroid_rows(spark, sf_dir, N_CENTROIDS)
     (
@@ -155,26 +159,7 @@ def append_to_vector_index(
         .parquet(os.path.join(path, "ivf"))
     )
     hmat = _hyperplanes(spark, sf_dir, N_HYPERPLANES)
-    weights = (np.int64(1) << np.arange(hmat.shape[0], dtype=np.int64))
-    bc = spark.sparkContext.broadcast(hmat)
-
-    def codes(batches):
-        hm = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            u = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
-            bits = (u @ hm.T) > 0
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "code": bits.astype(np.int64) @ weights,
-                }
-            )
-
-    new_codes = new_vectors.mapInPandas(codes, "vec_id bigint, code bigint")
+    new_codes = lsh_codes_for(spark, new_vectors, hmat)
     banded = lsh_bands(new_codes).select("vec_id", "band", "band_val")
     (
         new_vectors.join(banded, "vec_id")
@@ -208,18 +193,7 @@ def ivf_topk_indexed(
     cent = emb.where(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
-    probed = [
-        int(r["centroid_id"])
-        for r in (
-            cent.crossJoin(F.broadcast(q))
-            .select(
-                "centroid_id", _cosine(F.col("cvec"), F.col("q")).alias("cos")
-            )
-            .orderBy(F.desc("cos"), F.asc("centroid_id"))
-            .limit(nprobe)
-            .collect()
-        )
-    ]
+    probed = probe_centroid_ids(cent, q, nprobe)
     idx = spark.read.parquet(os.path.join(path, "ivf")).where(
         F.col("centroid_id").isin(probed)
     )
@@ -316,19 +290,10 @@ def ivfpq_topk_indexed(
     cent = emb.where(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
-    probed = [
-        int(r["centroid_id"])
-        for r in (
-            cent.crossJoin(F.broadcast(q))
-            .select(
-                "centroid_id", _cosine(F.col("cvec"), F.col("q")).alias("cos")
-            )
-            .orderBy(F.desc("cos"), F.asc("centroid_id"))
-            .limit(nprobe)
-            .collect()
-        )
-    ]
-    qvec = emb.where(F.col("vec_id") == query_vec_id).collect()[0]["embedding"]
+    probed = probe_centroid_ids(cent, q, nprobe)
+    qvec = query_embedding(emb, query_vec_id)
+    if qvec is None:
+        return spark.createDataFrame([], "vec_id bigint, approx_dist double")
     idx = spark.read.parquet(os.path.join(path, "ivf")).where(
         F.col("centroid_id").isin(probed)
     )

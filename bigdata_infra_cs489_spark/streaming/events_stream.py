@@ -398,7 +398,11 @@ def q_stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "spark-warehouse",
     )
-    out = os.path.join(base, "stream_sink_events")
+    # per-scale-factor sink: a sweep at sf0.01 and a bench at sf0.1 may
+    # overlap in separate processes; sharing one directory would let one
+    # run's fresh-sink rmtree delete the other's live checkpoint mid-stream
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(base, f"stream_sink_events_{sf_tag}")
     chk = out + "_chk"
     # fresh sink per call: this query demonstrates (and verifies) one
     # complete backfill, not incremental resume — tests cover resume
