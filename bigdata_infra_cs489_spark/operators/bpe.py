@@ -1,0 +1,120 @@
+"""Distributed BPE (byte-pair encoding) merge-table training — the
+subword-tokenizer induction step of an LLM data pipeline.
+
+No reference counterpart (north-star extension, iterative-trainer family
+alongside k-means and SGD). Classic BPE (Sennrich et al. 2016, public
+algorithm): start from characters, repeatedly merge the most frequent
+adjacent symbol pair (ties broken lexicographically), emitting the merge
+table that a tokenizer would replay at inference time.
+
+Scale shape: training runs on the WORD VOCABULARY (word, count, symbol
+array) — the corpus collapses to it with one hash aggregate, after which
+every iteration touches only vocabulary rows (at web scale: millions of
+rows, not trillions of tokens). Per merge: one pair-count aggregate
+(partial+final), one 1-row argmax collect (model-sized driver traffic,
+the k-means pattern), and a narrow ``aggregate`` fold that applies the
+merge left-to-right non-overlapping — pure JVM column expressions, no
+Python. Lineage is truncated per iteration with a lazy localCheckpoint
+(the PPR pattern) so plan depth stays constant.
+
+The whole loop is integer arithmetic on exact counts with a total
+tie-break, so the DuckDB oracle replays it exactly: the same K
+iterations unroll into pair-count/argmax CTEs plus a recursive
+position-fold per merge (plans/catalog.py _bpe_with).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+from ..sources.tables import load
+
+N_MERGES = 8
+
+_CHARS_EXPR = (
+    "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+)
+
+_PAIRS_EXPR = (
+    "transform(sequence(1, size(syms) - 1),"
+    " i -> struct(element_at(syms, i) as a, element_at(syms, i + 1) as b))"
+)
+
+
+def _merge_fold(a: str, b: str) -> str:
+    """SQL fold applying merge (a, b) left-to-right, non-overlapping:
+    append each symbol unless the previous output symbol is ``a`` and the
+    current is ``b``, in which case replace the tail with the merged
+    symbol. Tokens are [a-z]+ so embedding them as SQL literals is safe."""
+    merged = a + b
+    return f"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
+      case when size(acc) > 0 and element_at(acc, -1) = '{a}' and x = '{b}'
+      then concat(slice(acc, 1, size(acc) - 1), array('{merged}'))
+      else concat(acc, array(x)) end)"""
+
+
+def word_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, cnt, syms): the corpus collapsed to its word vocabulary
+    with occurrence counts and initial character symbol arrays."""
+    toks = (
+        load(spark, sf_dir, "documents", parallelize=True)
+        .select(F.explode(tokenize("text")).alias("word"))
+    )
+    return (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("word", "cnt", F.expr(_CHARS_EXPR).alias("syms"))
+    )
+
+
+def train_bpe(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> tuple[list[tuple], DataFrame]:
+    """Learn ``n_merges`` merges; returns (merge table rows, the final
+    segmented vocabulary). Merge rows are (merge_rank, left_sym,
+    right_sym, merged, pair_count)."""
+    df = word_vocab(spark, sf_dir).localCheckpoint(eager=False)
+    merges: list[tuple] = []
+    for k in range(n_merges):
+        pairs = (
+            df.where(F.size("syms") >= 2)
+            .select("cnt", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        top = (
+            pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1).collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((k, a, b, a + b, n))
+        df = df.withColumn("syms", F.expr(_merge_fold(a, b))).localCheckpoint(
+            eager=False
+        )
+    return merges, df
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(merge_rank, left_sym, right_sym, merged, pair_count): the learned
+    merge table in training order — the tokenizer model artifact."""
+    merges, _ = train_bpe(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string,"
+        " merged string, pair_count bigint",
+    )
+
+
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token, n): corpus frequency of each subword token after applying
+    the learned merges — what the vocabulary's coverage looks like at
+    this merge count."""
+    _, df = train_bpe(spark, sf_dir)
+    return (
+        df.select("cnt", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("n"))
+    )

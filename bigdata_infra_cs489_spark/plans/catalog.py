@@ -2831,3 +2831,75 @@ register(
     WHERE cms_est * 1000000 >= {SK.CMS_HH_PPM} * tot.n
     """,
 )
+
+# --- BPE tokenizer training (iterative-trainer family) -----------------------
+
+from ..operators import bpe as BP  # noqa: E402
+
+# Unrolled DuckDB twin of the BPE loop: per merge k, a pair-count CTE, a
+# 1-row argmax CTE (same n DESC, a, b tie-break as the Spark collect),
+# and a recursive position-fold applying the merge left-to-right
+# non-overlapping — the same unroll pattern as the k-means/PPR oracles,
+# with WITH RECURSIVE expressing the per-word fold the Spark side does
+# via `aggregate`. Pure integer counts + lexicographic tie-breaks: no fp
+# anywhere, so the replay is exact.
+
+
+def _bpe_with(n_merges: int) -> str:
+    parts = [f"""
+    WITH RECURSIVE
+    bpe_w0 AS MATERIALIZED (
+      SELECT word, count(*) AS cnt, string_split(word, '') AS syms
+      FROM (SELECT unnest({DUCK_TOKS}) AS word FROM documents) GROUP BY word
+    )"""]
+    for k in range(n_merges):
+        parts.append(f""",
+    bpe_pairs_{k} AS MATERIALIZED (
+      SELECT s.syms[i] AS a, s.syms[i + 1] AS b, sum(s.cnt) AS n
+      FROM bpe_w{k} s, unnest(range(1, len(s.syms))) t(i)
+      GROUP BY 1, 2
+    ),
+    bpe_top_{k} AS MATERIALIZED (
+      SELECT a, b, n FROM bpe_pairs_{k} ORDER BY n DESC, a, b LIMIT 1
+    ),
+    bpe_m_{k} AS (
+      SELECT word, cnt, syms, 0 AS pos, CAST([] AS VARCHAR[]) AS out
+      FROM bpe_w{k}
+      UNION ALL
+      SELECT word, cnt, syms, pos + 1,
+        CASE WHEN len(out) > 0 AND out[-1] = (SELECT a FROM bpe_top_{k})
+                  AND syms[pos + 1] = (SELECT b FROM bpe_top_{k})
+        THEN list_append(out[1:len(out) - 1],
+                         (SELECT a FROM bpe_top_{k})
+                         || (SELECT b FROM bpe_top_{k}))
+        ELSE list_append(out, syms[pos + 1]) END
+      FROM bpe_m_{k} WHERE pos < len(syms)
+    ),
+    bpe_w{k + 1} AS MATERIALIZED (
+      SELECT word, cnt, out AS syms FROM bpe_m_{k} WHERE pos = len(syms)
+    )""")
+    return "".join(parts)
+
+
+register(
+    "bpe_merges",
+    BP.bpe_merges,
+    _bpe_with(BP.N_MERGES)
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, CAST(n AS BIGINT) AS pair_count FROM bpe_top_{k}"
+        for k in range(BP.N_MERGES)
+    ),
+)
+
+register(
+    "bpe_token_counts",
+    BP.bpe_token_counts,
+    _bpe_with(BP.N_MERGES)
+    + f"""
+    SELECT t.tok AS token, CAST(sum(s.cnt) AS BIGINT) AS n
+    FROM bpe_w{BP.N_MERGES} s, unnest(s.syms) AS t(tok)
+    GROUP BY 1
+    """,
+)

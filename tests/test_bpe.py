@@ -1,0 +1,84 @@
+"""BPE trainer: oracle parity plus a pure-Python replay of the merge
+loop (independent of both engines)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import duckdb
+
+from .oracle import assert_matches_oracle
+
+
+def py_bpe(word_counts: dict[str, int], n_merges: int) -> list[tuple]:
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for k in range(n_merges):
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += word_counts[w]
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((k, a, b, a + b, n))
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[w] = out
+    return merges
+
+
+def _word_counts(sf_dir: str) -> dict[str, int]:
+    import re
+
+    con = duckdb.connect()
+    texts = con.execute(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    counts: Counter = Counter()
+    for (text,) in texts:
+        for t in re.split(r"\s+", text.lower()):
+            t = re.sub(r"(^[^a-z]+|[^a-z]+$)", "", t)
+            if t:
+                counts[t] += 1
+    return dict(counts)
+
+
+def test_bpe_matches_python_replay(spark, sf_smoke):
+    from bigdata_infra_cs489_spark.operators.bpe import N_MERGES, train_bpe
+
+    merges, _ = train_bpe(spark, sf_smoke)
+    want = py_bpe(_word_counts(sf_smoke), N_MERGES)
+    assert merges == want
+
+
+def test_bpe_queries_match_oracle(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in ("bpe_merges", "bpe_token_counts"):
+        assert_matches_oracle(qs[name](spark, sf_smoke), oracles[name], sf_smoke)
+
+
+def test_bpe_token_counts_conserve_mass(spark, sf_smoke):
+    """Total subword-token mass never changes: merges only concatenate."""
+    from bigdata_infra_cs489_spark.operators.bpe import (
+        bpe_token_counts,
+        word_vocab,
+    )
+    from pyspark.sql import functions as F
+
+    chars = (
+        word_vocab(spark, sf_smoke)
+        .select((F.size("syms") * F.col("cnt")).alias("m"))
+        .agg(F.sum("m"))
+        .collect()[0][0]
+    )
+    rows = bpe_token_counts(spark, sf_smoke).collect()
+    merged_chars = sum(len(r.token) * r.n for r in rows)
+    assert merged_chars == chars
