@@ -808,3 +808,108 @@ def ivf_topk_trained(
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+# --- label-aware neighbor analytics (contrastive-training prep) -------------
+
+KNN_K = 5
+KNN_ANCHOR_MOD = 97  # vec_id % mod == 0 -> ~1% anchor sample
+HARD_NEG_N = 3
+
+
+def _anchor_neighbor_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor_id, a_label, vec_id, label, cosine): every corpus vector
+    scored against the deterministic ~1% anchor sample. Anchors broadcast
+    (sample-sized); the scoring is one narrow pass over the corpus per
+    anchor batch — the exact baseline; the LSH/IVF candidate paths above
+    are the 100 TB route when anchors × corpus stops fitting. Cosines are
+    rounded to 6dp BEFORE ranking so neighbor order (and the cross-engine
+    hash) never depends on float fold order; ties break on vec_id."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    anchors = emb.where(
+        (F.col("vec_id") % KNN_ANCHOR_MOD == 0)
+    ).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("avec"),
+        F.col("label").alias("a_label"),
+    )
+    return (
+        emb.crossJoin(F.broadcast(anchors))
+        .where(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "a_label",
+            "vec_id",
+            "label",
+            F.round(_cosine(F.col("embedding"), F.col("avec")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+
+
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row (n_anchors, k, n_correct, accuracy): leave-one-out kNN
+    label prediction over the anchor sample — majority vote of the top-k
+    neighbors' labels (ties: most votes, then smallest label), scored
+    against the anchor's own label. The standard embedding-quality smoke
+    metric before a similarity index ships."""
+    from pyspark.sql.window import Window
+
+    scored = _anchor_neighbor_scores(spark, sf_dir)
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    topk = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= KNN_K
+    )
+    votes = topk.groupBy("anchor_id", "a_label", "label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    wv = Window.partitionBy("anchor_id").orderBy(F.desc("v"), F.asc("label"))
+    pred = votes.withColumn("vr", F.row_number().over(wv)).where(
+        F.col("vr") == 1
+    )
+    return pred.agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.lit(KNN_K).alias("k"),
+        F.sum((F.col("label") == F.col("a_label")).cast("bigint")).alias(
+            "n_correct"
+        ),
+        F.round(
+            F.sum((F.col("label") == F.col("a_label")).cast("bigint"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor_id, negative_id, negative_label, cosine, rank): for each
+    anchor, its HARD_NEG_N most-similar vectors carrying a DIFFERENT
+    label — the hard-negative mining step of contrastive embedding
+    training (most confusable wrong-class examples).
+    """
+    from pyspark.sql.window import Window
+
+    scored = _anchor_neighbor_scores(spark, sf_dir).where(
+        F.col("label") != F.col("a_label")
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= HARD_NEG_N)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            "cosine",
+            "rank",
+        )
+    )

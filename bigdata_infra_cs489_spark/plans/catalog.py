@@ -2903,3 +2903,65 @@ register(
     GROUP BY 1
     """,
 )
+
+# label-aware neighbor analytics: same rounded-cosine-then-rank rule on
+# both engines (vec_id tie-break), so window order is hash-stable.
+_KNN_SCORED = f"""
+    e AS ({DUCK_EMB.replace("v FROM", "v, label FROM")}),
+    anchors AS (
+      SELECT vec_id AS anchor_id, v AS avec, label AS a_label FROM e
+      WHERE vec_id % {S.KNN_ANCHOR_MOD} = 0
+    ),
+    scored AS (
+      SELECT a.anchor_id, a.a_label, e.vec_id, e.label,
+             round(list_cosine_similarity(e.v, a.avec), 6) AS cosine
+      FROM e, anchors a WHERE e.vec_id <> a.anchor_id
+    )"""
+
+register(
+    "knn_label_accuracy",
+    S.knn_label_accuracy,
+    f"""
+    WITH {_KNN_SCORED},
+    topk AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id
+                   ORDER BY cosine DESC, vec_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= {S.KNN_K}
+    ),
+    votes AS (
+      SELECT anchor_id, a_label, label, count(*) AS v
+      FROM topk GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id
+                   ORDER BY v DESC, label ASC) AS vr
+        FROM votes
+      ) WHERE vr = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_anchors,
+           {S.KNN_K} AS k,
+           CAST(sum(CASE WHEN label = a_label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           round(sum(CASE WHEN label = a_label THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS accuracy
+    FROM pred
+    """,
+)
+
+register(
+    "hard_negative_pairs",
+    S.hard_negative_pairs,
+    f"""
+    WITH {_KNN_SCORED}
+    SELECT anchor_id, vec_id AS negative_id, label AS negative_label,
+           cosine, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY anchor_id
+                 ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored WHERE label <> a_label
+    ) WHERE rank <= {S.HARD_NEG_N}
+    """,
+)
