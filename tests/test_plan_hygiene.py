@@ -27,6 +27,8 @@ ITERATIVE = {
     "ivf_train_centroids",
     "ivf_topk_trained",
     "ivf_centroid_norms",
+    "bpe_merges",
+    "bpe_token_counts",
     "spam_train",
     "spam_train_shuffled",
     "near_duplicate_clusters",
