@@ -200,3 +200,64 @@ def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
         .agg(F.count(F.lit(1)).alias("wau"))
     )
+
+
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health dashboard: doc/token/char volumes, language
+    and exact-duplicate cardinalities, and the short-doc fraction — the
+    numbers a data-pipeline run report leads with. ONE scan, one
+    aggregate: every metric is a column expression over the same pass
+    (the fused-plan discipline of clean_corpus applied to reporting)."""
+    from ..functions.text import tokenize
+
+    docs = load(spark, sf_dir, "documents", parallelize=True)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.length("text").alias("n_chars"),
+        F.size(tokenize("text")).alias("n_tokens"),
+    )
+    return toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(
+            F.avg((F.col("n_tokens") < 10).cast("double")), 6
+        ).alias("short_doc_frac"),
+    )
+
+
+HEAVY_KEY_TOP = 10
+
+
+def heavy_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rank, user_id, n_events, share_ppm): the corpus's hottest event
+    keys with their integer-ppm share of all rows — the skew diagnostic
+    that decides whether a join/aggregation on this key needs salting
+    (functions/skew.py) or AQE skew handling. One aggregate plus a
+    top-N: the heavy tail is what matters, never a full sort."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = ev.count()
+    from pyspark.sql.window import Window
+
+    top = (
+        counts.orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(HEAVY_KEY_TOP)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+            ),
+        )
+    )
+    return top.select(
+        "rank",
+        "user_id",
+        "n_events",
+        F.expr(f"(n_events * 1000000) DIV {total}").alias("share_ppm"),
+    )

@@ -2832,6 +2832,45 @@ register(
     """,
 )
 
+register(
+    "corpus_report",
+    AN.corpus_report,
+    f"""
+    WITH t AS (
+      SELECT lang, text, length(text) AS n_chars,
+             len({DUCK_TOKS}) AS n_tokens
+      FROM documents
+    )
+    SELECT count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT md5(text)) AS n_unique_texts,
+           sum(n_tokens) AS n_tokens,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(n_tokens), 4) AS avg_tokens,
+           round(avg(CASE WHEN n_tokens < 10 THEN 1.0 ELSE 0.0 END), 6)
+               AS short_doc_frac
+    FROM t
+    """,
+)
+
+register(
+    "heavy_key_report",
+    AN.heavy_key_report,
+    f"""
+    WITH c AS (
+      SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT count(*) AS n FROM events)
+    SELECT CAST(row_number() OVER (ORDER BY n_events DESC, user_id ASC)
+                AS INT) AS rank,
+           user_id, n_events,
+           n_events * 1000000 // tot.n AS share_ppm
+    FROM c, tot
+    ORDER BY n_events DESC, user_id ASC
+    LIMIT {AN.HEAVY_KEY_TOP}
+    """,
+)
+
 # --- BPE tokenizer training (iterative-trainer family) -----------------------
 
 from ..operators import bpe as BP  # noqa: E402
