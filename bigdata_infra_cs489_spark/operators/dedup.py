@@ -553,3 +553,39 @@ def edit_distance_pairs(
 def q_edit_distance_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return edit_distance_pairs(docs, lsh_candidate_pairs(docs))
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster_id, doc_id, n_chars, cluster_size): canonical-document
+    selection — for every near-duplicate cluster (q_near_duplicate_clusters)
+    keep the single best representative (longest text, doc_id tie-break)
+    and report how many near-dups it subsumes. This is the step a training
+    pipeline actually ships: pairwise verdicts -> clusters -> ONE kept doc
+    per cluster, everything else dropped.
+
+    Scale shape: the cluster assignment is the iterative min-label CC
+    (O(diameter) rounds, band-join candidate cost); the selection on top
+    is one join on doc_id plus one window partitioned by cluster_id —
+    near-dup clusters are small by construction (they're duplicates), so
+    the per-cluster window never concentrates mass.
+    """
+    from pyspark.sql.window import Window
+
+    quality = load(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    clusters = q_near_duplicate_clusters(spark, sf_dir)
+    w = Window.partitionBy("cluster_id")
+    ranked = (
+        clusters.join(quality, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                w.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+            ),
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "cluster_id", "doc_id", "n_chars", "cluster_size"
+    )

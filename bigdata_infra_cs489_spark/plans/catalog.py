@@ -3004,3 +3004,113 @@ register(
     ) WHERE rank <= {S.HARD_NEG_N}
     """,
 )
+
+# --- warehouse feature-store family (SCD2 / decay / attribution) -------------
+# Late round-3 additions: the dimension-history, freshness-weighting and
+# attribution operators a telemetry warehouse feeds a training pipeline
+# with. All pure window/join SQL on both engines.
+
+register(
+    "user_scd2_history",
+    AN.user_scd2_history,
+    f"""
+    WITH ev AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract(props, '$.k') AS INT) AS attr
+      FROM events
+    ),
+    ch AS (
+      SELECT user_id, attr, ts, event_id FROM (
+        SELECT user_id, attr, ts, event_id,
+               lag(attr) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev
+        FROM ev
+      ) WHERE prev IS NULL OR prev <> attr
+    ),
+    iv AS (
+      SELECT user_id, attr, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS end_ts
+      FROM ch
+    )
+    SELECT user_id, attr,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           coalesce(strftime(end_ts, '%Y-%m-%d %H:%M:%S.%f'),
+                    '{AN.SCD2_OPEN_END}') AS valid_to,
+           CAST(end_ts IS NULL AS INT) AS is_current
+    FROM iv
+    """,
+)
+
+register(
+    "user_decayed_value",
+    AN.user_decayed_value,
+    f"""
+    WITH g AS (SELECT max(ts) AS gmax FROM events),
+    p AS (SELECT user_id, value, ts FROM events
+          WHERE event_type = 'purchase')
+    SELECT user_id, count(*) AS n_purchases,
+           round(sum(value), 2) AS raw_value,
+           round(sum(value * pow(0.5,
+               ((epoch_us(g.gmax) - epoch_us(p.ts)) / 86400000000.0)
+               / {AN.DECAY_HALF_LIFE_DAYS})), 4) AS decayed_value
+    FROM p, g GROUP BY user_id
+    """,
+)
+
+register(
+    "conversion_attribution",
+    AN.conversion_attribution,
+    f"""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT event_id AS touch_id, user_id, ts AS t_ts,
+             event_type AS touch_type
+      FROM events WHERE event_type IN {AN.ATTRIB_TOUCH_TYPES}
+    ),
+    j AS (
+      SELECT p.purchase_id, t.touch_id, t.touch_type, p.value
+      FROM p JOIN t ON p.user_id = t.user_id
+        AND t.t_ts < p.p_ts
+        AND t.t_ts >= p.p_ts - INTERVAL {AN.ATTRIB_WINDOW_MIN} MINUTE
+    )
+    SELECT purchase_id, touch_id, touch_type,
+           count(*) OVER (PARTITION BY purchase_id) AS n_touches,
+           round(value / count(*) OVER (PARTITION BY purchase_id), 4)
+               AS credit
+    FROM j
+    """,
+)
+
+register(
+    "dedup_keep_best",
+    D.dedup_keep_best,
+    f"""
+    WITH RECURSIVE {DUCK_MINHASH_PAIR_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        WHERE jaccard >= {D.JACCARD_THRESHOLD}
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+        WHERE jaccard >= {D.JACCARD_THRESHOLD}),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    cl AS (
+        SELECT src AS doc_id, min(dst) AS cluster_id
+        FROM reach GROUP BY src),
+    q AS (SELECT doc_id, CAST(len(text) AS INT) AS n_chars FROM documents),
+    r AS (
+        SELECT cl.cluster_id, cl.doc_id, q.n_chars,
+               row_number() OVER (PARTITION BY cl.cluster_id
+                   ORDER BY q.n_chars DESC, cl.doc_id ASC) AS rn,
+               count(*) OVER (PARTITION BY cl.cluster_id) AS cluster_size
+        FROM cl JOIN q USING (doc_id)
+    )
+    SELECT cluster_id, doc_id, n_chars, cluster_size FROM r WHERE rn = 1
+    """,
+)

@@ -127,3 +127,90 @@ def test_bloom_has_no_false_negatives(spark, sf_correct):
     assert row.n_false_pos >= 0  # pass set is a superset of the true set
     assert row.n_pass_bloom >= row.n_true
     assert 0 < row.n_bits_set
+
+
+FEATURE_STORE_QUERIES = (
+    "user_scd2_history",
+    "user_decayed_value",
+    "conversion_attribution",
+    "dedup_keep_best",
+    "heavy_key_report",
+)
+
+
+def test_feature_store_queries_match_oracle(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in FEATURE_STORE_QUERIES:
+        assert_matches_oracle(qs[name](spark, sf_smoke), oracles[name], sf_smoke)
+
+
+def test_scd2_intervals_partition_time(spark, sf_smoke):
+    """SCD2 invariants: per user exactly one open interval, intervals
+    chain (each valid_to equals the next valid_from), and attr changes
+    across every boundary."""
+    from collections import defaultdict
+
+    from bigdata_infra_cs489_spark.operators.analytics import (
+        SCD2_OPEN_END,
+        user_scd2_history,
+    )
+
+    rows = user_scd2_history(spark, sf_smoke).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    assert by_user
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        assert [r.is_current for r in ivs].count(1) == 1
+        assert ivs[-1].is_current == 1 and ivs[-1].valid_to == SCD2_OPEN_END
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from, (user, a, b)
+            assert a.attr != b.attr, "consecutive intervals must differ"
+
+
+def test_decayed_value_bounded_by_raw(spark, sf_smoke):
+    from bigdata_infra_cs489_spark.operators.analytics import user_decayed_value
+
+    rows = user_decayed_value(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.decayed_value <= r.raw_value + 1e-6
+
+
+def test_attribution_credits_sum_to_value(spark, sf_smoke):
+    """Linear attribution conserves value: per purchase, n_touches * credit
+    reproduces the purchase value up to the 4dp rounding."""
+    from collections import defaultdict
+
+    from bigdata_infra_cs489_spark.operators.analytics import (
+        conversion_attribution,
+    )
+
+    rows = conversion_attribution(spark, sf_smoke).collect()
+    assert rows
+    per_purchase = defaultdict(list)
+    for r in rows:
+        per_purchase[r.purchase_id].append(r)
+    for pid, touches in per_purchase.items():
+        n = touches[0].n_touches
+        assert len(touches) == n
+        total = sum(t.credit for t in touches)
+        assert abs(total - n * touches[0].credit) < 1e-9
+        assert all(t.n_touches == n for t in touches)
+
+
+def test_keep_best_covers_all_docs(spark, sf_smoke):
+    """Every document lands in exactly one cluster; the kept doc is a
+    member of its own cluster and cluster sizes sum to the corpus size."""
+    from bigdata_infra_cs489_spark.operators.dedup import dedup_keep_best
+    from bigdata_infra_cs489_spark.sources.tables import load
+
+    rows = dedup_keep_best(spark, sf_smoke).collect()
+    n_docs = load(spark, sf_smoke, "documents").count()
+    assert sum(r.cluster_size for r in rows) == n_docs
+    assert len({r.cluster_id for r in rows}) == len(rows)
+    for r in rows:
+        assert r.cluster_size >= 1 and r.n_chars >= 0
