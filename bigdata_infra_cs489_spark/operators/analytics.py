@@ -400,3 +400,64 @@ def conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_touches"),
         F.round(F.col("value") / F.count(F.lit(1)).over(w), 4).alias("credit"),
     )
+
+
+def source_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_chars, pct_rank): each document's quality
+    percentile WITHIN its source — the per-source calibration step that
+    makes a single global quality threshold meaningful across sources
+    whose raw score distributions differ (CCNet-style per-shard
+    normalization).
+
+    Scale shape: a grouped percent_rank is usually written as a window
+    partitioned by source — but source cardinality is tiny (tens), so at
+    100 TB that concentrates the corpus into a handful of giant window
+    tasks. Instead the GLOBAL distsort row number over the total order
+    (source, n_chars, doc_id) gives every doc its slice-local rank; one
+    tiny per-source aggregate (first global row number + group size)
+    broadcast back converts it to the within-source percent_rank. Work
+    per task is bounded by the range partitioner, not by source sizes.
+    """
+    from .distsort import with_running_totals
+
+    base = load(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "source", F.length("text").alias("n_chars")
+    )
+    order = [F.asc("source"), F.asc("n_chars"), F.asc("doc_id")]
+    rn = with_running_totals(base, order, sums={}, row_col="grn")
+    per_src = rn.groupBy("source").agg(
+        F.min("grn").alias("first_rn"), F.count(F.lit(1)).alias("n_src")
+    )
+    pct = F.when(
+        F.col("n_src") > 1,
+        (F.col("grn") - F.col("first_rn"))
+        / (F.col("n_src") - F.lit(1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return rn.join(F.broadcast(per_src), "source").select(
+        "doc_id", "source", "n_chars", F.round(pct, 6).alias("pct_rank")
+    )
+
+
+CHURN_DAYS = 14
+
+
+def user_churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, last_seen, days_inactive, churned): users flagged as
+    churned when their last event is more than CHURN_DAYS before the
+    corpus's last day — the label-building pass for a churn model.
+    One per-user aggregate plus a broadcast scalar anchor."""
+    ev = load(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("d"))
+    anchor = ev.agg(F.max("d").alias("gmax"))
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max("d").alias("last_d"))
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.date_format("last_d", "yyyy-MM-dd").alias("last_seen"),
+            F.datediff("gmax", "last_d").alias("days_inactive"),
+            (F.datediff("gmax", "last_d") > CHURN_DAYS).cast("int").alias(
+                "churned"
+            ),
+        )
+    )

@@ -191,3 +191,40 @@ def quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bucket = h8(F.concat(F.col("doc_id").cast("string"), F.lit(STRATA_SALT))) % 100
     return strat.where(bucket < rate).select("doc_id", "quartile")
+
+
+CLUSTER_SPLIT_SALT = "cluster-split-v1"
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, split): train/val/test assignment hashed on
+    the NEAR-DUPLICATE CLUSTER id instead of the doc id — every member of
+    a near-dup cluster lands in the same split, so paraphrased/templated
+    copies of a training document can never leak into the eval set. The
+    split a dedup-aware pipeline actually evaluates against.
+
+    Scale shape: cluster assignment is the iterative min-label connected
+    components (band-join candidate cost, O(diameter) rounds); the split
+    itself is a pure map-side salted-hash projection on top — same
+    portable h8 contract as dataset_split, so the two splits are
+    directly comparable.
+    """
+    from .dedup import q_near_duplicate_clusters
+
+    clusters = q_near_duplicate_clusters(spark, sf_dir)
+    bucket = (
+        h8(
+            F.concat(
+                F.col("cluster_id").cast("string"), F.lit(CLUSTER_SPLIT_SALT)
+            )
+        )
+        % 100
+    )
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

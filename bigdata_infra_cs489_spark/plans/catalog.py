@@ -3114,3 +3114,59 @@ register(
     SELECT cluster_id, doc_id, n_chars, cluster_size FROM r WHERE rn = 1
     """,
 )
+
+register(
+    "source_quality_percentiles",
+    AN.source_quality_percentiles,
+    """
+    SELECT doc_id, source, CAST(len(text) AS INT) AS n_chars,
+           round(percent_rank() OVER (PARTITION BY source
+                 ORDER BY len(text), doc_id), 6) AS pct_rank
+    FROM documents
+    """,
+)
+
+register(
+    "user_churn_flags",
+    AN.user_churn_flags,
+    f"""
+    WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+    g AS (SELECT max(d) AS gmax FROM ev),
+    u AS (SELECT user_id, max(d) AS last_d FROM ev GROUP BY user_id)
+    SELECT user_id, strftime(last_d, '%Y-%m-%d') AS last_seen,
+           CAST(date_diff('day', last_d, g.gmax) AS INT) AS days_inactive,
+           CAST(date_diff('day', last_d, g.gmax) > {AN.CHURN_DAYS} AS INT)
+               AS churned
+    FROM u, g
+    """,
+)
+
+_CLUSTER_BUCKET = DUCK_H8.format(
+    x=f"CAST(cluster_id AS VARCHAR) || '{SA.CLUSTER_SPLIT_SALT}'"
+)
+register(
+    "leakage_safe_split",
+    SA.leakage_safe_split,
+    f"""
+    WITH RECURSIVE {DUCK_MINHASH_PAIR_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        WHERE jaccard >= {D.JACCARD_THRESHOLD}
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+        WHERE jaccard >= {D.JACCARD_THRESHOLD}),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    cl AS (
+        SELECT src AS doc_id, min(dst) AS cluster_id
+        FROM reach GROUP BY src)
+    SELECT doc_id, cluster_id,
+           CASE WHEN {_CLUSTER_BUCKET} % 100 < {SA.TRAIN_PCT} THEN 'train'
+                WHEN {_CLUSTER_BUCKET} % 100 < {SA.TRAIN_PCT + SA.VAL_PCT}
+                    THEN 'val'
+                ELSE 'test' END AS split
+    FROM cl
+    """,
+)

@@ -214,3 +214,70 @@ def test_keep_best_covers_all_docs(spark, sf_smoke):
     assert len({r.cluster_id for r in rows}) == len(rows)
     for r in rows:
         assert r.cluster_size >= 1 and r.n_chars >= 0
+
+
+CALIBRATION_QUERIES = (
+    "source_quality_percentiles",
+    "user_churn_flags",
+    "leakage_safe_split",
+)
+
+
+def test_calibration_queries_match_oracle(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in CALIBRATION_QUERIES:
+        assert_matches_oracle(qs[name](spark, sf_smoke), oracles[name], sf_smoke)
+
+
+def test_source_percentiles_span_unit_interval(spark, sf_smoke):
+    """Within every source: pct_rank starts at 0, ends at 1 (for n>1),
+    and is monotone in (n_chars, doc_id)."""
+    from collections import defaultdict
+
+    from bigdata_infra_cs489_spark.operators.analytics import (
+        source_quality_percentiles,
+    )
+
+    rows = source_quality_percentiles(spark, sf_smoke).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(r)
+    for src, docs in by_src.items():
+        docs.sort(key=lambda r: (r.n_chars, r.doc_id))
+        assert docs[0].pct_rank == 0.0
+        if len(docs) > 1:
+            assert docs[-1].pct_rank == 1.0
+        assert all(
+            a.pct_rank <= b.pct_rank for a, b in zip(docs, docs[1:])
+        ), src
+
+
+def test_leakage_safe_split_is_cluster_consistent(spark, sf_smoke):
+    """Near-dup cluster members always share a split — the property that
+    makes the split leakage-safe — and every document is assigned."""
+    from collections import defaultdict
+
+    from bigdata_infra_cs489_spark.operators.sampling import leakage_safe_split
+    from bigdata_infra_cs489_spark.sources.tables import load
+
+    rows = leakage_safe_split(spark, sf_smoke).collect()
+    assert len(rows) == load(spark, sf_smoke, "documents").count()
+    splits_per_cluster = defaultdict(set)
+    for r in rows:
+        splits_per_cluster[r.cluster_id].add(r.split)
+    assert all(len(s) == 1 for s in splits_per_cluster.values())
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+
+
+def test_churn_flag_matches_threshold(spark, sf_smoke):
+    from bigdata_infra_cs489_spark.operators.analytics import (
+        CHURN_DAYS,
+        user_churn_flags,
+    )
+
+    rows = user_churn_flags(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.churned == int(r.days_inactive > CHURN_DAYS)
