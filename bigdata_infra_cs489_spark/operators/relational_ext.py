@@ -197,3 +197,27 @@ def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_timestamp("ts") - F.unix_timestamp(prev)).alias("gap_sec"),
     )
+
+
+MEDIAN_PCTS = (0.5, 0.9)
+
+
+def events_value_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n, median_value, p90_value): EXACT per-group
+    percentiles via the sort-based percentile aggregate — the exact twin
+    of events_value_percentiles' approx path (percentile_approx with its
+    error-bound check lives there; this is the group-sized exact answer).
+
+    Scale shape: exact percentile aggregates sort within each group's
+    partial state — safe when group CARDINALITY is small (5 event types)
+    but each group is huge? No: Spark's percentile agg buffers per-group
+    values, so this is the SMALL-GROUP-COUNT/LARGE-GROUP pattern to use
+    only when per-group value multisets fit an executor (they do at any
+    SF here: numeric doubles, the buffer is a counts map). The unbounded
+    alternative at 100 TB is the approx sketch path next door."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", MEDIAN_PCTS[0]), 4).alias("median_value"),
+        F.round(F.percentile("value", MEDIAN_PCTS[1]), 4).alias("p90_value"),
+    )

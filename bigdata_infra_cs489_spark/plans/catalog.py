@@ -3170,3 +3170,43 @@ register(
     FROM cl
     """,
 )
+
+register(
+    "jsonl_roundtrip_events",
+    FMT.q_jsonl_roundtrip_events,
+    """
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+    FROM events GROUP BY event_type
+    """,
+)
+
+register(
+    "events_value_median_by_type",
+    RX.events_value_median_by_type,
+    f"""
+    SELECT event_type, count(*) AS n,
+           round(quantile_cont(value, {RX.MEDIAN_PCTS[0]}), 4) AS median_value,
+           round(quantile_cont(value, {RX.MEDIAN_PCTS[1]}), 4) AS p90_value
+    FROM events GROUP BY event_type
+    """,
+)
+
+register(
+    "stream_upsert_user_state",
+    STR.q_stream_upsert_user_state,
+    """
+    WITH ranked AS (
+      SELECT user_id, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events
+    )
+    SELECT user_id, n_events, round(value, 2) AS last_value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+    FROM ranked WHERE rn = 1
+    """,
+)

@@ -260,3 +260,49 @@ def q_orc_roundtrip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_orc_customer_{sf_tag}")
     src.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+def q_jsonl_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered JSONL round-trip: fixture events -> JSON-lines sink ->
+    schema'd scan -> per-type aggregate. JSONL is the self-describing
+    interchange format corpus pipelines exchange; the explicit read
+    schema (no inference pass) plus hash parity against the
+    parquet-reading oracle pins type fidelity — including the timestamp
+    ISO render/parse round trip — through the text sink."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .tables import load
+
+    src = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_jsonl_events_{sf_tag}"
+    )
+    # Spark's default JSON timestampFormat truncates to milliseconds;
+    # pin a microsecond pattern on BOTH sides so the round trip is
+    # lossless (the oracle compares micros).
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    src.write.mode("overwrite").option("timestampFormat", ts_fmt).json(path)
+    back = (
+        spark.read.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        .option("timestampFormat", ts_fmt)
+        .json(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "first_ts"
+        ),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_ts"
+        ),
+    )

@@ -429,3 +429,104 @@ def q_stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+def q_stream_upsert_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the foreachBatch CDC UPSERT — the
+    streaming materialization of per-key state (SCD Type-1: latest value
+    wins, plus a running event count) into a queryable parquet table.
+
+    Each micro-batch folds into the previous state snapshot with one
+    grouped max_by/sum merge and writes a NEW versioned snapshot
+    (write-new-then-advance, so a crashed batch never corrupts the
+    current version — the poor-man's transaction log a Delta/Hudi table
+    formalizes; at 100 TB the rewrite narrows to changed partitions via
+    partitionBy on a stable key hash instead of full-table rewrite).
+    The final snapshot hash-checks against the batch argmax oracle, so
+    upsert semantics (ts, event_id tie-break) can't drift from batch.
+    """
+    import os
+    import shutil
+
+    base = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "spark-warehouse",
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(base, f"stream_upsert_user_state_{sf_tag}")
+    chk = out + "_chk"
+    for p in (out, chk):
+        shutil.rmtree(p, ignore_errors=True)
+
+    state = {"path": None}
+
+    def merge_batch(bdf: DataFrame, bid: int) -> None:
+        upsert_user_state(bdf, state, out, bid)
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    q = (
+        ev.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = spark.read.parquet(state["path"])
+    return snap.select(
+        "user_id",
+        "n_events",
+        F.round("last_value", 2).alias("last_value"),
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+    )
+
+
+def upsert_user_state(bdf: DataFrame, state: dict, out: str, bid: int) -> None:
+    """One micro-batch of the CDC upsert: fold the batch into the previous
+    snapshot (latest (ts, event_id) wins per user; event counts add) and
+    write snapshot version ``bid``. Factored out of the stream so tests
+    can drive a multi-batch sequence directly (the fixture backfill is a
+    single availableNow batch)."""
+    import os
+
+    spark = bdf.sparkSession
+    batch_state = bdf.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max_by(
+            F.struct("value", "ts", "event_id"), F.struct("ts", "event_id")
+        ).alias("last"),
+    )
+    cur = batch_state.select(
+        "user_id",
+        "n_events",
+        F.col("last.value").alias("last_value"),
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.event_id").alias("last_event_id"),
+    )
+    if state["path"] is not None:
+        prev = spark.read.parquet(state["path"])
+        cur = (
+            prev.unionByName(cur)
+            .groupBy("user_id")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.max_by(
+                    F.struct("last_value", "last_ts", "last_event_id"),
+                    F.struct("last_ts", "last_event_id"),
+                ).alias("last"),
+            )
+            .select(
+                "user_id",
+                "n_events",
+                F.col("last.last_value").alias("last_value"),
+                F.col("last.last_ts").alias("last_ts"),
+                F.col("last.last_event_id").alias("last_event_id"),
+            )
+        )
+    newp = os.path.join(out, f"v{bid}")
+    cur.write.mode("overwrite").parquet(newp)
+    state["path"] = newp

@@ -114,3 +114,13 @@ def test_jsonl_roundtrip(spark, sf_smoke, tmp_path):
     a = {tuple(r) for r in ev.collect()}
     b = {tuple(r[c] for c in ev.columns) for r in back.collect()}
     assert a == b and len(a) > 0
+
+
+def test_jsonl_roundtrip_and_exact_percentiles_match_oracle(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    from .oracle import assert_matches_oracle
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in ("jsonl_roundtrip_events", "events_value_median_by_type"):
+        assert_matches_oracle(qs[name](spark, sf_smoke), oracles[name], sf_smoke)

@@ -32,6 +32,9 @@ ITERATIVE = {
     "spam_train",
     "spam_train_shuffled",
     "near_duplicate_clusters",
+    # built on the full CC loop above — same exclusion rationale
+    "dedup_keep_best",
+    "leakage_safe_split",
     # the stream_* driver-contract queries execute a complete
     # availableNow streaming job just to build the final memory-table
     # scan — their plans are post-hoc scans, not worth the run
@@ -42,6 +45,8 @@ ITERATIVE = {
     "stream_dedup",
     "stream_enriched",
     "stream_error_click_join",
+    "stream_partitioned_sink",
+    "stream_upsert_user_state",
 }
 
 

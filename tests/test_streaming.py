@@ -148,7 +148,12 @@ import pytest as _pytest
 
 
 @_pytest.mark.parametrize(
-    "name", ["stream_tumbling_counts", "stream_error_click_join"]
+    "name",
+    [
+        "stream_tumbling_counts",
+        "stream_error_click_join",
+        "stream_upsert_user_state",
+    ],
 )
 def test_stream_queries_match_oracle(spark, sf_correct, name):
     """The driver-contract streaming entries (availableNow -> memory sink)
@@ -197,3 +202,49 @@ def test_stream_partitioned_sink_layout_and_counts(spark, sf_smoke):
     )
     parts = [d for d in os.listdir(out) if d.startswith("event_type=")]
     assert len(parts) > 1  # Hive-style partition directories
+
+
+def test_upsert_merge_is_incremental(spark, tmp_path):
+    """Driving upsert_user_state over two explicit micro-batches yields
+    the same state as one batch over the union — the associativity that
+    makes the foreachBatch merge restart- and split-safe."""
+    import datetime as dt
+
+    from bigdata_infra_cs489_spark.streaming.events_stream import (
+        upsert_user_state,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def row(eid, uid, sec, val):
+        return (uid, t0 + dt.timedelta(seconds=sec), eid, float(val))
+
+    cols = "user_id bigint, ts timestamp, event_id bigint, value double"
+    b1 = spark.createDataFrame([row(1, 7, 10, 5.0), row(2, 8, 20, 2.0)], cols)
+    # batch 2: user 7 gets a LATER event; user 8 an event at the SAME ts
+    # with a higher event_id (tie-break must pick it); user 9 is new
+    b2 = spark.createDataFrame(
+        [row(3, 7, 30, 9.0), row(4, 8, 20, 3.5), row(5, 9, 5, 1.0)], cols
+    )
+
+    out_inc = str(tmp_path / "inc")
+    st = {"path": None}
+    upsert_user_state(b1, st, out_inc, 0)
+    upsert_user_state(b2, st, out_inc, 1)
+    inc = {
+        r.user_id: (r.n_events, r.last_value, r.last_ts, r.last_event_id)
+        for r in spark.read.parquet(st["path"]).collect()
+    }
+
+    out_one = str(tmp_path / "one")
+    st1 = {"path": None}
+    upsert_user_state(b1.unionByName(b2), st1, out_one, 0)
+    one = {
+        r.user_id: (r.n_events, r.last_value, r.last_ts, r.last_event_id)
+        for r in spark.read.parquet(st1["path"]).collect()
+    }
+
+    assert inc == one
+    assert inc[7][:2] == (2, 9.0)
+    assert inc[8][:2] == (2, 3.5), "same-ts tie must go to higher event_id"
+    assert inc[9][:2] == (1, 1.0)
