@@ -461,3 +461,75 @@ def user_churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source_a, source_b, n_shared): how many EXACT duplicate texts each
+    pair of sources shares — the cross-source contamination matrix that
+    tells a corpus curator which feeds re-scrape each other (and how much
+    dedup will shrink a planned mixture). Diagonal rows (a = b) count
+    texts duplicated WITHIN a source.
+
+    Scale shape: one digest aggregate (md5 -> distinct sources per
+    digest), then a per-digest pair explode bounded by (sources per
+    digest)² — sources number in the tens, so the explode is O(1) per
+    digest and output is at most |sources|² rows. Never a doc×doc join.
+    """
+    docs = load(spark, sf_dir, "documents", parallelize=True).select(
+        F.md5("text").alias("digest"), "source"
+    )
+    per_digest = (
+        docs.groupBy("digest", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("digest")
+        .agg(
+            F.collect_list(F.struct("source", "n")).alias("srcs"),
+        )
+    )
+    pairs = per_digest.select(
+        F.explode("srcs").alias("a"), F.col("srcs").alias("bs")
+    ).select("a", F.explode("bs").alias("b"))
+    # within a source: C(n,2) duplicate pairs collapse to "n-1 extra
+    # copies"; across sources: min(n_a, n_b) shared instances. Keep the
+    # simple, auditable definition: a digest contributes 1 to (a, b) if
+    # both sources contain it (a <= b for a canonical triangle), and the
+    # diagonal counts digests with n >= 2 in that source.
+    contrib = pairs.where(
+        (F.col("a.source") < F.col("b.source"))
+        | ((F.col("a.source") == F.col("b.source")) & (F.col("a.n") >= 2))
+    )
+    return (
+        contrib.groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_type, to_type, n, prob): first-order Markov transition counts
+    and row-normalized probabilities over each user's time-ordered event
+    sequence — the session-behavior fingerprint sequence models train on.
+    One per-user lag window (well-spread key) plus two hash aggregates;
+    prob is exact integer-ratio rounded, so the cross-engine hash is
+    division-order-proof."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .where(F.col("to_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), "to_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return trans.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("tot"), 6).alias("prob"),
+    )

@@ -3210,3 +3210,39 @@ register(
     FROM ranked WHERE rn = 1
     """,
 )
+
+register(
+    "cross_source_overlap",
+    AN.cross_source_overlap,
+    """
+    WITH pd AS (
+      SELECT md5(text) AS digest, source, count(*) AS n
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_shared
+    FROM pd a JOIN pd b ON a.digest = b.digest
+    WHERE a.source < b.source OR (a.source = b.source AND a.n >= 2)
+    GROUP BY 1, 2
+    """,
+)
+
+register(
+    "event_type_transitions",
+    AN.event_type_transitions,
+    """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    trans AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, sum(n) AS tot FROM trans GROUP BY 1)
+    SELECT t.from_type, t.to_type, t.n, round(t.n / tt.tot, 6) AS prob
+    FROM trans t JOIN tot tt USING (from_type)
+    """,
+)

@@ -220,6 +220,8 @@ CALIBRATION_QUERIES = (
     "source_quality_percentiles",
     "user_churn_flags",
     "leakage_safe_split",
+    "cross_source_overlap",
+    "event_type_transitions",
 )
 
 
@@ -281,3 +283,19 @@ def test_churn_flag_matches_threshold(spark, sf_smoke):
     assert rows
     for r in rows:
         assert r.churned == int(r.days_inactive > CHURN_DAYS)
+
+
+def test_transition_probs_sum_to_one(spark, sf_smoke):
+    from collections import defaultdict
+
+    from bigdata_infra_cs489_spark.operators.analytics import (
+        event_type_transitions,
+    )
+
+    rows = event_type_transitions(spark, sf_smoke).collect()
+    assert rows
+    by_from = defaultdict(float)
+    for r in rows:
+        by_from[r.from_type] += r.prob
+    for ft, total in by_from.items():
+        assert abs(total - 1.0) < 1e-3, ft
