@@ -90,7 +90,7 @@ def test_no_row_at_a_time_python(spark, sf_smoke, name, fn):
 # Queries whose source is line-oriented text (.tbl CSV connector) — no
 # columnar reader exists for those formats, so the vectorization invariant
 # applies only to parquet-backed queries.
-TEXT_SOURCES = {"tbl_scan_nation"}
+TEXT_SOURCES = {"tbl_scan_nation", "jsonl_roundtrip_events"}
 
 
 def test_scans_are_vectorized(spark, sf_smoke):

@@ -195,10 +195,11 @@ def test_stream_partitioned_sink_layout_and_counts(spark, sf_smoke):
         )
     )
     assert got == want
+    sf_tag = os.path.basename(os.path.normpath(sf_smoke))
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "spark-warehouse",
-        "stream_sink_events",
+        f"stream_sink_events_{sf_tag}",
     )
     parts = [d for d in os.listdir(out) if d.startswith("event_type=")]
     assert len(parts) > 1  # Hive-style partition directories
