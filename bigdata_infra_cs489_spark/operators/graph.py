@@ -560,3 +560,51 @@ def pagerank_topk(
         .orderBy(F.desc("mass"), F.asc("node_id"))
         .limit(k)
     )
+
+
+LPA_ROUNDS = 3
+
+
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, community): synchronous label propagation over the
+    symmetrized fixture graph — LPA_ROUNDS rounds of "adopt the most
+    frequent neighbor label, smallest label on ties, keep your own when
+    isolated", starting from self-labels. Community detection
+    complements the structural CC dedup clustering: LPA splits dense
+    components into cohesive groups instead of merging everything
+    reachable.
+
+    Scale shape: a FIXED number of rounds composed as one declarative
+    plan — per round one edge⋈labels shuffle join on the well-spread
+    node key, one (node, label) count aggregate, and one per-node argmax
+    (window partitioned by node id). No driver collects, no convergence
+    loop: fixed-round LPA is the batch-windowed form the synchronous
+    algorithm takes in Pregel systems, and what lets the DuckDB oracle
+    unroll it exactly.
+    """
+    from pyspark.sql.window import Window
+
+    e = graph_edges(spark, sf_dir)
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    nodes = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    labels = nodes.select("id", F.col("id").alias("lbl"))
+    w = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(LPA_ROUNDS):
+        counts = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        picked = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("id", F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(picked, "id", "left")
+            .select("id", F.coalesce("new_lbl", "lbl").alias("lbl"))
+        )
+    return labels.select("id", F.col("lbl").alias("community"))

@@ -228,3 +228,52 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+WEIGHTED_SAMPLE_N = 50
+WEIGHTED_SAMPLE_SALT = "wsample-v1"
+_U32 = float(1 << 32)
+
+
+def weighted_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rank, doc_id, n_chars, key): deterministic weighted sampling
+    WITHOUT replacement via Efraimidis-Spirakis exponential keys — each
+    doc draws u = hash-uniform(0,1) and ranks by u^(1/w) with w its
+    quality weight (here n_chars), so inclusion probability is
+    proportional to weight and the N winners are exactly one weighted
+    draw-without-replacement sample. The distributed-sampling primitive
+    `df.sample` can't give: reproducible across engines AND weighted.
+
+    Scale shape: the key is a pure map-side column expression off the
+    portable h8; selection is a global top-N (TakeOrderedAndProject — 
+    per-partition heaps, no sort, no shuffle of the corpus). Keys round
+    to 6dp with doc_id tie-break before ranking so the cross-engine
+    order never rides on pow()'s last ulp."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    u = (
+        h8(F.concat(F.col("doc_id").cast("string"), F.lit(WEIGHTED_SAMPLE_SALT)))
+        + F.lit(0.5)
+    ) / F.lit(_U32)
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col("n_chars")), 6
+    ).alias("key")
+    ranked = docs.select("doc_id", "n_chars", key).orderBy(
+        F.desc("key"), F.asc("doc_id")
+    )
+    top = ranked.limit(WEIGHTED_SAMPLE_N)
+    # rank within the bounded top-N via the same N^2 broadcast self-join
+    # trick heavy_key_report uses (no partition-less window)
+    other = top.select(
+        F.col("doc_id").alias("o_id"), F.col("key").alias("o_key")
+    )
+    ahead = (F.col("o_key") > F.col("key")) | (
+        (F.col("o_key") == F.col("key")) & (F.col("o_id") < F.col("doc_id"))
+    )
+    return (
+        top.join(F.broadcast(other), ahead, "left")
+        .groupBy("doc_id", "n_chars", "key")
+        .agg((F.count("o_id") + 1).cast("int").alias("rank"))
+        .select("rank", "doc_id", "n_chars", "key")
+    )

@@ -3246,3 +3246,55 @@ register(
     FROM trans t JOIN tot tt USING (from_type)
     """,
 )
+
+_WS_U = DUCK_H8.format(
+    x=f"CAST(doc_id AS VARCHAR) || '{SA.WEIGHTED_SAMPLE_SALT}'"
+)
+register(
+    "weighted_sample_topn",
+    SA.weighted_sample_topn,
+    f"""
+    WITH d AS (
+      SELECT doc_id, CAST(len(text) AS INT) AS n_chars,
+             round(pow(({_WS_U} + 0.5) / 4294967296.0,
+                       1.0 / len(text)), 6) AS key
+      FROM documents
+    ),
+    top AS (SELECT * FROM d ORDER BY key DESC, doc_id ASC
+            LIMIT {SA.WEIGHTED_SAMPLE_N})
+    SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id ASC) AS INT)
+               AS rank,
+           doc_id, n_chars, key
+    FROM top
+    """,
+)
+
+
+def _lpa_sql(rounds: int) -> str:
+    parts = ["""
+    WITH n AS (SELECT count(*) AS c FROM documents),
+    e0 AS (SELECT DISTINCT doc_id AS src,
+                  (doc_id * k + 1) % (SELECT c FROM n) AS dst
+           FROM documents, unnest(range(1, (doc_id % 5) + 1)) AS t(k)),
+    edges AS (SELECT DISTINCT src, dst FROM
+              (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+    l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    c{r} AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+             FROM edges e JOIN l{r - 1} l ON l.id = e.src GROUP BY 1, 2),
+    p{r} AS (SELECT id, lbl FROM (
+               SELECT id, lbl, row_number() OVER (PARTITION BY id
+                   ORDER BY c DESC, lbl ASC) AS rn FROM c{r}) WHERE rn = 1),
+    l{r} AS (SELECT l.id, coalesce(p.lbl, l.lbl) AS lbl
+             FROM l{r - 1} l LEFT JOIN p{r} p USING (id))""")
+    parts.append(f"""
+    SELECT id, lbl AS community FROM l{rounds}""")
+    return "".join(parts)
+
+
+register(
+    "label_propagation_communities",
+    G.label_propagation,
+    _lpa_sql(G.LPA_ROUNDS),
+)

@@ -173,3 +173,28 @@ def test_global_pagerank_mass_conserved_and_uniform_teleport(spark, sf_smoke):
     total = sum(r["mass"] for r in rows)
     assert abs(total - 1.0) < 1e-9
     assert all(r["mass"] > 0 for r in rows)
+
+
+def test_label_propagation_matches_oracle_and_shape(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    from .oracle import assert_matches_oracle
+
+    name = "label_propagation_communities"
+    assert_matches_oracle(
+        entrymod.queries()[name](spark, sf_smoke),
+        entrymod.oracle_sql()[name],
+        sf_smoke,
+    )
+
+    from bigdata_infra_cs489_spark.operators.graph import label_propagation
+    from bigdata_infra_cs489_spark.sources.tables import load
+
+    rows = label_propagation(spark, sf_smoke).collect()
+    n = load(spark, sf_smoke, "documents").count()
+    assert len(rows) == n, "every node keeps exactly one label"
+    ids = {r.id for r in rows}
+    assert {r.community for r in rows} <= ids, "labels are node ids"
+    assert 1 < len({r.community for r in rows}) < n, (
+        "communities should be a nontrivial partition on the fixture graph"
+    )

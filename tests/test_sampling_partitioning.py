@@ -190,3 +190,27 @@ def test_results_invariant_to_shuffle_partitioning(spark, sf_smoke):
             assert a == b, f"{name} varies with shuffle partitioning"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_weighted_sample_matches_oracle_and_invariants(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    from .oracle import assert_matches_oracle
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    name = "weighted_sample_topn"
+    assert_matches_oracle(qs[name](spark, sf_smoke), oracles[name], sf_smoke)
+
+    from bigdata_infra_cs489_spark.operators.sampling import (
+        WEIGHTED_SAMPLE_N,
+        weighted_sample_topn,
+    )
+
+    rows = weighted_sample_topn(spark, sf_smoke).collect()
+    assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+    assert len(rows) == min(WEIGHTED_SAMPLE_N, 500)
+    by_rank = sorted(rows, key=lambda r: r.rank)
+    assert all(
+        a.key >= b.key for a, b in zip(by_rank, by_rank[1:])
+    ), "keys must be non-increasing in rank"
+    assert all(0 < r.key <= 1 for r in rows)
