@@ -260,3 +260,40 @@ def q_partitioned_day_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+EVOLUTION_SPLIT_DAY = "2024-01-15"  # gen1 = before, gen2 = on/after
+
+
+def q_schema_evolution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read over a two-generation landing: generation 1
+    landed WITHOUT the props column, generation 2 added it — the additive
+    column migration every long-lived lakehouse table goes through. The
+    unified read uses parquet mergeSchema (footer union across files);
+    missing columns surface as nulls, so per-type props coverage counts
+    exactly the gen-2 rows. At scale mergeSchema is a read-side flag, not
+    a rewrite — old files are never touched, which is the point.
+
+    Returns (event_type, n_events, sum_value, n_with_props).
+    """
+    import os
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    split = F.lit(EVOLUTION_SPLIT_DAY).cast("date")
+    gen1 = ev.where(F.to_date("ts") < split).drop("props")
+    gen2 = ev.where(F.to_date("ts") >= split)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_schema_evo_{sf_tag}"
+    )
+    gen1.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(base)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.count("props").alias("n_with_props"),
+    )

@@ -3298,3 +3298,15 @@ register(
     G.label_propagation,
     _lpa_sql(G.LPA_ROUNDS),
 )
+
+register(
+    "schema_evolution_events",
+    TO.q_schema_evolution_events,
+    f"""
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           sum(CASE WHEN CAST(ts AS DATE) >= DATE '{TO.EVOLUTION_SPLIT_DAY}'
+                    THEN 1 ELSE 0 END) AS n_with_props
+    FROM events GROUP BY event_type
+    """,
+)

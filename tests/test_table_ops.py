@@ -143,3 +143,28 @@ def test_partitioned_day_scan_prunes(spark, sf_smoke):
         .count()
     )
     assert got == want
+
+
+def test_schema_evolution_matches_oracle_and_nulls(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    from .oracle import assert_matches_oracle
+
+    name = "schema_evolution_events"
+    assert_matches_oracle(
+        entrymod.queries()[name](spark, sf_smoke),
+        entrymod.oracle_sql()[name],
+        sf_smoke,
+    )
+
+    # the merged schema must carry props as nullable with gen-1 rows null
+    from bigdata_infra_cs489_spark.operators.table_ops import (
+        q_schema_evolution_events,
+    )
+
+    rows = q_schema_evolution_events(spark, sf_smoke).collect()
+    assert rows
+    assert all(r.n_with_props <= r.n_events for r in rows)
+    assert any(r.n_with_props < r.n_events for r in rows), (
+        "gen-1 rows must surface null props through mergeSchema"
+    )
