@@ -533,3 +533,51 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("tot"), 6).alias("prob"),
     )
+
+
+EWMA_ALPHA = 0.3  # per-day smoothing weight
+
+
+def daily_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, n_events, sum_value, ewma): daily event value totals with an
+    exponentially weighted moving average in CLOSED FORM — each day's
+    EWMA is the weight-normalized sum over all prior days with weights
+    (1-α)^distance (pandas ewm adjust=True semantics), so the
+    "recursive" smoother becomes a pure join-aggregate with no
+    sequential dependency, no driver loop, and an exact SQL twin.
+
+    Scale shape: the daily aggregate collapses the corpus to one row per
+    day; the triangular day×day pair join is bounded by (#days)² — a
+    broadcast of a few-KB table even over years of history. This is the
+    standard trick for making order-recursive time-series features
+    distributable: bounded aggregate first, closed-form second.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    cur = daily.select(
+        F.col("d").alias("cd"),
+        F.col("n_events").alias("cn"),
+        F.col("sum_value").alias("cx"),
+    )
+    w = F.pow(F.lit(1.0 - EWMA_ALPHA), F.datediff("cd", "d"))
+    return (
+        cur.join(F.broadcast(daily), F.col("d") <= F.col("cd"))
+        .groupBy("cd", "cn", "cx")
+        .agg(
+            F.round(
+                F.sum(w * F.col("sum_value")) / F.sum(w), 4
+            ).alias("ewma")
+        )
+        .select(
+            F.date_format("cd", "yyyy-MM-dd").alias("day"),
+            F.col("cn").alias("n_events"),
+            F.col("cx").alias("sum_value"),
+            "ewma",
+        )
+    )

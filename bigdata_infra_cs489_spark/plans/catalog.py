@@ -3310,3 +3310,84 @@ register(
     FROM events GROUP BY event_type
     """,
 )
+
+register(
+    "session_cooccurrence",
+    E.session_cooccurrence,
+    f"""
+    WITH e AS (SELECT user_id, ts, event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+    g AS (SELECT *,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR sec - lag(sec) OVER w > {E.SESSION_GAP_SEC}
+                      THEN 1 ELSE 0 END AS new_session
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT DISTINCT user_id, event_type,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_id FROM g),
+    tot AS (SELECT count(*) AS n_total FROM
+            (SELECT DISTINCT user_id, session_id FROM s)),
+    singles AS (SELECT event_type, count(*) AS sup FROM s GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_sessions
+      FROM s a JOIN s b
+        ON a.user_id = b.user_id AND a.session_id = b.session_id
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, p.n_sessions,
+           p.n_sessions * 1000000 // t.n_total AS support_ppm,
+           round((p.n_sessions * t.n_total)
+                 / (CAST(sa.sup AS DOUBLE) * sb.sup), 4) AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b, tot t
+    """,
+)
+
+register(
+    "funnel_latency",
+    E.funnel_latency,
+    """
+    WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, min(e.ts) AS t2, min(t1.t1) AS t1
+           FROM events e JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'click' AND e.ts > t1.t1
+           GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, min(e.ts) AS t3, min(t2.t1) AS t1,
+                  min(t2.t2) AS t2
+           FROM events e JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+           GROUP BY e.user_id),
+    d AS (SELECT (epoch_us(t2) - epoch_us(t1)) / 1000000.0 AS d12,
+                 (epoch_us(t3) - epoch_us(t2)) / 1000000.0 AS d23
+          FROM t3)
+    SELECT count(*) AS n_converted,
+           round(quantile_cont(d12, 0.5), 4) AS median_signup_to_click_sec,
+           round(quantile_cont(d12, 0.9), 4) AS p90_signup_to_click_sec,
+           round(quantile_cont(d23, 0.5), 4) AS median_click_to_purchase_sec,
+           round(quantile_cont(d23, 0.9), 4) AS p90_click_to_purchase_sec
+    FROM d
+    """,
+)
+
+register(
+    "daily_value_ewma",
+    AN.daily_value_ewma,
+    f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS n_events,
+             round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(a.d, '%Y-%m-%d') AS day,
+           a.n_events, a.sum_value,
+           round(sum(pow({1.0 - AN.EWMA_ALPHA},
+                         date_diff('day', b.d, a.d)) * b.sum_value)
+                 / sum(pow({1.0 - AN.EWMA_ALPHA},
+                           date_diff('day', b.d, a.d))), 4) AS ewma
+    FROM daily a JOIN daily b ON b.d <= a.d
+    GROUP BY a.d, a.n_events, a.sum_value
+    """,
+)

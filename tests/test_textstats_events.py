@@ -147,3 +147,44 @@ def test_repetition_stats_degenerate_docs(spark):
     assert got[2]["top_bigram_frac"] == 1.0  # "spam spam" x3 of 3
     assert got[3]["top_token_frac"] == 0.5
     assert got[3]["top_bigram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_behavioral_analytics_match_oracle(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    from .oracle import assert_matches_oracle
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in ("session_cooccurrence", "funnel_latency", "daily_value_ewma"):
+        assert_matches_oracle(qs[name](spark, sf_smoke), oracles[name], sf_smoke)
+
+
+def test_cooccurrence_pairs_are_canonical(spark, sf_smoke):
+    from bigdata_infra_cs489_spark.operators.events import session_cooccurrence
+
+    rows = session_cooccurrence(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert 0 < r.support_ppm <= 1_000_000
+        assert r.lift > 0
+
+
+def test_funnel_latency_percentile_ordering(spark, sf_smoke):
+    from bigdata_infra_cs489_spark.operators.events import funnel_latency
+
+    [r] = funnel_latency(spark, sf_smoke).collect()
+    assert r.n_converted > 0
+    assert r.median_signup_to_click_sec <= r.p90_signup_to_click_sec
+    assert r.median_click_to_purchase_sec <= r.p90_click_to_purchase_sec
+
+
+def test_ewma_first_day_equals_itself_and_stays_in_range(spark, sf_smoke):
+    from bigdata_infra_cs489_spark.operators.analytics import daily_value_ewma
+
+    rows = sorted(daily_value_ewma(spark, sf_smoke).collect(), key=lambda r: r.day)
+    assert rows[0].ewma == rows[0].sum_value
+    lo = min(r.sum_value for r in rows)
+    hi = max(r.sum_value for r in rows)
+    for r in rows:
+        assert lo - 1e-6 <= r.ewma <= hi + 1e-6
