@@ -221,3 +221,31 @@ def events_value_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", MEDIAN_PCTS[0]), 4).alias("median_value"),
         F.round(F.percentile("value", MEDIAN_PCTS[1]), 4).alias("p90_value"),
     )
+
+
+def events_exact_median_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row EXACT global median of the event value over the whole
+    table, computed scale-safely: the distributed range-partitioned row
+    number (operators/distsort.py) gives every row its global rank in
+    one range shuffle + an O(#partitions) offset collect, then the one
+    or two middle rows are filtered out and averaged. The plan a naive
+    `orderBy` + window would funnel through a single task; this one
+    never materializes more than a range slice per task at any scale.
+    Complements the per-group exact percentiles (bounded-group path) and
+    the approx sketch (unbounded path) with the exact-global answer.
+    """
+    from .distsort import with_running_totals
+
+    ev = load(spark, sf_dir, "events").select("value", "event_id")
+    ranked = with_running_totals(
+        ev, [F.asc("value"), F.asc("event_id")], sums={}, row_col="rn"
+    )
+    n = ev.count()
+    mid = [(n + 1) // 2, (n + 2) // 2]
+    return (
+        ranked.where(F.col("rn").isin(mid))
+        .agg(
+            F.lit(n).alias("n_rows"),
+            F.round(F.avg("value"), 4).alias("median_value"),
+        )
+    )

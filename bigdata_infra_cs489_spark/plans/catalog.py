@@ -3391,3 +3391,13 @@ register(
     GROUP BY a.d, a.n_events, a.sum_value
     """,
 )
+
+register(
+    "events_exact_median_global",
+    RX.events_exact_median_global,
+    """
+    SELECT count(*) AS n_rows,
+           round(median(value), 4) AS median_value
+    FROM events
+    """,
+)

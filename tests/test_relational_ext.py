@@ -44,3 +44,28 @@ def test_approx_distinct_within_rsd(spark, sf_correct):
     assert set(exact) == set(approx)
     for k in exact:
         assert abs(approx[k] - exact[k]) <= max(2, 0.06 * exact[k])
+
+
+def test_exact_global_median_matches_oracle_and_local(spark, sf_smoke):
+    import statistics
+
+    import __spark_entry__ as entrymod
+
+    from .oracle import assert_matches_oracle
+
+    name = "events_exact_median_global"
+    assert_matches_oracle(
+        entrymod.queries()[name](spark, sf_smoke),
+        entrymod.oracle_sql()[name],
+        sf_smoke,
+    )
+
+    from bigdata_infra_cs489_spark.operators.relational_ext import (
+        events_exact_median_global,
+    )
+    from bigdata_infra_cs489_spark.sources.tables import load
+
+    [r] = events_exact_median_global(spark, sf_smoke).collect()
+    vals = [x.value for x in load(spark, sf_smoke, "events").select("value").collect()]
+    assert r.n_rows == len(vals)
+    assert abs(r.median_value - round(statistics.median(vals), 4)) < 1e-9
