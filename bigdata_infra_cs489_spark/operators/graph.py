@@ -585,9 +585,14 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = graph_edges(spark, sf_dir)
+    # pin the symmetrized edge set once (same lazy-checkpoint pattern as
+    # the CC loop): every round's join re-references it, and without the
+    # pin each reference re-executes the build+union+distinct subtree —
+    # the audit showed 39 exchanges for 3 rounds vs ~5 pinned
     edges = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     nodes = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
     labels = nodes.select("id", F.col("id").alias("lbl"))
