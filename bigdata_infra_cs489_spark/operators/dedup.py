@@ -135,6 +135,34 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFra
     )
 
 
+def signature_bands(
+    docs: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """(doc_id, band, band_key): each signature split into its LSH bands,
+    band content rendered as the canonical ':'-joined string — the
+    equi-join key for both whole-corpus pairing and incremental
+    new-batch assignment."""
+    rows = num_hashes // num_bands
+    sigs = minhash_signatures(docs, num_hashes)
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.concat_ws(
+                    ":",
+                    F.transform(
+                        F.slice("sig", b * rows + 1, rows),
+                        lambda v: v.cast("string"),
+                    ),
+                ),
+            )
+        ).alias("band", "band_key"),
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     num_hashes: int = NUM_HASHES,
@@ -143,19 +171,7 @@ def lsh_candidate_pairs(
     """(doc_a, doc_b) candidate pairs: docs sharing any full band of the
     signature. Equi-join on (band index, band values) — the shuffle key is
     the band content, so cost scales with collisions, not with n^2."""
-    rows = num_hashes // num_bands
-    sigs = minhash_signatures(docs, num_hashes)
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: F.concat_ws(
-                    ":", F.transform(F.slice("sig", b * rows + 1, rows), lambda v: v.cast("string"))
-                ),
-            )
-        ).alias("band", "band_key"),
-    )
+    bands = signature_bands(docs, num_hashes, num_bands)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (
@@ -588,4 +604,83 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.where(F.col("rn") == 1).select(
         "cluster_id", "doc_id", "n_chars", "cluster_size"
+    )
+
+
+NEW_BATCH_MOD = 10  # doc_id % 10 == 9 plays the freshly-crawled batch
+
+
+def incremental_dedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, matched): assign a NEW document batch to the
+    EXISTING near-duplicate clusters without re-clustering the world —
+    the production shape of dedup at 100 TB, where the corpus's clusters
+    are a maintained asset and each crawl increment only band-joins
+    against the standing LSH index. New docs whose best verified match
+    (Jaccard >= threshold, ties to the smallest old doc) lands in an old
+    cluster inherit that cluster_id; the rest become singletons.
+
+    Scale shape: old clusters come from the iterative CC over the OLD
+    corpus only; the increment pays one band equi-join (cost ∝
+    collisions) + one Jaccard verify + one per-new-doc argmax window —
+    never touching old-old pairs again. On a real deployment the old
+    bands/clusters are the persisted tables (vector_index pattern);
+    here they rebuild from the fixture for a self-contained oracle.
+    """
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    is_new = (F.col("doc_id") % NEW_BATCH_MOD) == (NEW_BATCH_MOD - 1)
+    old_docs = docs.where(~is_new)
+    new_docs = docs.where(is_new)
+
+    old_pairs = minhash_near_duplicates(old_docs).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    old_clusters = connected_components(
+        old_docs.select(F.col("doc_id").alias("id")), old_pairs
+    ).select(F.col("id").alias("old_id"), "cluster_id")
+
+    ob = signature_bands(old_docs).select(
+        F.col("doc_id").alias("old_id"), "band", "band_key"
+    )
+    nb = signature_bands(new_docs).select(
+        F.col("doc_id").alias("new_id"), "band", "band_key"
+    )
+    cand = (
+        nb.join(ob, ["band", "band_key"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sh = shingles(docs)
+    sa = sh.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_n"))
+    sb = sh.select(F.col("doc_id").alias("old_id"), F.col("shingles").alias("sh_o"))
+    verified = (
+        cand.join(sa, "new_id")
+        .join(sb, "old_id")
+        .select(
+            "new_id",
+            "old_id",
+            F.round(
+                F.size(F.array_intersect("sh_n", "sh_o"))
+                / F.size(F.array_union("sh_n", "sh_o")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("old_id"))
+    best = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("new_id", "old_id")
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(best, F.col("doc_id") == F.col("new_id"), "left")
+        .join(old_clusters, "old_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            F.col("new_id").isNotNull().cast("int").alias("matched"),
+        )
     )

@@ -3401,3 +3401,47 @@ register(
     FROM events
     """,
 )
+
+_OLD = f"% {D.NEW_BATCH_MOD} != {D.NEW_BATCH_MOD - 1}"
+_NEW = f"% {D.NEW_BATCH_MOD} = {D.NEW_BATCH_MOD - 1}"
+register(
+    "incremental_dedup_assign",
+    D.incremental_dedup_assign,
+    f"""
+    WITH RECURSIVE {DUCK_MINHASH_PAIR_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        WHERE jaccard >= {D.JACCARD_THRESHOLD}
+          AND doc_a {_OLD} AND doc_b {_OLD}
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+        WHERE jaccard >= {D.JACCARD_THRESHOLD}
+          AND doc_a {_OLD} AND doc_b {_OLD}),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        WHERE doc_id {_OLD}
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    oldcl AS (
+        SELECT src AS doc_id, min(dst) AS cluster_id
+        FROM reach GROUP BY src),
+    newold AS (
+        SELECT CASE WHEN doc_a {_NEW} THEN doc_a ELSE doc_b END AS new_id,
+               CASE WHEN doc_a {_NEW} THEN doc_b ELSE doc_a END AS old_id,
+               jaccard
+        FROM pairs
+        WHERE jaccard >= {D.JACCARD_THRESHOLD}
+          AND (doc_a {_NEW}) <> (doc_b {_NEW})),
+    best AS (
+        SELECT new_id, old_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY new_id
+                     ORDER BY jaccard DESC, old_id ASC) AS rn
+          FROM newold) WHERE rn = 1)
+    SELECT n.doc_id,
+           coalesce(c.cluster_id, n.doc_id) AS cluster_id,
+           CAST(b.new_id IS NOT NULL AS INT) AS matched
+    FROM (SELECT doc_id FROM documents WHERE doc_id {_NEW}) n
+    LEFT JOIN best b ON b.new_id = n.doc_id
+    LEFT JOIN oldcl c ON c.doc_id = b.old_id
+    """,
+)

@@ -178,3 +178,37 @@ def test_contamination_flags_on_planted_leak(spark):
     got = {r["doc_id"]: r for r in contamination_flags(corpus, eval_docs).collect()}
     assert got[100]["contaminated"] and got[100]["n_hits"] >= 5
     assert not got[101]["contaminated"] and got[101]["n_hits"] == 0
+
+
+def test_incremental_assign_matches_oracle_and_semantics(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    from .oracle import assert_matches_oracle
+
+    name = "incremental_dedup_assign"
+    assert_matches_oracle(
+        entrymod.queries()[name](spark, sf_smoke),
+        entrymod.oracle_sql()[name],
+        sf_smoke,
+    )
+
+    from bigdata_infra_cs489_spark.operators.dedup import (
+        NEW_BATCH_MOD,
+        incremental_dedup_assign,
+    )
+    from bigdata_infra_cs489_spark.sources.tables import load
+
+    rows = incremental_dedup_assign(spark, sf_smoke).collect()
+    n_new = (
+        load(spark, sf_smoke, "documents")
+        .where(f"doc_id % {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}")
+        .count()
+    )
+    assert len(rows) == n_new, "every new-batch doc gets an assignment"
+    for r in rows:
+        if not r.matched:
+            assert r.cluster_id == r.doc_id, "unmatched docs are singletons"
+        else:
+            assert r.cluster_id % NEW_BATCH_MOD != NEW_BATCH_MOD - 1, (
+                "matched docs join an OLD cluster (old min-label id)"
+            )

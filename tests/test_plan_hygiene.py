@@ -35,6 +35,7 @@ ITERATIVE = {
     # built on the full CC loop above — same exclusion rationale
     "dedup_keep_best",
     "leakage_safe_split",
+    "incremental_dedup_assign",
     # the stream_* driver-contract queries execute a complete
     # availableNow streaming job just to build the final memory-table
     # scan — their plans are post-hoc scans, not worth the run
