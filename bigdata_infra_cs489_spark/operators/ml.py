@@ -290,3 +290,40 @@ def apply_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         F.when(votes > N_ENSEMBLE - votes, "spam").otherwise("ham").alias("pred"),
     )
+
+
+CALIB_BINS = 10
+
+
+def spam_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bin, n_docs, avg_pred_prob, spam_rate): reliability-diagram
+    buckets for the trained spam classifier — predicted probability
+    sigmoid(score) bucketed into CALIB_BINS equal-width bins, each
+    reporting the mean predicted probability vs the observed spam rate.
+    The model-evaluation complement to ranking_auc: AUC measures
+    ordering, calibration measures whether the probabilities mean what
+    they say (the Platt-scaling diagnostic).
+
+    Determinism: probabilities derive from the 6dp-ROUNDED score both
+    engines already agree on, so bin assignment can never straddle an
+    engine-specific ulp. One classifier application + one small hash
+    aggregate; output is CALIB_BINS rows."""
+    scored = apply_spam_classifier(spark, sf_dir)
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score")))
+    bucket = F.least(
+        F.lit(CALIB_BINS - 1),
+        F.floor(prob * CALIB_BINS).cast("int"),
+    )
+    return (
+        scored.select(
+            bucket.alias("bin"),
+            prob.alias("p"),
+            F.when(F.col("label") == "spam", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("p"), 4).alias("avg_pred_prob"),
+            F.round(F.avg("y"), 4).alias("spam_rate"),
+        )
+    )

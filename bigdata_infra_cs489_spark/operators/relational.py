@@ -212,3 +212,46 @@ def q7(spark: SparkSession, sf_dir: str, date: str = Q7_DATE, k: int = 10) -> Da
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(k)
     )
+
+
+MARKET_SHARE_NATION = "NATION_3"
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_year, total_revenue, nation_revenue, mkt_share): yearly revenue
+    share attributable to one nation's customers — the TPC-H Q8
+    "national market share" shape (conditional aggregation over a
+    fact⋈dim join) the reference's Q1-Q7 set stops short of.
+
+    Scale shape: orders shuffle-join customers on custkey (both fact-
+    sized, well-spread key), nation broadcasts, then ONE conditional
+    hash aggregate per year — the share is a same-row ratio of two sums,
+    no second pass. Revenue sums are rounded to cents before the ratio
+    so the hash never rides float association order."""
+    from ..sources.tables import load
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", F.year("o_orderdate").alias("o_year")
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    is_target = (F.col("n_name") == MARKET_SHARE_NATION).cast("int")
+    agg = j.groupBy("o_year").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        F.round(F.sum(F.col("o_totalprice") * is_target), 2).alias(
+            "nation_revenue"
+        ),
+    )
+    return agg.select(
+        "o_year",
+        "total_revenue",
+        "nation_revenue",
+        F.round(F.col("nation_revenue") / F.col("total_revenue"), 6).alias(
+            "mkt_share"
+        ),
+    )

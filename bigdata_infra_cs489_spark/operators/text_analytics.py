@@ -331,3 +331,47 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log10(p)), 6).alias("avg_nll"),
         )
     )
+
+
+TOP_TERMS_K = 10
+
+
+def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, rank, token, n): the TOP_TERMS_K most frequent tokens per
+    language — grouped top-k where the GROUP count is tiny but each
+    group's candidate set is vocabulary-sized, exactly the shape where a
+    window partitioned by lang concentrates the whole vocabulary into a
+    handful of tasks. Scale fix: ONE global distsort row number over the
+    total order (lang, n desc, token) plus a broadcast per-lang offset
+    join converts the global rank into the within-lang rank — the same
+    offset trick as source_quality_percentiles, applied to top-k. Task
+    size is bounded by the range partitioner at any vocabulary size."""
+    from ..functions.text import tokenize
+    from ..sources.tables import load
+    from .distsort import with_running_totals
+
+    docs = load(spark, sf_dir, "documents", parallelize=True).select(
+        "lang", tokenize("text").alias("toks")
+    )
+    counts = (
+        docs.select("lang", F.explode("toks").alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = with_running_totals(
+        counts,
+        [F.asc("lang"), F.desc("n"), F.asc("token")],
+        sums={},
+        row_col="grn",
+    )
+    offsets = ranked.groupBy("lang").agg(F.min("grn").alias("first_rn"))
+    return (
+        ranked.join(F.broadcast(offsets), "lang")
+        .select(
+            "lang",
+            (F.col("grn") - F.col("first_rn") + 1).cast("int").alias("rank"),
+            "token",
+            "n",
+        )
+        .where(F.col("rank") <= TOP_TERMS_K)
+    )

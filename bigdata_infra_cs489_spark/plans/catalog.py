@@ -3445,3 +3445,68 @@ register(
     LEFT JOIN oldcl c ON c.doc_id = b.old_id
     """,
 )
+
+register(
+    "spam_calibration_bins",
+    M.spam_calibration_bins,
+    _sgd_with([("m", "TRUE", "d.docid")])
+    + _SGD_APPLY_TAIL
+    + f"""
+    , calib AS (
+      SELECT least({M.CALIB_BINS - 1},
+                   CAST(floor((1.0 / (1.0 + exp(-score))) * {M.CALIB_BINS})
+                        AS INT)) AS bin,
+             1.0 / (1.0 + exp(-score)) AS p,
+             CASE WHEN label = 'spam' THEN 1 ELSE 0 END AS y
+      FROM sgd_scored
+    )
+    SELECT bin, count(*) AS n_docs,
+           round(avg(p), 4) AS avg_pred_prob,
+           round(avg(y), 4) AS spam_rate
+    FROM calib GROUP BY bin
+    """,
+)
+
+register(
+    "nation_market_share",
+    R.nation_market_share,
+    f"""
+    WITH j AS (
+      SELECT year(CAST(o.o_orderdate AS DATE)) AS o_year,
+             o.o_totalprice, n.n_name
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    a AS (
+      SELECT o_year,
+             round(sum(o_totalprice), 2) AS total_revenue,
+             round(sum(CASE WHEN n_name = '{R.MARKET_SHARE_NATION}'
+                            THEN o_totalprice ELSE 0 END), 2)
+                 AS nation_revenue
+      FROM j GROUP BY o_year
+    )
+    SELECT o_year, total_revenue, nation_revenue,
+           round(nation_revenue / total_revenue, 6) AS mkt_share
+    FROM a
+    """,
+)
+
+register(
+    "top_terms_per_lang",
+    T.top_terms_per_lang,
+    f"""
+    WITH counts AS (
+      SELECT lang, t.tok AS token, count(*) AS n
+      FROM (SELECT lang, {DUCK_TOKS} AS toks FROM documents),
+           unnest(toks) AS t(tok)
+      GROUP BY 1, 2
+    )
+    SELECT lang, CAST(rank AS INT) AS rank, token, n FROM (
+      SELECT lang, token, n,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY n DESC, token ASC) AS rank
+      FROM counts
+    ) WHERE rank <= {T.TOP_TERMS_K}
+    """,
+)

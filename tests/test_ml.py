@@ -93,3 +93,28 @@ def test_ensemble_vote_score_domain(spark, sf_smoke):
     assert {r.score for r in rows} <= {-3.0, -1.0, 1.0, 3.0}
     for r in rows:
         assert r.pred == ("spam" if r.score > 0 else "ham")
+
+
+def test_calibration_bins_match_oracle_and_partition(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    from .oracle import assert_matches_oracle
+
+    name = "spam_calibration_bins"
+    assert_matches_oracle(
+        entrymod.queries()[name](spark, sf_smoke),
+        entrymod.oracle_sql()[name],
+        sf_smoke,
+    )
+
+    from bigdata_infra_cs489_spark.operators.ml import (
+        CALIB_BINS,
+        spam_calibration_bins,
+        spam_training_set,
+    )
+
+    rows = spam_calibration_bins(spark, sf_smoke).collect()
+    assert sum(r.n_docs for r in rows) == spam_training_set(spark, sf_smoke).count()
+    for r in rows:
+        assert 0 <= r.bin < CALIB_BINS
+        assert 0 <= r.avg_pred_prob <= 1 and 0 <= r.spam_rate <= 1

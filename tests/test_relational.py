@@ -44,3 +44,24 @@ def test_queries_have_oracles_or_are_flagged(spark):
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
+
+
+def test_nation_market_share_matches_oracle_and_bounds(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    from .oracle import assert_matches_oracle
+
+    name = "nation_market_share"
+    assert_matches_oracle(
+        entrymod.queries()[name](spark, sf_smoke),
+        entrymod.oracle_sql()[name],
+        sf_smoke,
+    )
+
+    from bigdata_infra_cs489_spark.operators.relational import nation_market_share
+
+    rows = nation_market_share(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.mkt_share <= 1
+        assert r.nation_revenue <= r.total_revenue

@@ -53,3 +53,35 @@ def test_perplexity_orders_fluent_below_gibberish(spark, sf_correct):
 
     rows = bigram_lm_perplexity(spark, sf_correct).collect()
     assert rows and all(r["avg_nll"] is not None and r["avg_nll"] > 0 for r in rows)
+
+
+def test_top_terms_per_lang_matches_oracle_and_k(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    from .oracle import assert_matches_oracle
+
+    name = "top_terms_per_lang"
+    assert_matches_oracle(
+        entrymod.queries()[name](spark, sf_smoke),
+        entrymod.oracle_sql()[name],
+        sf_smoke,
+    )
+
+    from collections import defaultdict
+
+    from bigdata_infra_cs489_spark.operators.text_analytics import (
+        TOP_TERMS_K,
+        top_terms_per_lang,
+    )
+
+    rows = top_terms_per_lang(spark, sf_smoke).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r)
+    for lang, terms in by_lang.items():
+        assert len(terms) <= TOP_TERMS_K
+        assert sorted(t.rank for t in terms) == list(range(1, len(terms) + 1))
+        terms.sort(key=lambda t: t.rank)
+        assert all(
+            a.n >= b.n for a, b in zip(terms, terms[1:])
+        ), lang
