@@ -581,3 +581,48 @@ def daily_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ewma",
         )
     )
+
+
+def user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, n_events, n_purchases, raw_value, decayed_value,
+    days_inactive, churned, n_click, n_view, n_error): the assembled
+    per-user feature row a churn/LTV model trains on — event volumes,
+    decay-weighted spend, recency flags, and per-type counts joined into
+    ONE wide row per user. The feature-store assembly join every ML
+    pipeline ends with; each input is itself an oracle-checked operator.
+
+    Scale shape: every branch aggregates to one row per user BEFORE the
+    joins, so the assembly is a few same-key (user_id) shuffle joins of
+    already-reduced tables — AQE plans them local after the first
+    exchange. Left joins + zero-fills keep users present in any branch.
+    """
+    ev = load(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    spend = user_decayed_value(spark, sf_dir)
+    churn = user_churn_flags(spark, sf_dir).select(
+        "user_id", "days_inactive", "churned"
+    )
+    by_type = (
+        ev.where(F.col("event_type").isin("click", "view", "error"))
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+    out = (
+        totals.join(spend, "user_id", "left")
+        .join(churn, "user_id", "left")
+        .join(by_type, "user_id", "left")
+    )
+    zero = lambda c: F.coalesce(F.col(c), F.lit(0)).alias(c)  # noqa: E731
+    return out.select(
+        "user_id",
+        "n_events",
+        zero("n_purchases"),
+        F.coalesce("raw_value", F.lit(0.0)).alias("raw_value"),
+        F.coalesce("decayed_value", F.lit(0.0)).alias("decayed_value"),
+        "days_inactive",
+        "churned",
+        F.coalesce(F.col("click"), F.lit(0)).alias("n_click"),
+        F.coalesce(F.col("view"), F.lit(0)).alias("n_view"),
+        F.coalesce(F.col("error"), F.lit(0)).alias("n_error"),
+    )

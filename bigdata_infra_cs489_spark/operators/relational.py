@@ -255,3 +255,39 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mkt_share"
         ),
     )
+
+
+PROMO_TYPE = "ECONOMY"
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ship_month, promo_revenue, total_revenue, promo_share_pct):
+    monthly share of discounted revenue from one part type — the TPC-H
+    Q14 "promotion effect" shape: lineitem ⋈ part with a conditional
+    numerator and shared denominator in ONE aggregate pass.
+
+    Scale shape: part broadcasts (dimension), lineitem keeps its scan
+    partitioning, one hash aggregate on the derived month key. Revenue
+    terms round to cents before the percentage ratio."""
+    from ..sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    is_promo = (F.col("p_type") == PROMO_TYPE).cast("int")
+    agg = j.groupBy("ship_month").agg(
+        F.round(F.sum(F.col("rev") * is_promo), 2).alias("promo_revenue"),
+        F.round(F.sum("rev"), 2).alias("total_revenue"),
+    )
+    return agg.select(
+        "ship_month",
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 4
+        ).alias("promo_share_pct"),
+    )

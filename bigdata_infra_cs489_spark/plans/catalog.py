@@ -3510,3 +3510,76 @@ register(
     ) WHERE rank <= {T.TOP_TERMS_K}
     """,
 )
+
+register(
+    "promo_revenue_share",
+    R.promo_revenue_share,
+    f"""
+    WITH j AS (
+      SELECT strftime(CAST(l.l_shipdate AS DATE), '%Y-%m') AS ship_month,
+             l.l_extendedprice * (1 - l.l_discount) AS rev,
+             p.p_type
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    a AS (
+      SELECT ship_month,
+             round(sum(CASE WHEN p_type = '{R.PROMO_TYPE}'
+                            THEN rev ELSE 0 END), 2) AS promo_revenue,
+             round(sum(rev), 2) AS total_revenue
+      FROM j GROUP BY ship_month
+    )
+    SELECT ship_month, promo_revenue, total_revenue,
+           round(100.0 * promo_revenue / total_revenue, 4)
+               AS promo_share_pct
+    FROM a
+    """,
+)
+
+register(
+    "user_feature_matrix",
+    AN.user_feature_matrix,
+    f"""
+    WITH g AS (SELECT max(ts) AS gmax, max(CAST(ts AS DATE)) AS gd
+               FROM events),
+    totals AS (SELECT user_id, count(*) AS n_events
+               FROM events GROUP BY user_id),
+    spend AS (
+      SELECT user_id, count(*) AS n_purchases,
+             round(sum(value), 2) AS raw_value,
+             round(sum(value * pow(0.5,
+                 ((epoch_us(g.gmax) - epoch_us(ts)) / 86400000000.0)
+                 / {AN.DECAY_HALF_LIFE_DAYS})), 4) AS decayed_value
+      FROM events, g WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    churn AS (
+      SELECT user_id,
+             CAST(date_diff('day', max(CAST(ts AS DATE)),
+                            any_value(g.gd)) AS INT) AS days_inactive,
+             CAST(date_diff('day', max(CAST(ts AS DATE)),
+                            any_value(g.gd)) > {AN.CHURN_DAYS} AS INT)
+                 AS churned
+      FROM events, g GROUP BY user_id
+    ),
+    bt AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS n_click,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 AS n_error
+      FROM events GROUP BY user_id
+    )
+    SELECT t.user_id, t.n_events,
+           coalesce(s.n_purchases, 0) AS n_purchases,
+           coalesce(s.raw_value, 0.0) AS raw_value,
+           coalesce(s.decayed_value, 0.0) AS decayed_value,
+           c.days_inactive, c.churned,
+           coalesce(b.n_click, 0) AS n_click,
+           coalesce(b.n_view, 0) AS n_view,
+           coalesce(b.n_error, 0) AS n_error
+    FROM totals t
+    LEFT JOIN spend s USING (user_id)
+    LEFT JOIN churn c USING (user_id)
+    LEFT JOIN bt b USING (user_id)
+    """,
+)

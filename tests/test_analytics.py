@@ -299,3 +299,25 @@ def test_transition_probs_sum_to_one(spark, sf_smoke):
         by_from[r.from_type] += r.prob
     for ft, total in by_from.items():
         assert abs(total - 1.0) < 1e-3, ft
+
+
+def test_feature_matrix_matches_oracle_and_consistency(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    from .oracle import assert_matches_oracle
+
+    name = "user_feature_matrix"
+    assert_matches_oracle(
+        entrymod.queries()[name](spark, sf_smoke),
+        entrymod.oracle_sql()[name],
+        sf_smoke,
+    )
+
+    from bigdata_infra_cs489_spark.operators.analytics import user_feature_matrix
+
+    rows = user_feature_matrix(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.n_click + r.n_view + r.n_error + r.n_purchases <= r.n_events
+        assert r.decayed_value <= r.raw_value + 1e-6
+        assert r.churned in (0, 1)

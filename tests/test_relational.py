@@ -65,3 +65,24 @@ def test_nation_market_share_matches_oracle_and_bounds(spark, sf_smoke):
     for r in rows:
         assert 0 <= r.mkt_share <= 1
         assert r.nation_revenue <= r.total_revenue
+
+
+def test_promo_share_matches_oracle_and_bounds(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    from .oracle import assert_matches_oracle
+
+    name = "promo_revenue_share"
+    assert_matches_oracle(
+        entrymod.queries()[name](spark, sf_smoke),
+        entrymod.oracle_sql()[name],
+        sf_smoke,
+    )
+
+    from bigdata_infra_cs489_spark.operators.relational import promo_revenue_share
+
+    rows = promo_revenue_share(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.promo_share_pct <= 100
+        assert r.promo_revenue <= r.total_revenue
