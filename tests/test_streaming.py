@@ -249,3 +249,43 @@ def test_upsert_merge_is_incremental(spark, tmp_path):
     assert inc[7][:2] == (2, 9.0)
     assert inc[8][:2] == (2, 3.5), "same-ts tie must go to higher event_id"
     assert inc[9][:2] == (1, 1.0)
+
+
+def test_file_stream_checkpoint_resume_is_exactly_once(spark, tmp_path, sf_smoke):
+    """Restarting an availableNow file-source stream against the SAME
+    checkpoint processes only files that arrived since the last run —
+    the exactly-once resume contract the partitioned sink relies on.
+    Run 1 lands half the events; more files arrive; run 2 must append
+    exactly the remainder, no duplicates, no reprocessing."""
+    from bigdata_infra_cs489_spark.sources.tables import load
+
+    src, out, chk = (str(tmp_path / d) for d in ("src", "out", "chk"))
+    ev = load(spark, sf_smoke, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    half1 = ev.where("event_id % 2 = 0")
+    half2 = ev.where("event_id % 2 = 1")
+
+    def run_stream():
+        s = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    half1.write.mode("overwrite").parquet(src)
+    run_stream()
+    assert spark.read.parquet(out).count() == half1.count()
+
+    half2.write.mode("append").parquet(src)
+    run_stream()
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count(), "resume appends exactly the new files"
+    assert got.select("event_id").distinct().count() == ev.count(), (
+        "no event processed twice across the restart"
+    )
