@@ -135,3 +135,71 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(nodes, edf).collect()
     }
     assert got == want
+
+
+int_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-1000, max_value=1000),  # sort key
+        st.integers(min_value=0, max_value=100),  # summed value
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=int_rows)
+def test_distsort_running_totals_match_python(spark, rows):
+    """The distributed range-partitioned prefix sum equals the plain
+    sequential prefix sum over the total order, for arbitrary data —
+    including duplicates of the sort key (tie-broken by a unique id)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_infra_cs489_spark.operators.distsort import with_running_totals
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "id long, k long, v long"
+    ).repartition(5)
+    out = with_running_totals(
+        df, [F.asc("k"), F.asc("id")], sums={"rs": "v"}, row_col="rn"
+    )
+    got = {r.id: (r.rn, r.rs) for r in out.collect()}
+
+    expect = {}
+    run = 0
+    for n, (i, k, v) in enumerate(
+        sorted(((i, k, v) for i, (k, v) in enumerate(rows)), key=lambda t: (t[1], t[0])),
+        start=1,
+    ):
+        run += v
+        expect[i] = (n, run)
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=int_rows, n=st.integers(min_value=1, max_value=7))
+def test_distsort_ntile_matches_python(spark, rows, n):
+    """with_ntile reproduces SQL NTILE bucket sizes and assignment
+    (first N % n buckets one row larger) on arbitrary data."""
+    from pyspark.sql import functions as F
+
+    from bigdata_infra_cs489_spark.operators.distsort import with_ntile
+
+    df = spark.createDataFrame(
+        [(i, k) for i, (k, _) in enumerate(rows)], "id long, k long"
+    ).repartition(3)
+    out = with_ntile(df, [F.asc("k"), F.asc("id")], n, "t")
+    got = {r.id: r.t for r in out.collect()}
+
+    ordered = sorted(((i, k) for i, (k, _) in enumerate(rows)), key=lambda t: (t[1], t[0]))
+    total = len(ordered)
+    size, rem = divmod(total, n)
+    expect = {}
+    pos = 0
+    for tile in range(1, n + 1):
+        width = size + (1 if tile <= rem else 0)
+        for _ in range(width):
+            if pos < total:
+                expect[ordered[pos][0]] = tile
+                pos += 1
+    assert got == expect
