@@ -626,3 +626,100 @@ def user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("view"), F.lit(0)).alias("n_view"),
         F.coalesce(F.col("error"), F.lit(0)).alias("n_error"),
     )
+
+
+AB_SALT = "ab-v1"
+
+
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row A/B readout: users hash-split into two arms (salted h8 —
+    the same versioned deterministic assignment dataset_split uses), and
+    the purchase-value difference tested with Welch's z — the
+    experimentation-analytics primitive. Assignment is a map-side
+    expression; the whole analysis is two conditional aggregates over
+    one scan."""
+    from ..functions.hashing import h8
+
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    arm = (
+        h8(F.concat(F.col("user_id").cast("string"), F.lit(AB_SALT))) % 2
+    ).alias("arm")
+    per_arm = (
+        ev.select(arm, "value")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("mu"),
+            F.stddev_samp("value").alias("sd"),
+        )
+    )
+    a = per_arm.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("mu").alias("mu_a"), F.col("sd").alias("sd_a")
+    )
+    b = per_arm.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("mu").alias("mu_b"), F.col("sd").alias("sd_b")
+    )
+    z = (F.col("mu_a") - F.col("mu_b")) / F.sqrt(
+        F.col("sd_a") * F.col("sd_a") / F.col("n_a")
+        + F.col("sd_b") * F.col("sd_b") / F.col("n_b")
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        F.round("mu_a", 4).alias("mean_a"),
+        F.round("mu_b", 4).alias("mean_b"),
+        F.round(z, 4).alias("zscore"),
+    )
+
+
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_langs, entropy): Shannon entropy of the
+    language mix within each source — the diversity diagnostic that
+    flags monolingual feeds vs mixed crawls when planning a corpus
+    mixture. Two hash aggregates; the entropy is an exact expression
+    over integer ratios, rounded once."""
+    counts = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = counts.groupBy("source").agg(
+        F.sum("c").alias("n_docs"), F.count(F.lit(1)).alias("n_langs")
+    )
+    p = F.col("c") / F.col("n_docs")
+    return (
+        counts.join(tot, "source")
+        .groupBy("source", "n_docs", "n_langs")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+    )
+
+
+QUALITY_TS_LO = "2024-01-01"
+QUALITY_TS_HI = "2024-02-01"
+QUALITY_VALUE_CAP = 100.0
+KNOWN_EVENT_TYPES = ("click", "view", "error", "signup", "purchase")
+
+
+def events_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row data-contract report over the event feed: null keys,
+    non-positive values, unknown enum values, out-of-range timestamps,
+    over-cap values — the expectation-suite gate a pipeline evaluates
+    before promoting a landing to consumers. ONE scan, every check a
+    conditional count in the same aggregate."""
+    ev = load(spark, sf_dir, "events")
+    cnt = lambda c: F.sum(c.cast("int"))  # noqa: E731
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        cnt(F.col("user_id").isNull()).alias("n_null_user"),
+        cnt(F.col("value") <= 0).alias("n_nonpos_value"),
+        cnt(~F.col("event_type").isin(*KNOWN_EVENT_TYPES)).alias(
+            "n_unknown_type"
+        ),
+        cnt(
+            (F.col("ts") < F.lit(QUALITY_TS_LO).cast("timestamp"))
+            | (F.col("ts") >= F.lit(QUALITY_TS_HI).cast("timestamp"))
+        ).alias("n_ts_out_of_range"),
+        cnt(F.col("value") > QUALITY_VALUE_CAP).alias("n_value_over_cap"),
+    )

@@ -913,3 +913,44 @@ def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n_ref, n_cur, centroid_dist): per-label Euclidean distance
+    between the centroid of the 'reference' half of the embedding corpus
+    (even vec_id) and the 'current' half (odd vec_id) — the
+    embedding-space drift monitor a retraining pipeline watches (a
+    shifted centroid means the upstream encoder or data mix moved).
+
+    Scale shape: posexplode -> one (label, dim) hash aggregate per half
+    -> a dim-sized join and one aggregate back to per-label rows. The
+    plan is O(1) in dimension (no per-dim columns), the same explode
+    lesson as the k-means reduce fix in round 2."""
+    emb = _emb(spark, sf_dir).join(
+        load(spark, sf_dir, "embeddings").select("vec_id", "label"), "vec_id"
+    )
+    half = F.when(F.col("vec_id") % 2 == 0, "ref").otherwise("cur")
+    dims = emb.select(
+        "label",
+        half.alias("half"),
+        F.posexplode("embedding").alias("dim", "x"),
+    )
+    cent = dims.groupBy("label", "half", "dim").agg(
+        F.avg("x").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    ref = cent.where(F.col("half") == "ref").select(
+        "label", "dim", F.col("m").alias("mr"), F.col("n").alias("n_ref")
+    )
+    cur = cent.where(F.col("half") == "cur").select(
+        "label", "dim", F.col("m").alias("mc"), F.col("n").alias("n_cur")
+    )
+    d2 = (F.col("mr") - F.col("mc")) * (F.col("mr") - F.col("mc"))
+    return (
+        ref.join(cur, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_cur").alias("n_cur"),
+            F.round(F.sqrt(F.sum(d2)), 6).alias("centroid_dist"),
+        )
+    )

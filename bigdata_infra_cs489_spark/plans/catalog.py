@@ -3583,3 +3583,81 @@ register(
     LEFT JOIN bt b USING (user_id)
     """,
 )
+
+_AB_ARM = DUCK_H8.format(x=f"CAST(user_id AS VARCHAR) || '{AN.AB_SALT}'")
+register(
+    "ab_test_zscore",
+    AN.ab_test_zscore,
+    f"""
+    WITH p AS (
+      SELECT {_AB_ARM} % 2 AS arm, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    s AS (
+      SELECT arm, count(*) AS n, avg(value) AS mu, stddev_samp(value) AS sd
+      FROM p GROUP BY arm
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           round(a.mu, 4) AS mean_a, round(b.mu, 4) AS mean_b,
+           round((a.mu - b.mu) /
+                 sqrt(a.sd * a.sd / a.n + b.sd * b.sd / b.n), 4) AS zscore
+    FROM (SELECT * FROM s WHERE arm = 0) a, (SELECT * FROM s WHERE arm = 1) b
+    """,
+)
+
+register(
+    "source_lang_entropy",
+    AN.source_lang_entropy,
+    """
+    WITH c AS (SELECT source, lang, count(*) AS c
+               FROM documents GROUP BY 1, 2),
+    t AS (SELECT source, sum(c) AS n_docs, count(*) AS n_langs
+          FROM c GROUP BY source)
+    SELECT c.source, t.n_docs, t.n_langs,
+           round(-sum((c.c / CAST(t.n_docs AS DOUBLE))
+                      * ln(c.c / CAST(t.n_docs AS DOUBLE))), 6) AS entropy
+    FROM c JOIN t USING (source)
+    GROUP BY c.source, t.n_docs, t.n_langs
+    """,
+)
+
+register(
+    "events_quality_gate",
+    AN.events_quality_gate,
+    f"""
+    SELECT count(*) AS n_rows,
+           sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_null_user,
+           sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS n_nonpos_value,
+           sum(CASE WHEN event_type NOT IN {AN.KNOWN_EVENT_TYPES}
+                    THEN 1 ELSE 0 END) AS n_unknown_type,
+           sum(CASE WHEN ts < TIMESTAMP '{AN.QUALITY_TS_LO}'
+                      OR ts >= TIMESTAMP '{AN.QUALITY_TS_HI}'
+                    THEN 1 ELSE 0 END) AS n_ts_out_of_range,
+           sum(CASE WHEN value > {AN.QUALITY_VALUE_CAP}
+                    THEN 1 ELSE 0 END) AS n_value_over_cap
+    FROM events
+    """,
+)
+
+register(
+    "embedding_drift",
+    S.embedding_drift,
+    f"""
+    WITH e AS ({DUCK_EMB.replace("v FROM", "v, label FROM")}),
+    dims AS (
+      SELECT label,
+             CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS half,
+             generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x
+      FROM e
+    ),
+    cent AS (
+      SELECT label, half, dim, avg(x) AS m, count(*) AS n
+      FROM dims GROUP BY 1, 2, 3
+    )
+    SELECT r.label, any_value(r.n) AS n_ref, any_value(c.n) AS n_cur,
+           round(sqrt(sum((r.m - c.m) * (r.m - c.m))), 6) AS centroid_dist
+    FROM (SELECT * FROM cent WHERE half = 'ref') r
+    JOIN (SELECT * FROM cent WHERE half = 'cur') c USING (label, dim)
+    GROUP BY r.label
+    """,
+)

@@ -321,3 +321,48 @@ def test_feature_matrix_matches_oracle_and_consistency(spark, sf_smoke):
         assert r.n_click + r.n_view + r.n_error + r.n_purchases <= r.n_events
         assert r.decayed_value <= r.raw_value + 1e-6
         assert r.churned in (0, 1)
+
+
+DIAGNOSTIC_QUERIES = (
+    "ab_test_zscore",
+    "source_lang_entropy",
+    "events_quality_gate",
+    "embedding_drift",
+)
+
+
+def test_diagnostic_queries_match_oracle(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in DIAGNOSTIC_QUERIES:
+        assert_matches_oracle(qs[name](spark, sf_smoke), oracles[name], sf_smoke)
+
+
+def test_entropy_bounds(spark, sf_smoke):
+    import math
+
+    from bigdata_infra_cs489_spark.operators.analytics import source_lang_entropy
+
+    rows = source_lang_entropy(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.entropy <= math.log(r.n_langs) + 1e-9
+
+
+def test_quality_gate_clean_fixture(spark, sf_smoke):
+    from bigdata_infra_cs489_spark.operators.analytics import events_quality_gate
+
+    [r] = events_quality_gate(spark, sf_smoke).collect()
+    assert r.n_rows > 0
+    assert r.n_null_user == 0 and r.n_unknown_type == 0
+    assert r.n_ts_out_of_range == 0
+    assert 0 <= r.n_value_over_cap <= r.n_rows
+
+
+def test_ab_arms_cover_both(spark, sf_smoke):
+    from bigdata_infra_cs489_spark.operators.analytics import ab_test_zscore
+
+    [r] = ab_test_zscore(spark, sf_smoke).collect()
+    assert r.n_a > 0 and r.n_b > 0
+    assert abs(r.zscore) < 50
