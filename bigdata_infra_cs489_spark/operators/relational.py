@@ -291,3 +291,68 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 4
         ).alias("promo_share_pct"),
     )
+
+
+TOP_SUPPLIERS_K = 20
+
+
+def top_suppliers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rank via order, s_suppkey, s_name, n_name, revenue): the TPC-H
+    Q15 "top supplier" shape — supplier-side revenue aggregation with a
+    dimension enrich and global top-k. lineitem aggregates FIRST (one
+    well-spread suppkey shuffle), then the reduced table joins the
+    broadcast supplier/nation dims; top-k is TakeOrderedAndProject."""
+    from ..sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    rev = li.groupBy("l_suppkey").agg(F.round(F.sum("rev"), 2).alias("revenue"))
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        rev.join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("s_suppkey"))
+        .limit(TOP_SUPPLIERS_K)
+    )
+
+
+TOP_RETURN_CUSTOMERS_K = 20
+
+
+def top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_custkey, c_name, n_name, return_revenue): the TPC-H Q10
+    "returned item reporting" shape — revenue lost to returns per
+    customer, top-k. The R-flag filter pushes to the lineitem scan;
+    orders⋈lineitem shuffle on orderkey, then the reduced per-customer
+    table joins broadcast customer/nation dims."""
+    from ..sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("rev"), 2).alias("return_revenue"))
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "return_revenue")
+        .orderBy(F.desc("return_revenue"), F.asc("c_custkey"))
+        .limit(TOP_RETURN_CUSTOMERS_K)
+    )

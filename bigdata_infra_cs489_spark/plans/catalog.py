@@ -3661,3 +3661,42 @@ register(
     GROUP BY r.label
     """,
 )
+
+register(
+    "top_suppliers_by_revenue",
+    R.top_suppliers_by_revenue,
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name, r.revenue
+    FROM rev r
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ORDER BY r.revenue DESC, s.s_suppkey ASC
+    LIMIT {R.TOP_SUPPLIERS_K}
+    """,
+)
+
+register(
+    "top_return_customers",
+    R.top_return_customers,
+    f"""
+    WITH pc AS (
+      SELECT o.o_custkey,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                 AS return_revenue
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY o.o_custkey
+    )
+    SELECT c.c_custkey, c.c_name, n.n_name, pc.return_revenue
+    FROM pc
+    JOIN customer c ON pc.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY pc.return_revenue DESC, c.c_custkey ASC
+    LIMIT {R.TOP_RETURN_CUSTOMERS_K}
+    """,
+)

@@ -86,3 +86,13 @@ def test_promo_share_matches_oracle_and_bounds(spark, sf_smoke):
     for r in rows:
         assert 0 <= r.promo_share_pct <= 100
         assert r.promo_revenue <= r.total_revenue
+
+
+def test_supplier_and_return_topk_match_oracle(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    from .oracle import assert_matches_oracle
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in ("top_suppliers_by_revenue", "top_return_customers"):
+        assert_matches_oracle(qs[name](spark, sf_smoke), oracles[name], sf_smoke)
