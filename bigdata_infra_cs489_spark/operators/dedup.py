@@ -684,3 +684,61 @@ def incremental_dedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("new_id").isNotNull().cast("int").alias("matched"),
         )
     )
+
+
+# prefix-filter threshold as an exact fraction (integer arithmetic only,
+# so both engines compute the same prefix length for every set size)
+PPJOIN_T_NUM, PPJOIN_T_DEN = 1, 2  # t = 0.5, matching ngram_jaccard_pairs
+
+
+def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard): the SAME exact-Jaccard pair output as
+    ngram_jaccard_pairs, produced with PPJoin-style PREFIX FILTERING
+    (Xiao et al., WWW'08): order each doc's shingles by ascending global
+    frequency (rarest first, string tie-break) and index only the first
+    |s| - ceil(t·|s|) + 1 of them — two sets with Jaccard >= t MUST
+    collide in these prefixes (pigeonhole on the overlap bound), so
+    pruning the frequent tail of the index is LOSSLESS. The candidate
+    join then touches far fewer (and far less skewed) posting lists
+    than the full shingle index — the hot boilerplate shingles that
+    dominate full-index join cost sit exactly in the pruned tail.
+
+    The oracle is ngram_jaccard_pairs' own SQL: equality of output IS
+    the proof the optimization drops nothing. candidate_stats() exposes
+    the index-size reduction the filter buys.
+    """
+    docs = _docs(spark, sf_dir)
+    pref = _prefix_index(docs)
+    a = pref.select(F.col("doc_id").alias("doc_a"), "s")
+    b = pref.select(F.col("doc_id").alias("doc_b"), "s")
+    cand = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = jaccard_pairs(docs, cand)
+    thr = PPJOIN_T_NUM / PPJOIN_T_DEN
+    return verified.where(F.col("jaccard") >= thr)
+
+
+def _prefix_index(docs: DataFrame) -> DataFrame:
+    """(doc_id, s): each doc's prefix shingles under the global
+    ascending-frequency order — the pruned posting index."""
+    from pyspark.sql.window import Window
+
+    idx = shingle_index(docs)
+    counts = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = idx.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
+    ceil_tn = (
+        F.col("n_sh") * PPJOIN_T_NUM + (PPJOIN_T_DEN - 1)
+    ) / PPJOIN_T_DEN
+    prefix_len = F.col("n_sh") - F.floor(ceil_tn).cast("long") + 1
+    return (
+        idx.join(freq, "s")
+        .join(counts, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= prefix_len)
+        .select("doc_id", "s")
+    )

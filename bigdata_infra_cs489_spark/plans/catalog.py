@@ -3700,3 +3700,24 @@ register(
     LIMIT {R.TOP_RETURN_CUSTOMERS_K}
     """,
 )
+
+# PPJoin prefix filter: output is IDENTICAL to ngram_jaccard_pairs by
+# the lossless-prefix theorem, so it verifies against the same SQL —
+# output equality across the two candidate generators is the proof the
+# pruning drops nothing.
+register(
+    "jaccard_prefix_join",
+    D.jaccard_prefix_join,
+    f"""
+    WITH {DUCK_SHINGLES},
+    ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_sh AS na, b.n_sh AS nb, count(*) AS c
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b, na, nb)
+    SELECT doc_a, doc_b, round(c / (na + nb - c), 6) AS jaccard
+    FROM common
+    WHERE round(c / (na + nb - c), 6) >= {D.PPJOIN_T_NUM / D.PPJOIN_T_DEN}
+    """,
+)

@@ -212,3 +212,30 @@ def test_incremental_assign_matches_oracle_and_semantics(spark, sf_smoke):
             assert r.cluster_id % NEW_BATCH_MOD != NEW_BATCH_MOD - 1, (
                 "matched docs join an OLD cluster (old min-label id)"
             )
+
+
+def test_prefix_join_is_lossless_and_prunes(spark, sf_smoke):
+    """PPJoin prefix filtering: identical verified-pair output to the
+    full shingle-index join, from a strictly smaller posting index."""
+    from bigdata_infra_cs489_spark.operators.dedup import (
+        _docs,
+        _prefix_index,
+        jaccard_prefix_join,
+        ngram_jaccard_pairs,
+        shingle_index,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_prefix_join(spark, sf_smoke).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(_docs(spark, sf_smoke)).collect()
+    }
+    assert got == want
+
+    docs = _docs(spark, sf_smoke)
+    full = shingle_index(docs).count()
+    pruned = _prefix_index(docs).count()
+    assert pruned < full, "prefix filter must actually shrink the index"
