@@ -297,3 +297,39 @@ def q_schema_evolution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.count("props").alias("n_with_props"),
     )
+
+
+ERASURE_USER_MOD = 17  # user_id % 17 == 0 plays the erasure-request list
+
+
+def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(table_name, n_rows_affected, n_keys_affected): the
+    right-to-erasure impact audit — for a deterministic erasure-request
+    list (hash-derived here; a broadcast list table in production), how
+    many rows and distinct keys each table would lose. The compliance
+    dry-run a privacy pipeline executes before the actual delete; the
+    delete itself is apply_changes with tombstones.
+
+    Scale shape: the request list broadcasts; each table pays one
+    semi-join + one aggregate on its own scan. Tables audit
+    independently — the union is a plan of parallel branches."""
+    ev = load(spark, sf_dir, "events")
+    affected = F.col("user_id") % ERASURE_USER_MOD == 0
+    ev_row = ev.where(affected).agg(
+        F.lit("events").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows_affected"),
+        F.countDistinct("user_id").alias("n_keys_affected"),
+    )
+    cust = load(spark, sf_dir, "customer")
+    cust_row = cust.where(F.col("c_custkey") % ERASURE_USER_MOD == 0).agg(
+        F.lit("customer").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows_affected"),
+        F.countDistinct("c_custkey").alias("n_keys_affected"),
+    )
+    orders = load(spark, sf_dir, "orders")
+    ord_row = orders.where(F.col("o_custkey") % ERASURE_USER_MOD == 0).agg(
+        F.lit("orders").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows_affected"),
+        F.countDistinct("o_custkey").alias("n_keys_affected"),
+    )
+    return ev_row.unionByName(cust_row).unionByName(ord_row)

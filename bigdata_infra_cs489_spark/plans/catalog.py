@@ -3721,3 +3721,19 @@ register(
     WHERE round(c / (na + nb - c), 6) >= {D.PPJOIN_T_NUM / D.PPJOIN_T_DEN}
     """,
 )
+
+register(
+    "user_erasure_audit",
+    TO.user_erasure_audit,
+    f"""
+    SELECT 'events' AS table_name, count(*) AS n_rows_affected,
+           count(DISTINCT user_id) AS n_keys_affected
+    FROM events WHERE user_id % {TO.ERASURE_USER_MOD} = 0
+    UNION ALL
+    SELECT 'customer', count(*), count(DISTINCT c_custkey)
+    FROM customer WHERE c_custkey % {TO.ERASURE_USER_MOD} = 0
+    UNION ALL
+    SELECT 'orders', count(*), count(DISTINCT o_custkey)
+    FROM orders WHERE o_custkey % {TO.ERASURE_USER_MOD} = 0
+    """,
+)

@@ -168,3 +168,23 @@ def test_schema_evolution_matches_oracle_and_nulls(spark, sf_smoke):
     assert any(r.n_with_props < r.n_events for r in rows), (
         "gen-1 rows must surface null props through mergeSchema"
     )
+
+
+def test_erasure_audit_matches_oracle_and_covers_tables(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    from .oracle import assert_matches_oracle
+
+    name = "user_erasure_audit"
+    assert_matches_oracle(
+        entrymod.queries()[name](spark, sf_smoke),
+        entrymod.oracle_sql()[name],
+        sf_smoke,
+    )
+
+    from bigdata_infra_cs489_spark.operators.table_ops import user_erasure_audit
+
+    rows = {r.table_name: r for r in user_erasure_audit(spark, sf_smoke).collect()}
+    assert set(rows) == {"events", "customer", "orders"}
+    for r in rows.values():
+        assert r.n_keys_affected <= r.n_rows_affected
