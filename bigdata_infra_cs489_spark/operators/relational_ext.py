@@ -249,3 +249,83 @@ def events_exact_median_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 4).alias("median_value"),
         )
     )
+
+
+THROTTLE_SEC = 300  # collapse same-(user, type) bursts within 5 minutes
+
+
+def events_throttled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, user_id, event_type, kept): burst-collapse throttling —
+    an event is dropped when the SAME (user, type) fired within
+    THROTTLE_SEC before it (lag-gap rule, the alerting/notification
+    dedup a telemetry pipeline applies before fan-out; distinct from
+    exact-id dedup, which only removes replays). One per-(user, type)
+    window on well-spread composite keys.
+
+    Note the deliberate semantics: the gap is measured to the previous
+    RAW event, not the previous KEPT one — the sequential "true
+    debounce" variant is order-recursive per key (each verdict depends
+    on the previous verdict) and belongs to the stateful-streaming
+    family (applyInPandasWithState) if ever needed; the raw-gap rule is
+    the stateless approximation production throttles actually use."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (gap.isNull() | (gap > THROTTLE_SEC)).cast("int").alias("kept"),
+    )
+
+
+ROLLING_ANOM_MIN_N = 5
+ROLLING_ANOM_Z = 3.0
+
+
+def user_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, user_id, value, window_mu, zscore): events whose value
+    sits ROLLING_ANOM_Z population-σ above/below that user's TRAILING
+    1-hour window — the point-in-time version of user_value_anomalies
+    (which uses each user's whole history and therefore leaks the
+    future into the baseline). Same RANGE-frame shape as
+    user_rolling_value; windows with fewer than ROLLING_ANOM_MIN_N
+    events or zero variance are skipped."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "ts"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-ROLLING_WINDOW_SEC, Window.currentRow)
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_pop("value").over(w)
+    n = F.count(F.lit(1)).over(w)
+    z = (F.col("value") - mu) / sd
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            mu.alias("mu"),
+            sd.alias("sd"),
+            n.alias("n"),
+            z.alias("z"),
+        )
+        .where((F.col("n") >= ROLLING_ANOM_MIN_N) & (F.col("sd") > 0))
+        .where(F.abs("z") > ROLLING_ANOM_Z)
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round("mu", 4).alias("window_mu"),
+            F.round("z", 4).alias("zscore"),
+        )
+    )

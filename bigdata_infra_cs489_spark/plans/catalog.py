@@ -3737,3 +3737,42 @@ register(
     FROM orders WHERE o_custkey % {TO.ERASURE_USER_MOD} = 0
     """,
 )
+
+register(
+    "events_throttled",
+    RX.events_throttled,
+    f"""
+    WITH e AS (SELECT event_id, user_id, event_type, ts,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+    SELECT event_id, user_id, event_type,
+           CASE WHEN lag(sec) OVER w IS NULL
+                     OR sec - lag(sec) OVER w > {RX.THROTTLE_SEC}
+                THEN 1 ELSE 0 END AS kept
+    FROM e WINDOW w AS (PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id)
+    """,
+)
+
+register(
+    "user_rolling_anomalies",
+    RX.user_rolling_anomalies,
+    f"""
+    WITH e AS (SELECT event_id, user_id, value,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+    s AS (
+      SELECT event_id, user_id, value,
+             avg(value) OVER w AS mu,
+             stddev_pop(value) OVER w AS sd,
+             count(*) OVER w AS n
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                          RANGE BETWEEN {RX.ROLLING_WINDOW_SEC} PRECEDING
+                          AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, value,
+           round(mu, 4) AS window_mu,
+           round((value - mu) / sd, 4) AS zscore
+    FROM s
+    WHERE n >= {RX.ROLLING_ANOM_MIN_N} AND sd > 0
+      AND abs((value - mu) / sd) > {RX.ROLLING_ANOM_Z}
+    """,
+)

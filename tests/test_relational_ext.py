@@ -69,3 +69,31 @@ def test_exact_global_median_matches_oracle_and_local(spark, sf_smoke):
     vals = [x.value for x in load(spark, sf_smoke, "events").select("value").collect()]
     assert r.n_rows == len(vals)
     assert abs(r.median_value - round(statistics.median(vals), 4)) < 1e-9
+
+
+def test_throttle_and_rolling_anomalies_match_oracle(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    from .oracle import assert_matches_oracle
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in ("events_throttled", "user_rolling_anomalies"):
+        assert_matches_oracle(qs[name](spark, sf_smoke), oracles[name], sf_smoke)
+
+
+def test_throttle_first_event_always_kept(spark, sf_smoke):
+    from collections import defaultdict
+
+    from bigdata_infra_cs489_spark.operators.relational_ext import (
+        events_throttled,
+    )
+    from bigdata_infra_cs489_spark.sources.tables import load
+
+    rows = events_throttled(spark, sf_smoke).collect()
+    assert len(rows) == load(spark, sf_smoke, "events").count()
+    kept = defaultdict(int)
+    for r in rows:
+        kept[(r.user_id, r.event_type)] += r.kept
+    assert all(v >= 1 for v in kept.values()), (
+        "each (user, type) keeps at least its first event"
+    )
