@@ -333,3 +333,66 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("n_keys_affected"),
     )
     return ev_row.unionByName(cust_row).unionByName(ord_row)
+
+
+def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_events, sum_value): a per-type aggregate REFRESHED
+    INCREMENTALLY — old materialized aggregate plus the CDC delta
+    (removed rows retract their contribution, added rows insert theirs,
+    changed rows do both) — instead of rescanning the new snapshot.
+    Classic incremental view maintenance: the oracle computes the
+    aggregate DIRECTLY over the new snapshot, so hash equality is the
+    IVM identity refresh(old_agg, Δ) == agg(new) holding exactly.
+
+    Scale shape: the delta derivation is the snapshot_diff full-outer
+    join (bucketable on the key at scale); the aggregate merge touches
+    only |group| rows. At 100 TB this is the difference between a
+    maintenance job proportional to the CHANGE SET and one proportional
+    to the table."""
+    old, new = _snapshots(spark, sf_dir)
+    old_agg = old.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("o_n"), F.sum("value").alias("o_sum")
+    )
+    o = old.select(
+        "event_id",
+        F.lit(1).alias("_o"),
+        *[F.col(c).alias(f"o_{c}") for c in DIFF_COLS],
+    )
+    n = new.select(
+        "event_id",
+        F.lit(1).alias("_n"),
+        *[F.col(c).alias(f"n_{c}") for c in DIFF_COLS],
+    )
+    j = o.join(n, "event_id", "full_outer")
+    differs = F.lit(False)
+    for c in DIFF_COLS:
+        differs = differs | ~F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}"))
+    retract = j.where(
+        F.col("_o").isNotNull() & (F.col("_n").isNull() | differs)
+    ).select(
+        F.col("o_event_type").alias("event_type"),
+        F.lit(-1).alias("dn"),
+        (-F.col("o_value")).alias("dv"),
+    )
+    insert = j.where(
+        F.col("_n").isNotNull() & (F.col("_o").isNull() | differs)
+    ).select(
+        F.col("n_event_type").alias("event_type"),
+        F.lit(1).alias("dn"),
+        F.col("n_value").alias("dv"),
+    )
+    deltas = (
+        retract.unionByName(insert)
+        .groupBy("event_type")
+        .agg(F.sum("dn").alias("dn"), F.sum("dv").alias("dv"))
+    )
+    merged = old_agg.join(deltas, "event_type", "full_outer").select(
+        "event_type",
+        (F.coalesce("o_n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+            "n_events"
+        ),
+        F.round(
+            F.coalesce("o_sum", F.lit(0.0)) + F.coalesce("dv", F.lit(0.0)), 2
+        ).alias("sum_value"),
+    )
+    return merged.where(F.col("n_events") > 0)

@@ -3776,3 +3776,22 @@ register(
       AND abs((value - mu) / sd) > {RX.ROLLING_ANOM_Z}
     """,
 )
+
+# IVM identity: the Spark side refreshes the OLD aggregate with CDC
+# deltas; the oracle aggregates the NEW snapshot directly. Hash equality
+# IS the refresh(old, delta) == recompute(new) proof.
+register(
+    "incremental_agg_refresh",
+    TO.incremental_agg_refresh,
+    """
+    WITH new AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 3 = 0 THEN value + 1 ELSE value END
+                 AS value
+      FROM events WHERE event_id % 7 != 0
+    )
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM new GROUP BY event_type
+    """,
+)

@@ -188,3 +188,37 @@ def test_erasure_audit_matches_oracle_and_covers_tables(spark, sf_smoke):
     assert set(rows) == {"events", "customer", "orders"}
     for r in rows.values():
         assert r.n_keys_affected <= r.n_rows_affected
+
+
+def test_ivm_refresh_equals_recompute(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    from .oracle import assert_matches_oracle
+
+    name = "incremental_agg_refresh"
+    assert_matches_oracle(
+        entrymod.queries()[name](spark, sf_smoke),
+        entrymod.oracle_sql()[name],
+        sf_smoke,
+    )
+
+    # the identity holds in-Spark too: refresh output == direct agg(new)
+    from pyspark.sql import functions as F
+
+    from bigdata_infra_cs489_spark.operators.table_ops import (
+        _snapshots,
+        incremental_agg_refresh,
+    )
+
+    _, new = _snapshots(spark, sf_smoke)
+    direct = {
+        r.event_type: (r.n, r.s)
+        for r in new.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    refreshed = {
+        r.event_type: (r.n_events, r.sum_value)
+        for r in incremental_agg_refresh(spark, sf_smoke).collect()
+    }
+    assert refreshed == direct
