@@ -329,3 +329,40 @@ def user_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("z", 4).alias("zscore"),
         )
     )
+
+
+def events_debounced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, user_id, event_type, kept): TRUE debounce — an event is
+    kept only when THROTTLE_SEC has elapsed since the last KEPT event of
+    the same (user, type). Unlike events_throttled's raw-gap rule this
+    verdict depends on the previous VERDICT (t=0,3,6 with X=5 keeps 0
+    and 6; the raw-gap rule keeps only 0), which makes it inherently
+    order-recursive per key — no window expresses it. This is one of
+    the two sanctioned Python escapes (the SGD-fold pattern): one
+    Arrow-batched applyInPandas per (user, type) group, each group's
+    rows folded in time order; groups are small and well-spread, so the
+    stage parallelizes like any grouped aggregate. The DuckDB oracle
+    replays the same fold as a per-group recursive CTE, so the
+    sequential semantics hash-check cross-engine."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["sec", "event_id"]).reset_index(drop=True)
+        kept = []
+        last = None
+        for sec in pdf["sec"]:
+            if last is None or sec - last > THROTTLE_SEC:
+                kept.append(1)
+                last = sec
+            else:
+                kept.append(0)
+        pdf["kept"] = kept
+        return pdf[["event_id", "user_id", "event_type", "kept"]]
+
+    return ev.groupBy("user_id", "event_type").applyInPandas(
+        fold, "event_id long, user_id long, event_type string, kept int"
+    )

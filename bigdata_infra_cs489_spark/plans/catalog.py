@@ -3795,3 +3795,31 @@ register(
     FROM new GROUP BY event_type
     """,
 )
+
+register(
+    "events_debounced",
+    RX.events_debounced,
+    f"""
+    WITH RECURSIVE e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    fold AS (
+      SELECT user_id, event_type, rn, event_id, sec,
+             sec AS last_kept, 1 AS kept
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_type, e.rn, e.event_id, e.sec,
+             CASE WHEN e.sec - f.last_kept > {RX.THROTTLE_SEC}
+                  THEN e.sec ELSE f.last_kept END,
+             CASE WHEN e.sec - f.last_kept > {RX.THROTTLE_SEC}
+                  THEN 1 ELSE 0 END
+      FROM fold f JOIN e ON e.user_id = f.user_id
+        AND e.event_type = f.event_type AND e.rn = f.rn + 1
+    )
+    SELECT event_id, user_id, event_type, kept FROM fold
+    """,
+)

@@ -97,3 +97,29 @@ def test_throttle_first_event_always_kept(spark, sf_smoke):
     assert all(v >= 1 for v in kept.values()), (
         "each (user, type) keeps at least its first event"
     )
+
+
+def test_debounce_matches_oracle_and_dominates_throttle(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    from .oracle import assert_matches_oracle
+
+    name = "events_debounced"
+    assert_matches_oracle(
+        entrymod.queries()[name](spark, sf_smoke),
+        entrymod.oracle_sql()[name],
+        sf_smoke,
+    )
+
+    # every event the raw-gap throttle keeps, true debounce also keeps
+    # (last-kept ts <= last-raw ts, so the debounce gap is never smaller)
+    from bigdata_infra_cs489_spark.operators.relational_ext import (
+        events_debounced,
+        events_throttled,
+    )
+
+    deb = {r.event_id: r.kept for r in events_debounced(spark, sf_smoke).collect()}
+    thr = {r.event_id: r.kept for r in events_throttled(spark, sf_smoke).collect()}
+    assert set(deb) == set(thr)
+    assert all(deb[e] >= thr[e] for e in deb)
+    assert sum(deb.values()) >= sum(thr.values())
