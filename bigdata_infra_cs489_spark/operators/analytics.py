@@ -723,3 +723,44 @@ def events_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_ts_out_of_range"),
         cnt(F.col("value") > QUALITY_VALUE_CAP).alias("n_value_over_cap"),
     )
+
+
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dow, hour, n_events, avg_value): the day-of-week × hour-of-day
+    activity heatmap — capacity planning's first chart. One hash
+    aggregate on two derived integer keys; at any scale the output is a
+    fixed 7×24 grid."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+def source_dedup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_unique, dup_ppm): per-source exact-duplicate
+    rate in integer ppm — which feeds are self-redundant BEFORE paying
+    for near-dup analysis. One digest aggregate per source."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.md5("text").alias("digest")
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("digest").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            F.expr(
+                "((n_docs - n_unique) * 1000000) DIV n_docs"
+            ).alias("dup_ppm"),
+        )
+    )

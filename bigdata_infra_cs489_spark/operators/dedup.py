@@ -742,3 +742,38 @@ def _prefix_index(docs: DataFrame) -> DataFrame:
         .where(F.col("rn") <= prefix_len)
         .select("doc_id", "s")
     )
+
+
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row sketch-quality report for MinHash: over the verified
+    near-duplicate pairs, compare the SIGNATURE-agreement estimate of
+    Jaccard (fraction of equal minhash positions — the estimator LSH
+    banding is built on) against the TRUE shingle Jaccard: pair count,
+    mean absolute estimator error, and worst error. The MinHash member
+    of the exact-vs-approx family (events_sketch_check does this for
+    HLL/percentile sketches); at 100 TB you monitor this on a sampled
+    pair stream to size NUM_HASHES.
+
+    Scale shape: pairs come from the banded candidate join (cost ∝
+    collisions); the agreement is one zip_with/aggregate expression per
+    pair; output is a single row."""
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_near_duplicates(docs).select("doc_a", "doc_b", "jaccard")
+    sigs = minhash_signatures(docs)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(NUM_HASHES))
+    err = F.abs(F.round(agree, 6) - F.col("jaccard"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(err), 6).alias("mean_abs_err"),
+            F.round(F.max(err), 6).alias("max_abs_err"),
+        )
+    )

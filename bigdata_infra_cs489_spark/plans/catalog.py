@@ -3823,3 +3823,50 @@ register(
     SELECT event_id, user_id, event_type, kept FROM fold
     """,
 )
+
+register(
+    "events_seasonality",
+    AN.events_seasonality,
+    """
+    SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hour,
+           count(*) AS n_events, round(avg(value), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+register(
+    "source_dedup_rates",
+    AN.source_dedup_rates,
+    """
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           (count(*) - count(DISTINCT md5(text))) * 1000000 // count(*)
+               AS dup_ppm
+    FROM documents GROUP BY source
+    """,
+)
+
+register(
+    "minhash_estimate_error",
+    D.minhash_estimate_error,
+    f"""
+    WITH {DUCK_MINHASH_PAIR_CTES},
+    verified AS (
+      SELECT doc_a, doc_b, jaccard FROM pairs
+      WHERE jaccard >= {D.JACCARD_THRESHOLD}
+    ),
+    est AS (
+      SELECT v.jaccard,
+             round(len(list_filter(range(1, {D.NUM_HASHES} + 1),
+                       i -> sa.sig[i] = sb.sig[i]))
+                   / {D.NUM_HASHES}.0, 6) AS agree
+      FROM verified v
+      JOIN sigs sa ON sa.doc_id = v.doc_a
+      JOIN sigs sb ON sb.doc_id = v.doc_b
+    )
+    SELECT count(*) AS n_pairs,
+           round(avg(abs(agree - jaccard)), 6) AS mean_abs_err,
+           round(max(abs(agree - jaccard)), 6) AS max_abs_err
+    FROM est
+    """,
+)

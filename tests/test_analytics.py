@@ -366,3 +366,16 @@ def test_ab_arms_cover_both(spark, sf_smoke):
     [r] = ab_test_zscore(spark, sf_smoke).collect()
     assert r.n_a > 0 and r.n_b > 0
     assert abs(r.zscore) < 50
+
+
+def test_seasonality_and_dedup_rates_match_oracle(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in ("events_seasonality", "source_dedup_rates"):
+        assert_matches_oracle(qs[name](spark, sf_smoke), oracles[name], sf_smoke)
+
+    from bigdata_infra_cs489_spark.operators.analytics import events_seasonality
+
+    rows = events_seasonality(spark, sf_smoke).collect()
+    assert all(1 <= r.dow <= 7 and 0 <= r.hour <= 23 for r in rows)

@@ -239,3 +239,24 @@ def test_prefix_join_is_lossless_and_prunes(spark, sf_smoke):
     full = shingle_index(docs).count()
     pruned = _prefix_index(docs).count()
     assert pruned < full, "prefix filter must actually shrink the index"
+
+
+def test_minhash_estimator_error_is_bounded(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    from .oracle import assert_matches_oracle
+
+    name = "minhash_estimate_error"
+    assert_matches_oracle(
+        entrymod.queries()[name](spark, sf_smoke),
+        entrymod.oracle_sql()[name],
+        sf_smoke,
+    )
+
+    from bigdata_infra_cs489_spark.operators.dedup import minhash_estimate_error
+
+    [r] = minhash_estimate_error(spark, sf_smoke).collect()
+    assert r.n_pairs > 0
+    assert 0 <= r.mean_abs_err <= r.max_abs_err <= 0.5, (
+        "128-hash MinHash estimates high-Jaccard pairs within 0.5 abs error"
+    )
