@@ -764,3 +764,46 @@ def source_dedup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ppm"),
         )
     )
+
+
+LTV_TILES = 10
+
+
+def user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(decile, n_users, total_value, value_share_ppm): users ranked by
+    lifetime event value and cut into spend deciles (decile 1 = top) —
+    the revenue-concentration (Pareto) table behind "top 10% of users
+    drive X% of value". The per-user reduce happens before any ranking;
+    the decile cut is the range-partitioned distributed ntile
+    (operators/distsort.py), never a single-partition window; the share
+    is integer-ppm of a broadcast scalar total."""
+    from .distsort import with_ntile
+
+    spend = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("user_value"))
+    )
+    tiled = with_ntile(
+        spend, [F.desc("user_value"), F.asc("user_id")], LTV_TILES, "decile"
+    )
+    total = spend.agg(F.sum("user_value").alias("grand"))
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("user_value"), 2).alias("total_value"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_users",
+            "total_value",
+            # exact integer cents: double division truncates on Spark but
+            # ROUNDS on a DuckDB BIGINT cast — integer DIV is engine-proof
+            F.expr(
+                "(CAST(round(total_value * 100) AS BIGINT) * 1000000)"
+                " DIV CAST(round(grand * 100) AS BIGINT)"
+            ).alias("value_share_ppm"),
+        )
+    )

@@ -3870,3 +3870,26 @@ register(
     FROM est
     """,
 )
+
+register(
+    "user_value_deciles",
+    AN.user_value_deciles,
+    f"""
+    WITH spend AS (
+      SELECT user_id, round(sum(value), 2) AS user_value
+      FROM events GROUP BY user_id
+    ),
+    tiled AS (
+      SELECT *, ntile({AN.LTV_TILES}) OVER (
+                 ORDER BY user_value DESC, user_id ASC) AS decile
+      FROM spend
+    ),
+    g AS (SELECT sum(user_value) AS grand FROM spend)
+    SELECT CAST(decile AS INT) AS decile, count(*) AS n_users,
+           round(sum(user_value), 2) AS total_value,
+           CAST(round(sum(user_value) * 100) AS BIGINT) * 1000000
+               // CAST(round(g.grand * 100) AS BIGINT) AS value_share_ppm
+    FROM tiled, g
+    GROUP BY decile, g.grand
+    """,
+)

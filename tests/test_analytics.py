@@ -379,3 +379,27 @@ def test_seasonality_and_dedup_rates_match_oracle(spark, sf_smoke):
 
     rows = events_seasonality(spark, sf_smoke).collect()
     assert all(1 <= r.dow <= 7 and 0 <= r.hour <= 23 for r in rows)
+
+
+def test_value_deciles_match_oracle_and_concentrate(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    from .oracle import assert_matches_oracle
+
+    name = "user_value_deciles"
+    assert_matches_oracle(
+        entrymod.queries()[name](spark, sf_smoke),
+        entrymod.oracle_sql()[name],
+        sf_smoke,
+    )
+
+    from bigdata_infra_cs489_spark.operators.analytics import user_value_deciles
+
+    rows = sorted(
+        user_value_deciles(spark, sf_smoke).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(1, len(rows) + 1))
+    assert all(
+        a.total_value >= b.total_value for a, b in zip(rows, rows[1:])
+    ), "deciles are ordered by spend"
+    assert sum(r.value_share_ppm for r in rows) <= 1_000_000
