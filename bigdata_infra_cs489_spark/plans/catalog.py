@@ -1581,8 +1581,8 @@ register(
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM o)
     SELECT doc_id, n_tokens,
-           (cum - n_tokens) // {TS.SEQ_LEN} AS seq_id,
-           (cum - n_tokens) % {TS.SEQ_LEN} AS seq_offset
+           CAST((cum - n_tokens) // {TS.SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST((cum - n_tokens) % {TS.SEQ_LEN} AS BIGINT) AS seq_offset
     FROM c
     """,
 )
@@ -1599,7 +1599,8 @@ register(
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS cum_tokens
         FROM tq)
-    SELECT doc_id, n_tokens, quality_score, cum_tokens
+    SELECT doc_id, n_tokens, quality_score,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
     FROM c WHERE cum_tokens <= {TS.TOKEN_BUDGET}
     """,
 )
@@ -1714,9 +1715,10 @@ register(
                  CASE WHEN lag(ts) OVER w IS NULL
                            OR sec - lag(sec) OVER w > {E.SESSION_GAP_SEC}
                       THEN 1 ELSE 0 END AS new_session
-          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-    s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                     ROWS UNBOUNDED PRECEDING) AS session_id FROM g)
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
+    s AS (SELECT *, CAST(sum(new_session) OVER (
+                     PARTITION BY user_id ORDER BY ts, value
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g)
     SELECT user_id, session_id,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            count(*) AS n_events,
@@ -1732,7 +1734,7 @@ register(
     """
     SELECT event_type,
            count(*) AS n_events,
-           sum(json_extract_string(props, '$.k')::INT) AS sum_k,
+           CAST(sum(json_extract_string(props, '$.k')::INT) AS BIGINT) AS sum_k,
            round(avg(json_extract_string(props, '$.k')::INT), 4) AS avg_k,
            min(json_extract_string(props, '$.k')::INT) AS min_k,
            max(json_extract_string(props, '$.k')::INT) AS max_k
@@ -2188,14 +2190,14 @@ register(
 _MIX_RATES_SQL = f"""
     WITH tq AS ({_TEXT_QUALITY_SQL}),
     tl AS (
-        SELECT d.lang, sum(tq.n_tokens) AS total_tokens
+        SELECT d.lang, CAST(sum(tq.n_tokens) AS BIGINT) AS total_tokens
         FROM tq JOIN documents d USING (doc_id)
         GROUP BY d.lang),
     m AS (SELECT min(total_tokens) AS mn FROM tl WHERE total_tokens > 0)
     SELECT lang, total_tokens,
-           CASE WHEN total_tokens = 0 THEN 0
+           CAST(CASE WHEN total_tokens = 0 THEN 0
                 ELSE (SELECT mn FROM m) * 1000000 // total_tokens
-           END AS keep_ppm
+           END AS BIGINT) AS keep_ppm
     FROM tl
 """
 
@@ -2734,7 +2736,7 @@ register(
       SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
       FROM wc
     )
-    SELECT count(*) AS n_types, sum(cnt) AS n_tokens,
+    SELECT count(*) AS n_types, CAST(sum(cnt) AS BIGINT) AS n_tokens,
            round(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope,
            round(regr_intercept(ln(cnt), ln(rank)), 6) AS zipf_intercept,
            round(regr_r2(ln(cnt), ln(rank)), 6) AS zipf_r2
@@ -2844,7 +2846,7 @@ register(
     SELECT count(*) AS n_docs,
            count(DISTINCT lang) AS n_langs,
            count(DISTINCT md5(text)) AS n_unique_texts,
-           sum(n_tokens) AS n_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
            round(avg(n_chars), 4) AS avg_chars,
            round(avg(n_tokens), 4) AS avg_tokens,
            round(avg(CASE WHEN n_tokens < 10 THEN 1.0 ELSE 0.0 END), 6)
@@ -3305,8 +3307,8 @@ register(
     f"""
     SELECT event_type, count(*) AS n_events,
            round(sum(value), 2) AS sum_value,
-           sum(CASE WHEN CAST(ts AS DATE) >= DATE '{TO.EVOLUTION_SPLIT_DAY}'
-                    THEN 1 ELSE 0 END) AS n_with_props
+           CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '{TO.EVOLUTION_SPLIT_DAY}'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_with_props
     FROM events GROUP BY event_type
     """,
 )
@@ -3574,9 +3576,9 @@ register(
            coalesce(s.raw_value, 0.0) AS raw_value,
            coalesce(s.decayed_value, 0.0) AS decayed_value,
            c.days_inactive, c.churned,
-           coalesce(b.n_click, 0) AS n_click,
-           coalesce(b.n_view, 0) AS n_view,
-           coalesce(b.n_error, 0) AS n_error
+           CAST(coalesce(b.n_click, 0) AS BIGINT) AS n_click,
+           CAST(coalesce(b.n_view, 0) AS BIGINT) AS n_view,
+           CAST(coalesce(b.n_error, 0) AS BIGINT) AS n_error
     FROM totals t
     LEFT JOIN spend s USING (user_id)
     LEFT JOIN churn c USING (user_id)
@@ -3611,7 +3613,8 @@ register(
     """
     WITH c AS (SELECT source, lang, count(*) AS c
                FROM documents GROUP BY 1, 2),
-    t AS (SELECT source, sum(c) AS n_docs, count(*) AS n_langs
+    t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+          count(*) AS n_langs
           FROM c GROUP BY source)
     SELECT c.source, t.n_docs, t.n_langs,
            round(-sum((c.c / CAST(t.n_docs AS DOUBLE))
@@ -3626,15 +3629,17 @@ register(
     AN.events_quality_gate,
     f"""
     SELECT count(*) AS n_rows,
-           sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_null_user,
-           sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS n_nonpos_value,
-           sum(CASE WHEN event_type NOT IN {AN.KNOWN_EVENT_TYPES}
-                    THEN 1 ELSE 0 END) AS n_unknown_type,
-           sum(CASE WHEN ts < TIMESTAMP '{AN.QUALITY_TS_LO}'
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_user,
+           CAST(sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nonpos_value,
+           CAST(sum(CASE WHEN event_type NOT IN {AN.KNOWN_EVENT_TYPES}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown_type,
+           CAST(sum(CASE WHEN ts < TIMESTAMP '{AN.QUALITY_TS_LO}'
                       OR ts >= TIMESTAMP '{AN.QUALITY_TS_HI}'
-                    THEN 1 ELSE 0 END) AS n_ts_out_of_range,
-           sum(CASE WHEN value > {AN.QUALITY_VALUE_CAP}
-                    THEN 1 ELSE 0 END) AS n_value_over_cap
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_ts_out_of_range,
+           CAST(sum(CASE WHEN value > {AN.QUALITY_VALUE_CAP}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_value_over_cap
     FROM events
     """,
 )

@@ -30,6 +30,37 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# DuckDB result types whose pandas conversion is version-dependent
+# (HUGEINT -> float64 on duckdb 1.0/pandas, lossless int via fetchall).
+# The DRIVER canonicalizes through pandas, the local harness through
+# fetchall, so an oracle emitting one of these can be local-green but
+# driver-red (root cause of the round-3 hash failures: every red query's
+# oracle had a `sum(INTEGER)` -> HUGEINT output column). Oracles must
+# CAST such columns to BIGINT/DOUBLE explicitly.
+RISKY_DUCK_TYPES = {
+    "HUGEINT",
+    "UHUGEINT",
+    "UINTEGER",
+    "UBIGINT",
+    "USMALLINT",
+    "UTINYINT",
+}
+
+
+def fragile_duck_columns(
+    con: duckdb.DuckDBPyConnection, sql: str
+) -> list[tuple[str, str]]:
+    """(column, type) pairs whose pandas conversion is version-fragile.
+
+    Uses lazy relation binding only — does not execute the query."""
+    rel = con.sql(sql)
+    return [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t) in RISKY_DUCK_TYPES or str(t).startswith("DECIMAL")
+    ]
+
+
 def _canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):

@@ -25,7 +25,7 @@ sys.path.insert(0, "/root/repo")
 
 from bigdata_infra_cs489_spark.plans import registry  # noqa: E402
 from bigdata_infra_cs489_spark.session import get_spark  # noqa: E402
-from tests.oracle import _canon, duck_connection  # noqa: E402
+from tests.oracle import _canon, duck_connection, fragile_duck_columns  # noqa: E402
 
 
 def sweep(sf_dir: str, only: list[str] | None = None) -> dict[str, dict]:
@@ -53,6 +53,17 @@ def sweep(sf_dir: str, only: list[str] | None = None) -> dict[str, dict]:
             if name not in oracles:
                 rec["err"] = "no_oracle"
             else:
+                fragile = fragile_duck_columns(con, oracles[name])
+                if fragile:
+                    # would be driver-red even if values match locally:
+                    # the driver's pandas canonicalizer mangles these types
+                    rec["hash_match"] = False
+                    rec["err"] = f"fragile_duck_types: {fragile}"
+                    rec["sec"] = round(time.monotonic() - t0, 3)
+                    results[name] = rec
+                    print(f"{'FAIL':>9}  {name:<32} {rec['sec']:7.2f}s", flush=True)
+                    print(f"           {rec['err']}", flush=True)
+                    continue
                 res = con.execute(oracles[name])
                 duck_cols = [d[0] for d in res.description]
                 duck_rows = [tuple(r) for r in res.fetchall()]
