@@ -33,83 +33,120 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 
 # The driver's correctness run covers the FIRST 50 entries of queries().
-# Rounds 1-2 both checked the same first-50, so the 50 queries registered
-# later (the whole streaming/temporal/CDC/sampling/textstats surface) never
-# produced a driver row. This list rotates the never-driver-checked,
-# oracle-backed queries into the window; everything else follows in
-# registration order. The union of CORRECTNESS_r{1,2,3} then covers the
-# entire PRE-round-3 backlog; entries past slot 50 (round-3 additions and
-# the registration-order tail) queue for the round-4 rotation — until
-# then their value checks come from tools/verify_sweep (SWEEP_LOCAL.json,
-# independently re-runnable) and pytest, not a driver row. Names and
-# semantics are untouched — this is purely an export-order contract.
+# Round-4 rotation, front-loading the entire known verification debt:
+#   slots 1-5   the five round-3 driver-RED queries, now fixed (their
+#               oracles emitted HUGEINT columns — pandas-fragile; all
+#               are CAST AS BIGINT now) — kept in the window so
+#               CORRECTNESS_r04 proves the fix;
+#   slots 6-13  the eight queries whose last driver row is a stale r2
+#               `no_oracle` (oracles added late in r3: recursive-CTE SGD
+#               replay for the spam family, unrolled k-means for IVF);
+#   slots 14-50 37 of the 72 never-driver-checked queries, prioritized:
+#               the six that carried the same latent HUGEINT bug (fixed
+#               this round), the VERDICT-named ops (term_lookup,
+#               jaccard_prefix_join, user_scd2_history), then family
+#               representatives (PQ/IVFPQ, BPE, sketches, dedup suite,
+#               feature store, streaming sinks, format roundtrips).
+# The 35 still-unchecked names queue directly after slot 50 so the
+# round-5 rotation clears the backlog completely. Names and semantics
+# are untouched — this is purely an export-order contract; everything
+# outside the window keeps its verify_sweep + pytest coverage.
 _DRIVER_WINDOW_FIRST = (
+    # -- round-3 driver-red, fixed this round -------------------------
     "sequence_pack",
     "token_budget_pack",
-    "token_counts",
-    "doc_fingerprints",
-    "repetition_stats",
-    "events_tumbling_counts",
-    "events_sliding_counts",
     "events_sessionize",
     "events_json_stats",
-    "events_gap_filled_counts",
-    "degree_distribution",
-    "triangle_count",
-    "user_funnel",
-    "top_users_by_type",
-    "media_meta",
-    "tbl_scan_nation",
-    "customers_without_orders",
-    "events_rollup_counts",
-    "events_cube_counts",
-    "events_value_percentiles",
-    "events_distinct_users",
-    "user_event_gaps",
-    "user_type_pivot",
-    "order_quartiles",
-    "user_rolling_value",
-    "events_sketch_check",
-    "events_hash_sample",
-    "dataset_split",
-    "quality_stratified_sample",
     "lang_mixture_rates",
-    "lang_mixture_sample",
-    "events_asof_last_click",
-    "error_click_window_counts",
-    "profile_lineitem",
-    "events_snapshot_diff",
-    "events_apply_changes",
-    "clean_corpus",
-    "contamination_flags",
-    "boilerplate_ngrams",
-    "boilerplate_fraction",
-    "bigram_lm_perplexity",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "stream_running_counts",
-    "stream_dedup",
-    "stream_enriched",
-    "stream_error_click_join",
-    # round-3 additions / newly-oracled entries (the window holds 50;
-    # names past slot 50 are simply next in line for a future rotation)
-    "ppr_topk",
-    "ivf_topk_indexed",
+    # -- stale r2 no_oracle rows, oracles now exist -------------------
+    "spam_train",
+    "spam_train_shuffled",
+    "spam_apply",
+    "spam_ensemble_average",
+    "spam_ensemble_vote",
+    "spam_model_auc",
+    "ivf_train_centroids",
+    "ivf_topk_trained",
+    # -- never driver-checked: latent-HUGEINT fixes first -------------
+    "token_zipf_stats",
+    "corpus_report",
+    "schema_evolution_events",
+    "user_feature_matrix",
+    "source_lang_entropy",
+    "events_quality_gate",
+    # -- never driver-checked: VERDICT-named --------------------------
+    "term_lookup",
+    "jaccard_prefix_join",
+    "user_scd2_history",
+    # -- never driver-checked: vector/PQ family -----------------------
     "lsh_topk_indexed",
-    "bucketed_customer_orders",
-    "source_capped_sample",
-    "media_features",
-    "video_frames",
     "pq_codes",
     "pq_topk",
     "ivfpq_topk",
     "ivfpq_topk_indexed",
+    "knn_label_accuracy",
+    "hard_negative_pairs",
+    "embedding_drift",
+    # -- never driver-checked: BPE + sketches -------------------------
+    "bpe_merges",
+    "bpe_token_counts",
+    "cms_heavy_hitters",
+    "bloom_prefilter_check",
+    # -- never driver-checked: dedup suite ----------------------------
+    "dedup_keep_best",
+    "incremental_dedup_assign",
+    "leakage_safe_split",
+    "editdist_near_duplicates",
+    "minhash_estimate_error",
+    "source_dedup_rates",
+    # -- never driver-checked: feature store / retention --------------
+    "customer_rfm",
+    "user_retention_cohorts",
+    "weekly_active_users",
+    "user_churn_flags",
+    "user_decayed_value",
+    # -- never driver-checked: streaming sinks + format roundtrips ----
+    "stream_upsert_user_state",
     "stream_partitioned_sink",
+    "orc_roundtrip_customer",
+    "jsonl_roundtrip_events",
+    "partitioned_day_scan",
+    # ---- slot 51+: the 35 remaining never-checked, queued for r5 ----
+    "bucketed_customer_orders",
+    "source_capped_sample",
+    "media_features",
+    "video_frames",
     "pagerank_topk",
     "doc_keywords",
-    "ivf_train_centroids",
-    "ivf_topk_trained",
+    "user_value_anomalies",
+    "events_value_histogram",
+    "doc_chunks",
+    "heavy_key_report",
+    "conversion_attribution",
+    "source_quality_percentiles",
+    "events_value_median_by_type",
+    "cross_source_overlap",
+    "event_type_transitions",
+    "weighted_sample_topn",
+    "label_propagation_communities",
+    "session_cooccurrence",
+    "funnel_latency",
+    "daily_value_ewma",
+    "events_exact_median_global",
+    "spam_calibration_bins",
+    "nation_market_share",
+    "top_terms_per_lang",
+    "promo_revenue_share",
+    "ab_test_zscore",
+    "top_suppliers_by_revenue",
+    "top_return_customers",
+    "user_erasure_audit",
+    "events_throttled",
+    "user_rolling_anomalies",
+    "incremental_agg_refresh",
+    "events_debounced",
+    "events_seasonality",
+    "user_value_deciles",
 )
 
 
