@@ -320,6 +320,46 @@ def user_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_scd2_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, n_intervals, n_current, first_from, last_to,
+    interval_hash): O(users) contract form of :func:`user_scd2_history`.
+
+    The full SCD2 history is O(attribute changes) — ~99k rows at sf0.1
+    and growing linearly with data, which made the registered query's
+    driver-side collect the one output-bound outlier in the round-3
+    scaling study. The driver contract instead ships this per-user
+    summary: interval count, open-interval count, interval span, and an
+    order-insensitive fingerprint (sum of per-interval h8 hashes over
+    the rendered interval tuple) that pins every byte of the full
+    history without materializing it driver-side. The full-history
+    builder stays public + pytest-covered for in-cluster use.
+
+    Scale shape: the history's two per-user windows, then one
+    partial+final hash aggregate on the same user_id key. Output is
+    O(users) regardless of event volume.
+    """
+    from ..functions.hashing import h8
+
+    hist = user_scd2_history(spark, sf_dir)
+    # concat_ws silently skips NULLs while DuckDB's || nulls out the whole
+    # tuple — coalesce attr on BOTH engines so a missing JSON key can't
+    # skew the fingerprint (no such rows in the test data; belt-and-braces)
+    tup = F.concat_ws(
+        "|",
+        F.coalesce(F.col("attr").cast("string"), F.lit("null")),
+        "valid_from",
+        "valid_to",
+        F.col("is_current").cast("string"),
+    )
+    return hist.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("is_current").alias("n_current"),
+        F.min("valid_from").alias("first_from"),
+        F.max("valid_to").alias("last_to"),
+        F.sum(h8(tup)).alias("interval_hash"),
+    )
+
+
 DECAY_HALF_LIFE_DAYS = 7.0
 
 

@@ -3012,9 +3012,14 @@ register(
 # attribution operators a telemetry warehouse feeds a training pipeline
 # with. All pure window/join SQL on both engines.
 
+# Registered as the O(users) summary (interval count + order-insensitive
+# h8 fingerprint of every rendered interval): the full history is
+# O(attribute changes) — the round-3 scaling study's one output-bound
+# outlier — so the driver-side collect is bounded here while the
+# full-history builder (AN.user_scd2_history) stays pytest-covered.
 register(
     "user_scd2_history",
-    AN.user_scd2_history,
+    AN.user_scd2_summary,
     f"""
     WITH ev AS (
       SELECT user_id, ts, event_id,
@@ -3030,17 +3035,30 @@ register(
       ) WHERE prev IS NULL OR prev <> attr
     ),
     iv AS (
-      SELECT user_id, attr, ts,
+      SELECT user_id, attr, ts, event_id,
              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                  AS end_ts
       FROM ch
+    ),
+    hist AS (
+      SELECT user_id, attr,
+             strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+             coalesce(strftime(end_ts, '%Y-%m-%d %H:%M:%S.%f'),
+                      '{AN.SCD2_OPEN_END}') AS valid_to,
+             CAST(end_ts IS NULL AS INT) AS is_current
+      FROM iv
     )
-    SELECT user_id, attr,
-           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
-           coalesce(strftime(end_ts, '%Y-%m-%d %H:%M:%S.%f'),
-                    '{AN.SCD2_OPEN_END}') AS valid_to,
-           CAST(end_ts IS NULL AS INT) AS is_current
-    FROM iv
+    SELECT user_id,
+           count(*) AS n_intervals,
+           CAST(sum(is_current) AS BIGINT) AS n_current,
+           min(valid_from) AS first_from,
+           max(valid_to) AS last_to,
+           CAST(sum({DUCK_H8.format(
+               x="(coalesce(CAST(attr AS VARCHAR), 'null') || '|' "
+                 "|| valid_from || '|' "
+                 "|| valid_to || '|' || CAST(is_current AS VARCHAR))"
+           )}) AS BIGINT) AS interval_hash
+    FROM hist GROUP BY user_id
     """,
 )
 
