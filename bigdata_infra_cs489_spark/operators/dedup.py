@@ -693,54 +693,158 @@ PPJOIN_T_NUM, PPJOIN_T_DEN = 1, 2  # t = 0.5, matching ngram_jaccard_pairs
 
 def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, jaccard): the SAME exact-Jaccard pair output as
-    ngram_jaccard_pairs, produced with PPJoin-style PREFIX FILTERING
-    (Xiao et al., WWW'08): order each doc's shingles by ascending global
-    frequency (rarest first, string tie-break) and index only the first
-    |s| - ceil(t·|s|) + 1 of them — two sets with Jaccard >= t MUST
-    collide in these prefixes (pigeonhole on the overlap bound), so
-    pruning the frequent tail of the index is LOSSLESS. The candidate
-    join then touches far fewer (and far less skewed) posting lists
-    than the full shingle index — the hot boilerplate shingles that
-    dominate full-index join cost sit exactly in the pruned tail.
+    ngram_jaccard_pairs, produced with PPJoin-style PREFIX + LENGTH
+    FILTERING (Xiao et al., WWW'08): order each doc's shingles by a
+    consistent global order (capped ascending frequency — see
+    _ordered_sets) and index only the first |s| - ceil(t*|s|) + 1 —
+    two sets with Jaccard >= t MUST collide in these prefixes
+    (pigeonhole on the overlap bound), so pruning the tail of the
+    index is LOSSLESS. Candidates additionally pass the length filter
+    (J >= t implies t*|B| <= |A| for |A| <= |B|) before the distinct.
+
+    The round-3 build paid a full-index shuffle join on the skewed raw
+    shingle key plus a whole-index window — those are gone (see
+    _ordered_sets: broadcast hot-vocab join + in-array sort), which
+    removes the structural cause of the round-3 driver blowup (62.6 s
+    vs 7.5 s local: spilling window sort over the full index).
+
+    Honest perf note, measured at sf0.1: THIS corpus has no shingle
+    skew (max df = 25 over a 27k vocab), so the regime prefix
+    filtering exists for never engages, and the naive count-based
+    ngram_jaccard_pairs join (sum(df^2) ~ 2.4M narrow codegen rows)
+    stays ~2x faster end-to-end than any candidate+verify plan.
+    Keep ngram_jaccard_pairs as the default operator; reach for this
+    one when the df distribution is heavy-tailed — the crossover is
+    demonstrated on a boilerplate-heavy corpus in
+    tests/test_dedup.py::test_prefix_join_wins_under_skew.
 
     The oracle is ngram_jaccard_pairs' own SQL: equality of output IS
     the proof the optimization drops nothing. candidate_stats() exposes
     the index-size reduction the filter buys.
     """
-    docs = _docs(spark, sf_dir)
-    pref = _prefix_index(docs)
-    a = pref.select(F.col("doc_id").alias("doc_a"), "s")
-    b = pref.select(F.col("doc_id").alias("doc_b"), "s")
-    cand = (
+    return jaccard_prefix_pairs(_docs(spark, sf_dir))
+
+
+def _prefix_candidates(per_doc: DataFrame) -> DataFrame:
+    """(doc_a, doc_b): distinct pairs colliding on a prefix shingle and
+    passing the PPJoin length filter."""
+    pref = per_doc.select(
+        "doc_id",
+        "n_sh",
+        F.explode(
+            F.transform(
+                F.slice("ordered", F.lit(1), F.col("prefix_len")),
+                lambda x: x["s"],
+            )
+        ).alias("s"),
+    )
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "s"
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "s"
+    )
+    return (
         a.join(b, "s")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: J >= NUM/DEN forces DEN*|A| >= NUM*|B| both ways
+            & (F.col("n_a") * PPJOIN_T_DEN >= F.col("n_b") * PPJOIN_T_NUM)
+            & (F.col("n_b") * PPJOIN_T_DEN >= F.col("n_a") * PPJOIN_T_NUM)
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
-    verified = jaccard_pairs(docs, cand)
+
+
+def jaccard_prefix_pairs(docs: DataFrame) -> DataFrame:
+    """ngram_jaccard_pairs semantics via prefix+length filtering — see
+    jaccard_prefix_join for the design and perf-regime notes."""
+    per_doc = _ordered_sets(docs)
+    cand = _prefix_candidates(per_doc)
+    arrays = per_doc.select(
+        "doc_id", F.transform("ordered", lambda x: x["s"]).alias("sh")
+    )
+    aa = arrays.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    bb = arrays.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
     thr = PPJOIN_T_NUM / PPJOIN_T_DEN
     return verified.where(F.col("jaccard") >= thr)
 
 
-def _prefix_index(docs: DataFrame) -> DataFrame:
-    """(doc_id, s): each doc's prefix shingles under the global
-    ascending-frequency order — the pruned posting index."""
-    from pyspark.sql.window import Window
+# Hot-vocabulary cap for the prefix order. PPJoin's losslessness needs
+# only a CONSISTENT global total order on shingles (any order satisfies
+# the pigeonhole bound); ascending document frequency is purely the
+# candidate-minimizing heuristic, and its entire benefit comes from
+# pushing the FEW boilerplate-hot shingles into the pruned tail. So the
+# order key is (exact df for the top PPJOIN_HOT_VOCAB most frequent
+# shared shingles, 1 for everything else; string tie-break) — a function
+# of the shingle alone, hence consistent — which bounds the broadcast
+# state at any corpus size instead of joining the full df table.
+PPJOIN_HOT_VOCAB = 4096
 
+
+def _ordered_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, ordered array<struct<odf,s>>, n_sh, prefix_len): each
+    doc's shingle set sorted by the capped ascending-frequency order.
+
+    The round-3 shape (full shingle-df shuffle join on the skewed raw
+    shingle key + per-doc row_number window over the whole index) cost
+    4x the unfiltered pair join it claims to beat. Here the full index
+    appears only in one map-side-combined groupBy (the df count, capped
+    to the PPJOIN_HOT_VOCAB most frequent shared shingles and
+    BROADCAST back); ordering happens inside each doc's array
+    (collect_list -> array_sort), so nothing shuffles on the shingle
+    key and no window sorts the whole index."""
     idx = shingle_index(docs)
-    counts = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    freq = idx.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
-    ceil_tn = (
-        F.col("n_sh") * PPJOIN_T_NUM + (PPJOIN_T_DEN - 1)
-    ) / PPJOIN_T_DEN
-    prefix_len = F.col("n_sh") - F.floor(ceil_tn).cast("long") + 1
-    return (
-        idx.join(freq, "s")
-        .join(counts, "doc_id")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= prefix_len)
-        .select("doc_id", "s")
+    hot = (
+        idx.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)  # df=1 shingles can't collide anyway
+        .orderBy(F.desc("df"), F.asc("s"))
+        .limit(PPJOIN_HOT_VOCAB)
+    )
+    keyed = idx.join(F.broadcast(hot), "s", "left").select(
+        "doc_id", "s", F.coalesce("df", F.lit(1)).alias("odf")
+    )
+    per_doc = keyed.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("odf", "s"))).alias("ordered")
+    )
+    n_sh = F.size("ordered")
+    ceil_tn = F.floor(
+        (n_sh * PPJOIN_T_NUM + (PPJOIN_T_DEN - 1)) / PPJOIN_T_DEN
+    ).cast("int")
+    return per_doc.select(
+        "doc_id",
+        "ordered",
+        n_sh.alias("n_sh"),
+        (n_sh - ceil_tn + F.lit(1)).alias("prefix_len"),
+    )
+
+
+def _prefix_index(docs: DataFrame) -> DataFrame:
+    """(doc_id, s): the pruned posting index — each doc's prefix
+    shingles under the capped ascending-frequency order."""
+    return _ordered_sets(docs).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice("ordered", F.lit(1), F.col("prefix_len")),
+                lambda x: x["s"],
+            )
+        ).alias("s"),
     )
 
 

@@ -241,6 +241,64 @@ def test_prefix_join_is_lossless_and_prunes(spark, sf_smoke):
     assert pruned < full, "prefix filter must actually shrink the index"
 
 
+def test_prefix_join_wins_under_skew(spark, sf_smoke):
+    """The regime prefix filtering exists for: a boilerplate-heavy
+    corpus where a handful of hot shingles make the naive index
+    self-join superlinear (sum over shingles of df^2), while the
+    frequency-ordered prefixes push exactly those shingles into the
+    pruned tail. Asserts the MECHANISM (candidate volume), which is
+    deterministic, rather than wall-clock, which is not: on this
+    corpus the prefix join's candidate-pair rows must be at least 10x
+    fewer than the naive self-join's intermediate rows — and the
+    verified output must still be identical (losslessness under
+    skew)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_infra_cs489_spark.operators.dedup import (
+        _docs,
+        _ordered_sets,
+        _prefix_candidates,
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+        shingle_index,
+    )
+
+    boiler = (
+        "subscribe to our newsletter for updates terms of service apply "
+        "all rights reserved contact us at the office for more details "
+        "privacy policy cookie notice copyright two thousand twenty four"
+    )
+    docs = _docs(spark, sf_smoke).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.concat_ws(" ", "text", F.lit(boiler)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+    idx = shingle_index(docs)
+    naive_mid = (
+        idx.alias("a")
+        .join(idx.alias("b"), "s")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .count()
+    )
+    pref_mid = _prefix_candidates(_ordered_sets(docs)).count()
+    assert pref_mid * 10 < naive_mid, (
+        f"prefix filter should collapse the hot-shingle join: "
+        f"naive={naive_mid} prefix_candidates={pref_mid}"
+    )
+
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_prefix_pairs(docs).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs).collect()
+    }
+    assert got == want, "prefix filtering must stay lossless under skew"
+
+
 def test_minhash_estimator_error_is_bounded(spark, sf_smoke):
     import __spark_entry__ as entrymod
 
