@@ -79,7 +79,11 @@ def load(
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
-            pass  # static conf on some builds; session factory sets it then
+            # static conf on some builds — can't be set on a live foreign
+            # session. That only matters if THIS fixture generation uses
+            # TIMESTAMP(NANOS); the ts-dtype check below fails loudly in
+            # that case instead of letting timestamps silently degrade.
+            pass
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F
@@ -88,6 +92,14 @@ def load(
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif ts_type != "timestamp":
+            raise RuntimeError(
+                f"events.ts read as unsupported type {ts_type!r}; this "
+                "session could not apply spark.sql.legacy.parquet."
+                "nanosAsLong=true (static conf). Build the session with "
+                "bigdata_infra_cs489_spark.session.get_spark(), or set "
+                "that conf at session construction."
+            )
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if parallelize:

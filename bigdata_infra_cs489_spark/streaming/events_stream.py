@@ -63,11 +63,21 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
-        pass  # static conf on some builds; session factory sets it then
+        # static conf on some builds — the probe check below fails loudly
+        # if this fixture generation actually needs it (nanos ts)
+        pass
     # footer probe: schema-only batch read (no data scan) tells us which
     # physical form this fixture generation uses
     probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    ts_is_long = dict(probe.dtypes).get("ts") == "bigint"
+    probe_ts = dict(probe.dtypes).get("ts")
+    if probe_ts not in ("bigint", "timestamp_ntz", "timestamp"):
+        raise RuntimeError(
+            f"events.ts read as unsupported type {probe_ts!r}; this "
+            "session could not apply spark.sql.legacy.parquet."
+            "nanosAsLong=true (static conf). Build the session with "
+            "get_spark(), or set that conf at session construction."
+        )
+    ts_is_long = probe_ts == "bigint"
     raw = (
         spark.readStream.schema(_events_schema(ts_is_long))
         .option("pathGlobFilter", "events.parquet")

@@ -1,0 +1,68 @@
+"""Foreign-session hardening: the driver runs queries in ITS OWN
+SparkSession — none of session.py's engine confs apply unless the
+engine re-asserts them at load time (sources/tables.py,
+streaming/events_stream.py re-pin the UTC session timezone; everything
+else must be expressed per-query).
+
+This test builds a deliberately HOSTILE session — same SparkContext,
+fresh SQLConf via newSession(), timezone forced to America/New_York,
+shuffle partitions to an awkward 7, adaptive execution off — and runs
+a representative query spread (timestamp-heavy events family, window
+functions, hash sampling, text pipeline, TPC-H relational, SCD2
+summary) against the DuckDB oracles. Matching under a non-UTC session
+proves every correctness-relevant conf is either per-query or
+re-asserted, not inherited from the factory.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from .oracle import assert_matches_oracle
+
+# spread chosen to touch: ts normalization + date_format rendering
+# (events_*), per-user windows (user_rolling_value, events_sessionize),
+# the portable salted hash (dataset_split, events_hash_sample), the
+# tokenizer pipeline (token_counts, lang_mixture_rates), date predicates
+# on TPC-H (q6), and microsecond timestamp rendering (user_scd2_history).
+HOSTILE_QUERIES = (
+    "q6_pricing_summary",
+    "events_tumbling_counts",
+    "events_sessionize",
+    "events_json_stats",
+    "events_asof_last_click",
+    "user_rolling_value",
+    "dataset_split",
+    "events_hash_sample",
+    "token_counts",
+    "lang_mixture_rates",
+    "user_scd2_history",
+)
+
+
+@pytest.fixture(scope="module")
+def hostile(spark):
+    s = spark.newSession()
+    s.conf.set("spark.sql.session.timeZone", "America/New_York")
+    s.conf.set("spark.sql.shuffle.partitions", "7")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    return s
+
+
+@pytest.mark.parametrize("name", HOSTILE_QUERIES)
+def test_oracle_parity_under_hostile_session(hostile, sf_smoke, name):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    assert_matches_oracle(q(hostile, sf_smoke), sql, sf_smoke)
+
+
+def test_loud_failure_message_names_the_conf():
+    """The nanos fallback must raise with the conf name, not degrade."""
+    import inspect
+
+    from bigdata_infra_cs489_spark.sources import tables
+
+    src = inspect.getsource(tables.load)
+    assert "nanosAsLong" in src and "raise RuntimeError" in src
