@@ -69,12 +69,39 @@ def word_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hard cap on driver-loop merges. BPE's argmax-per-merge is inherently
+# sequential — each merge's pair counts depend on the previous merge's
+# rewrite — so this implementation pays ONE driver round-trip (a 1-row
+# collect + a lazy checkpoint) per merge. That is the right trade at the
+# registry's N_MERGES=8 (milliseconds of driver time, all heavy work
+# distributed), but it does NOT extrapolate to production vocabularies:
+# a 32k-merge GPT-style vocab would serialize 32k Spark jobs. At that
+# scale train on the word-frequency TABLE driver-side (it is vocab-sized,
+# ~1e5 rows even at 100 TB corpus scale — the standard practice: corpus
+# -> distributed word count -> single-node BPE over the weighted
+# vocabulary), or batch provably non-interacting merges per pass. The cap
+# exists so nobody silently runs the driver loop into that regime.
+MAX_DRIVER_MERGES = 64
+
+
 def train_bpe(
     spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
 ) -> tuple[list[tuple], DataFrame]:
     """Learn ``n_merges`` merges; returns (merge table rows, the final
     segmented vocabulary). Merge rows are (merge_rank, left_sym,
-    right_sym, merged, pair_count)."""
+    right_sym, merged, pair_count).
+
+    ``n_merges`` is capped at MAX_DRIVER_MERGES — see the constant's
+    comment for why the per-merge driver round-trip must not be scaled
+    to real vocabularies."""
+    if n_merges > MAX_DRIVER_MERGES:
+        raise ValueError(
+            f"n_merges={n_merges} exceeds MAX_DRIVER_MERGES="
+            f"{MAX_DRIVER_MERGES}: the driver-loop trainer serializes one "
+            "Spark job per merge. For production vocab sizes, run BPE "
+            "single-node over the distributed word-frequency table "
+            "(word_vocab()), which is vocab-sized, not corpus-sized."
+        )
     df = word_vocab(spark, sf_dir).localCheckpoint(eager=False)
     merges: list[tuple] = []
     for k in range(n_merges):

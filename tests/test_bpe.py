@@ -82,3 +82,18 @@ def test_bpe_token_counts_conserve_mass(spark, sf_smoke):
     rows = bpe_token_counts(spark, sf_smoke).collect()
     merged_chars = sum(len(r.token) * r.n for r in rows)
     assert merged_chars == chars
+
+
+def test_merge_loop_cap_enforced(spark, sf_smoke):
+    """The sequential driver-loop trainer must refuse production-size
+    merge counts (one Spark job per merge does not extrapolate to 32k
+    merges — see operators/bpe.py MAX_DRIVER_MERGES)."""
+    import pytest as _pytest
+
+    from bigdata_infra_cs489_spark.operators.bpe import (
+        MAX_DRIVER_MERGES,
+        train_bpe,
+    )
+
+    with _pytest.raises(ValueError, match="MAX_DRIVER_MERGES"):
+        train_bpe(spark, sf_smoke, n_merges=MAX_DRIVER_MERGES + 1)
