@@ -2538,7 +2538,9 @@ register(
     "stream_dedup",
     STR.q_stream_dedup,
     """
-    SELECT event_id, ts, user_id, event_type, value FROM events
+    SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           user_id, event_type, value
+    FROM events
     """,
 )
 

@@ -352,8 +352,14 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     still runs end-to-end, and the replayed-duplicate positive case lives
     in tests/test_streaming.py."""
     name = f"drv_stream_dedup_{next(_SINK_SEQ)}"
-    return _run_contract(
+    out = _run_contract(
         spark, lambda: dedup_events_stream(spark, sf_dir), name, "append"
+    )
+    # render ts per the cross-engine convention (every other contract
+    # query ships timestamps as strings; a raw Timestamp cell's pandas
+    # representation is engine/version-dependent)
+    return out.withColumn(
+        "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
     )
 
 
