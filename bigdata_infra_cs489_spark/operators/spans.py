@@ -1,0 +1,170 @@
+"""Exact-substring (repeated-span) dedup over token k-grams.
+
+The span-level complement to the document-level near-dup family
+(operators/dedup.py): instead of asking "which documents are near
+copies", it asks "which token RANGES are verbatim copies of text that
+occurs elsewhere in the corpus" — the operation Lee et al. 2021
+("Deduplicating Training Data Makes Language Models Better") implement
+with a corpus-wide suffix array. A suffix array is a sequential,
+memory-resident structure; the Spark-native shape is the k-gram
+fingerprint relation:
+
+    scan -> explode one row per k-token window -> ONE keyed exchange on
+    the gram -> windowed corpus count -> per-doc interval merge.
+
+A window duplicated at length >= k is detected exactly (every length-k
+sub-window collides), and merging overlapping/adjacent hits per doc
+reconstructs the maximal duplicated span, so for spans >= SPAN_K tokens
+this is the same verdict the suffix array gives. Cost is linear in
+corpus tokens, the shuffle key is the gram content (uniform by
+construction — a key is hot only if the SPAN is hot, which is exactly
+the signal), and the per-doc interval merge is a doc-partitioned window
+over the tiny hit subset. At 100 TB the gram string would be replaced by
+its h8()/xxhash64 fingerprint to keep exchange rows narrow (documented,
+not done here, so the DuckDB oracle can share the literal key).
+
+No reference counterpart (north-star extension family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+from ..sources.tables import load
+
+SPAN_K = 5  # window width in tokens; minimum detectable duplicated span
+SPAN_MIN_COUNT = 2  # corpus-wide occurrences for a window to count as dup
+NOVELTY_BUCKET_DOCS = 50  # docs per ingestion increment in the novelty curve
+
+
+def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, pos, gram): one row per k-token window.
+
+    pos is the 1-based token index of the window start; gram is the
+    space-joined window content (the join/shuffle key)."""
+    docs = load(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", tokenize("text").alias("toks")
+    )
+    n = F.size("toks")
+    return (
+        docs.where(n >= SPAN_K)
+        .select(
+            "doc_id",
+            n.cast("bigint").alias("n_tokens"),
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), (n - SPAN_K + 1).cast("bigint"))
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "pos",
+            F.concat_ws(" ", F.slice("toks", F.col("pos"), SPAN_K)).alias("gram"),
+        )
+    )
+
+
+def _dup_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, pos) of windows whose gram occurs >= SPAN_MIN_COUNT
+    times corpus-wide (across documents OR repeated inside one). A single
+    keyed window count — one exchange, no self-join."""
+    g = _grams(spark, sf_dir)
+    c = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    return (
+        g.withColumn("c", c)
+        .where(F.col("c") >= SPAN_MIN_COUNT)
+        .select("doc_id", "n_tokens", "pos")
+    )
+
+
+def _merged_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, span_start, span_end, span_len): maximal merged
+    duplicated regions. Hits [pos, pos+K-1] merge while overlapping or
+    adjacent (next_pos <= prev_pos + K); positions are unique per doc so
+    the lag ordering is deterministic."""
+    hits = _dup_hits(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    is_new = (prev.isNull() | (F.col("pos") > prev + SPAN_K)).cast("int")
+    runs = hits.withColumn(
+        "run",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return runs.groupBy("doc_id", "run").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + SPAN_K - 1).alias("span_end"),
+        (F.max("pos") + SPAN_K - F.min("pos")).alias("span_len"),
+    )
+
+
+def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, span_start, span_end, span_len): every maximal token range
+    whose content also occurs elsewhere in the corpus (>= SPAN_K tokens)."""
+    return _merged_spans(spark, sf_dir).select(
+        "doc_id", "span_start", "span_end", "span_len"
+    )
+
+
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, dup_tokens, dup_fraction) for EVERY document:
+    how much of each doc is corpus-duplicated text. The curation signal —
+    docs above a dup_fraction threshold get their spans stripped or are
+    dropped; docs shorter than SPAN_K trivially score 0."""
+    docs = load(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", F.size(tokenize("text")).cast("bigint").alias("n_tokens")
+    )
+    cov = (
+        _merged_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum("span_len").alias("dup_tokens"))
+    )
+    return docs.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("dup_fraction"),
+    )
+
+
+def corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, distinct_grams, novel_grams, novelty_rate): marginal
+    novelty of each ingestion increment of NOVELTY_BUCKET_DOCS documents
+    (by doc_id order — the synthetic corpus's arrival order). A gram is
+    novel in the first bucket it appears in; a flattening novelty_rate is
+    the standing "this crawl increment adds nothing" curation signal.
+    Two keyed exchanges (distinct per bucket, min per gram), both with
+    partial aggregation."""
+    pb = (
+        _grams(spark, sf_dir)
+        .select(
+            F.floor(F.col("doc_id") / NOVELTY_BUCKET_DOCS).alias("bucket"), "gram"
+        )
+        .distinct()
+    )
+    first = pb.groupBy("gram").agg(F.min("bucket").alias("first_bucket"))
+    return (
+        pb.join(first, "gram")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("distinct_grams"),
+            F.sum((F.col("first_bucket") == F.col("bucket")).cast("long")).alias(
+                "novel_grams"
+            ),
+        )
+        .select(
+            "bucket",
+            "distinct_grams",
+            "novel_grams",
+            F.round(F.col("novel_grams") / F.col("distinct_grams"), 6).alias(
+                "novelty_rate"
+            ),
+        )
+    )

@@ -3918,3 +3918,91 @@ register(
     GROUP BY decile, g.grand
     """,
 )
+
+# --- exact-substring (repeated-span) dedup (north-star: Lee et al. 2021
+# span-level dedup, re-expressed as k-gram fingerprints; operators/spans.py)
+
+from ..operators import spans as SP  # noqa: E402
+
+# Shared CTE chain: k-gram windows -> corpus-wide window count -> dup hits
+# -> per-doc interval merge into maximal spans. Mirrors the Spark plan
+# stage for stage so the hash check pins the full pipeline.
+DUCK_SPAN_CTES = f"""
+    toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    poss AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks,
+                    unnest(range(1, len(toks) - {SP.SPAN_K} + 2)) AS pos
+             FROM toks WHERE len(toks) >= {SP.SPAN_K}),
+    grams AS (SELECT doc_id, n_tokens, pos,
+                     array_to_string(toks[pos:pos+{SP.SPAN_K}-1], ' ') AS gram
+              FROM poss),
+    hits AS (SELECT doc_id, n_tokens, pos FROM (
+                 SELECT *, count(*) OVER (PARTITION BY gram) AS c FROM grams)
+             WHERE c >= {SP.SPAN_MIN_COUNT}),
+    runs AS (SELECT doc_id, n_tokens, pos,
+                    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                              IS NULL
+                           OR pos > lag(pos) OVER (PARTITION BY doc_id
+                                                   ORDER BY pos) + {SP.SPAN_K}
+                         THEN 1 ELSE 0 END AS is_new
+             FROM hits),
+    runid AS (SELECT doc_id, n_tokens, pos,
+                     sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS run
+              FROM runs),
+    spans AS (SELECT doc_id,
+                     CAST(min(pos) AS BIGINT) AS span_start,
+                     CAST(max(pos) + {SP.SPAN_K} - 1 AS BIGINT) AS span_end,
+                     CAST(max(pos) + {SP.SPAN_K} - min(pos) AS BIGINT)
+                         AS span_len
+              FROM runid GROUP BY doc_id, run)
+"""
+
+register(
+    "repeated_spans",
+    SP.repeated_spans,
+    f"""
+    WITH {DUCK_SPAN_CTES}
+    SELECT doc_id, span_start, span_end, span_len FROM spans
+    """,
+)
+
+register(
+    "dup_span_stats",
+    SP.dup_span_stats,
+    f"""
+    WITH {DUCK_SPAN_CTES},
+    cov AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_tokens
+            FROM spans GROUP BY doc_id),
+    alltoks AS (SELECT doc_id, CAST(len({DUCK_TOKS}) AS BIGINT) AS n_tokens
+                FROM documents)
+    SELECT a.doc_id, a.n_tokens,
+           coalesce(c.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+           round(coalesce(c.dup_tokens, 0) / greatest(a.n_tokens, 1), 6)
+               AS dup_fraction
+    FROM alltoks a LEFT JOIN cov c USING (doc_id)
+    """,
+)
+
+register(
+    "corpus_novelty",
+    SP.corpus_novelty,
+    f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    poss AS (SELECT doc_id, toks,
+                    unnest(range(1, len(toks) - {SP.SPAN_K} + 2)) AS pos
+             FROM toks WHERE len(toks) >= {SP.SPAN_K}),
+    grams AS (SELECT doc_id, pos,
+                     array_to_string(toks[pos:pos+{SP.SPAN_K}-1], ' ') AS gram
+              FROM poss),
+    pb AS (SELECT DISTINCT doc_id // {SP.NOVELTY_BUCKET_DOCS} AS bucket, gram
+           FROM grams),
+    fb AS (SELECT gram, min(bucket) AS first_bucket FROM pb GROUP BY gram)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS distinct_grams,
+           CAST(sum(CASE WHEN first_bucket = bucket THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel_grams,
+           round(sum(CASE WHEN first_bucket = bucket THEN 1 ELSE 0 END)
+                 / count(*), 6) AS novelty_rate
+    FROM pb JOIN fb USING (gram)
+    GROUP BY bucket
+    """,
+)

@@ -1,0 +1,96 @@
+"""Exact-substring (repeated-span) dedup vs DuckDB oracle AND an
+independent pure-Python reimplementation (tokenize -> k-gram counts ->
+interval merge), so the semantics are pinned by two disjoint engines."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pyarrow.parquet as pq
+import pytest
+
+from bigdata_infra_cs489_spark.operators.spans import SPAN_K, SPAN_MIN_COUNT
+
+from .oracle import assert_matches_oracle
+
+NAMES = ["repeated_spans", "dup_span_stats", "corpus_novelty"]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_matches_oracle(spark, sf_correct, name):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    assert_matches_oracle(q(spark, sf_correct), sql, sf_correct)
+
+
+def _py_tokenize(text: str) -> list[str]:
+    toks = re.split("[ \t\n\x0b\f\r]+", text.lower())
+    toks = [re.sub("(^[^a-z]+|[^a-z]+$)", "", t) for t in toks]
+    return [t for t in toks if t]
+
+
+def _py_spans(texts: dict[int, str]) -> dict[int, list[tuple[int, int]]]:
+    """doc_id -> merged (span_start, span_end) list, 1-based inclusive."""
+    grams: dict[int, list[str]] = {
+        d: [
+            " ".join(ts[i : i + SPAN_K])
+            for i in range(len(ts) - SPAN_K + 1)
+        ]
+        for d, ts in ((d, _py_tokenize(t)) for d, t in texts.items())
+    }
+    counts = Counter(g for gs in grams.values() for g in gs)
+    spans: dict[int, list[tuple[int, int]]] = {}
+    for d, gs in grams.items():
+        hits = [i + 1 for i, g in enumerate(gs) if counts[g] >= SPAN_MIN_COUNT]
+        merged: list[list[int]] = []
+        for p in hits:
+            if merged and p <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], p + SPAN_K - 1)
+            else:
+                merged.append([p, p + SPAN_K - 1])
+        if merged:
+            spans[d] = [tuple(m) for m in merged]
+    return spans
+
+
+def test_against_python_reimplementation(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    tbl = pq.read_table(f"{sf_smoke}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    expected = {
+        (d, s, e, e - s + 1) for d, sp in _py_spans(texts).items() for s, e in sp
+    }
+    got = {
+        tuple(r)
+        for r in entrymod.queries()["repeated_spans"](spark, sf_smoke).collect()
+    }
+    assert got == expected
+    # sanity: the fixture corpus actually contains duplicated spans
+    assert len(expected) > 0
+
+
+def test_stats_invariants(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["dup_span_stats"](spark, sf_smoke).collect()
+    n_docs = pq.read_metadata(f"{sf_smoke}/documents.parquet").num_rows
+    assert len(rows) == n_docs  # every doc scored, including span-free ones
+    for r in rows:
+        assert 0 <= r.dup_tokens <= r.n_tokens
+        assert abs(r.dup_fraction - round(r.dup_tokens / max(r.n_tokens, 1), 6)) < 1e-9
+
+
+def test_novelty_first_bucket_is_all_novel(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    rows = {
+        r.bucket: r
+        for r in entrymod.queries()["corpus_novelty"](spark, sf_smoke).collect()
+    }
+    assert rows[0].novelty_rate == 1.0  # nothing precedes bucket 0
+    for r in rows.values():
+        assert 0 < r.novel_grams <= r.distinct_grams or r.novel_grams == 0

@@ -100,8 +100,20 @@ def main() -> int:
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
     results = sweep(args.sf_dir, args.names or None)
+    # A targeted run MERGES into the standing file instead of clobbering
+    # the full-registry record (a 1-query rerun once replaced the whole
+    # 173-entry sweep); only a full run rewrites it.
+    if args.names:
+        try:
+            with open("/root/repo/SWEEP_LOCAL.json") as f:
+                merged = json.load(f)
+        except (OSError, ValueError):
+            merged = {}
+        merged.update(results)
+    else:
+        merged = results
     with open("/root/repo/SWEEP_LOCAL.json", "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(merged, f, indent=1)
     n_ok = sum(1 for r in results.values() if r["hash_match"])
     n_rows_only = sum(1 for r in results.values() if r["err"] == "no_oracle")
     n_fail = len(results) - n_ok - n_rows_only
