@@ -13,15 +13,20 @@ fingerprint relation:
     the gram -> windowed corpus count -> per-doc interval merge.
 
 A window duplicated at length >= k is detected exactly (every length-k
-sub-window collides), and merging overlapping/adjacent hits per doc
-reconstructs the maximal duplicated span, so for spans >= SPAN_K tokens
-this is the same verdict the suffix array gives. Cost is linear in
+sub-window collides), so recall vs the suffix array is exact for spans
+>= SPAN_K tokens. Merged EXTENTS can over-approximate, though: two
+distinct duplicated spans that overlap or abut within one doc merge
+into a single reported range whose full content need not occur verbatim
+anywhere else — fine for curation (strip/score), but not a byte-exact
+maximal-match certificate. Cost is linear in
 corpus tokens, the shuffle key is the gram content (uniform by
 construction — a key is hot only if the SPAN is hot, which is exactly
 the signal), and the per-doc interval merge is a doc-partitioned window
-over the tiny hit subset. At 100 TB the gram string would be replaced by
-its h8()/xxhash64 fingerprint to keep exchange rows narrow (documented,
-not done here, so the DuckDB oracle can share the literal key).
+over the tiny hit subset. repeated_spans_fp is the 100 TB shape: the
+exchange key is the gram's 8-byte xxhash64 fingerprint instead of the
+k-token string, shrinking shuffle rows to four fixed-width columns; the
+string-key variant stays as the oracle-checkable twin and the two are
+asserted identical on the fixtures.
 
 No reference counterpart (north-star extension family).
 """
@@ -67,12 +72,22 @@ def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dup_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dup_hits(spark: SparkSession, sf_dir: str, narrow_key: bool = False) -> DataFrame:
     """(doc_id, n_tokens, pos) of windows whose gram occurs >= SPAN_MIN_COUNT
     times corpus-wide (across documents OR repeated inside one). A single
-    keyed window count — one exchange, no self-join."""
+    keyed window count — one exchange, no self-join.
+
+    narrow_key=True exchanges the 8-byte xxhash64 fingerprint of the gram
+    instead of its string content — the 100 TB shape: shuffle rows shrink
+    from ~k tokens of text to (bigint fp, doc_id, bigint pos, bigint n),
+    and the gram string is pruned before the exchange. A fp collision
+    could only ADD a false dup hit (two distinct grams sharing a 64-bit
+    hash); at 2^-64 per pair this is negligible, and
+    tests/test_spans.py pins fp output == string output on the fixtures."""
     g = _grams(spark, sf_dir)
-    c = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    key = F.xxhash64("gram").alias("k") if narrow_key else F.col("gram").alias("k")
+    g = g.select("doc_id", "n_tokens", "pos", key)
+    c = F.count(F.lit(1)).over(Window.partitionBy("k"))
     return (
         g.withColumn("c", c)
         .where(F.col("c") >= SPAN_MIN_COUNT)
@@ -80,12 +95,14 @@ def _dup_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _merged_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _merged_spans(
+    spark: SparkSession, sf_dir: str, narrow_key: bool = False
+) -> DataFrame:
     """(doc_id, n_tokens, span_start, span_end, span_len): maximal merged
     duplicated regions. Hits [pos, pos+K-1] merge while overlapping or
     adjacent (next_pos <= prev_pos + K); positions are unique per doc so
     the lag ordering is deterministic."""
-    hits = _dup_hits(spark, sf_dir)
+    hits = _dup_hits(spark, sf_dir, narrow_key=narrow_key)
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(w)
     is_new = (prev.isNull() | (F.col("pos") > prev + SPAN_K)).cast("int")
@@ -105,6 +122,17 @@ def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, span_start, span_end, span_len): every maximal token range
     whose content also occurs elsewhere in the corpus (>= SPAN_K tokens)."""
     return _merged_spans(spark, sf_dir).select(
+        "doc_id", "span_start", "span_end", "span_len"
+    )
+
+
+def repeated_spans_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """repeated_spans with the narrow 8-byte fingerprint exchange key —
+    the variant a 100 TB corpus would run. Output contract is identical
+    to repeated_spans (same DuckDB oracle applies): a 64-bit collision is
+    the only way the two could diverge, and the equivalence is pinned by
+    tests/test_spans.py on top of the per-round driver hash."""
+    return _merged_spans(spark, sf_dir, narrow_key=True).select(
         "doc_id", "span_start", "span_end", "span_len"
     )
 

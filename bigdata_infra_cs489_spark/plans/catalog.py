@@ -3926,9 +3926,10 @@ from ..operators import spans as SP  # noqa: E402
 
 # Shared CTE chain: k-gram windows -> corpus-wide window count -> dup hits
 # -> per-doc interval merge into maximal spans. Mirrors the Spark plan
-# stage for stage so the hash check pins the full pipeline.
-DUCK_SPAN_CTES = f"""
-    toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+# stage for stage so the hash check pins the full pipeline. The tail is
+# split out (without the `toks` head) so corpus_curate can compose it
+# with the MinHash CTEs, which define the identical `toks` themselves.
+DUCK_SPAN_TAIL_CTES = f"""
     poss AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks,
                     unnest(range(1, len(toks) - {SP.SPAN_K} + 2)) AS pos
              FROM toks WHERE len(toks) >= {SP.SPAN_K}),
@@ -3956,9 +3957,27 @@ DUCK_SPAN_CTES = f"""
               FROM runid GROUP BY doc_id, run)
 """
 
+DUCK_SPAN_CTES = (
+    f"""
+    toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),"""
+    + DUCK_SPAN_TAIL_CTES
+)
+
 register(
     "repeated_spans",
     SP.repeated_spans,
+    f"""
+    WITH {DUCK_SPAN_CTES}
+    SELECT doc_id, span_start, span_end, span_len FROM spans
+    """,
+)
+
+register(
+    # Narrow-key (xxhash64 gram fingerprint) exchange — same output
+    # contract as repeated_spans, so it shares the string-key oracle;
+    # divergence would require a 64-bit hash collision.
+    "repeated_spans_fp",
+    SP.repeated_spans_fp,
     f"""
     WITH {DUCK_SPAN_CTES}
     SELECT doc_id, span_start, span_end, span_len FROM spans
@@ -4004,5 +4023,84 @@ register(
                  / count(*), 6) AS novelty_rate
     FROM pb JOIN fb USING (gram)
     GROUP BY bucket
+    """,
+)
+
+# --- end-to-end corpus curation (north-star composition; operators/curate.py)
+
+from ..operators import curate as CU  # noqa: E402
+
+register(
+    "corpus_curate",
+    CU.corpus_curate,
+    f"""
+    WITH RECURSIVE {DUCK_MINHASH_PAIR_CTES},{DUCK_SPAN_TAIL_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        WHERE jaccard >= {D.JACCARD_THRESHOLD}
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+        WHERE jaccard >= {D.JACCARD_THRESHOLD}),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    cl AS (
+        SELECT src AS doc_id, min(dst) AS cluster_id
+        FROM reach GROUP BY src),
+    chars AS (SELECT doc_id, CAST(len(text) AS INT) AS n_chars FROM documents),
+    reps AS (
+        SELECT cluster_id, doc_id, CAST(cluster_size AS BIGINT) AS cluster_size
+        FROM (
+            SELECT cl.cluster_id, cl.doc_id,
+                   row_number() OVER (PARTITION BY cl.cluster_id
+                       ORDER BY chars.n_chars DESC, cl.doc_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY cl.cluster_id) AS cluster_size
+            FROM cl JOIN chars USING (doc_id))
+        WHERE rn = 1),
+    ex AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS can
+            FROM documents)
+        WHERE doc_id = can),
+    splits AS (
+        SELECT doc_id,
+               CASE WHEN {DUCK_H8.format(x=f"CAST(cluster_id AS VARCHAR) || '{SA.CLUSTER_SPLIT_SALT}'")} % 100
+                        < {SA.TRAIN_PCT} THEN 'train'
+                    WHEN {DUCK_H8.format(x=f"CAST(cluster_id AS VARCHAR) || '{SA.CLUSTER_SPLIT_SALT}'")} % 100
+                        < {SA.TRAIN_PCT + SA.VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM cl),
+    cov AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_tokens
+            FROM spans GROUP BY doc_id),
+    alltoks AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM toks),
+    sp AS (
+        SELECT a.doc_id, a.n_tokens,
+               coalesce(c.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens
+        FROM alltoks a LEFT JOIN cov c USING (doc_id)),
+    tq AS ({_TEXT_QUALITY_SQL}),
+    kept AS (
+        SELECT r.doc_id, r.cluster_id, r.cluster_size, s.split,
+               sp.n_tokens, sp.dup_tokens,
+               sp.n_tokens - sp.dup_tokens AS kept_tokens,
+               tq.quality_score
+        FROM reps r
+        JOIN ex USING (doc_id)
+        JOIN splits s USING (doc_id)
+        JOIN sp USING (doc_id)
+        JOIN tq USING (doc_id)
+        WHERE tq.quality_score >= {CU.CURATE_MIN_QUALITY}
+          AND sp.dup_tokens * {CU.CURATE_MAX_DUP_DEN} <= sp.n_tokens),
+    packed AS (
+        SELECT *, sum(kept_tokens) OVER (
+                   ORDER BY quality_score DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_kept_tokens
+        FROM kept)
+    SELECT doc_id, cluster_id, cluster_size, split, n_tokens, dup_tokens,
+           CAST(kept_tokens AS BIGINT) AS kept_tokens, quality_score,
+           CAST(cum_kept_tokens AS BIGINT) AS cum_kept_tokens
+    FROM packed WHERE cum_kept_tokens <= {CU.CURATE_TOKEN_BUDGET}
     """,
 )

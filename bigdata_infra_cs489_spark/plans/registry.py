@@ -33,85 +33,26 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 
 # The driver's correctness run covers the FIRST 50 entries of queries().
-# Round-4 rotation, front-loading the entire known verification debt:
-#   slots 1-5   the five round-3 driver-RED queries, now fixed (their
-#               oracles emitted HUGEINT columns — pandas-fragile; all
-#               are CAST AS BIGINT now) — kept in the window so
-#               CORRECTNESS_r04 proves the fix;
-#   slots 6-13  the eight queries whose last driver row is a stale r2
-#               `no_oracle` (oracles added late in r3: recursive-CTE SGD
-#               replay for the spam family, unrolled k-means for IVF);
-#   slots 14-50 37 of the 72 never-driver-checked queries, prioritized:
-#               the six that carried the same latent HUGEINT bug (fixed
-#               this round), the VERDICT-named ops (term_lookup,
-#               jaccard_prefix_join, user_scd2_history), then family
-#               representatives (PQ/IVFPQ, BPE, sketches, dedup suite,
-#               feature store, streaming sinks, format roundtrips).
-# The 35 still-unchecked names queue directly after slot 50 so the
-# round-5 rotation clears the backlog completely. Names and semantics
-# are untouched — this is purely an export-order contract; everything
-# outside the window keeps its verify_sweep + pytest coverage.
+# Round-5 rotation (final backlog clear):
+#   slots 1-35  the 35 queries queued at slots 51-85 in round 4 — the
+#               last cohort never to have received a driver row; all are
+#               builder-sweep hash-green and 8 were judge-reproduced.
+#   slots 36-38 the round-4 span family (registered after the r4 window
+#               was pinned, so also never driver-checked).
+#   slots 39-40 round-5 additions: repeated_spans_fp (narrow-key 100 TB
+#               variant of repeated_spans) and corpus_curate (end-to-end
+#               composed curation pipeline). Listed here before they are
+#               registered — _window_order drops unknown names, so the
+#               contract is stable either way.
+#   slots 41-50 the OLDEST driver-green rows (drv-r2) for staleness
+#               re-confirmation, per the round-4 verdict's rotation
+#               protocol.
+# After this window runs green, every registered query has a driver
+# hash row from some round. Names and semantics are untouched — this is
+# purely an export-order contract; everything outside the window keeps
+# its verify_sweep + pytest coverage.
 _DRIVER_WINDOW_FIRST = (
-    # -- round-3 driver-red, fixed this round -------------------------
-    "sequence_pack",
-    "token_budget_pack",
-    "events_sessionize",
-    "events_json_stats",
-    "lang_mixture_rates",
-    # -- stale r2 no_oracle rows, oracles now exist -------------------
-    "spam_train",
-    "spam_train_shuffled",
-    "spam_apply",
-    "spam_ensemble_average",
-    "spam_ensemble_vote",
-    "spam_model_auc",
-    "ivf_train_centroids",
-    "ivf_topk_trained",
-    # -- never driver-checked: latent-HUGEINT fixes first -------------
-    "token_zipf_stats",
-    "corpus_report",
-    "schema_evolution_events",
-    "user_feature_matrix",
-    "source_lang_entropy",
-    "events_quality_gate",
-    # -- never driver-checked: VERDICT-named --------------------------
-    "term_lookup",
-    "jaccard_prefix_join",
-    "user_scd2_history",
-    # -- never driver-checked: vector/PQ family -----------------------
-    "lsh_topk_indexed",
-    "pq_codes",
-    "pq_topk",
-    "ivfpq_topk",
-    "ivfpq_topk_indexed",
-    "knn_label_accuracy",
-    "hard_negative_pairs",
-    "embedding_drift",
-    # -- never driver-checked: BPE + sketches -------------------------
-    "bpe_merges",
-    "bpe_token_counts",
-    "cms_heavy_hitters",
-    "bloom_prefilter_check",
-    # -- never driver-checked: dedup suite ----------------------------
-    "dedup_keep_best",
-    "incremental_dedup_assign",
-    "leakage_safe_split",
-    "editdist_near_duplicates",
-    "minhash_estimate_error",
-    "source_dedup_rates",
-    # -- never driver-checked: feature store / retention --------------
-    "customer_rfm",
-    "user_retention_cohorts",
-    "weekly_active_users",
-    "user_churn_flags",
-    "user_decayed_value",
-    # -- never driver-checked: streaming sinks + format roundtrips ----
-    "stream_upsert_user_state",
-    "stream_partitioned_sink",
-    "orc_roundtrip_customer",
-    "jsonl_roundtrip_events",
-    "partitioned_day_scan",
-    # ---- slot 51+: the 35 remaining never-checked, queued for r5 ----
+    # -- slots 1-35: the final never-driver-checked cohort ------------
     "bucketed_customer_orders",
     "source_capped_sample",
     "media_features",
@@ -147,6 +88,24 @@ _DRIVER_WINDOW_FIRST = (
     "events_debounced",
     "events_seasonality",
     "user_value_deciles",
+    # -- slots 36-38: round-4 span family (registered post-window) ----
+    "repeated_spans",
+    "dup_span_stats",
+    "corpus_novelty",
+    # -- slots 39-40: round-5 additions -------------------------------
+    "repeated_spans_fp",
+    "corpus_curate",
+    # -- slots 41-50: oldest (drv-r2) greens, staleness re-confirm ----
+    "q1_count_shipped",
+    "q3_lineitem_part_supplier",
+    "q6_pricing_summary",
+    "wordcount",
+    "pmi_pairs",
+    "bigram_rel_freq",
+    "inverted_index_postings",
+    "boolean_retrieval",
+    "dedup_exact",
+    "ppr_topk",
 )
 
 

@@ -1,0 +1,73 @@
+"""corpus_curate: the composed end-to-end curation pipeline — oracle
+match plus stage-invariant checks against the standalone operators it
+composes (each of which has its own oracle), so a regression in the
+composition is attributable to a stage."""
+
+from __future__ import annotations
+
+from bigdata_infra_cs489_spark.operators.curate import (
+    CURATE_MAX_DUP_DEN,
+    CURATE_MIN_QUALITY,
+    CURATE_TOKEN_BUDGET,
+)
+
+from .oracle import assert_matches_oracle
+
+
+def _rows(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries()["corpus_curate"](spark, sf_dir).collect()
+
+
+def test_matches_oracle(spark, sf_correct):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["corpus_curate"]
+    sql = entrymod.oracle_sql()["corpus_curate"]
+    assert_matches_oracle(q(spark, sf_correct), sql, sf_correct)
+
+
+def test_gate_and_budget_invariants(spark, sf_correct):
+    rows = _rows(spark, sf_correct)
+    assert len(rows) > 0
+    # one surviving representative per near-dup cluster, never more
+    assert len({r.cluster_id for r in rows}) == len(rows)
+    for r in rows:
+        assert r.quality_score >= CURATE_MIN_QUALITY
+        assert r.dup_tokens * CURATE_MAX_DUP_DEN <= r.n_tokens
+        assert r.kept_tokens == r.n_tokens - r.dup_tokens
+        assert r.split in ("train", "val", "test")
+        assert 0 < r.cum_kept_tokens <= CURATE_TOKEN_BUDGET
+    # greedy pack: cumulative totals are exactly the running sum of
+    # kept_tokens in (quality desc, doc_id asc) order
+    ordered = sorted(rows, key=lambda r: (-r.quality_score, r.doc_id))
+    cum = 0
+    for r in ordered:
+        cum += r.kept_tokens
+        assert r.cum_kept_tokens == cum
+
+
+def test_stages_agree_with_standalone_operators(spark, sf_correct):
+    """Survivors must be consistent with the standalone stage operators:
+    keep-best reps, leakage-safe split assignment, span stats."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    rows = _rows(spark, sf_correct)
+    reps = {
+        r.doc_id: r for r in qs["dedup_keep_best"](spark, sf_correct).collect()
+    }
+    split = {
+        r.doc_id: r.split
+        for r in qs["leakage_safe_split"](spark, sf_correct).collect()
+    }
+    spans = {
+        r.doc_id: r for r in qs["dup_span_stats"](spark, sf_correct).collect()
+    }
+    for r in rows:
+        assert r.doc_id in reps  # every survivor is its cluster's keep-best
+        assert reps[r.doc_id].cluster_id == r.cluster_id
+        assert split[r.doc_id] == r.split
+        assert spans[r.doc_id].dup_tokens == r.dup_tokens
+        assert spans[r.doc_id].n_tokens == r.n_tokens

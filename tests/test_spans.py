@@ -14,7 +14,7 @@ from bigdata_infra_cs489_spark.operators.spans import SPAN_K, SPAN_MIN_COUNT
 
 from .oracle import assert_matches_oracle
 
-NAMES = ["repeated_spans", "dup_span_stats", "corpus_novelty"]
+NAMES = ["repeated_spans", "dup_span_stats", "corpus_novelty", "repeated_spans_fp"]
 
 
 @pytest.mark.parametrize("name", NAMES)
@@ -71,6 +71,19 @@ def test_against_python_reimplementation(spark, sf_smoke):
     assert got == expected
     # sanity: the fixture corpus actually contains duplicated spans
     assert len(expected) > 0
+
+
+def test_fp_variant_equals_string_variant(spark, sf_correct):
+    """The narrow-key (xxhash64 gram fingerprint) exchange must produce
+    the identical span set: a divergence requires a 64-bit collision
+    between two distinct grams actually present in the corpus."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    string_rows = {tuple(r) for r in qs["repeated_spans"](spark, sf_correct).collect()}
+    fp_rows = {tuple(r) for r in qs["repeated_spans_fp"](spark, sf_correct).collect()}
+    assert fp_rows == string_rows
+    assert len(string_rows) > 0
 
 
 def test_stats_invariants(spark, sf_smoke):

@@ -107,8 +107,19 @@ def main() -> int:
         try:
             with open("/root/repo/SWEEP_LOCAL.json") as f:
                 merged = json.load(f)
-        except (OSError, ValueError):
+        except FileNotFoundError:
             merged = {}
+        except (OSError, ValueError) as e:
+            # A corrupt standing record must not be silently clobbered by
+            # a targeted rerun — that is exactly how the full-sweep record
+            # was lost once. Fail loudly; the operator decides.
+            print(
+                "ERROR: existing SWEEP_LOCAL.json is unreadable "
+                f"({e!r}); refusing to merge a targeted run over it. "
+                "Fix or remove the file, or run a full sweep.",
+                file=sys.stderr,
+            )
+            return 2
         merged.update(results)
     else:
         merged = results
