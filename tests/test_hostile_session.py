@@ -37,6 +37,12 @@ HOSTILE_QUERIES = (
     "token_counts",
     "lang_mixture_rates",
     "user_scd2_history",
+    # one representative per newest family: k-gram span dedup, PQ probe,
+    # and the composed curation pipeline (touches dedup+spans+quality+
+    # split+distsort in one plan)
+    "repeated_spans",
+    "pq_topk",
+    "corpus_curate",
 )
 
 
