@@ -95,14 +95,12 @@ def _dup_hits(spark: SparkSession, sf_dir: str, narrow_key: bool = False) -> Dat
     )
 
 
-def _merged_spans(
-    spark: SparkSession, sf_dir: str, narrow_key: bool = False
-) -> DataFrame:
-    """(doc_id, n_tokens, span_start, span_end, span_len): maximal merged
-    duplicated regions. Hits [pos, pos+K-1] merge while overlapping or
-    adjacent (next_pos <= prev_pos + K); positions are unique per doc so
-    the lag ordering is deterministic."""
-    hits = _dup_hits(spark, sf_dir, narrow_key=narrow_key)
+def _merge_intervals(hits: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, span_start, span_end, span_len) from a
+    (doc_id, n_tokens, pos) hit relation: hits [pos, pos+K-1] merge while
+    overlapping or adjacent (next_pos <= prev_pos + K); positions are
+    unique per doc so the lag ordering is deterministic. The window is
+    doc-partitioned over the tiny hit subset — never the corpus."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(w)
     is_new = (prev.isNull() | (F.col("pos") > prev + SPAN_K)).cast("int")
@@ -116,6 +114,13 @@ def _merged_spans(
         (F.max("pos") + SPAN_K - 1).alias("span_end"),
         (F.max("pos") + SPAN_K - F.min("pos")).alias("span_len"),
     )
+
+
+def _merged_spans(
+    spark: SparkSession, sf_dir: str, narrow_key: bool = False
+) -> DataFrame:
+    """Corpus-wide maximal merged duplicated regions."""
+    return _merge_intervals(_dup_hits(spark, sf_dir, narrow_key=narrow_key))
 
 
 def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,6 +164,40 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.col("n_tokens"), F.lit(1)),
             6,
         ).alias("dup_fraction"),
+    )
+
+
+def incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, span_start, span_end, span_len): for each document of a
+    NEW crawl batch (doc_id % NEW_BATCH_MOD == NEW_BATCH_MOD - 1, the
+    same convention as dedup.incremental_dedup_assign), the maximal token
+    ranges whose content already occurs in the OLD corpus — the
+    production shape of span dedup at 100 TB, where the corpus's distinct
+    k-gram set is a maintained asset and each increment only probes it,
+    never re-scanning old-vs-old.
+
+    Scale shape: ONE left-semi equi-join of the increment's grams against
+    the standing distinct-gram index (cost ∝ increment size + matched
+    index partitions, keys uniform by construction), then the per-doc
+    interval merge over the tiny hit subset. On a real deployment the old
+    gram set is the persisted table (stored as xxhash64 fingerprints —
+    swap the join key exactly as repeated_spans_fp does); here it
+    rebuilds from the fixture so the DuckDB oracle is self-contained.
+    Note the semantic difference from repeated_spans: only NEW-vs-OLD
+    duplication counts — content repeated within the new batch alone is
+    left for the batch's own intra-run pass."""
+    from .dedup import NEW_BATCH_MOD
+
+    g = _grams(spark, sf_dir)
+    is_new = (F.col("doc_id") % NEW_BATCH_MOD) == (NEW_BATCH_MOD - 1)
+    old_index = g.where(~is_new).select("gram").distinct()
+    hits = (
+        g.where(is_new)
+        .join(old_index, "gram", "leftsemi")
+        .select("doc_id", "n_tokens", "pos")
+    )
+    return _merge_intervals(hits).select(
+        "doc_id", "span_start", "span_end", "span_len"
     )
 
 

@@ -3929,16 +3929,19 @@ from ..operators import spans as SP  # noqa: E402
 # stage for stage so the hash check pins the full pipeline. The tail is
 # split out (without the `toks` head) so corpus_curate can compose it
 # with the MinHash CTEs, which define the identical `toks` themselves.
-DUCK_SPAN_TAIL_CTES = f"""
+# gram expansion (from an in-scope `toks` CTE) and the interval-merge
+# chain (from an in-scope `hits` CTE) are separate fragments so the
+# corpus-wide and incremental variants share both around different hit
+# definitions.
+DUCK_SPAN_GRAM_CTES = f"""
     poss AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks,
                     unnest(range(1, len(toks) - {SP.SPAN_K} + 2)) AS pos
              FROM toks WHERE len(toks) >= {SP.SPAN_K}),
     grams AS (SELECT doc_id, n_tokens, pos,
                      array_to_string(toks[pos:pos+{SP.SPAN_K}-1], ' ') AS gram
-              FROM poss),
-    hits AS (SELECT doc_id, n_tokens, pos FROM (
-                 SELECT *, count(*) OVER (PARTITION BY gram) AS c FROM grams)
-             WHERE c >= {SP.SPAN_MIN_COUNT}),
+              FROM poss)"""
+
+DUCK_SPAN_MERGE_CTES = f"""
     runs AS (SELECT doc_id, n_tokens, pos,
                     CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
                               IS NULL
@@ -3956,6 +3959,15 @@ DUCK_SPAN_TAIL_CTES = f"""
                          AS span_len
               FROM runid GROUP BY doc_id, run)
 """
+
+DUCK_SPAN_TAIL_CTES = (
+    DUCK_SPAN_GRAM_CTES
+    + f""",
+    hits AS (SELECT doc_id, n_tokens, pos FROM (
+                 SELECT *, count(*) OVER (PARTITION BY gram) AS c FROM grams)
+             WHERE c >= {SP.SPAN_MIN_COUNT}),"""
+    + DUCK_SPAN_MERGE_CTES
+)
 
 DUCK_SPAN_CTES = (
     f"""
@@ -3998,6 +4010,22 @@ register(
            round(coalesce(c.dup_tokens, 0) / greatest(a.n_tokens, 1), 6)
                AS dup_fraction
     FROM alltoks a LEFT JOIN cov c USING (doc_id)
+    """,
+)
+
+register(
+    # new-batch grams probed against the standing OLD-corpus gram index;
+    # same batch convention (doc_id % 10 == 9) as incremental_dedup_assign
+    "incremental_spans",
+    SP.incremental_spans,
+    f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),{DUCK_SPAN_GRAM_CTES},
+    old_index AS (SELECT DISTINCT gram FROM grams
+                  WHERE doc_id % {D.NEW_BATCH_MOD} != {D.NEW_BATCH_MOD - 1}),
+    hits AS (SELECT g.doc_id, g.n_tokens, g.pos FROM grams g
+             WHERE g.doc_id % {D.NEW_BATCH_MOD} = {D.NEW_BATCH_MOD - 1}
+               AND g.gram IN (SELECT gram FROM old_index)),{DUCK_SPAN_MERGE_CTES}
+    SELECT doc_id, span_start, span_end, span_len FROM spans
     """,
 )
 

@@ -14,7 +14,13 @@ from bigdata_infra_cs489_spark.operators.spans import SPAN_K, SPAN_MIN_COUNT
 
 from .oracle import assert_matches_oracle
 
-NAMES = ["repeated_spans", "dup_span_stats", "corpus_novelty", "repeated_spans_fp"]
+NAMES = [
+    "repeated_spans",
+    "dup_span_stats",
+    "corpus_novelty",
+    "repeated_spans_fp",
+    "incremental_spans",
+]
 
 
 @pytest.mark.parametrize("name", NAMES)
@@ -95,6 +101,87 @@ def test_stats_invariants(spark, sf_smoke):
     for r in rows:
         assert 0 <= r.dup_tokens <= r.n_tokens
         assert abs(r.dup_fraction - round(r.dup_tokens / max(r.n_tokens, 1), 6)) < 1e-9
+
+
+def test_incremental_spans_python_reimpl_and_containment(spark, sf_smoke):
+    """incremental_spans (new batch vs standing old-corpus gram index)
+    against a pure-Python reimplementation, plus the containment
+    invariant: a new-vs-old duplicated window is a fortiori corpus-
+    duplicated, so every incremental span lies inside some repeated_span
+    of the same document."""
+    import __spark_entry__ as entrymod
+    from bigdata_infra_cs489_spark.operators.dedup import NEW_BATCH_MOD
+
+    tbl = pq.read_table(f"{sf_smoke}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    new_ids = {d for d in texts if d % NEW_BATCH_MOD == NEW_BATCH_MOD - 1}
+    grams = {
+        d: [" ".join(ts[i : i + SPAN_K]) for i in range(len(ts) - SPAN_K + 1)]
+        for d, ts in ((d, _py_tokenize(t)) for d, t in texts.items())
+    }
+    old_index = {g for d, gs in grams.items() if d not in new_ids for g in gs}
+    expected = set()
+    for d in new_ids:
+        hits = [i + 1 for i, g in enumerate(grams[d]) if g in old_index]
+        merged: list[list[int]] = []
+        for p in hits:
+            if merged and p <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], p + SPAN_K - 1)
+            else:
+                merged.append([p, p + SPAN_K - 1])
+        expected |= {(d, s, e, e - s + 1) for s, e in merged}
+    qs = entrymod.queries()
+    got = {tuple(r) for r in qs["incremental_spans"](spark, sf_smoke).collect()}
+    assert got == expected
+    assert len(got) > 0  # fixture corpus has cross-batch duplication
+    corpus_spans: dict[int, list[tuple[int, int]]] = {}
+    for r in qs["repeated_spans"](spark, sf_smoke).collect():
+        corpus_spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for d, s, e, _ in got:
+        assert any(cs <= s and e <= ce for cs, ce in corpus_spans.get(d, []))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_merge_intervals_property(spark, seed):
+    """Adversarial positions for the interval-merge core: random hit sets
+    dense around the exact adjacency boundary (gap == SPAN_K merges,
+    gap == SPAN_K + 1 must NOT), all docs checked in ONE Spark job
+    against the obvious sequential merge."""
+    import random
+
+    rng = random.Random(seed)
+    docs: dict[int, list[int]] = {}
+    for d in range(40):
+        base, positions = 1, []
+        while base <= 60 and len(positions) < 20:
+            positions.append(base)
+            # steps cluster on K-1, K, K+1 — the merge boundary — plus
+            # occasional long jumps and dense overlaps
+            base += rng.choice([1, 2, SPAN_K - 1, SPAN_K, SPAN_K + 1, 17])
+        docs[d] = sorted(set(positions))
+
+    def py_merge(ps: list[int]) -> set[tuple[int, int, int]]:
+        out, cur = set(), None
+        for p in ps:
+            if cur and p <= cur[1] + 1:
+                cur[1] = max(cur[1], p + SPAN_K - 1)
+            else:
+                if cur:
+                    out.add((cur[0], cur[1], cur[1] - cur[0] + 1))
+                cur = [p, p + SPAN_K - 1]
+        if cur:
+            out.add((cur[0], cur[1], cur[1] - cur[0] + 1))
+        return out
+
+    from bigdata_infra_cs489_spark.operators.spans import _merge_intervals
+
+    rows = [(d, 100, p) for d, ps in docs.items() for p in ps]
+    hits = spark.createDataFrame(rows, "doc_id long, n_tokens long, pos long")
+    got: dict[int, set] = {}
+    for r in _merge_intervals(hits).collect():
+        got.setdefault(r.doc_id, set()).add((r.span_start, r.span_end, r.span_len))
+    for d, ps in docs.items():
+        assert got.get(d, set()) == py_merge(ps), f"doc {d} positions {ps}"
 
 
 def test_novelty_first_bucket_is_all_novel(spark, sf_smoke):
