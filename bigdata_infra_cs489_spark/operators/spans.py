@@ -167,6 +167,50 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, kept_tokens, clean_text): the corpus with every
+    token inside a corpus-duplicated span REMOVED — the step that
+    materializes the cleaned text dup_span_stats only scores. Removes
+    every marked occurrence (both copies of a duplicated span), which is
+    the deliberately conservative strip for the curate pipeline's
+    below-threshold survivors; a keep-one-occurrence policy (Lee et al.)
+    needs a global arbitration pass and is intentionally out of scope.
+
+    Plan shape: the span relation reduces to a per-doc array of (tiny)
+    merged intervals, broadcast back onto one corpus scan via a doc_id
+    left join; the strip itself is a pure JVM higher-order expression
+    (transform + exists), zero Python, zero extra shuffle beyond the
+    span pipeline's one keyed exchange."""
+    docs = load(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", tokenize("text").alias("toks")
+    )
+    sps = (
+        _merged_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("span_start", "span_end")).alias("sps"))
+    )
+    empty = F.array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+    j = docs.join(sps, "doc_id", "left").select(
+        "doc_id", "toks", F.coalesce("sps", empty).alias("sps")
+    )
+    indexed = F.transform(
+        "toks", lambda t, i: F.struct(t.alias("t"), (i + 1).cast("bigint").alias("p"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            "sps",
+            lambda r: (r["span_start"] <= s["p"]) & (s["p"] <= r["span_end"]),
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(kept).cast("bigint").alias("kept_tokens"),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("clean_text"),
+    )
+
+
 def incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, span_start, span_end, span_len): for each document of a
     NEW crawl batch (doc_id % NEW_BATCH_MOD == NEW_BATCH_MOD - 1, the

@@ -4014,6 +4014,32 @@ register(
 )
 
 register(
+    # per-doc merged-interval arrays joined back onto one corpus scan;
+    # the strip is a pure list-lambda on both engines
+    "strip_spans",
+    SP.strip_spans,
+    f"""
+    WITH {DUCK_SPAN_CTES},
+    sp AS (SELECT doc_id, list({{'s': span_start, 'e': span_end}}) AS sps
+           FROM spans GROUP BY doc_id),
+    j AS (SELECT t.doc_id, t.toks, coalesce(sp.sps, []) AS sps
+          FROM toks t LEFT JOIN sp USING (doc_id)),
+    k AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 list_filter(
+                     list_transform(range(1, len(toks) + 1),
+                         p -> CASE WHEN len(list_filter(sps,
+                                       r -> r.s <= p AND p <= r.e)) = 0
+                                   THEN toks[p] ELSE NULL END),
+                     x -> x IS NOT NULL) AS kept
+          FROM j)
+    SELECT doc_id, n_tokens, CAST(len(kept) AS BIGINT) AS kept_tokens,
+           -- duckdb's array_to_string([]) is NULL; spark's array_join is ''
+           coalesce(array_to_string(kept, ' '), '') AS clean_text
+    FROM k
+    """,
+)
+
+register(
     # new-batch grams probed against the standing OLD-corpus gram index;
     # same batch convention (doc_id % 10 == 9) as incremental_dedup_assign
     "incremental_spans",

@@ -20,6 +20,7 @@ NAMES = [
     "corpus_novelty",
     "repeated_spans_fp",
     "incremental_spans",
+    "strip_spans",
 ]
 
 
@@ -139,6 +140,23 @@ def test_incremental_spans_python_reimpl_and_containment(spark, sf_smoke):
         corpus_spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
     for d, s, e, _ in got:
         assert any(cs <= s and e <= ce for cs, ce in corpus_spans.get(d, []))
+
+
+def test_strip_matches_span_stats(spark, sf_smoke):
+    """Merged spans never overlap, so the stripped token count must equal
+    dup_span_stats' coverage exactly: kept = n_tokens - dup_tokens; and
+    clean_text must re-tokenize to exactly kept_tokens tokens."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    stats = {r.doc_id: r for r in qs["dup_span_stats"](spark, sf_smoke).collect()}
+    stripped = qs["strip_spans"](spark, sf_smoke).collect()
+    assert len(stripped) == len(stats)
+    for r in stripped:
+        s = stats[r.doc_id]
+        assert r.n_tokens == s.n_tokens
+        assert r.kept_tokens == s.n_tokens - s.dup_tokens
+        assert len(r.clean_text.split()) == r.kept_tokens
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
