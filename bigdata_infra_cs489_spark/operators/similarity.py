@@ -146,6 +146,57 @@ def ivf_assignments(
     )
 
 
+CB_SAMPLE_SALT = "cbsample-v1"
+_CB_PPM = 1_000_000
+
+
+def cluster_balanced_sample(
+    spark: SparkSession, sf_dir: str, n_centroids: int = N_CENTROIDS
+) -> DataFrame:
+    """(vec_id, centroid_id): an embedding-cluster-BALANCED sample of the
+    corpus — every vector is assigned to its nearest centroid, each
+    cluster is downsampled toward the smallest cluster's mass
+    (keep_ppm = min_size * 1e6 // size, pure int64), and membership is
+    decided by the portable salted hash of vec_id. The topic-rebalancing
+    step of an embedding-curated pipeline (the SemDeDup observation:
+    over-represented semantic clusters contribute redundant gradient
+    signal), with the same determinism contract as every sampler here —
+    identical membership across runs, engines, and partitionings.
+
+    Scale shape: assignment is the shuffle-free narrow scan of
+    _nearest_centroid_col; cluster sizes are ONE partial-aggregated pass
+    down to C rows collected driver-side (the lang_mixture_rates O(tiny)
+    collect discipline — a second DataFrame branch referencing the
+    global min would make Catalyst evaluate the assignment scan twice
+    inside one job with no sharing); the keep decision is a map-side
+    literal-map lookup + hash compare. No join, no shuffle.
+    """
+    from ..functions.hashing import h8
+
+    emb = _emb(spark, sf_dir)
+    cents = _centroid_rows(spark, sf_dir, n_centroids)
+    assign = _nearest_centroid_col(cents).alias("centroid_id")
+    assigned = emb.select("vec_id", assign)
+    counts = {
+        int(r["centroid_id"]): int(r["n"])
+        for r in assigned.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    mn = min(counts.values())
+    ppm_map = F.create_map(
+        *[
+            F.lit(v)
+            for cid, n in sorted(counts.items())
+            for v in (cid, mn * _CB_PPM // n)
+        ]
+    )
+    bucket = h8(F.concat(F.col("vec_id").cast("string"), F.lit(CB_SAMPLE_SALT)))
+    return assigned.where(
+        bucket % _CB_PPM < F.element_at(ppm_map, F.col("centroid_id"))
+    )
+
+
 def probe_centroid_ids(cent_df: DataFrame, q: DataFrame, nprobe: int) -> list[int]:
     """The ONE probe rule every IVF variant shares: rank centroids by
     cosine to the query (desc, centroid_id tie-break), collect the

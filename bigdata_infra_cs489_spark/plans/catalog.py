@@ -1139,6 +1139,39 @@ register(
     """,
 )
 
+register(
+    # equal-mass rebalancing across embedding clusters; same assignment
+    # CTEs as ivf_assignments, int64 keep rates, portable-hash membership
+    "cluster_balanced_sample",
+    lambda spark, sf: S.cluster_balanced_sample(spark, sf),
+    f"""
+    WITH e AS ({DUCK_EMB}),
+    cent AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
+             WHERE vec_id < {S.N_CENTROIDS}),
+    scored AS (
+        SELECT e.vec_id, c.centroid_id,
+               list_cosine_similarity(e.v, c.cvec) AS cos
+        FROM e, cent c),
+    best AS (
+        SELECT vec_id, centroid_id
+        FROM (SELECT vec_id, centroid_id,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, centroid_id ASC) AS rn
+              FROM scored)
+        WHERE rn = 1),
+    counts AS (SELECT centroid_id, count(*) AS n FROM best
+               GROUP BY centroid_id),
+    m AS (SELECT min(n) AS mn FROM counts),
+    rates AS (SELECT centroid_id, CAST(mn * {S._CB_PPM} // n AS BIGINT)
+                  AS keep_ppm
+              FROM counts, m)
+    SELECT b.vec_id, b.centroid_id
+    FROM best b JOIN rates r USING (centroid_id)
+    WHERE {DUCK_H8.format(x=f"CAST(b.vec_id AS VARCHAR) || '{S.CB_SAMPLE_SALT}'")}
+          % {S._CB_PPM} < r.keep_ppm
+    """,
+)
+
 _IVF_TOPK_SQL = f"""
     WITH e AS ({DUCK_EMB}),
     q AS (SELECT v AS q FROM e WHERE vec_id = {S.QUERY_VEC_ID}),

@@ -239,3 +239,42 @@ def test_ivf_assignment_is_shuffle_free(spark, sf_smoke):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_cluster_balanced_sample_invariants(spark, sf_smoke):
+    """Equal-mass rebalance: the smallest cluster is kept whole
+    (keep_ppm == 1e6), every kept row's membership matches the portable
+    hash rule, and kept counts can't exceed cluster sizes."""
+    from collections import Counter
+
+    import hashlib
+
+    from bigdata_infra_cs489_spark.operators.similarity import (
+        CB_SAMPLE_SALT,
+        _CB_PPM,
+        cluster_balanced_sample,
+        ivf_assignments,
+    )
+
+    def py_h8(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    sizes = Counter(
+        r.centroid_id for r in ivf_assignments(spark, sf_smoke).collect()
+    )
+    mn = min(sizes.values())
+    kept = cluster_balanced_sample(spark, sf_smoke).collect()
+    kept_by_cluster = Counter(r.centroid_id for r in kept)
+    for cid, n in sizes.items():
+        ppm = mn * _CB_PPM // n
+        expect = sum(
+            1
+            for r in kept
+            if r.centroid_id == cid
+        )
+        assert expect <= n
+        if n == mn:
+            assert kept_by_cluster[cid] == n  # smallest cluster kept whole
+    for r in kept:
+        ppm = mn * _CB_PPM // sizes[r.centroid_id]
+        assert py_h8(f"{r.vec_id}{CB_SAMPLE_SALT}") % _CB_PPM < ppm
