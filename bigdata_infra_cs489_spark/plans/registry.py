@@ -39,12 +39,12 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #               builder-sweep hash-green and 8 were judge-reproduced.
 #   slots 36-38 the round-4 span family (registered after the r4 window
 #               was pinned, so also never driver-checked).
-#   slots 39-40 round-5 additions: repeated_spans_fp (narrow-key 100 TB
-#               variant of repeated_spans) and corpus_curate (end-to-end
-#               composed curation pipeline). Listed here before they are
-#               registered — _window_order drops unknown names, so the
-#               contract is stable either way.
-#   slots 41-50 the OLDEST driver-green rows (drv-r2) for staleness
+#   slots 39-43 round-5 additions: repeated_spans_fp (narrow-key 100 TB
+#               variant), corpus_curate (end-to-end composed curation
+#               pipeline), strip_spans, incremental_spans,
+#               cluster_balanced_sample. _window_order drops unknown
+#               names, so listing ahead of registration is safe.
+#   slots 44-50 the OLDEST driver-green rows (drv-r2) for staleness
 #               re-confirmation, per the round-4 verdict's rotation
 #               protocol.
 # After this window runs green, every registered query has a driver
@@ -92,19 +92,19 @@ _DRIVER_WINDOW_FIRST = (
     "repeated_spans",
     "dup_span_stats",
     "corpus_novelty",
-    # -- slots 39-40: round-5 additions -------------------------------
+    # -- slots 39-43: round-5 additions -------------------------------
     "repeated_spans_fp",
     "corpus_curate",
-    # -- slots 41-50: oldest (drv-r2) greens, staleness re-confirm ----
+    "strip_spans",
+    "incremental_spans",
+    "cluster_balanced_sample",
+    # -- slots 44-50: oldest (drv-r2) greens, staleness re-confirm ----
     "q1_count_shipped",
-    "q3_lineitem_part_supplier",
     "q6_pricing_summary",
     "wordcount",
     "pmi_pairs",
-    "bigram_rel_freq",
     "inverted_index_postings",
     "boolean_retrieval",
-    "dedup_exact",
     "ppr_topk",
 )
 
