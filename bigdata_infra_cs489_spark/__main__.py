@@ -48,6 +48,14 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("name")
     ex.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
 
+    cu = sub.add_parser(
+        "curate",
+        help="run the end-to-end curation pipeline and write the "
+        "split-partitioned curated corpus (parquet)",
+    )
+    cu.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    cu.add_argument("--out", required=True)
+
     sub.add_parser("list", help="list registered queries")
     return p
 
@@ -68,6 +76,36 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="interactive")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "curate":
+        from pyspark.sql import functions as F
+
+        from .operators.curate import corpus_curate
+        from .operators.spans import strip_spans
+
+        kept = corpus_curate(spark, args.sf_dir)
+        # join the cleaned text onto the surviving docs; the span lineage
+        # runs once per branch here (one-shot export job — sharing it
+        # would need an explicit checkpoint for no steady-state benefit)
+        clean = strip_spans(spark, args.sf_dir).select("doc_id", "clean_text")
+        out = kept.join(clean, "doc_id").select(
+            "doc_id",
+            "cluster_id",
+            "n_tokens",
+            "kept_tokens",
+            "quality_score",
+            "clean_text",
+            "split",
+        )
+        out.write.mode("overwrite").partitionBy("split").parquet(args.out)
+        back = spark.read.parquet(args.out)
+        counts = {
+            r["split"]: r["n"]
+            for r in back.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        toks = back.agg(F.sum("kept_tokens")).collect()[0][0]
+        print(f"wrote {args.out}: {counts} ({toks} kept tokens)")
+        return 0
 
     if args.cmd == "boolean":
         from .operators.index import boolean_retrieval

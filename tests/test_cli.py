@@ -46,3 +46,35 @@ def test_cli_explain(spark, sf_smoke, capsys):
     assert main(["explain", "q6_pricing_summary", "--sf-dir", sf_smoke]) == 0
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "HashAggregate" in out
+
+
+def test_cli_curate_writes_partitioned_corpus(spark, sf_smoke, tmp_path, capsys):
+    """The export surface of the flagship pipeline: curated rows joined to
+    their span-stripped text, written as split-partitioned parquet, and
+    readable back with per-split partition pruning."""
+    from bigdata_infra_cs489_spark.__main__ import main
+    from bigdata_infra_cs489_spark.operators.curate import corpus_curate
+
+    out = str(tmp_path / "curated")
+    assert main(["curate", "--sf-dir", sf_smoke, "--out", out]) == 0
+    assert "wrote" in capsys.readouterr().out
+    back = spark.read.parquet(out)
+    expect = corpus_curate(spark, sf_smoke).collect()
+    assert back.count() == len(expect)
+    assert set(back.columns) == {
+        "doc_id", "cluster_id", "n_tokens", "kept_tokens",
+        "quality_score", "clean_text", "split",
+    }
+    splits = {r.split for r in back.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    # partition pruning: a split filter must not scan the other dirs
+    plan = (
+        back.where("split = 'train'")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "split=train" not in plan or "split=val" not in plan
+    # the stripped text length matches the recorded kept token count
+    for r in back.collect():
+        assert len(r.clean_text.split()) == r.kept_tokens
