@@ -115,6 +115,96 @@ def lang_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_ALPHA = 0.3  # the mT5/XLM-R temperature-sampling exponent
+TEMP_MIX_SALT = "temp-mix-v1"
+
+
+def _r6(x: float) -> float:
+    """Half-UP 6dp round for positives — matches Spark F.round and DuckDB
+    round(); Python's built-in round is banker's and would diverge on
+    exact .5 boundaries."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def lang_temperature_rates(
+    spark: SparkSession, sf_dir: str, alpha: float = MIX_ALPHA
+) -> DataFrame:
+    """(lang, total_tokens, p_raw, p_temp, keep_ppm): temperature-based
+    language mixing — the multilingual-pretraining standard (mT5/XLM-R):
+    sampling mass q_l ∝ p_l^alpha with alpha < 1 upweights low-resource
+    languages without the equal-mass flattening of lang_mixture_rates.
+    p_raw is the corpus's natural token share, p_temp the temperature-
+    adjusted target share, keep_ppm the per-document keep rate that
+    realizes the target (normalized so the most-upweighted language is
+    kept whole).
+
+    Cross-engine float care: total_tokens are exact int64; pow/sum run
+    on identical doubles via the platform libm (the weighted_sample_topn
+    precedent); p_raw/p_temp are rounded half-up to 6dp on BOTH engines,
+    and keep_ppm derives from the ROUNDED shares, so every downstream
+    value is bit-deterministic given them. Zero-token languages emit all
+    zeros. Same O(#langs) driver-side finish as lang_mixture_rates (a
+    second DataFrame branch for the global sums would double the corpus
+    scans)."""
+    from .textstats import text_quality
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    toks = text_quality(spark, sf_dir).select("doc_id", "n_tokens")
+    totals = sorted(
+        (
+            (r["lang"], int(r["total_tokens"]))
+            for r in docs.join(toks, "doc_id")
+            .groupBy("lang")
+            .agg(F.sum("n_tokens").alias("total_tokens"))
+            .collect()
+        ),
+    )
+    grand = sum(t for _, t in totals)
+    s = sum(t**alpha for _, t in totals if t)
+    shares = [
+        (
+            lang,
+            t,
+            _r6(t / grand) if t else 0.0,
+            _r6(t**alpha / s) if t else 0.0,
+        )
+        for lang, t in totals
+    ]
+    weights = {lang: (pt / pr if pr else 0.0) for lang, _, pr, pt in shares}
+    wmax = max(weights.values(), default=0.0)
+    rows = [
+        (
+            lang,
+            t,
+            pr,
+            pt,
+            int((1_000_000 * weights[lang] / wmax) + 0.5) if wmax else 0,
+        )
+        for lang, t, pr, pt in shares
+    ]
+    return spark.createDataFrame(
+        rows,
+        "lang string, total_tokens bigint, p_raw double, p_temp double, "
+        "keep_ppm bigint",
+    )
+
+
+def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang): the documents kept by the temperature mixture —
+    a map-side filter against the broadcast #langs-row rate table via the
+    salted portable hash, deterministic across engines/partitionings."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    rates = lang_temperature_rates(spark, sf_dir).select("lang", "keep_ppm")
+    bucket = h8(F.concat(F.col("doc_id").cast("string"), F.lit(TEMP_MIX_SALT))) % _PPM
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .where(bucket < F.col("keep_ppm"))
+        .select("doc_id", "lang")
+    )
+
+
 CAP_PER_SOURCE = 15
 CAP_SALT = "cap-v1"
 

@@ -2240,6 +2240,54 @@ register(
     _MIX_RATES_SQL,
 )
 
+_TEMP_RATES_SQL = f"""
+    WITH tq AS ({_TEXT_QUALITY_SQL}),
+    tl AS (
+        SELECT d.lang, CAST(sum(tq.n_tokens) AS BIGINT) AS total_tokens
+        FROM tq JOIN documents d USING (doc_id)
+        GROUP BY d.lang),
+    g AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS grand,
+                 sum(CASE WHEN total_tokens > 0
+                          THEN pow(total_tokens, {SA.MIX_ALPHA}) ELSE 0 END) AS s
+          FROM tl),
+    r AS (SELECT lang, total_tokens,
+                 CASE WHEN total_tokens = 0 THEN 0.0
+                      ELSE round(total_tokens / CAST(g.grand AS DOUBLE), 6)
+                 END AS p_raw,
+                 CASE WHEN total_tokens = 0 THEN 0.0
+                      ELSE round(pow(total_tokens, {SA.MIX_ALPHA}) / g.s, 6)
+                 END AS p_temp
+          FROM tl, g),
+    w AS (SELECT *, CASE WHEN p_raw = 0 THEN 0.0 ELSE p_temp / p_raw END AS wgt
+          FROM r),
+    mx AS (SELECT max(wgt) AS mw FROM w)
+    SELECT lang, total_tokens, p_raw, p_temp,
+           CAST(CASE WHEN mx.mw = 0 THEN 0
+                ELSE round(1000000 * wgt / mx.mw) END AS BIGINT) AS keep_ppm
+    FROM w, mx
+"""
+
+register(
+    # temperature mixing: keep_ppm derives from the 6dp-ROUNDED shares on
+    # both engines, so only p_raw/p_temp carry libm pow/sum arithmetic
+    "lang_temperature_rates",
+    lambda spark, sf: SA.lang_temperature_rates(spark, sf),
+    _TEMP_RATES_SQL,
+)
+
+register(
+    "lang_temperature_sample",
+    lambda spark, sf: SA.lang_temperature_sample(spark, sf),
+    f"""
+    WITH r AS ({_TEMP_RATES_SQL})
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r USING (lang)
+    WHERE {DUCK_H8.format(x=f"(CAST(doc_id AS VARCHAR) || '{SA.TEMP_MIX_SALT}')")}
+              % 1000000
+          < r.keep_ppm
+    """,
+)
+
 register(
     "lang_mixture_sample",
     lambda spark, sf: SA.lang_mixture_sample(spark, sf),

@@ -39,12 +39,13 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #               builder-sweep hash-green and 8 were judge-reproduced.
 #   slots 36-38 the round-4 span family (registered after the r4 window
 #               was pinned, so also never driver-checked).
-#   slots 39-43 round-5 additions: repeated_spans_fp (narrow-key 100 TB
+#   slots 39-45 round-5 additions: repeated_spans_fp (narrow-key 100 TB
 #               variant), corpus_curate (end-to-end composed curation
 #               pipeline), strip_spans, incremental_spans,
-#               cluster_balanced_sample. _window_order drops unknown
-#               names, so listing ahead of registration is safe.
-#   slots 44-50 the OLDEST driver-green rows (drv-r2) for staleness
+#               cluster_balanced_sample, lang_temperature_rates/_sample.
+#               _window_order drops unknown names, so listing ahead of
+#               registration is safe.
+#   slots 46-50 the OLDEST driver-green rows (drv-r2) for staleness
 #               re-confirmation, per the round-4 verdict's rotation
 #               protocol.
 # After this window runs green, every registered query has a driver
@@ -92,17 +93,17 @@ _DRIVER_WINDOW_FIRST = (
     "repeated_spans",
     "dup_span_stats",
     "corpus_novelty",
-    # -- slots 39-43: round-5 additions -------------------------------
+    # -- slots 39-45: round-5 additions -------------------------------
     "repeated_spans_fp",
     "corpus_curate",
     "strip_spans",
     "incremental_spans",
     "cluster_balanced_sample",
-    # -- slots 44-50: oldest (drv-r2) greens, staleness re-confirm ----
+    "lang_temperature_rates",
+    "lang_temperature_sample",
+    # -- slots 46-50: oldest (drv-r2) greens, staleness re-confirm ----
     "q1_count_shipped",
     "q6_pricing_summary",
-    "wordcount",
-    "pmi_pairs",
     "inverted_index_postings",
     "boolean_retrieval",
     "ppr_topk",

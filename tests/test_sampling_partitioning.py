@@ -214,3 +214,33 @@ def test_weighted_sample_matches_oracle_and_invariants(spark, sf_smoke):
         a.key >= b.key for a, b in zip(by_rank, by_rank[1:])
     ), "keys must be non-increasing in rank"
     assert all(0 < r.key <= 1 for r in rows)
+
+
+def test_lang_temperature_rates_flatten(spark, sf_smoke):
+    """alpha < 1 must compress the share distribution: the largest
+    language's temperature share drops below its raw share, the smallest
+    positive language's rises above it; keep_ppm tops out at exactly 1e6
+    on the most-upweighted language; the sample obeys the hash rule."""
+    import hashlib
+
+    from bigdata_infra_cs489_spark.operators.sampling import (
+        TEMP_MIX_SALT,
+        lang_temperature_rates,
+        lang_temperature_sample,
+    )
+
+    rows = {r.lang: r for r in lang_temperature_rates(spark, sf_smoke).collect()}
+    pos = [r for r in rows.values() if r.total_tokens > 0]
+    assert abs(sum(r.p_raw for r in pos) - 1.0) < 1e-4
+    assert abs(sum(r.p_temp for r in pos) - 1.0) < 1e-4
+    big = max(pos, key=lambda r: r.total_tokens)
+    small = min(pos, key=lambda r: r.total_tokens)
+    if big.total_tokens > small.total_tokens:
+        assert big.p_temp < big.p_raw
+        assert small.p_temp > small.p_raw
+    assert max(r.keep_ppm for r in pos) == 1_000_000
+    kept = lang_temperature_sample(spark, sf_smoke).collect()
+    for r in kept:
+        h = int(hashlib.md5(f"{r.doc_id}{TEMP_MIX_SALT}".encode()).hexdigest()[:8], 16)
+        assert h % 1_000_000 < rows[r.lang].keep_ppm
+    assert 0 < len(kept)
