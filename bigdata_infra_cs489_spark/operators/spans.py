@@ -230,18 +230,54 @@ def incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Note the semantic difference from repeated_spans: only NEW-vs-OLD
     duplication counts — content repeated within the new batch alone is
     left for the batch's own intra-run pass."""
+    return _merge_intervals(_incremental_hits(spark, sf_dir)).select(
+        "doc_id", "span_start", "span_end", "span_len"
+    )
+
+
+def _incremental_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, pos): new-batch windows whose gram occurs in
+    the standing old-corpus distinct-gram index."""
     from .dedup import NEW_BATCH_MOD
 
     g = _grams(spark, sf_dir)
     is_new = (F.col("doc_id") % NEW_BATCH_MOD) == (NEW_BATCH_MOD - 1)
     old_index = g.where(~is_new).select("gram").distinct()
-    hits = (
+    return (
         g.where(is_new)
         .join(old_index, "gram", "leftsemi")
         .select("doc_id", "n_tokens", "pos")
     )
-    return _merge_intervals(hits).select(
-        "doc_id", "span_start", "span_end", "span_len"
+
+
+def incremental_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, dup_old_tokens, dup_fraction) for EVERY
+    new-batch document: how much of each incoming doc is text the
+    standing corpus already contains — the per-increment complement of
+    dup_span_stats, and the gate signal incremental_curate thresholds
+    on. Docs shorter than SPAN_K trivially score 0."""
+    from .dedup import NEW_BATCH_MOD
+
+    docs = load(spark, sf_dir, "documents", parallelize=True).where(
+        (F.col("doc_id") % NEW_BATCH_MOD) == (NEW_BATCH_MOD - 1)
+    )
+    newtoks = docs.select(
+        "doc_id", F.size(tokenize("text")).cast("bigint").alias("n_tokens")
+    )
+    cov = (
+        _merge_intervals(_incremental_hits(spark, sf_dir))
+        .groupBy("doc_id")
+        .agg(F.sum("span_len").alias("dup_old_tokens"))
+    )
+    return newtoks.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_old_tokens", F.lit(0)).cast("bigint").alias("dup_old_tokens"),
+        F.round(
+            F.coalesce("dup_old_tokens", F.lit(0))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("dup_fraction"),
     )
 
 

@@ -4239,3 +4239,108 @@ register(
     FROM packed WHERE cum_kept_tokens <= {CU.CURATE_TOKEN_BUDGET}
     """,
 )
+
+register(
+    "incremental_span_stats",
+    SP.incremental_span_stats,
+    f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),{DUCK_SPAN_GRAM_CTES},
+    old_index AS (SELECT DISTINCT gram FROM grams WHERE doc_id {_OLD}),
+    hits AS (SELECT g.doc_id, g.n_tokens, g.pos FROM grams g
+             WHERE g.doc_id {_NEW}
+               AND g.gram IN (SELECT gram FROM old_index)),{DUCK_SPAN_MERGE_CTES},
+    cov AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_old_tokens
+            FROM spans GROUP BY doc_id),
+    newtoks AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+                FROM toks WHERE doc_id {_NEW})
+    SELECT a.doc_id, a.n_tokens,
+           coalesce(c.dup_old_tokens, CAST(0 AS BIGINT)) AS dup_old_tokens,
+           round(coalesce(c.dup_old_tokens, 0) / greatest(a.n_tokens, 1), 6)
+               AS dup_fraction
+    FROM newtoks a LEFT JOIN cov c USING (doc_id)
+    """,
+)
+
+register(
+    # the recurring production curation job: every probe is against the
+    # standing corpus assets; verdict precedence exact > neardup >
+    # quality > spans; split hashed on the ASSIGNED cluster id so matched
+    # docs inherit their old cluster's split across increments
+    "incremental_curate",
+    CU.incremental_curate,
+    f"""
+    WITH RECURSIVE {DUCK_MINHASH_PAIR_CTES},{DUCK_SPAN_GRAM_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        WHERE jaccard >= {D.JACCARD_THRESHOLD}
+          AND doc_a {_OLD} AND doc_b {_OLD}
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+        WHERE jaccard >= {D.JACCARD_THRESHOLD}
+          AND doc_a {_OLD} AND doc_b {_OLD}),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        WHERE doc_id {_OLD}
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    oldcl AS (
+        SELECT src AS doc_id, min(dst) AS cluster_id
+        FROM reach GROUP BY src),
+    newold AS (
+        SELECT CASE WHEN doc_a {_NEW} THEN doc_a ELSE doc_b END AS new_id,
+               CASE WHEN doc_a {_NEW} THEN doc_b ELSE doc_a END AS old_id,
+               jaccard
+        FROM pairs
+        WHERE jaccard >= {D.JACCARD_THRESHOLD}
+          AND (doc_a {_NEW}) <> (doc_b {_NEW})),
+    best AS (
+        SELECT new_id, old_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY new_id
+                     ORDER BY jaccard DESC, old_id ASC) AS rn
+          FROM newold) WHERE rn = 1),
+    asg AS (
+        SELECT n.doc_id,
+               coalesce(c.cluster_id, n.doc_id) AS cluster_id,
+               CAST(b.new_id IS NOT NULL AS INT) AS matched
+        FROM (SELECT doc_id FROM documents WHERE doc_id {_NEW}) n
+        LEFT JOIN best b ON b.new_id = n.doc_id
+        LEFT JOIN oldcl c ON c.doc_id = b.old_id),
+    olddig AS (SELECT DISTINCT md5(text) AS dig FROM documents
+               WHERE doc_id {_OLD}),
+    ex AS (SELECT doc_id,
+                  CAST(md5(text) IN (SELECT dig FROM olddig) AS INT)
+                      AS exact_dup
+           FROM documents WHERE doc_id {_NEW}),
+    old_index AS (SELECT DISTINCT gram FROM grams WHERE doc_id {_OLD}),
+    hits AS (SELECT g.doc_id, g.n_tokens, g.pos FROM grams g
+             WHERE g.doc_id {_NEW}
+               AND g.gram IN (SELECT gram FROM old_index)),{DUCK_SPAN_MERGE_CTES},
+    cov AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_old_tokens
+            FROM spans GROUP BY doc_id),
+    newtoks AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+                FROM toks WHERE doc_id {_NEW}),
+    sp AS (SELECT a.doc_id, a.n_tokens,
+                  coalesce(c.dup_old_tokens, CAST(0 AS BIGINT))
+                      AS dup_old_tokens
+           FROM newtoks a LEFT JOIN cov c USING (doc_id)),
+    tq AS ({_TEXT_QUALITY_SQL})
+    SELECT asg.doc_id, sp.n_tokens, sp.dup_old_tokens, tq.quality_score,
+           asg.matched, asg.cluster_id,
+           CASE WHEN {DUCK_H8.format(x=f"CAST(cluster_id AS VARCHAR) || '{SA.CLUSTER_SPLIT_SALT}'")} % 100
+                    < {SA.TRAIN_PCT} THEN 'train'
+                WHEN {DUCK_H8.format(x=f"CAST(cluster_id AS VARCHAR) || '{SA.CLUSTER_SPLIT_SALT}'")} % 100
+                    < {SA.TRAIN_PCT + SA.VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split,
+           CASE WHEN ex.exact_dup = 1 THEN 'drop_exact'
+                WHEN asg.matched = 1 THEN 'drop_neardup'
+                WHEN tq.quality_score < {CU.CURATE_MIN_QUALITY}
+                    THEN 'drop_quality'
+                WHEN sp.dup_old_tokens * {CU.CURATE_MAX_DUP_DEN} > sp.n_tokens
+                    THEN 'drop_spans'
+                ELSE 'kept' END AS verdict
+    FROM asg
+    JOIN ex USING (doc_id)
+    JOIN sp USING (doc_id)
+    JOIN tq USING (doc_id)
+    """,
+)

@@ -39,13 +39,14 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #               builder-sweep hash-green and 8 were judge-reproduced.
 #   slots 36-38 the round-4 span family (registered after the r4 window
 #               was pinned, so also never driver-checked).
-#   slots 39-45 round-5 additions: repeated_spans_fp (narrow-key 100 TB
-#               variant), corpus_curate (end-to-end composed curation
-#               pipeline), strip_spans, incremental_spans,
+#   slots 39-47 round-5 additions: repeated_spans_fp (narrow-key 100 TB
+#               variant), corpus_curate + incremental_curate (the
+#               bootstrap and recurring forms of the composed curation
+#               pipeline), strip_spans, incremental_spans/_span_stats,
 #               cluster_balanced_sample, lang_temperature_rates/_sample.
 #               _window_order drops unknown names, so listing ahead of
 #               registration is safe.
-#   slots 46-50 the OLDEST driver-green rows (drv-r2) for staleness
+#   slots 48-50 the OLDEST driver-green rows (drv-r2) for staleness
 #               re-confirmation, per the round-4 verdict's rotation
 #               protocol.
 # After this window runs green, every registered query has a driver
@@ -101,10 +102,10 @@ _DRIVER_WINDOW_FIRST = (
     "cluster_balanced_sample",
     "lang_temperature_rates",
     "lang_temperature_sample",
-    # -- slots 46-50: oldest (drv-r2) greens, staleness re-confirm ----
+    "incremental_span_stats",
+    "incremental_curate",
+    # -- slots 48-50: oldest (drv-r2) greens, staleness re-confirm ----
     "q1_count_shipped",
-    "q6_pricing_summary",
-    "inverted_index_postings",
     "boolean_retrieval",
     "ppr_topk",
 )

@@ -71,3 +71,59 @@ def test_stages_agree_with_standalone_operators(spark, sf_correct):
         assert split[r.doc_id] == r.split
         assert spans[r.doc_id].dup_tokens == r.dup_tokens
         assert spans[r.doc_id].n_tokens == r.n_tokens
+
+
+def test_incremental_curate_verdicts(spark, sf_correct):
+    """Verdict precedence and stage agreement with the standalone
+    operators; split inheritance: matched docs hash their OLD cluster's
+    id, singletons their own."""
+    import hashlib
+
+    import __spark_entry__ as entrymod
+    from bigdata_infra_cs489_spark.operators.dedup import NEW_BATCH_MOD
+    from bigdata_infra_cs489_spark.operators.sampling import (
+        CLUSTER_SPLIT_SALT,
+        TRAIN_PCT,
+        VAL_PCT,
+    )
+
+    qs = entrymod.queries()
+    rows = qs["incremental_curate"](spark, sf_correct).collect()
+    assert rows and all(
+        r.doc_id % NEW_BATCH_MOD == NEW_BATCH_MOD - 1 for r in rows
+    )
+    assign = {
+        r.doc_id: r for r in qs["incremental_dedup_assign"](spark, sf_correct).collect()
+    }
+    spans = {
+        r.doc_id: r for r in qs["incremental_span_stats"](spark, sf_correct).collect()
+    }
+    assert set(spans) == {r.doc_id for r in rows}
+    seen = set()
+    for r in rows:
+        a = assign[r.doc_id]
+        assert (r.matched, r.cluster_id) == (a.matched, a.cluster_id)
+        assert r.dup_old_tokens == spans[r.doc_id].dup_old_tokens
+        if r.matched == 0:
+            assert r.cluster_id == r.doc_id
+        if r.verdict == "drop_neardup":
+            assert r.matched == 1
+        if r.verdict == "kept":
+            assert r.matched == 0
+            assert r.quality_score >= CURATE_MIN_QUALITY
+            assert r.dup_old_tokens * CURATE_MAX_DUP_DEN <= r.n_tokens
+        b = (
+            int(
+                hashlib.md5(
+                    f"{r.cluster_id}{CLUSTER_SPLIT_SALT}".encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            % 100
+        )
+        want = (
+            "train" if b < TRAIN_PCT else "val" if b < TRAIN_PCT + VAL_PCT else "test"
+        )
+        assert r.split == want
+        seen.add(r.verdict)
+    assert "kept" in seen  # the increment isn't all rejects
