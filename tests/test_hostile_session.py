@@ -38,11 +38,14 @@ HOSTILE_QUERIES = (
     "lang_mixture_rates",
     "user_scd2_history",
     # one representative per newest family: k-gram span dedup, PQ probe,
-    # and the composed curation pipeline (touches dedup+spans+quality+
-    # split+distsort in one plan)
+    # and the composed curation pipelines (touch dedup+spans+quality+
+    # split+distsort in one plan); temperature rates pin the driver-side
+    # float finish under a foreign session
     "repeated_spans",
     "pq_topk",
     "corpus_curate",
+    "incremental_curate",
+    "lang_temperature_rates",
 )
 
 
