@@ -235,12 +235,19 @@ def incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _incremental_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _incremental_hits(
+    spark: SparkSession, sf_dir: str, narrow_key: bool = False
+) -> DataFrame:
     """(doc_id, n_tokens, pos): new-batch windows whose gram occurs in
-    the standing old-corpus distinct-gram index."""
+    the standing old-corpus distinct-gram index. narrow_key=True probes
+    by xxhash64 fingerprint — the shape of the PERSISTED index at scale
+    (8-byte keys instead of k-token strings, both in storage and on the
+    semi-join exchange)."""
     from .dedup import NEW_BATCH_MOD
 
     g = _grams(spark, sf_dir)
+    if narrow_key:
+        g = g.select("doc_id", "n_tokens", "pos", F.xxhash64("gram").alias("gram"))
     is_new = (F.col("doc_id") % NEW_BATCH_MOD) == (NEW_BATCH_MOD - 1)
     old_index = g.where(~is_new).select("gram").distinct()
     return (
@@ -248,6 +255,15 @@ def _incremental_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(old_index, "gram", "leftsemi")
         .select("doc_id", "n_tokens", "pos")
     )
+
+
+def incremental_spans_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental_spans probing the fingerprint-keyed standing index —
+    identical output contract (shares the string-key oracle; divergence
+    needs a 64-bit collision), pinned by tests/test_spans.py."""
+    return _merge_intervals(
+        _incremental_hits(spark, sf_dir, narrow_key=True)
+    ).select("doc_id", "span_start", "span_end", "span_len")
 
 
 def incremental_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

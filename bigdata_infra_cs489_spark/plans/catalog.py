@@ -4241,6 +4241,20 @@ register(
 )
 
 register(
+    # fingerprint-keyed standing index probe; shares the string-key oracle
+    "incremental_spans_fp",
+    SP.incremental_spans_fp,
+    f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),{DUCK_SPAN_GRAM_CTES},
+    old_index AS (SELECT DISTINCT gram FROM grams WHERE doc_id {_OLD}),
+    hits AS (SELECT g.doc_id, g.n_tokens, g.pos FROM grams g
+             WHERE g.doc_id {_NEW}
+               AND g.gram IN (SELECT gram FROM old_index)),{DUCK_SPAN_MERGE_CTES}
+    SELECT doc_id, span_start, span_end, span_len FROM spans
+    """,
+)
+
+register(
     "incremental_span_stats",
     SP.incremental_span_stats,
     f"""

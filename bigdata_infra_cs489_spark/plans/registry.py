@@ -39,14 +39,15 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #               builder-sweep hash-green and 8 were judge-reproduced.
 #   slots 36-38 the round-4 span family (registered after the r4 window
 #               was pinned, so also never driver-checked).
-#   slots 39-47 round-5 additions: repeated_spans_fp (narrow-key 100 TB
-#               variant), corpus_curate + incremental_curate (the
-#               bootstrap and recurring forms of the composed curation
-#               pipeline), strip_spans, incremental_spans/_span_stats,
+#   slots 39-48 round-5 additions: repeated_spans_fp /
+#               incremental_spans_fp (narrow-key 100 TB variants),
+#               corpus_curate + incremental_curate (the bootstrap and
+#               recurring forms of the composed curation pipeline),
+#               strip_spans, incremental_spans/_span_stats,
 #               cluster_balanced_sample, lang_temperature_rates/_sample.
 #               _window_order drops unknown names, so listing ahead of
 #               registration is safe.
-#   slots 48-50 the OLDEST driver-green rows (drv-r2) for staleness
+#   slots 49-50 the OLDEST driver-green rows (drv-r2) for staleness
 #               re-confirmation, per the round-4 verdict's rotation
 #               protocol.
 # After this window runs green, every registered query has a driver
@@ -104,9 +105,9 @@ _DRIVER_WINDOW_FIRST = (
     "lang_temperature_sample",
     "incremental_span_stats",
     "incremental_curate",
-    # -- slots 48-50: oldest (drv-r2) greens, staleness re-confirm ----
+    "incremental_spans_fp",
+    # -- slots 49-50: oldest (drv-r2) greens, staleness re-confirm ----
     "q1_count_shipped",
-    "boolean_retrieval",
     "ppr_topk",
 )
 

@@ -20,6 +20,7 @@ NAMES = [
     "corpus_novelty",
     "repeated_spans_fp",
     "incremental_spans",
+    "incremental_spans_fp",
     "strip_spans",
 ]
 
@@ -91,6 +92,9 @@ def test_fp_variant_equals_string_variant(spark, sf_correct):
     fp_rows = {tuple(r) for r in qs["repeated_spans_fp"](spark, sf_correct).collect()}
     assert fp_rows == string_rows
     assert len(string_rows) > 0
+    inc_s = {tuple(r) for r in qs["incremental_spans"](spark, sf_correct).collect()}
+    inc_f = {tuple(r) for r in qs["incremental_spans_fp"](spark, sf_correct).collect()}
+    assert inc_f == inc_s
 
 
 def test_stats_invariants(spark, sf_smoke):
