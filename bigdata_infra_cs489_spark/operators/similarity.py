@@ -558,6 +558,64 @@ def lsh_topk(
     )
 
 
+def semantic_dedup_keep_best(
+    spark: SparkSession, sf_dir: str, threshold: float = PAIR_THRESHOLD
+) -> DataFrame:
+    """(cluster_id, vec_id, centroid_id, centroid_cos, group_size):
+    SemDeDup (Abbas et al. 2023) — semantic deduplication in embedding
+    space: transitive closure of the cosine >= PAIR_THRESHOLD pair graph
+    into groups, then ONE kept representative per group — the member
+    FARTHEST from its IVF centroid (lowest centroid cosine, rounded 6dp
+    on both engines before ordering; vec_id tie-break), per the paper's
+    finding that low-centroid-similarity copies are the most informative
+    to keep. The embedding-space mirror of dedup_keep_best.
+
+    Scale shape: pairs come from the block-grid exact scan here (swap in
+    the LSH candidate path when n^2/B^2 is too much — same downstream);
+    the closure is the shared iterative min-label CC (near-dup groups
+    are small, O(diameter) rounds); centroid id + cosine are one narrow
+    scan plus a C-row broadcast join; the keep-best window partitions by
+    group over group-sized data only."""
+    from .dedup import connected_components
+
+    emb = _emb(spark, sf_dir)
+    pairs = cosine_near_duplicate_pairs(spark, sf_dir, threshold=threshold).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    cc = connected_components(
+        emb.select(F.col("vec_id").alias("id")), pairs
+    ).select(F.col("id").alias("vec_id"), "cluster_id")
+    cents = _centroid_rows(spark, sf_dir, N_CENTROIDS)
+    cent_df = spark.createDataFrame(
+        cents, "centroid_id int, cvec array<double>"
+    )
+    scored = (
+        emb.select("vec_id", "embedding", _nearest_centroid_col(cents).alias("centroid_id"))
+        .join(F.broadcast(cent_df), "centroid_id")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.round(_cosine(F.col("embedding"), F.col("cvec")), 6).alias(
+                "centroid_cos"
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cluster_id")
+    ranked = (
+        cc.join(scored, "vec_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(w.orderBy(F.asc("centroid_cos"), F.asc("vec_id"))),
+        )
+        .withColumn("group_size", F.count(F.lit(1)).over(w).cast("bigint"))
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "cluster_id", "vec_id", "centroid_id", "centroid_cos", "group_size"
+    )
+
+
 N_PAIR_BLOCKS = 8
 
 

@@ -1230,6 +1230,45 @@ register(
     """,
 )
 
+register(
+    # SemDeDup: cosine-pair closure -> keep the member farthest from its
+    # IVF centroid (6dp-rounded ordering on both engines)
+    "semantic_dedup_keep_best",
+    lambda spark, sf: S.semantic_dedup_keep_best(spark, sf),
+    f"""
+    WITH RECURSIVE e AS ({DUCK_EMB}),
+    prs AS (SELECT a.vec_id AS src, b.vec_id AS dst
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6)
+                  >= {S.PAIR_THRESHOLD}),
+    edges AS (SELECT src, dst FROM prs UNION ALL SELECT dst, src FROM prs),
+    reach AS (SELECT vec_id AS src, vec_id AS dst FROM e
+              UNION
+              SELECT r.src, ed.dst FROM reach r JOIN edges ed ON r.dst = ed.src),
+    cl AS (SELECT src AS vec_id, min(dst) AS cluster_id
+           FROM reach GROUP BY src),
+    cent AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
+             WHERE vec_id < {S.N_CENTROIDS}),
+    scored AS (SELECT e.vec_id, c.centroid_id,
+                      list_cosine_similarity(e.v, c.cvec) AS cos
+               FROM e, cent c),
+    best AS (SELECT vec_id, centroid_id, cos FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cos DESC, centroid_id) AS rn
+               FROM scored) WHERE rn = 1),
+    r AS (SELECT cl.cluster_id, cl.vec_id, b.centroid_id,
+                 round(b.cos, 6) AS centroid_cos,
+                 row_number() OVER (PARTITION BY cl.cluster_id
+                     ORDER BY round(b.cos, 6) ASC, cl.vec_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY cl.cluster_id) AS group_size
+          FROM cl JOIN best b USING (vec_id))
+    SELECT cluster_id, vec_id, centroid_id, centroid_cos,
+           CAST(group_size AS BIGINT) AS group_size
+    FROM r WHERE rn = 1
+    """,
+)
+
+
 def _kmeans_ctes(
     n_centroids: int = S.N_CENTROIDS, iterations: int = 3
 ) -> tuple[str, str]:

