@@ -215,3 +215,58 @@ def test_edit_distance_pairs_empty_candidates(spark):
     )
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     assert edit_distance_pairs(docs, pairs).count() == 0
+
+
+def _patch_docs(module, df):
+    orig = module.load
+    module.load = lambda spark, sf_dir, name, **kw: df
+    return orig
+
+
+def test_spans_on_duplication_free_corpus(spark, sf_smoke):
+    """A corpus with zero repeated k-grams: no spans, zero coverage, and
+    strip returns every document unchanged (including one shorter than
+    SPAN_K, which can't even form a window)."""
+    from bigdata_infra_cs489_spark.operators import spans as SP
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, "tiny doc"),  # < SPAN_K tokens
+        ],
+        "doc_id long, text string",
+    )
+    orig = _patch_docs(SP, docs)
+    try:
+        assert SP.repeated_spans(spark, sf_smoke).count() == 0
+        stats = {r.doc_id: r for r in SP.dup_span_stats(spark, sf_smoke).collect()}
+        assert set(stats) == {1, 2, 3}
+        assert all(r.dup_tokens == 0 and r.dup_fraction == 0.0 for r in stats.values())
+        stripped = {r.doc_id: r for r in SP.strip_spans(spark, sf_smoke).collect()}
+        assert stripped[3].clean_text == "tiny doc"
+        assert all(r.kept_tokens == r.n_tokens for r in stripped.values())
+    finally:
+        SP.load = orig
+
+
+def test_incremental_spans_with_empty_old_corpus(spark, sf_smoke):
+    """Every doc in the 'new' batch (doc_id % 10 == 9): the standing gram
+    index is empty, so nothing can be a vs-old duplicate even when the
+    new docs duplicate EACH OTHER."""
+    from bigdata_infra_cs489_spark.operators import spans as SP
+
+    same = "the exact same sentence repeated across both new documents"
+    docs = spark.createDataFrame(
+        [(9, same), (19, same)], "doc_id long, text string"
+    )
+    orig = _patch_docs(SP, docs)
+    try:
+        assert SP.incremental_spans(spark, sf_smoke).count() == 0
+        stats = SP.incremental_span_stats(spark, sf_smoke).collect()
+        assert {r.doc_id for r in stats} == {9, 19}
+        assert all(r.dup_old_tokens == 0 for r in stats)
+        # sanity: the corpus-wide operator DOES see the duplication
+        assert SP.repeated_spans(spark, sf_smoke).count() == 2
+    finally:
+        SP.load = orig
