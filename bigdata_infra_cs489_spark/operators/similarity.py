@@ -616,6 +616,77 @@ def semantic_dedup_keep_best(
     )
 
 
+RAG_EMBED_DIM = 16
+RAG_EMBED_SALT = "emb-v1"
+RAG_QUERY = "fast data table"  # the retrieval query string
+RAG_TOP_K = 10
+
+
+def _hash_embed(text_col) -> Column:
+    """Deterministic text -> R^DIM embedding: component j derives from
+    h8(text || salt || j), scaled to [-0.5, 0.5). A stand-in for a real
+    encoder (none in this environment — same honesty contract as the
+    multimodal codec fakes) with the REAL plumbing: a pure JVM column
+    expression, integer-derived so the DuckDB twin reproduces every
+    component bit-for-bit, making the whole chunk->embed->search
+    pipeline value-oracled rather than rows-only."""
+    from ..functions.hashing import h8
+
+    return F.array(
+        *[
+            (
+                (
+                    h8(F.concat(text_col, F.lit(f"{RAG_EMBED_SALT}{j}"))) % 1000
+                ).cast("double")
+                / 1000.0
+                - 0.5
+            )
+            for j in range(RAG_EMBED_DIM)
+        ]
+    )
+
+
+def chunk_embed_topk(
+    spark: SparkSession, sf_dir: str, query: str = RAG_QUERY, k: int = RAG_TOP_K
+) -> DataFrame:
+    """(doc_id, chunk_id, cosine): the end-to-end RAG indexing pipeline —
+    overlapping token chunks (textstats.doc_chunks) -> per-chunk
+    embedding -> cosine top-k against the embedded query, in ONE
+    declarative plan. The query vector is a driver-side constant (a
+    1-row model-sized computation, same discipline as the LSH query
+    bands), so the probe is a single narrow scan + TakeOrderedAndProject
+    — no join, no shuffle of the chunk corpus.
+
+    At 100 TB the embed stage writes a persisted chunk-vector table
+    (vector_index.py lifecycle) and this query becomes the IVF/LSH probe
+    over it; the brute-force rerank here is the correctness baseline the
+    ANN variants are measured against."""
+    import hashlib
+
+    from .textstats import doc_chunks
+
+    chunks = doc_chunks(spark, sf_dir)
+    emb = _hash_embed(F.col("chunk_text"))
+
+    def py_h8(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    qvec = [
+        (py_h8(f"{query}{RAG_EMBED_SALT}{j}") % 1000) / 1000.0 - 0.5
+        for j in range(RAG_EMBED_DIM)
+    ]
+    qcol = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        chunks.select(
+            "doc_id",
+            "chunk_id",
+            F.round(_cosine(emb, qcol), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"), F.asc("chunk_id"))
+        .limit(k)
+    )
+
+
 N_PAIR_BLOCKS = 8
 
 

@@ -4397,3 +4397,46 @@ register(
     JOIN tq USING (doc_id)
     """,
 )
+
+register(
+    # chunk -> hash-embed -> brute cosine top-k; the embed is integer-
+    # derived on both engines so the whole RAG pipeline is value-oracled
+    "chunk_embed_topk",
+    lambda spark, sf: S.chunk_embed_topk(spark, sf),
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {DUCK_TOKS} AS toks FROM documents
+    ),
+    t AS (SELECT doc_id, toks FROM toks WHERE len(toks) > 0),
+    st AS (
+      SELECT doc_id, toks,
+             CAST(generate_subscripts(range(0, len(toks), {TS.CHUNK_STRIDE}), 1)
+                  - 1 AS INT) AS chunk_id,
+             unnest(range(0, len(toks), {TS.CHUNK_STRIDE})) AS start
+      FROM t
+    ),
+    ch AS (
+      SELECT doc_id, chunk_id,
+             array_to_string(toks[start + 1 : start + {TS.CHUNK_SIZE}], ' ')
+                 AS chunk_text
+      FROM st
+    ),
+    emb AS (
+      SELECT doc_id, chunk_id,
+             list_transform(range(0, {S.RAG_EMBED_DIM}),
+                 j -> ({DUCK_H8.format(x=f"chunk_text || '{S.RAG_EMBED_SALT}' || CAST(j AS VARCHAR)")}
+                       % 1000) / 1000.0 - 0.5) AS v
+      FROM ch
+    ),
+    q AS (
+      SELECT list_transform(range(0, {S.RAG_EMBED_DIM}),
+                 j -> ({DUCK_H8.format(x=f"'{S.RAG_QUERY}{S.RAG_EMBED_SALT}' || CAST(j AS VARCHAR)")}
+                       % 1000) / 1000.0 - 0.5) AS qv
+    )
+    SELECT doc_id, chunk_id,
+           round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS cosine
+    FROM emb
+    ORDER BY cosine DESC, doc_id, chunk_id
+    LIMIT {S.RAG_TOP_K}
+    """,
+)

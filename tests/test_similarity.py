@@ -325,3 +325,21 @@ def test_semantic_dedup_keep_best_invariants(spark, sf_correct):
     for root, n in sizes.items():
         assert groups[root].group_size == n
     assert any(r.group_size > 1 for r in kept)  # fixture has semantic dups
+
+
+def test_chunk_embed_topk_contract(spark, sf_smoke):
+    """RAG pipeline sanity: k results, cosine within [-1, 1], descending
+    with deterministic tie-break, and the embed is reproducible (two
+    plans, identical rows)."""
+    from bigdata_infra_cs489_spark.operators.similarity import (
+        RAG_TOP_K,
+        chunk_embed_topk,
+    )
+
+    a = chunk_embed_topk(spark, sf_smoke).collect()
+    b = chunk_embed_topk(spark, sf_smoke).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == RAG_TOP_K
+    cos = [r.cosine for r in a]
+    assert cos == sorted(cos, reverse=True)
+    assert all(-1.0 <= c <= 1.0 for c in cos)
