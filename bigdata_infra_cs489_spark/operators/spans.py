@@ -83,16 +83,29 @@ def _dup_hits(spark: SparkSession, sf_dir: str, narrow_key: bool = False) -> Dat
     and the gram string is pruned before the exchange. A fp collision
     could only ADD a false dup hit (two distinct grams sharing a 64-bit
     hash); at 2^-64 per pair this is negligible, and
-    tests/test_spans.py pins fp output == string output on the fixtures."""
+    tests/test_spans.py pins fp output == string output on the fixtures.
+
+    Skew note: the corpus count is a partial-aggregated groupBy joined
+    back, NOT a gram-partitioned window. A window would pin every row of
+    a hot gram (one boilerplate sentence across millions of docs) in a
+    single task and AQE cannot split skewed WINDOW partitions — it can
+    split skewed JOIN partitions, which is exactly what the equi-join
+    shape leaves it free to do. The map-side combine also shrinks the
+    count exchange to distinct grams. Honest local price: the gram
+    lineage is evaluated twice (count branch + join input; Catalyst has
+    no common-subplan sharing here), measured ~1.4s -> ~2.3s at sf0.1 —
+    accepted, because the double scan is embarrassingly parallel at any
+    size while a hot-gram window partition is a single-task OOM."""
     g = _grams(spark, sf_dir)
     key = F.xxhash64("gram").alias("k") if narrow_key else F.col("gram").alias("k")
     g = g.select("doc_id", "n_tokens", "pos", key)
-    c = F.count(F.lit(1)).over(Window.partitionBy("k"))
-    return (
-        g.withColumn("c", c)
+    dup_keys = (
+        g.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") >= SPAN_MIN_COUNT)
-        .select("doc_id", "n_tokens", "pos")
+        .select("k")
     )
+    return g.join(dup_keys, "k").select("doc_id", "n_tokens", "pos")
 
 
 def _merge_intervals(hits: DataFrame) -> DataFrame:

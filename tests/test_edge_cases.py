@@ -270,3 +270,34 @@ def test_incremental_spans_with_empty_old_corpus(spark, sf_smoke):
         assert SP.repeated_spans(spark, sf_smoke).count() == 2
     finally:
         SP.load = orig
+
+
+def test_spans_hot_gram_boilerplate_corpus(spark, sf_smoke):
+    """One boilerplate sentence across MANY docs — the skew case the
+    gram-count join (not window) exists for. Every doc's boilerplate
+    prefix must be a span; the unique tails must not."""
+    from bigdata_infra_cs489_spark.operators import spans as SP
+
+    boiler = "subscribe to our newsletter for updates and exclusive offers"
+    n_b = len(boiler.split())
+    # tails must stay distinct AFTER tokenization (digits are stripped,
+    # so "tail0"/"tail1" would collapse to the same token) — letter runs
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                f"{boiler} {'x' * (i + 1)} {'y' * (i + 1)} "
+                f"{'z' * (i + 1)} {'q' * (i + 1)} {'w' * (i + 1)}",
+            )
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    orig = _patch_docs(SP, docs)
+    try:
+        got = {r.doc_id: (r.span_start, r.span_end) for r in SP.repeated_spans(spark, sf_smoke).collect()}
+        assert set(got) == set(range(40))
+        for d, (s, e) in got.items():
+            assert s == 1 and e == n_b  # exactly the boilerplate prefix
+    finally:
+        SP.load = orig
