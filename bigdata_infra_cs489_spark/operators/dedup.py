@@ -64,12 +64,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """(doc_id, canonical_id, is_duplicate): canonical = min doc_id per
     content digest. Grouping on the 128-bit digest, not the full text,
-    keeps shuffle rows narrow at 100 TB."""
-    w = Window.partitionBy(F.md5("text"))
-    return docs.select(
-        "doc_id",
-        F.min("doc_id").over(w).alias("canonical_id"),
-    ).withColumn("is_duplicate", F.col("doc_id") != F.col("canonical_id"))
+    keeps shuffle rows narrow at 100 TB.
+
+    Skew shape: partial-aggregated groupBy + equi-join back, NOT a
+    digest-partitioned window — a mass-duplicated text (empty docs,
+    error pages: millions of identical copies is a REAL 100 TB corpus
+    feature) would pin every copy's row in one window task, and AQE can
+    split skewed join partitions but not skewed window partitions. The
+    map-side combine reduces the agg exchange to one row per distinct
+    digest before any task sees a full duplicate class."""
+    digests = docs.select("doc_id", F.md5("text").alias("dig"))
+    canon = digests.groupBy("dig").agg(F.min("doc_id").alias("canonical_id"))
+    return (
+        digests.join(canon, "dig")
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
 
 
 # --- shingling + MinHash ----------------------------------------------------

@@ -596,17 +596,25 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
     labels = nodes.select("id", F.col("id").alias("lbl"))
-    w = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("lbl"))
     for _ in range(LPA_ROUNDS):
         counts = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"), "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # argmax (c desc, lbl asc) as a partial-aggregatable struct-min
+        # rather than a per-node window: a celebrity node's distinct
+        # neighbor labels all land in one window task, while the agg
+        # combines map-side and AQE can split the (already
+        # degree-bounded) exchange
         picked = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("id", F.col("lbl").alias("new_lbl"))
+            counts.groupBy("id")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("lbl").alias("lbl"))
+                ).alias("m")
+            )
+            .select("id", F.col("m.lbl").alias("new_lbl"))
         )
         labels = (
             labels.join(picked, "id", "left")

@@ -112,17 +112,18 @@ def apply_changes(
     cols); op 'delete' drops the key from the base, 'upsert'
     inserts-or-replaces its payload, and when a key has several change
     rows the highest ``seq`` wins (the replay-order contract every CDC
-    consumer needs). Plan: one window dedup shuffled on the key, one
-    left-anti join, one union — with base and changes bucketed on the key
-    (sources/bucketing.py) both shuffles disappear at scale, and no
-    collect or driver-side state anywhere."""
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy(key).orderBy(F.desc("seq"))
+    consumer needs; seq is unique per key by construction of a change
+    feed). Plan: latest-per-key is a partial-aggregatable max_by — not a
+    key-partitioned window, which would pin a hot key's entire change
+    history (millions of updates to one row is a normal CDC shape) in a
+    single task — then one left-anti join and a union; with base and
+    changes bucketed on the key (sources/bucketing.py) the join
+    exchanges disappear at scale, and no collect or driver-side state
+    anywhere."""
     latest = (
-        changes.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+        changes.groupBy(key)
+        .agg(F.max_by(F.struct("op", *cols), F.col("seq")).alias("_m"))
+        .select(key, "_m.*")
     )
     kept = base.join(latest.select(key), key, "left_anti")
     ups = latest.where(F.col("op") == "upsert").select(key, *cols)

@@ -121,22 +121,27 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact dedup (keep the canonical copy), language gate, quality gate,
     token budget. (doc_id, n_tokens, quality_score, lang_score).
 
-    Single corpus scan: the dedup canonical flag, the per-language
-    stopword ratios, and the quality metrics are all computed over one
-    tokenization of one pass (plus the dedup window's exchange on the
-    content digest — the only shuffle). Composing the standalone
-    language_id/text_quality/exact_dedup operators instead would scan and
-    tokenize the corpus three times and re-join on doc_id twice.
+    One tokenization pass for the language/quality metrics; the dedup
+    canonical flag arrives as a NARROW (doc_id, is_canonical) join built
+    from a digest groupBy — not a digest-partitioned window, which would
+    pin a mass-duplicated text's every copy (with its full text+tokens
+    row!) in one task, and not a digest join of the full rows either:
+    only (doc_id, digest) pairs ever shuffle, and the flag joins back on
+    the unskewed doc_id. Composing the standalone language_id/
+    text_quality/exact_dedup operators instead would tokenize the corpus
+    three times.
     """
-    from pyspark.sql.window import Window
-
     docs = _docs(spark, sf_dir)
-    w = Window.partitionBy(F.md5("text"))
-    base = docs.select(
+    digests = docs.select("doc_id", F.md5("text").alias("dig"))
+    canon = digests.groupBy("dig").agg(F.min("doc_id").alias("can_id"))
+    flags = digests.join(canon, "dig").select(
+        "doc_id", (F.col("doc_id") == F.col("can_id")).alias("is_canonical")
+    )
+    base = docs.join(flags, "doc_id").select(
         "doc_id",
         "text",
         tokenize("text").alias("toks"),
-        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+        "is_canonical",
     )
 
     n_chars = F.length("text")
