@@ -9,8 +9,8 @@ with a corpus-wide suffix array. A suffix array is a sequential,
 memory-resident structure; the Spark-native shape is the k-gram
 fingerprint relation:
 
-    scan -> explode one row per k-token window -> ONE keyed exchange on
-    the gram -> windowed corpus count -> per-doc interval merge.
+    scan -> explode one row per k-token window -> partial-aggregated
+    gram count -> equi-join the dup keys back -> per-doc interval merge.
 
 A window duplicated at length >= k is detected exactly (every length-k
 sub-window collides), so recall vs the suffix array is exact for spans
@@ -18,11 +18,11 @@ sub-window collides), so recall vs the suffix array is exact for spans
 distinct duplicated spans that overlap or abut within one doc merge
 into a single reported range whose full content need not occur verbatim
 anywhere else — fine for curation (strip/score), but not a byte-exact
-maximal-match certificate. Cost is linear in
-corpus tokens, the shuffle key is the gram content (uniform by
-construction — a key is hot only if the SPAN is hot, which is exactly
-the signal), and the per-doc interval merge is a doc-partitioned window
-over the tiny hit subset. repeated_spans_fp is the 100 TB shape: the
+maximal-match certificate. Cost is linear in corpus tokens; the count
+combines map-side and a hot gram (corpus-wide boilerplate) stresses an
+AQE-splittable JOIN, never a single window task (see _dup_hits); the
+per-doc interval merge is a doc-partitioned window over the tiny hit
+subset. repeated_spans_fp is the 100 TB shape: the
 exchange key is the gram's 8-byte xxhash64 fingerprint instead of the
 k-token string, shrinking shuffle rows to four fixed-width columns; the
 string-key variant stays as the oracle-checkable twin and the two are
@@ -74,8 +74,9 @@ def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dup_hits(spark: SparkSession, sf_dir: str, narrow_key: bool = False) -> DataFrame:
     """(doc_id, n_tokens, pos) of windows whose gram occurs >= SPAN_MIN_COUNT
-    times corpus-wide (across documents OR repeated inside one). A single
-    keyed window count — one exchange, no self-join.
+    times corpus-wide (across documents OR repeated inside one). A
+    partial-aggregated gram count joined back on the key — no self-join
+    of the gram relation, no gram-partitioned window.
 
     narrow_key=True exchanges the 8-byte xxhash64 fingerprint of the gram
     instead of its string content — the 100 TB shape: shuffle rows shrink

@@ -4044,7 +4044,7 @@ register(
 
 from ..operators import spans as SP  # noqa: E402
 
-# Shared CTE chain: k-gram windows -> corpus-wide window count -> dup hits
+# Shared CTE chain: k-gram windows -> corpus-wide count -> dup hits
 # -> per-doc interval merge into maximal spans. Mirrors the Spark plan
 # stage for stage so the hash check pins the full pipeline. The tail is
 # split out (without the `toks` head) so corpus_curate can compose it

@@ -100,3 +100,25 @@ def test_scans_are_vectorized(spark, sf_smoke):
             continue
         plan = _plan(fn(spark, sf_smoke))
         assert "Batched: false" not in plan, f"{name} has a non-vectorized scan"
+
+
+def test_no_content_keyed_windows_in_source():
+    """Round-5 hardening guard: windows partitioned by content-derived
+    keys (text digests, gram strings) pin a mass-duplicated value's
+    every row in one task, and AQE cannot split skewed WINDOW partitions
+    (it can split skewed joins). The skew-safe shape is a
+    partial-aggregated groupBy joined back — enforce it statically so
+    the pattern doesn't regress."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "bigdata_infra_cs489_spark"
+    offenders = []
+    pat = re.compile(
+        r"Window\.partitionBy\(\s*(F\.md5|F\.xxhash64|\"gram\"|'gram'|\"dig\"|'dig'|\"k\"|'k')"
+    )
+    for py in root.rglob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if pat.search(line):
+                offenders.append(f"{py.name}:{i}: {line.strip()}")
+    assert offenders == [], offenders
