@@ -46,6 +46,8 @@ HOSTILE_QUERIES = (
     "corpus_curate",
     "incremental_curate",
     "lang_temperature_rates",
+    "semantic_dedup_keep_best",
+    "chunk_embed_topk",
 )
 
 
