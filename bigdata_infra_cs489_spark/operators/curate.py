@@ -26,7 +26,7 @@ replays the identical chain in plans/catalog.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h8
@@ -62,31 +62,37 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and composing the standalone dedup_keep_best + leakage_safe_split
     # operators would run it TWICE (each re-derives clusters; the
     # checkpointed iterative lineage is opaque to Catalyst's subplan
-    # sharing). Compute clusters once; keep-best is a per-cluster window
-    # on top, and the split is a pure hash expression on the surviving
-    # rep's cluster_id — no second lineage, no extra join. Semantic
-    # equality with the standalone operators is pinned by
+    # sharing). Compute clusters once; keep-best is a partial-aggregatable
+    # max_by argmax on top (NOT a cluster-partitioned window — a
+    # mega-cluster of mass duplicates would pin one task, and AQE splits
+    # skewed joins, never skewed windows; same hardening as
+    # dedup.dedup_keep_best), and the split is a pure hash expression on
+    # the surviving rep's cluster_id — no second lineage, no extra join.
+    # Semantic equality with the standalone operators is pinned by
     # tests/test_curate.py::test_stages_agree_with_standalone_operators.
     clusters = q_near_duplicate_clusters(spark, sf_dir)
     chars = load(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").alias("n_chars")
     )
-    w = Window.partitionBy("cluster_id")
-    ranked = (
+    best = (
         clusters.join(chars, "doc_id")
-        .withColumn(
-            "rn", F.row_number().over(w.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                F.col("doc_id"),
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid")),
+            ).alias("doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
         )
-        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
     )
     bucket = (
         h8(F.concat(F.col("cluster_id").cast("string"), F.lit(CLUSTER_SPLIT_SALT)))
         % 100
     )
-    reps = ranked.where(F.col("rn") == 1).select(
+    reps = best.select(
         "doc_id",
         "cluster_id",
-        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        "cluster_size",
         F.when(bucket < TRAIN_PCT, "train")
         .when(bucket < TRAIN_PCT + VAL_PCT, "val")
         .otherwise("test")

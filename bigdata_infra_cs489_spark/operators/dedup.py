@@ -24,7 +24,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..functions.text import tokenize
 from ..sources.tables import load
@@ -594,29 +593,36 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the cluster assignment is the iterative min-label CC
     (O(diameter) rounds, band-join candidate cost); the selection on top
-    is one join on doc_id plus one window partitioned by cluster_id —
-    near-dup clusters are small by construction (they're duplicates), so
-    the per-cluster window never concentrates mass.
+    is one join on doc_id plus ONE partial-aggregatable argmax groupBy —
+    max_by over the (n_chars, -doc_id) ordering struct, NOT a
+    cluster-partitioned row_number window. Mega-clusters are a real
+    100 TB feature (millions of identical error-page copies also collide
+    in every MinHash band), and a window would pin each such cluster in
+    a single task — AQE splits skewed joins, never skewed windows — while
+    max_by/count combine map-side to one row per cluster before any task
+    sees a full duplicate class. Output is bit-identical to the old
+    window form (same ordering rule; pinned by the unchanged oracle).
     """
-    from pyspark.sql.window import Window
-
     quality = load(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").alias("n_chars")
     )
     clusters = q_near_duplicate_clusters(spark, sf_dir)
-    w = Window.partitionBy("cluster_id")
-    ranked = (
+    best = (
         clusters.join(quality, "doc_id")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                w.orderBy(F.desc("n_chars"), F.asc("doc_id"))
-            ),
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                F.struct("doc_id", "n_chars"),
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid")),
+            ).alias("_b"),
+            F.count(F.lit(1)).alias("cluster_size"),
         )
-        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
     )
-    return ranked.where(F.col("rn") == 1).select(
-        "cluster_id", "doc_id", "n_chars", "cluster_size"
+    return best.select(
+        "cluster_id",
+        F.col("_b.doc_id").alias("doc_id"),
+        F.col("_b.n_chars").alias("n_chars"),
+        "cluster_size",
     )
 
 
@@ -634,13 +640,16 @@ def incremental_dedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: old clusters come from the iterative CC over the OLD
     corpus only; the increment pays one band equi-join (cost ∝
-    collisions) + one Jaccard verify + one per-new-doc argmax window —
-    never touching old-old pairs again. On a real deployment the old
-    bands/clusters are the persisted tables (vector_index pattern);
-    here they rebuild from the fixture for a self-contained oracle.
+    collisions) + one Jaccard verify + one per-new-doc argmax — a
+    partial-aggregatable max_by over (jaccard, -old_id), NOT a
+    new_id-partitioned window: a new doc band-colliding with a huge
+    standing cluster (the mass-duplicate shape) would otherwise pin all
+    its verified matches in one window task, while max_by combines them
+    map-side to a single row per new doc. Never touches old-old pairs
+    again. On a real deployment the old bands/clusters are the persisted
+    tables (vector_index pattern); here they rebuild from the fixture
+    for a self-contained oracle.
     """
-    from pyspark.sql.window import Window
-
     docs = _docs(spark, sf_dir)
     is_new = (F.col("doc_id") % NEW_BATCH_MOD) == (NEW_BATCH_MOD - 1)
     old_docs = docs.where(~is_new)
@@ -681,11 +690,11 @@ def incremental_dedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("old_id"))
-    best = (
-        verified.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("new_id", "old_id")
+    best = verified.groupBy("new_id").agg(
+        F.max_by(
+            F.col("old_id"),
+            F.struct(F.col("jaccard"), (-F.col("old_id")).alias("nid")),
+        ).alias("old_id")
     )
     return (
         new_docs.select("doc_id")

@@ -207,6 +207,7 @@ def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CAP_PER_SOURCE = 15
 CAP_SALT = "cap-v1"
+CAP_N_BUCKETS = 32  # salt fan-out for the hot-source two-phase top-k
 
 
 def source_capped_sample(
@@ -221,11 +222,18 @@ def source_capped_sample(
 
     Scale shape: a per-source count (one partial-aggregated shuffle to
     #sources rows) splits the corpus first — sources already under the
-    cap pass through with a broadcast anti-join and NEVER pay a sort;
-    only the oversized tail goes through the partitioned rank window. A
-    hot source (half the crawl behind one domain) therefore costs one
-    sorted partition of just that source's rows, not a corpus-wide sort,
-    and everything else is map-side."""
+    cap pass through with a broadcast anti-join and NEVER pay a sort.
+    The oversized tail goes through a TWO-PHASE salted top-k instead of
+    a per-source window: phase 1 ranks within (source, salt bucket) —
+    the bucket is derived from the rank hash itself, so a hot source
+    spreads over CAP_N_BUCKETS tasks — keeping at most ``cap`` rows per
+    bucket; phase 2 re-ranks only the ≤ cap·CAP_N_BUCKETS survivors per
+    source. The global per-source top-cap is contained in the union of
+    per-bucket top-caps (fewer than cap rows precede any winner
+    globally, hence in its own bucket), so the result is identical to a
+    single per-source rank while window state stays bounded at ANY
+    source skew — a domain holding half the crawl never concentrates in
+    one task."""
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
@@ -237,12 +245,19 @@ def source_capped_sample(
     )
     under_cap = docs.join(F.broadcast(big), "source", "left_anti")
     rk = h8(F.concat(F.col("doc_id").cast("string"), F.lit(CAP_SALT)))
-    w = Window.partitionBy("source").orderBy(F.asc("rk"), F.asc("doc_id"))
-    capped = (
+    w1 = Window.partitionBy("source", "bucket").orderBy(
+        F.asc("rk"), F.asc("doc_id")
+    )
+    survivors = (
         docs.join(F.broadcast(big), "source")
         .withColumn("rk", rk)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= cap)
+        .withColumn("bucket", (F.col("rk") % CAP_N_BUCKETS).cast("int"))
+        .withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= cap)
+    )
+    w2 = Window.partitionBy("source").orderBy(F.asc("rk"), F.asc("doc_id"))
+    capped = survivors.withColumn("rn", F.row_number().over(w2)).where(
+        F.col("rn") <= cap
     )
     return under_cap.select("doc_id", "source").unionByName(
         capped.select("doc_id", "source")

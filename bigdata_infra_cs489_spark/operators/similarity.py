@@ -600,19 +600,29 @@ def semantic_dedup_keep_best(
             ),
         )
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("cluster_id")
-    ranked = (
+    # keep-best is a partial-aggregatable min_by argmin over the
+    # (centroid_cos, vec_id) ordering struct — NOT a cluster-partitioned
+    # window. Identical semantic copies collide in every candidate
+    # scheme, so mega-groups exist at 100 TB; min_by/count combine
+    # map-side to one row per group, while a window would pin each full
+    # group in a single task (AQE splits skewed joins, not windows).
+    best = (
         cc.join(scored, "vec_id")
-        .withColumn(
-            "rn",
-            F.row_number().over(w.orderBy(F.asc("centroid_cos"), F.asc("vec_id"))),
+        .groupBy("cluster_id")
+        .agg(
+            F.min_by(
+                F.struct("vec_id", "centroid_id", "centroid_cos"),
+                F.struct("centroid_cos", "vec_id"),
+            ).alias("_b"),
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
         )
-        .withColumn("group_size", F.count(F.lit(1)).over(w).cast("bigint"))
     )
-    return ranked.where(F.col("rn") == 1).select(
-        "cluster_id", "vec_id", "centroid_id", "centroid_cos", "group_size"
+    return best.select(
+        "cluster_id",
+        F.col("_b.vec_id").alias("vec_id"),
+        F.col("_b.centroid_id").alias("centroid_id"),
+        F.col("_b.centroid_cos").alias("centroid_cos"),
+        "group_size",
     )
 
 
