@@ -559,7 +559,10 @@ def lsh_topk(
 
 
 def semantic_dedup_keep_best(
-    spark: SparkSession, sf_dir: str, threshold: float = PAIR_THRESHOLD
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = PAIR_THRESHOLD,
+    pair_mode: str = "scoped",
 ) -> DataFrame:
     """(cluster_id, vec_id, centroid_id, centroid_cos, group_size):
     SemDeDup (Abbas et al. 2023) — semantic deduplication in embedding
@@ -570,22 +573,55 @@ def semantic_dedup_keep_best(
     finding that low-centroid-similarity copies are the most informative
     to keep. The embedding-space mirror of dedup_keep_best.
 
-    Scale shape: pairs come from the block-grid exact scan here (swap in
-    the LSH candidate path when n^2/B^2 is too much — same downstream);
-    the closure is the shared iterative min-label CC (near-dup groups
-    are small, O(diameter) rounds); centroid id + cosine are one narrow
-    scan plus a C-row broadcast join; the keep-best window partitions by
-    group over group-sized data only."""
+    pair_mode picks the pair stage — the 100 TB scale knob:
+      'scoped' (DEFAULT): candidate pairs are scoped to vectors sharing
+        an IVF centroid — the paper's own discipline (SemDeDup computes
+        pairs WITHIN k-means clusters, never across), which turns the
+        pair stage from Ω(n²) into Σ_c n_c² and is what the DuckDB
+        oracle replays. Pairs straddling a centroid boundary are the
+        documented, paper-accepted approximation (near-identical copies
+        share a nearest centroid except exactly at a Voronoi boundary);
+        tests pin kept-set identity with the exact path on a synthetic
+        near-dup fixture and exhibit the divergence regime at low
+        thresholds.
+      'exact': the block-grid full O(n²/B²)-per-task scan — the
+        oracle-checkable correctness twin the scoped path is measured
+        against (same role as repeated_spans vs repeated_spans_fp).
+
+    Scale shape: the closure is the shared iterative min-label CC
+    (near-dup groups are small, O(diameter) rounds); centroid id +
+    cosine are one narrow scan plus a C-row broadcast join; keep-best is
+    a partial-aggregatable min_by argmin (no cluster-partitioned
+    window)."""
+    emb = _emb(spark, sf_dir)
+    cents = _centroid_rows(spark, sf_dir, N_CENTROIDS)
+    return semantic_dedup_keep_best_core(emb, cents, threshold, pair_mode)
+
+
+def semantic_dedup_keep_best_core(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    threshold: float = PAIR_THRESHOLD,
+    pair_mode: str = "scoped",
+) -> DataFrame:
+    """semantic_dedup_keep_best over an explicit (vec_id, embedding)
+    frame and centroid list — the synthetic-fixture-injectable core (the
+    docs-DataFrame convention of operators/dedup.py)."""
     from .dedup import connected_components
 
-    emb = _emb(spark, sf_dir)
-    pairs = cosine_near_duplicate_pairs(spark, sf_dir, threshold=threshold).select(
+    spark = emb.sparkSession
+    if pair_mode == "scoped":
+        raw_pairs = scoped_near_duplicate_pairs(emb, cents, threshold)
+    elif pair_mode == "exact":
+        raw_pairs = _block_grid_pairs(emb, threshold)
+    else:  # pragma: no cover - guarded contract
+        raise ValueError(f"unknown pair_mode {pair_mode!r}")
+    pairs = raw_pairs.select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
     )
     cc = connected_components(
         emb.select(F.col("vec_id").alias("id")), pairs
     ).select(F.col("id").alias("vec_id"), "cluster_id")
-    cents = _centroid_rows(spark, sf_dir, N_CENTROIDS)
     cent_df = spark.createDataFrame(
         cents, "centroid_id int, cvec array<double>"
     )
@@ -703,7 +739,40 @@ N_PAIR_BLOCKS = 8
 def cosine_near_duplicate_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = PAIR_THRESHOLD
 ) -> DataFrame:
-    """(vec_a, vec_b, cosine) for all pairs with cosine >= threshold.
+    """(vec_a, vec_b, cosine) for ALL pairs with cosine >= threshold —
+    the exact correctness baseline (see _block_grid_pairs for the
+    distributed layout). The sound-pruning variants for corpora where
+    even n^2/B^2 is too much are the LSH / IVF / MinHash families in
+    this package; semantic_dedup_keep_best defaults to the
+    centroid-scoped candidate stage (scoped_near_duplicate_pairs)."""
+    return _block_grid_pairs(_emb(spark, sf_dir), threshold)
+
+
+def scoped_near_duplicate_pairs(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    threshold: float = PAIR_THRESHOLD,
+) -> DataFrame:
+    """(vec_a, vec_b, cosine): cosine >= threshold pairs SCOPED to
+    vectors sharing a nearest IVF centroid — SemDeDup's own candidate
+    discipline (pairs are computed within k-means clusters, never
+    across). Assignment is the shuffle-free literal-argmax narrow scan;
+    the per-cluster pair work then rides the same block grid keyed by
+    (centroid, block-pair), so a mega-cluster still spreads over B(B+1)/2
+    tasks and total pair compute drops from n² to Σ_c n_c². Cross-
+    centroid pairs are deliberately out of scope (the paper-accepted
+    approximation; the exact block grid is the oracle twin)."""
+    assigned = emb.select(
+        "vec_id", "embedding", _nearest_centroid_col(cents).alias("scope")
+    )
+    return _block_grid_pairs(assigned, threshold, scope_col="scope")
+
+
+def _block_grid_pairs(
+    emb: DataFrame, threshold: float, scope_col: str | None = None
+) -> DataFrame:
+    """(vec_a, vec_b, cosine) for pairs with cosine >= threshold, within
+    ``scope_col`` groups when given (else globally).
 
     Exact O(n^2) scan organized as a block-pair grid (the classic
     distributed all-pairs layout): vectors hash into B = N_PAIR_BLOCKS
@@ -715,22 +784,21 @@ def cosine_near_duplicate_pairs(
     volume is
     O(n*B) while pair work is O(n^2/B(B+1)/2) per task — B tunes task
     memory at any corpus size, and no data-sized collect or driver
-    broadcast of the matrix is needed. The sound-pruning variants for
-    corpora where even n^2/B^2 is too much are the LSH / IVF / MinHash
-    families in this package.
+    broadcast of the matrix is needed. With a scope column the grid key
+    becomes (scope, pair_id): n is the scope's population, so compute is
+    Σ_s n_s² and a hot scope still fans out over the grid.
     """
     import numpy as np
     import pandas as pd
 
     b_blocks = N_PAIR_BLOCKS
-    emb = _emb(spark, sf_dir)
     blk = (F.col("vec_id") % b_blocks).cast("int")
     # role 0 = the row block of pair (i, j): partners j >= i
     # role 1 = the column block:             partners i <= j
     # the diagonal pair (b, b) takes the row role only (one copy per row)
+    keep = ([scope_col] if scope_col else []) + ["vec_id", "embedding"]
     low = emb.select(
-        "vec_id",
-        "embedding",
+        *keep,
         F.lit(0).alias("role"),
         F.explode(F.sequence(blk * b_blocks + blk, blk * b_blocks + (b_blocks - 1))).alias(
             "pair_id"
@@ -738,8 +806,7 @@ def cosine_near_duplicate_pairs(
     )
     all_blocks = F.sequence(F.lit(0), F.lit(b_blocks - 1))
     high = emb.select(
-        "vec_id",
-        "embedding",
+        *keep,
         F.lit(1).alias("role"),
         F.explode(
             F.transform(
@@ -750,7 +817,7 @@ def cosine_near_duplicate_pairs(
     )
 
     def block_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pair_id = int(key[0])
+        pair_id = int(key[-1])
         diag = (pair_id // b_blocks) == (pair_id % b_blocks)
         rows = pdf[pdf["role"] == 0]
         cols = rows if diag else pdf[pdf["role"] == 1]
@@ -778,9 +845,10 @@ def cosine_near_duplicate_pairs(
             vb = np.maximum(ia[ai], ib[bi])
         return pd.DataFrame({"vec_a": va, "vec_b": vb, "cosine": cos[ai, bi]})
 
+    grid_keys = ([scope_col] if scope_col else []) + ["pair_id"]
     return (
         low.unionByName(high)
-        .groupBy("pair_id")
+        .groupBy(*grid_keys)
         .applyInPandas(block_pairs, "vec_a bigint, vec_b bigint, cosine double")
     )
 

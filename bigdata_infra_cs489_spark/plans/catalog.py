@@ -1231,22 +1231,16 @@ register(
 )
 
 register(
-    # SemDeDup: cosine-pair closure -> keep the member farthest from its
-    # IVF centroid (6dp-rounded ordering on both engines)
+    # SemDeDup: centroid-SCOPED cosine-pair closure (the paper's
+    # within-cluster candidate discipline — the operator's default pair
+    # stage) -> keep the member farthest from its IVF centroid
+    # (6dp-rounded ordering on both engines). The exact unscoped pair
+    # scan stays as the pytest-pinned correctness twin
+    # (pair_mode='exact'; tests/test_similarity.py).
     "semantic_dedup_keep_best",
     lambda spark, sf: S.semantic_dedup_keep_best(spark, sf),
     f"""
     WITH RECURSIVE e AS ({DUCK_EMB}),
-    prs AS (SELECT a.vec_id AS src, b.vec_id AS dst
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.v, b.v), 6)
-                  >= {S.PAIR_THRESHOLD}),
-    edges AS (SELECT src, dst FROM prs UNION ALL SELECT dst, src FROM prs),
-    reach AS (SELECT vec_id AS src, vec_id AS dst FROM e
-              UNION
-              SELECT r.src, ed.dst FROM reach r JOIN edges ed ON r.dst = ed.src),
-    cl AS (SELECT src AS vec_id, min(dst) AS cluster_id
-           FROM reach GROUP BY src),
     cent AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
              WHERE vec_id < {S.N_CENTROIDS}),
     scored AS (SELECT e.vec_id, c.centroid_id,
@@ -1256,6 +1250,19 @@ register(
                SELECT *, row_number() OVER (PARTITION BY vec_id
                           ORDER BY cos DESC, centroid_id) AS rn
                FROM scored) WHERE rn = 1),
+    prs AS (SELECT a.vec_id AS src, b.vec_id AS dst
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            JOIN best ba ON ba.vec_id = a.vec_id
+            JOIN best bb ON bb.vec_id = b.vec_id
+            WHERE ba.centroid_id = bb.centroid_id
+              AND round(list_cosine_similarity(a.v, b.v), 6)
+                  >= {S.PAIR_THRESHOLD}),
+    edges AS (SELECT src, dst FROM prs UNION ALL SELECT dst, src FROM prs),
+    reach AS (SELECT vec_id AS src, vec_id AS dst FROM e
+              UNION
+              SELECT r.src, ed.dst FROM reach r JOIN edges ed ON r.dst = ed.src),
+    cl AS (SELECT src AS vec_id, min(dst) AS cluster_id
+           FROM reach GROUP BY src),
     r AS (SELECT cl.cluster_id, cl.vec_id, b.centroid_id,
                  round(b.cos, 6) AS centroid_cos,
                  row_number() OVER (PARTITION BY cl.cluster_id

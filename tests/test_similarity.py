@@ -292,12 +292,17 @@ def test_semantic_dedup_keep_best_invariants(spark, sf_correct):
 
     # the registered 0.9 threshold is vacuous on the random fixtures (no
     # pairs — same note as the block-pair kernel test above), so exercise
-    # the group semantics at 0.5 where pairs exist
+    # the group semantics at 0.5 where pairs exist; pair_mode='exact'
+    # because the union-find reference below is built from the EXACT
+    # pair list (the scoped default's low-threshold divergence from it
+    # is pinned separately in test_semantic_dedup_scoped_*)
     pairs = [
         (r.vec_a, r.vec_b)
         for r in cosine_near_duplicate_pairs(spark, sf_correct, threshold=0.5).collect()
     ]
-    kept = semantic_dedup_keep_best(spark, sf_correct, threshold=0.5).collect()
+    kept = semantic_dedup_keep_best(
+        spark, sf_correct, threshold=0.5, pair_mode="exact"
+    ).collect()
     n_vecs = spark.read.parquet(f"{sf_correct}/embeddings.parquet").count()
     assert sum(r.group_size for r in kept) == n_vecs
     assert len({r.cluster_id for r in kept}) == len(kept)
@@ -343,3 +348,81 @@ def test_chunk_embed_topk_contract(spark, sf_smoke):
     cos = [r.cosine for r in a]
     assert cos == sorted(cos, reverse=True)
     assert all(-1.0 <= c <= 1.0 for c in cos)
+
+
+def _synthetic_neardup_emb(spark, n_base=40, n_dups=12, dim=8, n_centroids=8):
+    """(emb_df, cents): deterministic random-ish base vectors plus
+    near-identical copies (one tiny component perturbation), so the
+    cosine >= 0.9 pair graph has real multi-member groups and every
+    near-dup shares its original's nearest centroid (copies sit far from
+    any Voronoi boundary by construction)."""
+    import hashlib
+
+    def vec(i):
+        return [
+            (int(hashlib.md5(f"sdv-{i}-{j}".encode()).hexdigest()[:8], 16) % 1000)
+            / 1000.0
+            - 0.5
+            for j in range(dim)
+        ]
+
+    rows = [(i, vec(i)) for i in range(n_base)]
+    for d in range(n_dups):
+        src = d % n_base
+        v = list(rows[src][1])
+        v[0] += 1e-4  # near-identical: cosine ~ 1 - eps
+        rows.append((n_base + d, v))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = [(i, rows[i][1]) for i in range(n_centroids)]
+    return emb, cents
+
+
+def test_semantic_dedup_scoped_matches_exact_on_neardup_fixture(spark):
+    """The scoped (default) pair stage keeps the IDENTICAL set as the
+    exact block-grid twin on a fixture with real near-dup groups — the
+    repeated_spans_fp pinning playbook for the SemDeDup candidate path."""
+    from bigdata_infra_cs489_spark.operators.similarity import (
+        semantic_dedup_keep_best_core,
+    )
+
+    emb, cents = _synthetic_neardup_emb(spark)
+    scoped = semantic_dedup_keep_best_core(emb, cents, pair_mode="scoped")
+    exact = semantic_dedup_keep_best_core(emb, cents, pair_mode="exact")
+    srows = sorted(tuple(r) for r in scoped.collect())
+    erows = sorted(tuple(r) for r in exact.collect())
+    assert srows == erows
+    assert any(r[4] > 1 for r in srows)  # real multi-member groups
+
+
+def test_semantic_dedup_scoped_pairs_are_within_centroid(spark, sf_correct):
+    """The scoped candidate set is a SUBSET of the exact pair set, and
+    every scoped pair shares a nearest centroid — the documented
+    approximation regime: at low thresholds on the random fixture the
+    exact scan finds cross-centroid pairs the scoped stage (per the
+    SemDeDup paper's within-cluster discipline) deliberately skips."""
+    from pyspark.sql import functions as F
+
+    from bigdata_infra_cs489_spark.operators import similarity as S
+
+    emb = S._emb(spark, sf_correct)
+    cents = S._centroid_rows(spark, sf_correct, S.N_CENTROIDS)
+    scoped = {
+        (r.vec_a, r.vec_b)
+        for r in S.scoped_near_duplicate_pairs(emb, cents, threshold=0.5).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in S.cosine_near_duplicate_pairs(spark, sf_correct, threshold=0.5).collect()
+    }
+    assert scoped <= exact
+    asg = {
+        r.vec_id: r.cid
+        for r in emb.select(
+            "vec_id", S._nearest_centroid_col(cents).alias("cid")
+        ).collect()
+    }
+    for a, b in scoped:
+        assert asg[a] == asg[b]
+    # every exact pair the scoped stage skipped straddles centroids
+    for a, b in exact - scoped:
+        assert asg[a] != asg[b]
