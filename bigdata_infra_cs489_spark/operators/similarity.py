@@ -1071,29 +1071,43 @@ def ivf_topk_trained(
 # --- label-aware neighbor analytics (contrastive-training prep) -------------
 
 KNN_K = 5
-KNN_ANCHOR_MOD = 97  # vec_id % mod == 0 -> ~1% anchor sample
+KNN_N_ANCHORS = 32  # FIXED anchor-panel size at any corpus scale
+KNN_ANCHOR_SALT = "anchor-v1"
 HARD_NEG_N = 3
 
 
 def _anchor_neighbor_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(anchor_id, a_label, vec_id, label, cosine): every corpus vector
-    scored against the deterministic ~1% anchor sample. Anchors broadcast
-    (sample-sized); the scoring is one narrow pass over the corpus per
-    anchor batch — the exact baseline; the LSH/IVF candidate paths above
-    are the 100 TB route when anchors × corpus stops fitting. Cosines are
-    rounded to 6dp BEFORE ranking so neighbor order (and the cross-engine
-    hash) never depends on float fold order; ties break on vec_id."""
+    scored against a deterministic FIXED-SIZE anchor panel — the
+    KNN_N_ANCHORS corpus vectors ranking first by salted portable hash
+    (vec_id tie-break), selected with TakeOrderedAndProject so the
+    anchor side is N rows at ANY corpus size. The previous vec_id % 97
+    rule grew the broadcast ~linearly with the corpus — unbounded at
+    100 TB; a fixed salted-hash panel keeps the broadcast and the
+    scoring fan-out (N x corpus) capped while staying reproducible
+    across runs, engines, and partitionings. The LSH/IVF candidate
+    paths above are the route when even N x corpus stops fitting.
+    Cosines are rounded to 6dp BEFORE ranking so neighbor order (and
+    the cross-engine hash) never depends on float fold order; ties
+    break on vec_id."""
+    from ..functions.hashing import h8
+
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("embedding"),
         "label",
     )
-    anchors = emb.where(
-        (F.col("vec_id") % KNN_ANCHOR_MOD == 0)
-    ).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("embedding").alias("avec"),
-        F.col("label").alias("a_label"),
+    ark = h8(F.concat(F.col("vec_id").cast("string"), F.lit(KNN_ANCHOR_SALT)))
+    anchors = (
+        emb.select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("avec"),
+            F.col("label").alias("a_label"),
+            ark.alias("ark"),
+        )
+        .orderBy(F.asc("ark"), F.asc("anchor_id"))
+        .limit(KNN_N_ANCHORS)
+        .drop("ark")
     )
     return (
         emb.crossJoin(F.broadcast(anchors))

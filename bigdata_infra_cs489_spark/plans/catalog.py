@@ -3075,12 +3075,17 @@ register(
 )
 
 # label-aware neighbor analytics: same rounded-cosine-then-rank rule on
-# both engines (vec_id tie-break), so window order is hash-stable.
+# both engines (vec_id tie-break), so window order is hash-stable. The
+# anchor panel is the FIXED-SIZE salted-hash top-N (bounded broadcast at
+# any corpus scale — see similarity._anchor_neighbor_scores).
 _KNN_SCORED = f"""
     e AS ({DUCK_EMB.replace("v FROM", "v, label FROM")}),
     anchors AS (
       SELECT vec_id AS anchor_id, v AS avec, label AS a_label FROM e
-      WHERE vec_id % {S.KNN_ANCHOR_MOD} = 0
+      ORDER BY {DUCK_H8.format(
+          x=f"CAST(vec_id AS VARCHAR) || '{S.KNN_ANCHOR_SALT}'"
+      )}, vec_id
+      LIMIT {S.KNN_N_ANCHORS}
     ),
     scored AS (
       SELECT a.anchor_id, a.a_label, e.vec_id, e.label,
