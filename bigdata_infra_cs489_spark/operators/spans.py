@@ -195,13 +195,21 @@ def strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join; the strip itself is a pure JVM higher-order expression
     (transform + exists), zero Python, zero extra shuffle beyond the
     span pipeline's one keyed exchange."""
+    return _strip_tokens(spark, sf_dir, _merged_spans(spark, sf_dir))
+
+
+def _strip_tokens(
+    spark: SparkSession, sf_dir: str, spans_df: DataFrame
+) -> DataFrame:
+    """(doc_id, n_tokens, kept_tokens, clean_text): one corpus scan with
+    every token inside a ``spans_df`` interval removed — the shared strip
+    stage of strip_spans (remove ALL occurrences) and
+    strip_spans_keep_first (remove all but the first)."""
     docs = load(spark, sf_dir, "documents", parallelize=True).select(
         "doc_id", tokenize("text").alias("toks")
     )
-    sps = (
-        _merged_spans(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.collect_list(F.struct("span_start", "span_end")).alias("sps"))
+    sps = spans_df.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("sps")
     )
     empty = F.array().cast("array<struct<span_start:bigint,span_end:bigint>>")
     j = docs.join(sps, "doc_id", "left").select(
@@ -222,6 +230,63 @@ def strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").cast("bigint").alias("n_tokens"),
         F.size(kept).cast("bigint").alias("kept_tokens"),
         F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("clean_text"),
+    )
+
+
+def _removed_hits_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, pos): duplicated-gram windows that are NOT
+    their gram's globally-first occurrence (first = min (doc_id, pos)
+    over the corpus). The arbitration core of the Lee-et-al keep-one
+    policy: every duplicated gram retains exactly one occurrence.
+
+    Skew shape: first-occurrence + count fold into ONE partial-
+    aggregatable groupBy(gram) (min over the (doc_id, pos) ordering
+    struct combines map-side, same discipline as the dup count), then
+    one equi-join back on the gram key — a hot boilerplate gram becomes
+    AQE-splittable join skew, never a gram-partitioned window task."""
+    g = _grams(spark, sf_dir)
+    firsts = (
+        g.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
+        .where(F.col("c") >= SPAN_MIN_COUNT)
+        .select("gram", "first")
+    )
+    return (
+        g.join(firsts, "gram")
+        .where(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("doc_id", "n_tokens", "pos")
+    )
+
+
+def strip_spans_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, kept_tokens, clean_text): span stripping under
+    the Lee et al. 2021 KEEP-ONE-OCCURRENCE policy — for every duplicated
+    k-gram the globally-first occurrence (min (doc_id, pos)) stays; all
+    later occurrences are marked and their merged extents removed. The
+    policy real curation pipelines run beside the conservative strip-all
+    (strip_spans): the corpus keeps exactly one copy of every duplicated
+    span instead of losing all copies.
+
+    Note the inherent overlap subtlety (present in the suffix-array
+    original too): a first occurrence's tokens can still fall inside the
+    removed extent of a DIFFERENT gram's later occurrence, so
+    "first occurrence survives" holds at the arbitration level
+    (exactly one occurrence per gram is exempt from marking), while the
+    final strip works on merged extents. Guaranteed invariants, pinned
+    by tests: kept_tokens >= strip_spans' kept_tokens per doc, and every
+    duplicated gram has exactly one unmarked occurrence.
+
+    Scale shape: identical to strip_spans plus the first-occurrence
+    argmin folded into the same groupBy(gram) exchange — no second scan,
+    no window (see _removed_hits_keep_first)."""
+    return _strip_tokens(
+        spark, sf_dir, _merge_intervals(_removed_hits_keep_first(spark, sf_dir))
     )
 
 

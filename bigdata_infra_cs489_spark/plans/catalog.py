@@ -4145,14 +4145,11 @@ register(
     """,
 )
 
-register(
-    # per-doc merged-interval arrays joined back onto one corpus scan;
-    # the strip is a pure list-lambda on both engines
-    "strip_spans",
-    SP.strip_spans,
-    f"""
-    WITH {DUCK_SPAN_CTES},
-    sp AS (SELECT doc_id, list({{'s': span_start, 'e': span_end}}) AS sps
+# Shared strip tail (expects in-scope `toks` and `spans` CTEs): per-doc
+# merged-interval arrays joined back onto one corpus scan; the strip is
+# a pure list-lambda on both engines.
+DUCK_STRIP_TAIL = """,
+    sp AS (SELECT doc_id, list({'s': span_start, 'e': span_end}) AS sps
            FROM spans GROUP BY doc_id),
     j AS (SELECT t.doc_id, t.toks, coalesce(sp.sps, []) AS sps
           FROM toks t LEFT JOIN sp USING (doc_id)),
@@ -4168,7 +4165,29 @@ register(
            -- duckdb's array_to_string([]) is NULL; spark's array_join is ''
            coalesce(array_to_string(kept, ' '), '') AS clean_text
     FROM k
-    """,
+    """
+
+register(
+    "strip_spans",
+    SP.strip_spans,
+    f"""
+    WITH {DUCK_SPAN_CTES}{DUCK_STRIP_TAIL}""",
+)
+
+register(
+    # Lee-et-al keep-one-occurrence policy: per duplicated gram the
+    # globally-first occurrence (min (doc_id, pos)) is exempt; only the
+    # later occurrences' merged extents are stripped.
+    "strip_spans_keep_first",
+    SP.strip_spans_keep_first,
+    f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),{DUCK_SPAN_GRAM_CTES},
+    hits AS (SELECT doc_id, n_tokens, pos FROM (
+                 SELECT *, count(*) OVER (PARTITION BY gram) AS c,
+                        row_number() OVER (PARTITION BY gram
+                                           ORDER BY doc_id, pos) AS rn
+                 FROM grams)
+             WHERE c >= {SP.SPAN_MIN_COUNT} AND rn > 1),{DUCK_SPAN_MERGE_CTES}{DUCK_STRIP_TAIL}""",
 )
 
 register(

@@ -22,6 +22,7 @@ NAMES = [
     "incremental_spans",
     "incremental_spans_fp",
     "strip_spans",
+    "strip_spans_keep_first",
 ]
 
 
@@ -216,3 +217,59 @@ def test_novelty_first_bucket_is_all_novel(spark, sf_smoke):
     assert rows[0].novelty_rate == 1.0  # nothing precedes bucket 0
     for r in rows.values():
         assert 0 < r.novel_grams <= r.distinct_grams or r.novel_grams == 0
+
+
+def test_keep_first_policy_invariants_and_python_reimpl(spark, sf_smoke):
+    """strip_spans_keep_first (Lee-et-al keep-one policy) against a pure
+    Python reimplementation of the full arbitration -> merge -> strip
+    chain, plus the two policy invariants: per-doc kept_tokens is >= the
+    strip-all policy's (the removal set is a strict subset), and every
+    duplicated gram exempts exactly one occurrence (its global first)."""
+    import __spark_entry__ as entrymod
+
+    tbl = pq.read_table(f"{sf_smoke}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    toks = {d: _py_tokenize(t) for d, t in texts.items()}
+    grams = {
+        d: [" ".join(ts[i : i + SPAN_K]) for i in range(len(ts) - SPAN_K + 1)]
+        for d, ts in toks.items()
+    }
+    counts = Counter(g for gs in grams.values() for g in gs)
+    first: dict[str, tuple[int, int]] = {}
+    for d in sorted(grams):
+        for i, g in enumerate(grams[d]):
+            if counts[g] >= SPAN_MIN_COUNT and g not in first:
+                first[g] = (d, i + 1)
+    expected = {}
+    for d, gs in grams.items():
+        hits = [
+            i + 1
+            for i, g in enumerate(gs)
+            if counts[g] >= SPAN_MIN_COUNT and first[g] != (d, i + 1)
+        ]
+        merged: list[list[int]] = []
+        for p in hits:
+            if merged and p <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], p + SPAN_K - 1)
+            else:
+                merged.append([p, p + SPAN_K - 1])
+        kept = [
+            t
+            for i, t in enumerate(toks[d], start=1)
+            if not any(s <= i <= e for s, e in merged)
+        ]
+        expected[d] = (len(toks[d]), len(kept), " ".join(kept))
+
+    qs = entrymod.queries()
+    got = {
+        r.doc_id: (r.n_tokens, r.kept_tokens, r.clean_text)
+        for r in qs["strip_spans_keep_first"](spark, sf_smoke).collect()
+    }
+    assert got == expected
+
+    strip_all = {
+        r.doc_id: r.kept_tokens for r in qs["strip_spans"](spark, sf_smoke).collect()
+    }
+    assert all(got[d][1] >= strip_all[d] for d in got)
+    # the policies genuinely differ on the fixture (some span survives)
+    assert any(got[d][1] > strip_all[d] for d in got)
