@@ -140,14 +140,21 @@ def lang_temperature_rates(
     realizes the target (normalized so the most-upweighted language is
     kept whole).
 
-    Cross-engine float care: total_tokens are exact int64; pow/sum run
-    on identical doubles via the platform libm (the weighted_sample_topn
-    precedent); p_raw/p_temp are rounded half-up to 6dp on BOTH engines,
-    and keep_ppm derives from the ROUNDED shares, so every downstream
-    value is bit-deterministic given them. Zero-token languages emit all
+    Cross-engine float care: total_tokens are exact int64; each pow term
+    is immediately rounded half-up to a scaled int64 (w_i = ⌊t^α·1e6 +
+    0.5⌋ — ONE libm pow per language, identical doubles on both engines,
+    the weighted_sample_topn precedent), so the normalizing sum is EXACT
+    integer arithmetic and order-independent — a float sum would make
+    the 6dp rounding of p_temp depend on accumulation order, which
+    DuckDB's scan-order aggregate does not pin. p_raw/p_temp are then
+    single divisions of identical int64 pairs, rounded half-up to 6dp on
+    BOTH engines, and keep_ppm derives from the ROUNDED shares, so every
+    downstream value is bit-deterministic. Zero-token languages emit all
     zeros. Same O(#langs) driver-side finish as lang_mixture_rates (a
     second DataFrame branch for the global sums would double the corpus
     scans)."""
+    import math
+
     from .textstats import text_quality
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
@@ -162,13 +169,17 @@ def lang_temperature_rates(
         ),
     )
     grand = sum(t for _, t in totals)
-    s = sum(t**alpha for _, t in totals if t)
+    wis = {
+        lang: (int(math.floor(t**alpha * 1e6 + 0.5)) if t else 0)
+        for lang, t in totals
+    }
+    s = sum(wis.values())
     shares = [
         (
             lang,
             t,
             _r6(t / grand) if t else 0.0,
-            _r6(t**alpha / s) if t else 0.0,
+            _r6(wis[lang] / s) if t else 0.0,
         )
         for lang, t in totals
     ]

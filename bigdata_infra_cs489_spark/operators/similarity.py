@@ -175,6 +175,11 @@ def cluster_balanced_sample(
 
     emb = _emb(spark, sf_dir)
     cents = _centroid_rows(spark, sf_dir, n_centroids)
+    if not cents:
+        # empty corpus (or no seed vectors): empty result with the
+        # normal schema instead of ValueError-ing on min() — the same
+        # degrade-to-empty contract as the sibling samplers
+        return spark.createDataFrame([], "vec_id bigint, centroid_id int")
     assign = _nearest_centroid_col(cents).alias("centroid_id")
     assigned = emb.select("vec_id", assign)
     counts = {

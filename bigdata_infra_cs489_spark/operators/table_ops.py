@@ -113,16 +113,24 @@ def apply_changes(
     inserts-or-replaces its payload, and when a key has several change
     rows the highest ``seq`` wins (the replay-order contract every CDC
     consumer needs; seq is unique per key by construction of a change
-    feed). Plan: latest-per-key is a partial-aggregatable max_by — not a
-    key-partitioned window, which would pin a hot key's entire change
-    history (millions of updates to one row is a normal CDC shape) in a
-    single task — then one left-anti join and a union; with base and
-    changes bucketed on the key (sources/bucketing.py) the join
-    exchanges disappear at scale, and no collect or driver-side state
-    anywhere."""
+    feed — asserted for the derived fixture feed by
+    tests/test_table_ops.py — and a violating feed still resolves
+    DETERMINISTICALLY: the ordering struct extends (seq) with (op,
+    payload), so equal-seq rows pick the lexicographically greatest
+    change instead of a partition-order coin flip). Plan: latest-per-key
+    is a partial-aggregatable max_by — not a key-partitioned window,
+    which would pin a hot key's entire change history (millions of
+    updates to one row is a normal CDC shape) in a single task — then
+    one left-anti join and a union; with base and changes bucketed on
+    the key (sources/bucketing.py) the join exchanges disappear at
+    scale, and no collect or driver-side state anywhere."""
     latest = (
         changes.groupBy(key)
-        .agg(F.max_by(F.struct("op", *cols), F.col("seq")).alias("_m"))
+        .agg(
+            F.max_by(
+                F.struct("op", *cols), F.struct("seq", "op", *cols)
+            ).alias("_m")
+        )
         .select(key, "_m.*")
     )
     kept = base.join(latest.select(key), key, "left_anti")

@@ -2292,18 +2292,28 @@ _TEMP_RATES_SQL = f"""
         SELECT d.lang, CAST(sum(tq.n_tokens) AS BIGINT) AS total_tokens
         FROM tq JOIN documents d USING (doc_id)
         GROUP BY d.lang),
+    -- each pow term rounds half-up to a scaled int64 BEFORE the
+    -- normalizing sum, so the sum is exact integer arithmetic and
+    -- independent of accumulation order (a float sum() aggregates in
+    -- scan order here but lang order on the Spark driver — last-ulp
+    -- divergence could flip the 6dp rounding of p_temp)
+    tw AS (SELECT lang, total_tokens,
+                  CASE WHEN total_tokens > 0
+                       THEN CAST(floor(pow(total_tokens, {SA.MIX_ALPHA})
+                                       * 1000000 + 0.5) AS BIGINT)
+                       ELSE 0 END AS wi
+           FROM tl),
     g AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS grand,
-                 sum(CASE WHEN total_tokens > 0
-                          THEN pow(total_tokens, {SA.MIX_ALPHA}) ELSE 0 END) AS s
-          FROM tl),
+                 CAST(sum(wi) AS BIGINT) AS s
+          FROM tw),
     r AS (SELECT lang, total_tokens,
                  CASE WHEN total_tokens = 0 THEN 0.0
                       ELSE round(total_tokens / CAST(g.grand AS DOUBLE), 6)
                  END AS p_raw,
                  CASE WHEN total_tokens = 0 THEN 0.0
-                      ELSE round(pow(total_tokens, {SA.MIX_ALPHA}) / g.s, 6)
+                      ELSE round(wi / CAST(g.s AS DOUBLE), 6)
                  END AS p_temp
-          FROM tl, g),
+          FROM tw, g),
     w AS (SELECT *, CASE WHEN p_raw = 0 THEN 0.0 ELSE p_temp / p_raw END AS wgt
           FROM r),
     mx AS (SELECT max(wgt) AS mw FROM w)

@@ -222,3 +222,42 @@ def test_ivm_refresh_equals_recompute(spark, sf_smoke):
         for r in incremental_agg_refresh(spark, sf_smoke).collect()
     }
     assert refreshed == direct
+
+
+def test_change_feed_seq_unique_per_key_and_equal_seq_deterministic(
+    spark, sf_correct
+):
+    """The apply_changes contract assumes seq is unique per key; assert
+    it for the derived fixture feed, and pin that a deliberately
+    violating feed (two rows sharing a seq) still resolves
+    deterministically (greatest (seq, op, payload) wins) instead of a
+    partition-order coin flip."""
+    from pyspark.sql import functions as F
+
+    from bigdata_infra_cs489_spark.operators.table_ops import (
+        _changes,
+        apply_changes,
+    )
+
+    dup = (
+        _changes(spark, sf_correct)
+        .groupBy("event_id", "seq")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+
+    base = spark.createDataFrame([(1, "a")], "id long, v string")
+    tie = spark.createDataFrame(
+        [(1, "upsert", 5, "x"), (1, "upsert", 5, "y"), (2, "upsert", 5, "z")],
+        "id long, op string, seq long, v string",
+    )
+    for _ in range(3):
+        got = {
+            (r.id, r.v)
+            for r in apply_changes(
+                base.repartition(7), tie.repartition(5), "id", ["v"]
+            ).collect()
+        }
+        assert got == {(1, "y"), (2, "z")}  # greatest payload wins, always
