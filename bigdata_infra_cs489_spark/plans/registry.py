@@ -33,84 +33,86 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 
 # The driver's correctness run covers the FIRST 50 entries of queries().
-# Round-5 rotation (final backlog clear):
-#   slots 1-35  the 35 queries queued at slots 51-85 in round 4 — the
-#               last cohort never to have received a driver row; all are
-#               builder-sweep hash-green and 8 were judge-reproduced.
-#   slots 36-38 the round-4 span family (registered after the r4 window
-#               was pinned, so also never driver-checked).
-#   slots 39-48 round-5 additions: repeated_spans_fp /
-#               incremental_spans_fp (narrow-key 100 TB variants),
-#               corpus_curate + incremental_curate (the bootstrap and
-#               recurring forms of the composed curation pipeline),
-#               strip_spans, incremental_spans/_span_stats,
-#               cluster_balanced_sample, lang_temperature_rates/_sample.
-#               _window_order drops unknown names, so listing ahead of
-#               registration is safe.
-#   slot 49     semantic_dedup_keep_best (SemDeDup), keeping the
-#               never-driver-checked backlog at zero.
-#   slot 50     the oldest driver-green iterative query (ppr_topk) for
-#               staleness re-confirmation, per the round-4 verdict's
-#               rotation protocol.
-# After this window runs green, every registered query has a driver
-# hash row from some round. Names and semantics are untouched — this is
-# purely an export-order contract; everything outside the window keeps
-# its verify_sweep + pytest coverage.
+# Round-6 rotation (staleness refresh + changed-output re-confirm):
+#   slot 1       chunk_embed_topk — registered after the round-5 window
+#                was pinned, the one query never driver-checked.
+#   slots 2-44   the full 43-query cohort whose latest driver row is
+#                round 1 or 2 (oldest first: the 2 r1 queries, then the
+#                41 r2 queries) — every one re-verified by the builder's
+#                dual-SF sweeps each round, rotated in so no query's
+#                latest driver row is older than round 3 afterwards.
+#   slot 45      strip_spans_keep_first — NEW this round (Lee-et-al
+#                keep-one-occurrence span strip).
+#   slots 46-50  the round-6 OUTPUT-CHANGED queries, which need fresh
+#                driver rows over their r4/r5 ones:
+#                semantic_dedup_keep_best (pair stage defaulted to the
+#                centroid-scoped candidate path), knn_label_accuracy +
+#                hard_negative_pairs (anchor panel capped to a fixed
+#                salted-hash top-32), lang_temperature_rates/_sample
+#                (integer-stabilized pow sum).
+# The round-6 skew-hardening rewrites (dedup_keep_best, corpus_curate,
+# incremental_dedup_assign, incremental_curate, source_capped_sample)
+# are OUTPUT-IDENTICAL (verified against their unchanged oracles), so
+# their r4/r5 driver rows remain valid evidence and they yield their
+# slots to the stale cohort. Names and semantics are untouched — this
+# is purely an export-order contract; everything outside the window
+# keeps its verify_sweep + pytest coverage.
 _DRIVER_WINDOW_FIRST = (
-    # -- slots 1-35: the final never-driver-checked cohort ------------
-    "bucketed_customer_orders",
-    "source_capped_sample",
-    "media_features",
-    "video_frames",
-    "pagerank_topk",
-    "doc_keywords",
-    "user_value_anomalies",
-    "events_value_histogram",
-    "doc_chunks",
-    "heavy_key_report",
-    "conversion_attribution",
-    "source_quality_percentiles",
-    "events_value_median_by_type",
-    "cross_source_overlap",
-    "event_type_transitions",
-    "weighted_sample_topn",
-    "label_propagation_communities",
-    "session_cooccurrence",
-    "funnel_latency",
-    "daily_value_ewma",
-    "events_exact_median_global",
-    "spam_calibration_bins",
-    "nation_market_share",
-    "top_terms_per_lang",
-    "promo_revenue_share",
-    "ab_test_zscore",
-    "top_suppliers_by_revenue",
-    "top_return_customers",
-    "user_erasure_audit",
-    "events_throttled",
-    "user_rolling_anomalies",
-    "incremental_agg_refresh",
-    "events_debounced",
-    "events_seasonality",
-    "user_value_deciles",
-    # -- slots 36-38: round-4 span family (registered post-window) ----
-    "repeated_spans",
-    "dup_span_stats",
-    "corpus_novelty",
-    # -- slots 39-45: round-5 additions -------------------------------
-    "repeated_spans_fp",
-    "corpus_curate",
-    "strip_spans",
-    "incremental_spans",
-    "cluster_balanced_sample",
+    # -- slot 1: the last never-driver-checked query ------------------
+    "chunk_embed_topk",
+    # -- slots 2-3: latest driver row round 1 -------------------------
+    "language_id",
+    "text_quality",
+    # -- slots 4-44: latest driver row round 2 ------------------------
+    "bigram_rel_freq",
+    "bigram_stripes",
+    "bm25_retrieval",
+    "boolean_retrieval",
+    "cosine_topk",
+    "dedup_exact",
+    "embedding_near_duplicates",
+    "inverted_index_df",
+    "inverted_index_postings",
+    "ivf_assignments",
+    "ivf_centroid_norms",
+    "ivf_topk",
+    "lsh_codes",
+    "lsh_topk",
+    "minhash_near_duplicates",
+    "minhash_signatures",
+    "near_duplicate_clusters",
+    "ngram_jaccard_pairs",
+    "phrase_retrieval",
+    "pmi_pairs",
+    "pmi_stripes",
+    "pmi_word_line_counts",
+    "positional_postings",
+    "ppr_graph_edges",
+    "ppr_graph_stats",
+    "ppr_mass_conservation",
+    "prefix_count",
+    "q1_count_shipped",
+    "q2_orders_semijoin_topk",
+    "q3_lineitem_part_supplier",
+    "q4_shipments_by_nation",
+    "q5_monthly_shipments_two_nations",
+    "q6_pricing_summary",
+    "q7_top_revenue_orders",
+    "ranked_retrieval",
+    "semantic_search",
+    "simhash_fingerprints",
+    "simhash_near_duplicates",
+    "spam_training_set",
+    "tfidf_scores",
+    "wordcount",
+    # -- slot 45: new this round --------------------------------------
+    "strip_spans_keep_first",
+    # -- slots 46-50: round-6 output-changed, fresh rows needed -------
+    "semantic_dedup_keep_best",
+    "knn_label_accuracy",
+    "hard_negative_pairs",
     "lang_temperature_rates",
     "lang_temperature_sample",
-    "incremental_span_stats",
-    "incremental_curate",
-    "incremental_spans_fp",
-    "semantic_dedup_keep_best",
-    # -- slot 50: oldest (drv-r2/r3) green, staleness re-confirm ------
-    "ppr_topk",
 )
 
 

@@ -26,3 +26,49 @@ def test_every_query_has_oracle():
     a deliberate, documented exception (there are currently none)."""
     qs, os_ = registry.queries(), registry.oracle_sql()
     assert set(qs) == set(os_)
+
+
+def test_every_query_driver_checked_or_windowed():
+    """Mechanized rotation contract (hand-maintained for three rounds):
+    every registered query must either already have a driver hash row in
+    some CORRECTNESS_r*.json, or sit inside the next window's first 50
+    slots — otherwise a registration would silently wait unverified."""
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    seen: set[str] = set()
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        seen |= set(json.loads(p.read_text()))
+    qs = registry.queries()
+    windowed = set(registry._DRIVER_WINDOW_FIRST[:50])
+    orphans = [n for n in qs if n not in seen and n not in windowed]
+    assert orphans == [], (
+        f"registered but never driver-checked and not in the next window: {orphans}"
+    )
+
+
+def test_stale_driver_rows_rotate_oldest_first():
+    """No registered query's LATEST driver row may lag more than three
+    rounds behind the newest CORRECTNESS file unless it holds a slot in
+    the upcoming window — the staleness-hygiene rule from the round-5
+    verdict, mechanized."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    latest: dict[str, int] = {}
+    newest = 0
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", p.name).group(1))
+        newest = max(newest, rnd)
+        for name in json.loads(p.read_text()):
+            latest[name] = max(latest.get(name, 0), rnd)
+    windowed = set(registry._DRIVER_WINDOW_FIRST[:50])
+    stale = [
+        n
+        for n, r in latest.items()
+        if n in registry.queries() and r <= newest - 4 and n not in windowed
+    ]
+    assert stale == [], f"driver rows older than {newest - 3} rounds: {stale}"
