@@ -546,3 +546,55 @@ def upsert_user_state(bdf: DataFrame, state: dict, out: str, bid: int) -> None:
     newp = os.path.join(out, f"v{bid}")
     cur.write.mode("overwrite").parquet(newp)
     state["path"] = newp
+
+
+# --- live unbounded-source probe (rate source) -------------------------------
+
+RATE_ROWS_PER_SEC = 500
+RATE_LATE_MOD = 10  # every RATE_LATE_MOD-th row arrives late
+RATE_LATENESS_SEC = 30  # how late those rows claim to be
+RATE_WINDOW_SEC = 5
+RATE_WATERMARK_SEC = 5
+
+
+def rate_lateness_stream(
+    spark: SparkSession,
+    rows_per_second: int = RATE_ROWS_PER_SEC,
+    late_mod: int = RATE_LATE_MOD,
+    lateness_sec: int = RATE_LATENESS_SEC,
+    window_sec: int = RATE_WINDOW_SEC,
+    watermark_sec: int = RATE_WATERMARK_SEC,
+) -> DataFrame:
+    """Watermarked tumbling count over a LIVE unbounded ``rate`` source —
+    the micro-benchmark shape the availableNow fixture twins cannot
+    exercise: a genuinely unbounded source where the watermark advances with
+    wall-clock batches and too-late rows are dropped from the state
+    store at runtime (observable as numRowsDroppedByWatermark in query
+    progress, which the availableNow single-batch backfill never
+    reports non-zero).
+
+    Every ``late_mod``-th row rewinds its event time by ``lateness_sec``
+    (far beyond the ``watermark_sec`` allowance), modeling a straggler
+    producer; once the watermark has advanced past those rewound
+    timestamps — after the first couple of micro-batches — the engine
+    must drop them instead of reopening finalized windows. State is
+    bounded by watermark eviction at any runtime length, the property
+    that keeps this shape viable on an unbounded 100 TB/day feed."""
+    src = spark.readStream.format("rate").option(
+        "rowsPerSecond", str(rows_per_second)
+    ).load()
+    late = F.col("value") % late_mod == 0
+    ev = src.select(
+        F.when(
+            late, F.col("timestamp") - F.expr(f"INTERVAL {lateness_sec} SECONDS")
+        )
+        .otherwise(F.col("timestamp"))
+        .alias("ts"),
+        "value",
+    )
+    return (
+        ev.withWatermark("ts", f"{watermark_sec} seconds")
+        .groupBy(F.window("ts", f"{window_sec} seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "n")
+    )

@@ -289,3 +289,47 @@ def test_file_stream_checkpoint_resume_is_exactly_once(spark, tmp_path, sf_smoke
     assert got.select("event_id").distinct().count() == ev.count(), (
         "no event processed twice across the restart"
     )
+
+
+def test_rate_source_watermark_drops_late_rows(spark):
+    """SURVEY §2.10 stretch: run the watermarked tumbling count against a
+    LIVE unbounded rate source for a few wall-clock micro-batches and pin
+    the lateness contract the availableNow fixture twins cannot observe —
+    rows arriving beyond the watermark allowance are DROPPED at the state
+    store (numRowsDroppedByWatermark > 0 in progress), while on-time rows
+    keep flowing (numInputRows grows) and finalized windows reach the
+    append-mode sink."""
+    import time
+    import uuid
+
+    from bigdata_infra_cs489_spark.streaming.events_stream import (
+        rate_lateness_stream,
+    )
+
+    name = f"rate_probe_{uuid.uuid4().hex[:8]}"
+    sdf = rate_lateness_stream(spark)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        dropped = total_in = 0
+        while time.time() < deadline:
+            time.sleep(2)
+            for p in q.recentProgress:
+                for so in p.get("stateOperators", []):
+                    dropped = max(dropped, int(so.get("numRowsDroppedByWatermark", 0)))
+                total_in += int(p.get("numInputRows", 0))
+            if dropped > 0 and total_in > 0:
+                break
+        assert total_in > 0, "rate source produced no input rows"
+        assert dropped > 0, "no late row was dropped by the watermark"
+    finally:
+        q.stop()
+    # windows finalized by the advancing watermark reached the sink
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert all(r.n > 0 for r in rows)
