@@ -1,0 +1,186 @@
+"""DSIR-style importance scoring for data selection (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling").
+
+The selection step a modern pretraining pipeline runs when it has a
+small HIGH-QUALITY target corpus and a huge raw crawl: learn bag-of-
+hashed-ngram unigram models for both, score every raw document by its
+average per-token log importance ratio log p_target(x) - log p_raw(x),
+and keep the top-scoring documents — upweighting raw text that "looks
+like" the target distribution. No reference counterpart (north-star
+extension family, the data-mixing shelf next to lang_temperature_rates).
+
+Determinism/scale design (the lang_temperature_rates discipline):
+- features are tokens hashed into DSIR_BUCKETS by the portable h8, so
+  the feature space is fixed-size at any corpus scale and the DuckDB
+  twin reproduces bucket ids bit-for-bit;
+- the two bucket count tables are ONE partial-aggregated pass each,
+  B rows total — model-sized state, broadcast back for scoring;
+- each bucket's smoothed log-ratio is computed ONCE (two libm logs of
+  identical doubles on both engines) and immediately rounded half-up to
+  a scaled int64 (micro-nats), so every per-document score is EXACT
+  integer arithmetic — a float dot product would make the 6dp rounding
+  depend on accumulation order, which no engine pins;
+- per-document scoring is groupBy(doc_id, bucket) -> broadcast join on
+  the B-row ratio table -> one partial-aggregated integer sum; a hot
+  bucket (stopwords all hash somewhere) is AQE-splittable join skew,
+  never a window;
+- selection is a global top-K with (score, -doc_id) ordering —
+  TakeOrderedAndProject, bounded driver state at any corpus size.
+
+The target corpus here is the deterministic doc_id % DSIR_TARGET_MOD
+== 0 slice standing in for "curated high-quality data" (the
+contamination_flags convention); a deployment passes its real target
+table to the core functions.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h8
+from ..functions.text import exploded_tokens
+from ..sources.tables import load
+
+DSIR_BUCKETS = 1024  # hashed-ngram feature-space size (fixed at any scale)
+DSIR_TARGET_MOD = 13  # doc_id % MOD == 0 plays the high-quality target set
+DSIR_TOP_K = 100  # raw documents kept by the selection step
+_MICRO = 1_000_000
+
+
+def _bucketed_counts(docs: DataFrame) -> DataFrame:
+    """(bucket, n): token occurrences per hashed feature bucket — one
+    partial-aggregated pass from the token stream to <= DSIR_BUCKETS
+    rows."""
+    toks = exploded_tokens(docs, keep=("doc_id",))
+    return (
+        toks.select((h8(F.col("word")) % DSIR_BUCKETS).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def dsir_logratios(target: DataFrame, raw: DataFrame) -> DataFrame:
+    """(bucket, lr_micro): add-one-smoothed log importance ratio
+    log((t_b+1)/(T+B)) - log((r_b+1)/(R+B)) per feature bucket, rounded
+    half-up to int64 MICRO-NATS so downstream sums are exact integer
+    arithmetic. B rows of model-sized state; the two corpus passes are
+    the inherent minimum (each distribution is a global aggregate).
+
+    The totals are finished driver-side from the already-B-row count
+    tables (the lang_mixture_rates O(tiny) collect discipline), keeping
+    the log computation a single Python math.log per bucket — identical
+    doubles to DuckDB's ln() via the shared libm, and only the ROUNDED
+    integer crosses into the distributed plan."""
+    tc = {int(r["bucket"]): int(r["n"]) for r in _bucketed_counts(target).collect()}
+    rc = {int(r["bucket"]): int(r["n"]) for r in _bucketed_counts(raw).collect()}
+    t_total = sum(tc.values())
+    r_total = sum(rc.values())
+    spark = target.sparkSession
+    rows = [
+        (
+            b,
+            int(
+                math.floor(
+                    (
+                        math.log((tc.get(b, 0) + 1) / (t_total + DSIR_BUCKETS))
+                        - math.log((rc.get(b, 0) + 1) / (r_total + DSIR_BUCKETS))
+                    )
+                    * _MICRO
+                    + 0.5
+                )
+            ),
+        )
+        for b in range(DSIR_BUCKETS)
+    ]
+    return spark.createDataFrame(rows, "bucket bigint, lr_micro bigint")
+
+
+def dsir_doc_scores(target: DataFrame, raw: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, score_micro, avg_logratio): every RAW document
+    scored by its total and per-token average log importance ratio.
+    score_micro is the exact integer dot product of the doc's bucket
+    counts with the micro-nat ratio table; avg_logratio = score_micro /
+    (n_tokens * 1e6) rounded to 6dp — a single division of identical
+    int64 pairs on both engines. Zero-token docs score 0."""
+    lr = dsir_logratios(target, raw)
+    per_doc_bucket = (
+        exploded_tokens(raw, keep=("doc_id",))
+        .select("doc_id", (h8(F.col("word")) % DSIR_BUCKETS).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = (
+        per_doc_bucket.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("lr_micro")).alias("score_micro"),
+        )
+    )
+    return (
+        raw.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("score_micro", F.lit(0)).cast("bigint").alias("score_micro"),
+            F.round(
+                F.coalesce("score_micro", F.lit(0))
+                / (F.greatest(F.coalesce("n_tokens", F.lit(0)), F.lit(1)) * _MICRO),
+                6,
+            ).alias("avg_logratio"),
+        )
+    )
+
+
+def dsir_select_topk(
+    target: DataFrame, raw: DataFrame, k: int = DSIR_TOP_K
+) -> DataFrame:
+    """(rank, doc_id, n_tokens, avg_logratio): the k raw documents most
+    target-like by average log importance ratio (avg desc, doc_id asc
+    tie-break) — the kept set of the DSIR selection step. Global top-k
+    via TakeOrderedAndProject; the in-top-k rank is then attached with
+    the bounded N^2 broadcast self-join (the weighted_sample_topn
+    pattern — no partition-less window)."""
+    scores = dsir_doc_scores(target, raw).select(
+        "doc_id", "n_tokens", "avg_logratio"
+    )
+    top = scores.orderBy(F.desc("avg_logratio"), F.asc("doc_id")).limit(k)
+    other = top.select(
+        F.col("doc_id").alias("o_id"), F.col("avg_logratio").alias("o_s")
+    )
+    ahead = (F.col("o_s") > F.col("avg_logratio")) | (
+        (F.col("o_s") == F.col("avg_logratio")) & (F.col("o_id") < F.col("doc_id"))
+    )
+    return (
+        top.join(F.broadcast(other), ahead, "left")
+        .groupBy("doc_id", "n_tokens", "avg_logratio")
+        .agg((F.count("o_id") + 1).cast("int").alias("rank"))
+        .select("rank", "doc_id", "n_tokens", "avg_logratio")
+    )
+
+
+def _split_target_raw(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    docs = load(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "text"
+    )
+    is_target = (F.col("doc_id") % DSIR_TARGET_MOD) == 0
+    return docs.where(is_target), docs.where(~is_target)
+
+
+def dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-query-shaped entry: score every raw doc against the
+    deterministic fixture target slice."""
+    target, raw = _split_target_raw(spark, sf_dir)
+    return dsir_doc_scores(target, raw)
+
+
+def dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-query-shaped entry for the selection step."""
+    target, raw = _split_target_raw(spark, sf_dir)
+    return dsir_select_topk(target, raw)

@@ -1,0 +1,154 @@
+"""DSIR importance scoring vs an inline DuckDB oracle AND a pure-Python
+reimplementation (staged for round-7 registration: the operator is fully
+value-verified here; the register() + driver-window slot follow next
+rotation so the window contract stays exact)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+import pyarrow.parquet as pq
+
+from bigdata_infra_cs489_spark.operators.dsir import (
+    DSIR_BUCKETS,
+    DSIR_TARGET_MOD,
+    DSIR_TOP_K,
+    dsir_scores,
+    dsir_topk,
+)
+
+from .oracle import assert_matches_oracle
+
+_H8 = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+_TOKS = (
+    "list_filter(list_transform("
+    "string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), "
+    "t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$)', '', 'g')), t -> len(t) > 0)"
+)
+
+_SCORES_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    words AS (SELECT doc_id, unnest(toks) AS word FROM toks),
+    b AS (SELECT doc_id, {_H8.format(x='word')} % {DSIR_BUCKETS} AS bucket
+          FROM words),
+    tcnt AS (SELECT bucket, count(*) AS n FROM b
+             WHERE doc_id % {DSIR_TARGET_MOD} = 0 GROUP BY bucket),
+    rcnt AS (SELECT bucket, count(*) AS n FROM b
+             WHERE doc_id % {DSIR_TARGET_MOD} != 0 GROUP BY bucket),
+    tt AS (SELECT coalesce(sum(n), 0) AS t FROM tcnt),
+    rt AS (SELECT coalesce(sum(n), 0) AS r FROM rcnt),
+    lr AS (SELECT g.bucket,
+                  CAST(floor((ln((coalesce(tc.n, 0) + 1)
+                                 / (tt.t + {DSIR_BUCKETS}))
+                              - ln((coalesce(rc.n, 0) + 1)
+                                   / (rt.r + {DSIR_BUCKETS})))
+                             * 1000000 + 0.5) AS BIGINT) AS lr_micro
+           FROM (SELECT unnest(range(0, {DSIR_BUCKETS})) AS bucket) g
+           LEFT JOIN tcnt tc USING (bucket)
+           LEFT JOIN rcnt rc USING (bucket), tt, rt),
+    pdb AS (SELECT doc_id, bucket, count(*) AS c FROM b
+            WHERE doc_id % {DSIR_TARGET_MOD} != 0 GROUP BY doc_id, bucket),
+    sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  CAST(sum(c * lr_micro) AS BIGINT) AS score_micro
+           FROM pdb JOIN lr USING (bucket) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(sc.score_micro, 0) AS BIGINT) AS score_micro,
+           round(coalesce(sc.score_micro, 0)
+                 / (greatest(coalesce(sc.n_tokens, 0), 1) * 1000000.0), 6)
+               AS avg_logratio
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id % {DSIR_TARGET_MOD} != 0) d
+    LEFT JOIN sc USING (doc_id)
+"""
+
+_TOPK_SQL = f"""
+    WITH s AS ({_SCORES_SQL}),
+    top AS (SELECT doc_id, n_tokens, avg_logratio FROM s
+            ORDER BY avg_logratio DESC, doc_id LIMIT {DSIR_TOP_K})
+    SELECT CAST(row_number() OVER (ORDER BY avg_logratio DESC, doc_id)
+                AS INT) AS rank,
+           doc_id, n_tokens, avg_logratio
+    FROM top
+"""
+
+
+def test_scores_match_oracle(spark, sf_correct):
+    assert_matches_oracle(dsir_scores(spark, sf_correct), _SCORES_SQL, sf_correct)
+
+
+def test_topk_matches_oracle(spark, sf_correct):
+    assert_matches_oracle(dsir_topk(spark, sf_correct), _TOPK_SQL, sf_correct)
+
+
+def _py_tokenize(text: str) -> list[str]:
+    toks = re.split("[ \t\n\x0b\f\r]+", text.lower())
+    toks = [re.sub("(^[^a-z]+|[^a-z]+$)", "", t) for t in toks]
+    return [t for t in toks if t]
+
+
+def _py_h8(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_against_python_reimplementation(spark, sf_smoke):
+    """Full chain (hash-bucket counts -> smoothed micro-nat log ratios ->
+    exact integer doc scores) against an independent Python
+    implementation, plus the selection invariants."""
+    tbl = pq.read_table(f"{sf_smoke}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    buckets = {
+        d: Counter(_py_h8(w) % DSIR_BUCKETS for w in _py_tokenize(t))
+        for d, t in texts.items()
+    }
+    tcnt: Counter = Counter()
+    rcnt: Counter = Counter()
+    for d, c in buckets.items():
+        (tcnt if d % DSIR_TARGET_MOD == 0 else rcnt).update(c)
+    T, R = sum(tcnt.values()), sum(rcnt.values())
+    lr = {
+        b: int(
+            math.floor(
+                (
+                    math.log((tcnt.get(b, 0) + 1) / (T + DSIR_BUCKETS))
+                    - math.log((rcnt.get(b, 0) + 1) / (R + DSIR_BUCKETS))
+                )
+                * 1e6
+                + 0.5
+            )
+        )
+        for b in range(DSIR_BUCKETS)
+    }
+    def _r6(x: float) -> float:
+        # Spark F.round / DuckDB round are HALF-AWAY-FROM-ZERO; Python's
+        # built-in round is banker's (the known cross-engine gotcha)
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    expected = {}
+    for d, c in buckets.items():
+        if d % DSIR_TARGET_MOD == 0:
+            continue
+        n = sum(c.values())
+        s = sum(cnt * lr[b] for b, cnt in c.items())
+        expected[d] = (n, s, _r6(s / (max(n, 1) * 1e6)))
+    # docs tokenizing to zero tokens still appear, scored 0
+    for d in texts:
+        if d % DSIR_TARGET_MOD != 0:
+            expected.setdefault(d, (0, 0, 0.0))
+
+    got = {
+        r.doc_id: (r.n_tokens, r.score_micro, r.avg_logratio)
+        for r in dsir_scores(spark, sf_smoke).collect()
+    }
+    assert got == expected
+
+    top = dsir_topk(spark, sf_smoke).collect()
+    assert len(top) == min(DSIR_TOP_K, len(expected))
+    order = sorted(
+        expected, key=lambda d: (-expected[d][2], d)
+    )[: len(top)]
+    assert [r.doc_id for r in sorted(top, key=lambda r: r.rank)] == order
+    assert all(r.doc_id % DSIR_TARGET_MOD != 0 for r in top)
