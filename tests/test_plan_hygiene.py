@@ -103,19 +103,24 @@ def test_scans_are_vectorized(spark, sf_smoke):
 
 
 def test_no_content_keyed_windows_in_source():
-    """Round-5 hardening guard: windows partitioned by content-derived
-    keys (text digests, gram strings) pin a mass-duplicated value's
-    every row in one task, and AQE cannot split skewed WINDOW partitions
-    (it can split skewed joins). The skew-safe shape is a
-    partial-aggregated groupBy joined back — enforce it statically so
-    the pattern doesn't regress."""
+    """Round-5/6 hardening guard: windows partitioned by content-derived
+    or cluster-sized keys (text digests, gram strings, near-dup
+    cluster ids, per-new-doc candidate sets) pin a mass-duplicated
+    value's every row in one task, and AQE cannot split skewed WINDOW
+    partitions (it can split skewed joins). The skew-safe shape is a
+    partial-aggregated groupBy joined back (max_by/min_by over an
+    ordering struct for argmax selection) — enforce it statically so
+    the pattern doesn't regress. Windows over a bare hot `source` are
+    allowed only on pre-bounded inputs (the two-phase top-k's phase 2;
+    PPR's per-source top-k subset)."""
     import pathlib
     import re
 
     root = pathlib.Path(__file__).resolve().parent.parent / "bigdata_infra_cs489_spark"
     offenders = []
     pat = re.compile(
-        r"Window\.partitionBy\(\s*(F\.md5|F\.xxhash64|\"gram\"|'gram'|\"dig\"|'dig'|\"k\"|'k')"
+        r"Window\.partitionBy\(\s*(F\.md5|F\.xxhash64|\"gram\"|'gram'|\"dig\"|'dig'"
+        r"|\"k\"|'k'|\"cluster_id\"|'cluster_id'|\"new_id\"|'new_id')"
     )
     for py in root.rglob("*.py"):
         for i, line in enumerate(py.read_text().splitlines(), 1):
