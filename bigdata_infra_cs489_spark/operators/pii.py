@@ -1,0 +1,144 @@
+"""PII detection and redaction over a document corpus.
+
+The scrubbing stage every training-data pipeline runs before anything
+leaves the raw zone: find personally-identifying strings (emails, US
+phone/SSN shapes, card numbers, IPv4 addresses), count them per
+document, and rewrite the text with typed placeholders. No reference
+counterpart (north-star extension family, the curation shelf next to
+clean_corpus / corpus_curate).
+
+Scale/determinism design:
+- every pattern is a pure JVM ``regexp_count`` / ``regexp_replace``
+  column expression — whole-stage codegen, no Python in the hot path,
+  embarrassingly parallel (no shuffle at all until the final report
+  aggregation);
+- the pattern set is RE2-safe (no backreferences, no lookaround, only
+  bounded quantifiers and ``\\b``), so the DuckDB oracle twin runs the
+  IDENTICAL regexes with identical match semantics — Java and RE2 both
+  pick leftmost-first, non-overlapping matches for this class;
+- redaction applies the patterns in one FIXED order (emails before the
+  digit shapes, SSN before phone) on both engines, so overlapping hits
+  resolve identically;
+- the synthetic fixture corpus contains no organic PII, so the queries
+  decorate a deterministic doc_id-derived subset with synthetic
+  contact strings INSIDE the query (the contamination_flags / DSIR
+  fixture convention, mirrored verbatim in the oracle SQL) — a
+  deployment calls the core functions on its real tables and skips the
+  decoration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+
+# (category, RE2-safe pattern, placeholder) — applied in this order.
+# SSN (ddd-dd-dddd) precedes phone (ddd-ddd-dddd): the shapes are
+# disjoint, but a fixed order keeps any real-text ambiguity identical
+# across engines.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ccn", r"\b\d{4} \d{4} \d{4} \d{4}\b", "<CCN>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def decorate_with_pii(docs: DataFrame) -> DataFrame:
+    """Fixture-only: append deterministic doc_id-derived contact strings
+    to a fixed subset of documents so the detector has non-trivial work.
+    Pure string arithmetic (casts + lpad + concat) that the DuckDB twin
+    reproduces byte-for-byte."""
+    did = F.col("doc_id")
+
+    def _s(c: Column) -> Column:
+        return c.cast("string")
+
+    def _pad(c: Column, n: int) -> Column:
+        return F.lpad(_s(c), n, "0")
+
+    text = F.col("text")
+    text = F.when(
+        did % 3 == 0,
+        F.concat(text, F.lit(" Contact user"), _s(did), F.lit("@example.com now.")),
+    ).otherwise(text)
+    text = F.when(
+        did % 4 == 0,
+        F.concat(
+            text, F.lit(" Call 555-"), _pad(did % 1000, 3), F.lit("-"),
+            _pad(did % 10000, 4), F.lit("."),
+        ),
+    ).otherwise(text)
+    text = F.when(
+        did % 5 == 0,
+        F.concat(text, F.lit(" SSN 123-45-"), _pad(did % 10000, 4), F.lit(".")),
+    ).otherwise(text)
+    text = F.when(
+        did % 6 == 0,
+        F.concat(
+            text, F.lit(" Card 4111 1111 1111 "), _pad(did % 10000, 4), F.lit("."),
+        ),
+    ).otherwise(text)
+    text = F.when(
+        did % 7 == 0,
+        F.concat(
+            text, F.lit(" Host 10."), _s(did % 200), F.lit("."), _s(did % 250),
+            F.lit("."), _s(did % 100 + 1), F.lit("."),
+        ),
+    ).otherwise(text)
+    return docs.withColumn("text", text)
+
+
+def pii_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_email, n_ssn, n_ccn, n_phone, n_ipv4, n_total) for
+    every document with at least one hit. One narrow projection over the
+    text scan — each count is a codegen'd regexp_count, the filter is a
+    plain integer comparison, and nothing shuffles."""
+    counts = [
+        F.regexp_count("text", F.lit(pat)).cast("bigint").alias(f"n_{cat}")
+        for cat, pat, _ in PII_PATTERNS
+    ]
+    out = docs.select("doc_id", *counts)
+    total = None
+    for cat, _, _ in PII_PATTERNS:
+        c = F.col(f"n_{cat}")
+        total = c if total is None else total + c
+    return out.withColumn("n_total", total.cast("bigint")).where(F.col("n_total") > 0)
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """(doc_id, clean_text, n_redactions): text with every PII hit
+    replaced by its typed placeholder, for documents that changed.
+    Replacement chain is a single codegen'd expression tree; the hit
+    count is computed BEFORE any replacement so placeholder text can
+    never re-match a later pattern's count."""
+    counts = [F.regexp_count("text", F.lit(pat)) for _, pat, _ in PII_PATTERNS]
+    n_red = None
+    for c in counts:
+        n_red = c if n_red is None else n_red + c
+    clean = F.col("text")
+    for _, pat, ph in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, ph)
+    return (
+        docs.select(
+            "doc_id",
+            clean.alias("clean_text"),
+            n_red.cast("bigint").alias("n_redactions"),
+        )
+        .where(F.col("n_redactions") > 0)
+    )
+
+
+def pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: per-document PII category counts over the
+    (deterministically decorated) documents table."""
+    return pii_counts(decorate_with_pii(load(spark, sf_dir, "documents")))
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: placeholder-redacted text for every
+    decorated document."""
+    return redact_pii(decorate_with_pii(load(spark, sf_dir, "documents")))
