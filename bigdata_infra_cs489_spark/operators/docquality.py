@@ -111,10 +111,20 @@ def gopher_pass_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(rule, n_fail, fail_ppm): corpus failure rate per rule — the
     report a pipeline owner reads to tune thresholds before gating.
     One partial-aggregated pass; #rules rows of driver state."""
-    m = gopher_metrics(load(spark, sf_dir, "documents"))
-    n_docs = F.sum(F.lit(1))
+    return gopher_rate_report(gopher_metrics(load(spark, sf_dir, "documents")))
+
+
+def gopher_rate_report(m: DataFrame) -> DataFrame:
+    """The report aggregation over an already-computed metrics frame."""
+    # count(*) + coalesced sums + greatest(n_docs, 1): a zero-document
+    # corpus degrades to 8 rows of n_fail=0 / fail_ppm=0 instead of NULLs
+    # (sum over zero rows is NULL, and x div NULL is NULL) — the
+    # degrade-to-zero contract the sibling report operators follow.
+    n_docs = F.count(F.lit(1))
     aggs = [
-        F.sum((~F.col(c)).cast("bigint")).alias(c.removeprefix("flag_"))
+        F.coalesce(F.sum((~F.col(c)).cast("bigint")), F.lit(0)).alias(
+            c.removeprefix("flag_")
+        )
         for c in (
             "flag_word_count",
             "flag_mean_word_len",
@@ -124,7 +134,11 @@ def gopher_pass_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flag_alpha",
             "flag_stopwords",
         )
-    ] + [F.sum((~F.col("gopher_pass")).cast("bigint")).alias("gopher_pass")]
+    ] + [
+        F.coalesce(F.sum((~F.col("gopher_pass")).cast("bigint")), F.lit(0)).alias(
+            "gopher_pass"
+        )
+    ]
     wide = m.agg(n_docs.cast("bigint").alias("n_docs"), *aggs)
     names = [
         "word_count",
@@ -158,7 +172,7 @@ def gopher_pass_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         # flip at a representation boundary), so the twin can never
         # diverge
         F.expr(
-            "(r.n_fail * 1000000L + r.n_docs div 2) div r.n_docs"
+            "(r.n_fail * 1000000L + r.n_docs div 2) div greatest(r.n_docs, 1L)"
         )
         .cast("bigint")
         .alias("fail_ppm"),

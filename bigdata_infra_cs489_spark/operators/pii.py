@@ -35,15 +35,26 @@ from pyspark.sql import functions as F
 from ..sources.tables import load
 
 # (category, RE2-safe pattern, placeholder) — applied in this order.
-# SSN (ddd-dd-dddd) precedes phone (ddd-ddd-dddd): the shapes are
-# disjoint, but a fixed order keeps any real-text ambiguity identical
-# across engines.
+# SSN (ddd-dd-dddd) precedes phone: the shapes are disjoint, but a
+# fixed order keeps any real-text ambiguity identical across engines.
+#
+# SCOPE (deliberate, round-7 ADVICE follow-up): this is a *demonstration
+# pattern set*, one canonical textual shape family per category — US
+# phone with -/. separators, US SSN, 16-digit card in 4x4 groups with
+# space/dash separators, octet-validated IPv4. It under-detects organic
+# text on purpose: international formats, contiguous 16-digit CCNs,
+# obfuscated emails ("a at b dot com") etc. are out of scope, because
+# every added shape must hold the RE2-safe + Java/RE2-agreement contract
+# above AND get a decoration arm + oracle twin. A deployment extends
+# PII_PATTERNS with its vetted shapes; the plumbing (count/replace/report
+# chain) is shape-agnostic.
+_IPV4_OCTET = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    ("ccn", r"\b\d{4} \d{4} \d{4} \d{4}\b", "<CCN>"),
-    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
-    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ccn", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "<CCN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", rf"\b{_IPV4_OCTET}(\.{_IPV4_OCTET}){{3}}\b", "<IP>"),
 )
 
 
@@ -96,7 +107,13 @@ def pii_counts(docs: DataFrame) -> DataFrame:
     """(doc_id, n_email, n_ssn, n_ccn, n_phone, n_ipv4, n_total) for
     every document with at least one hit. One narrow projection over the
     text scan — each count is a codegen'd regexp_count, the filter is a
-    plain integer comparison, and nothing shuffles."""
+    plain integer comparison, and nothing shuffles.
+
+    DETECTION semantics: every count is pattern hits on the ORIGINAL
+    text, so on organic text one substring can be counted by two
+    categories (a phone-shaped run inside an email). That is the right
+    contract for a detector report; redact_pii's n_redactions is the
+    substitution count (staged, mutually exclusive)."""
     counts = [
         F.regexp_count("text", F.lit(pat)).cast("bigint").alias(f"n_{cat}")
         for cat, pat, _ in PII_PATTERNS
@@ -112,16 +129,23 @@ def pii_counts(docs: DataFrame) -> DataFrame:
 def redact_pii(docs: DataFrame) -> DataFrame:
     """(doc_id, clean_text, n_redactions): text with every PII hit
     replaced by its typed placeholder, for documents that changed.
-    Replacement chain is a single codegen'd expression tree; the hit
-    count is computed BEFORE any replacement so placeholder text can
-    never re-match a later pattern's count."""
-    counts = [F.regexp_count("text", F.lit(pat)) for _, pat, _ in PII_PATTERNS]
+    Replacement chain is a single codegen'd expression tree.
+
+    n_redactions counts ACTUAL substitutions, not pattern hits on the
+    original text: each category's count is taken on the text with all
+    EARLIER categories already replaced (the same staged text its own
+    regexp_replace sees), so a hit consumed by an earlier replacement —
+    an SSN-shaped digit run inside an email local part, say — is neither
+    separately counted nor double-replaced (round-7 ADVICE follow-up).
+    The stages share one expression tree, so Catalyst still evaluates a
+    single projection."""
+    staged = F.col("text")
     n_red = None
-    for c in counts:
-        n_red = c if n_red is None else n_red + c
-    clean = F.col("text")
     for _, pat, ph in PII_PATTERNS:
-        clean = F.regexp_replace(clean, pat, ph)
+        c = F.regexp_count(staged, F.lit(pat))
+        n_red = c if n_red is None else n_red + c
+        staged = F.regexp_replace(staged, pat, ph)
+    clean = staged
     return (
         docs.select(
             "doc_id",

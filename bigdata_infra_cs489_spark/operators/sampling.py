@@ -174,12 +174,18 @@ def lang_temperature_rates(
         for lang, t in totals
     }
     s = sum(wis.values())
+    # float()/float() on BOTH operands before dividing, matching the
+    # DuckDB twin's CAST(... AS DOUBLE)/CAST(... AS DOUBLE) exactly:
+    # Python int/int true division is correctly rounded from the exact
+    # rational, which can differ in the last ulp from double/double once
+    # an operand exceeds 2^53 — reachable for s/grand at 100 TB scale
+    # (micro-scaled pow weights summed over languages).
     shares = [
         (
             lang,
             t,
-            _r6(t / grand) if t else 0.0,
-            _r6(wis[lang] / s) if t else 0.0,
+            _r6(float(t) / float(grand)) if t else 0.0,
+            _r6(float(wis[lang]) / float(s)) if t else 0.0,
         )
         for lang, t in totals
     ]

@@ -193,3 +193,18 @@ def test_doc8_passes_everything(spark):
     df = spark.createDataFrame(_CRAFTED, "doc_id bigint, text string")
     row = gopher_metrics(df).where(F.col("doc_id") == 8).collect()[0]
     assert row["gopher_pass"] is True
+
+
+def test_rates_empty_corpus_degrades_to_zero(spark):
+    """Degrade-to-zero contract (round-7 ADVICE follow-up): a corpus with
+    zero documents yields the full 8-rule report with n_fail=0 and
+    fail_ppm=0, never NULLs (sum over zero rows is NULL, x div NULL is
+    NULL without the coalesce/greatest guards)."""
+    from bigdata_infra_cs489_spark.operators.docquality import gopher_rate_report
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    rows = gopher_rate_report(gopher_metrics(empty)).collect()
+    assert sorted(r["rule"] for r in rows) == sorted(_RULES)
+    for r in rows:
+        assert r["n_fail"] == 0, r
+        assert r["fail_ppm"] == 0, r

@@ -59,17 +59,25 @@ _STATS_SQL = f"""
 """
 
 
-def _chain_replace(expr: str) -> str:
+def _staged_redact() -> tuple[list[str], str]:
+    """Mirror redact_pii's staged chain: each category's count is taken
+    on the text with all earlier categories already replaced, so the sum
+    is the actual substitution count."""
+    expr = "text"
+    counts = []
     for _, pat, ph in PII_PATTERNS:
+        counts.append(f"len(regexp_extract_all({expr}, '{pat}'))")
         expr = f"regexp_replace({expr}, '{pat}', '{ph}', 'g')"
-    return expr
+    return counts, expr
 
+
+_STAGED_COUNTS, _CLEAN_EXPR = _staged_redact()
 
 _REDACT_SQL = f"""
     WITH dec AS ({_DECORATED}),
     r AS (SELECT doc_id,
-                 {_chain_replace("text")} AS clean_text,
-                 CAST({" + ".join(f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in PII_PATTERNS)}
+                 {_CLEAN_EXPR} AS clean_text,
+                 CAST({" + ".join(_STAGED_COUNTS)}
                       AS BIGINT) AS n_redactions
           FROM dec)
     SELECT * FROM r WHERE n_redactions > 0
@@ -110,14 +118,20 @@ def test_against_python_reimplementation(spark, sf_smoke):
 
     expected_counts = {}
     expected_clean = {}
+    expected_nred = {}
     for d, t in texts.items():
         per = {cat: len(re.findall(pat, t)) for cat, pat, _ in PII_PATTERNS}
         if sum(per.values()) > 0:
             expected_counts[d] = per
+            # staged: count on the progressively-replaced text, matching
+            # redact_pii's actual-substitution semantics
             clean = t
+            nred = 0
             for _, pat, ph in PII_PATTERNS:
+                nred += len(re.findall(pat, clean))
                 clean = re.sub(pat, ph, clean)
             expected_clean[d] = clean
+            expected_nred[d] = nred
 
     got = {r["doc_id"]: r.asDict() for r in pii_stats(spark, sf_smoke).collect()}
     assert set(got) == set(expected_counts)
@@ -130,7 +144,7 @@ def test_against_python_reimplementation(spark, sf_smoke):
     assert set(red) == set(expected_clean)
     for d, want in expected_clean.items():
         assert red[d]["clean_text"] == want, d
-        assert red[d]["n_redactions"] == sum(expected_counts[d].values())
+        assert red[d]["n_redactions"] == expected_nred[d]
 
 
 def test_redacted_text_has_no_residual_pii(spark, sf_smoke):
