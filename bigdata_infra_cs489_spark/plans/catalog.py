@@ -4481,3 +4481,237 @@ register(
     LIMIT {S.RAG_TOP_K}
     """,
 )
+
+# --- PII detection/redaction (operators/pii.py; north-star curation shelf)
+
+from ..operators import pii as PII  # noqa: E402
+
+# The fixture decoration, mirrored byte-for-byte from
+# operators/pii.py::decorate_with_pii (suffixes append in when-order).
+DUCK_PII_DECORATED = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0
+                THEN ' Contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com now.' ELSE '' END
+           || CASE WHEN doc_id % 4 = 0
+                THEN ' Call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                     || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     || '.' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                THEN ' SSN 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     || '.' ELSE '' END
+           || CASE WHEN doc_id % 6 = 0
+                THEN ' Card 4111 1111 1111 '
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     || '.' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                THEN ' Host 10.' || CAST(doc_id % 200 AS VARCHAR)
+                     || '.' || CAST(doc_id % 250 AS VARCHAR)
+                     || '.' || CAST(doc_id % 100 + 1 AS VARCHAR)
+                     || '.' ELSE '' END
+           AS text
+    FROM documents
+"""
+
+_PII_COUNT_COLS = ",\n".join(
+    f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{cat}"
+    for cat, pat, _ in PII.PII_PATTERNS
+)
+_PII_TOTAL = " + ".join(f"n_{cat}" for cat, _, _ in PII.PII_PATTERNS)
+
+
+def _pii_staged_redact() -> tuple[list[str], str]:
+    """Mirror redact_pii's staged chain: each category's count is taken
+    on the text with all earlier categories already replaced, so the sum
+    is the actual substitution count."""
+    expr = "text"
+    counts = []
+    for _, pat, ph in PII.PII_PATTERNS:
+        counts.append(f"len(regexp_extract_all({expr}, '{pat}'))")
+        expr = f"regexp_replace({expr}, '{pat}', '{ph}', 'g')"
+    return counts, expr
+
+
+_PII_STAGED_COUNTS, _PII_CLEAN_EXPR = _pii_staged_redact()
+
+register(
+    "pii_stats",
+    PII.pii_stats,
+    f"""
+    WITH dec AS ({DUCK_PII_DECORATED}),
+    c AS (SELECT doc_id, {_PII_COUNT_COLS} FROM dec)
+    SELECT *, CAST({_PII_TOTAL} AS BIGINT) AS n_total
+    FROM c WHERE {_PII_TOTAL} > 0
+    """,
+)
+
+register(
+    "pii_redact",
+    PII.pii_redact,
+    f"""
+    WITH dec AS ({DUCK_PII_DECORATED}),
+    r AS (SELECT doc_id,
+                 {_PII_CLEAN_EXPR} AS clean_text,
+                 CAST({" + ".join(_PII_STAGED_COUNTS)}
+                      AS BIGINT) AS n_redactions
+          FROM dec)
+    SELECT * FROM r WHERE n_redactions > 0
+    """,
+)
+
+# --- Gopher-style quality rules (operators/docquality.py)
+
+from ..operators import docquality as DQ  # noqa: E402
+
+_GOPHER_STOP_HITS = " + ".join(
+    "(CASE WHEN list_contains(list_transform(words, t -> lower(t)), "
+    f"'{s}') THEN 1 ELSE 0 END)"
+    for s in DQ.GOPHER_STOPWORDS
+)
+
+DUCK_GOPHER_FLAGS = f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                         t -> len(t) > 0) AS words,
+             string_split(text, chr(10)) AS lines,
+             CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT)
+                 AS n_symbols
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(words, t -> len(t))), 0)
+                  AS BIGINT) AS word_chars,
+             CAST(len(list_filter(words, t -> regexp_matches(t, '[A-Za-z]')))
+                  AS BIGINT) AS n_alpha_words,
+             CAST({_GOPHER_STOP_HITS} AS BIGINT) AS n_stopword_hits,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines, l -> regexp_matches(l, '^ *[-*]')))
+                  AS BIGINT) AS n_bullet_lines,
+             CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$')))
+                  AS BIGINT) AS n_ellipsis_lines,
+             n_symbols
+      FROM w)
+    SELECT doc_id, n_words, word_chars, n_alpha_words, n_stopword_hits,
+           n_lines, n_bullet_lines, n_ellipsis_lines, n_symbols,
+           round(word_chars / greatest(n_words, 1), 6) AS mean_word_len,
+           n_words BETWEEN {DQ.GOPHER_MIN_WORDS} AND {DQ.GOPHER_MAX_WORDS}
+               AS flag_word_count,
+           (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+               AS flag_mean_word_len,
+           10 * n_symbols <= n_words AS flag_symbol_ratio,
+           10 * n_bullet_lines <= 9 * n_lines AS flag_bullet,
+           10 * n_ellipsis_lines <= 3 * n_lines AS flag_ellipsis,
+           5 * n_alpha_words >= 4 * n_words AS flag_alpha,
+           n_stopword_hits >= {DQ.GOPHER_MIN_STOPWORDS} AS flag_stopwords,
+           (n_words BETWEEN {DQ.GOPHER_MIN_WORDS} AND {DQ.GOPHER_MAX_WORDS}
+            AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+            AND 10 * n_symbols <= n_words
+            AND 10 * n_bullet_lines <= 9 * n_lines
+            AND 10 * n_ellipsis_lines <= 3 * n_lines
+            AND 5 * n_alpha_words >= 4 * n_words
+            AND n_stopword_hits >= {DQ.GOPHER_MIN_STOPWORDS}) AS gopher_pass
+    FROM m
+"""
+
+_GOPHER_RULES = (
+    "word_count",
+    "mean_word_len",
+    "symbol_ratio",
+    "bullet",
+    "ellipsis",
+    "alpha",
+    "stopwords",
+    "gopher_pass",
+)
+_GOPHER_RATE_ARMS = "\n    UNION ALL ".join(
+    f"SELECT '{r}' AS rule, "
+    f"CAST(coalesce(sum(CASE WHEN NOT flag_{r} THEN 1 ELSE 0 END), 0) AS BIGINT)"
+    " AS n_fail, CAST(count(*) AS BIGINT) AS n_docs FROM m"
+    if r != "gopher_pass"
+    else f"SELECT '{r}' AS rule, "
+    "CAST(coalesce(sum(CASE WHEN NOT gopher_pass THEN 1 ELSE 0 END), 0) AS BIGINT)"
+    " AS n_fail, CAST(count(*) AS BIGINT) AS n_docs FROM m"
+    for r in _GOPHER_RULES
+)
+
+register(
+    "gopher_quality_flags",
+    DQ.gopher_quality_flags,
+    DUCK_GOPHER_FLAGS,
+)
+
+register(
+    "gopher_pass_rates",
+    DQ.gopher_pass_rates,
+    f"""
+    WITH m AS ({DUCK_GOPHER_FLAGS}),
+    arms AS ({_GOPHER_RATE_ARMS})
+    SELECT rule, n_fail,
+           CAST((n_fail * 1000000 + n_docs // 2) // greatest(n_docs, 1)
+                AS BIGINT) AS fail_ppm
+    FROM arms
+    """,
+)
+
+# --- DSIR importance scoring (operators/dsir.py; data-mixing shelf)
+
+from ..operators import dsir as DS  # noqa: E402
+
+DUCK_DSIR_SCORES = f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    words AS (SELECT doc_id, unnest(toks) AS word FROM toks),
+    b AS (SELECT doc_id, {DUCK_H8.format(x='word')} % {DS.DSIR_BUCKETS} AS bucket
+          FROM words),
+    tcnt AS (SELECT bucket, count(*) AS n FROM b
+             WHERE doc_id % {DS.DSIR_TARGET_MOD} = 0 GROUP BY bucket),
+    rcnt AS (SELECT bucket, count(*) AS n FROM b
+             WHERE doc_id % {DS.DSIR_TARGET_MOD} != 0 GROUP BY bucket),
+    tt AS (SELECT coalesce(sum(n), 0) AS t FROM tcnt),
+    rt AS (SELECT coalesce(sum(n), 0) AS r FROM rcnt),
+    lr AS (SELECT g.bucket,
+                  CAST(floor((ln((coalesce(tc.n, 0) + 1)
+                                 / (tt.t + {DS.DSIR_BUCKETS}))
+                              - ln((coalesce(rc.n, 0) + 1)
+                                   / (rt.r + {DS.DSIR_BUCKETS})))
+                             * 1000000 + 0.5) AS BIGINT) AS lr_micro
+           FROM (SELECT unnest(range(0, {DS.DSIR_BUCKETS})) AS bucket) g
+           LEFT JOIN tcnt tc USING (bucket)
+           LEFT JOIN rcnt rc USING (bucket), tt, rt),
+    pdb AS (SELECT doc_id, bucket, count(*) AS c FROM b
+            WHERE doc_id % {DS.DSIR_TARGET_MOD} != 0 GROUP BY doc_id, bucket),
+    sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  CAST(sum(c * lr_micro) AS BIGINT) AS score_micro
+           FROM pdb JOIN lr USING (bucket) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(sc.score_micro, 0) AS BIGINT) AS score_micro,
+           round(coalesce(sc.score_micro, 0)
+                 / (greatest(coalesce(sc.n_tokens, 0), 1) * 1000000.0), 6)
+               AS avg_logratio
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id % {DS.DSIR_TARGET_MOD} != 0) d
+    LEFT JOIN sc USING (doc_id)
+"""
+
+register(
+    "dsir_scores",
+    DS.dsir_scores,
+    DUCK_DSIR_SCORES,
+)
+
+register(
+    "dsir_topk",
+    DS.dsir_topk,
+    f"""
+    WITH s AS ({DUCK_DSIR_SCORES}),
+    top AS (SELECT doc_id, n_tokens, avg_logratio FROM s
+            ORDER BY avg_logratio DESC, doc_id LIMIT {DS.DSIR_TOP_K})
+    SELECT CAST(row_number() OVER (ORDER BY avg_logratio DESC, doc_id)
+                AS INT) AS rank,
+           doc_id, n_tokens, avg_logratio
+    FROM top
+    """,
+)

@@ -33,86 +33,78 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 
 # The driver's correctness run covers the FIRST 50 entries of queries().
-# Round-6 rotation (staleness refresh + changed-output re-confirm):
-#   slot 1       chunk_embed_topk — registered after the round-5 window
-#                was pinned, the one query never driver-checked.
-#   slots 2-44   the full 43-query cohort whose latest driver row is
-#                round 1 or 2 (oldest first: the 2 r1 queries, then the
-#                41 r2 queries) — every one re-verified by the builder's
-#                dual-SF sweeps each round, rotated in so no query's
-#                latest driver row is older than round 3 afterwards.
-#   slot 45      strip_spans_keep_first — NEW this round (Lee-et-al
-#                keep-one-occurrence span strip).
-#   slots 46-50  the round-6 OUTPUT-CHANGED queries, which need fresh
-#                driver rows over their r4/r5 ones:
-#                semantic_dedup_keep_best (pair stage defaulted to the
-#                centroid-scoped candidate path), knn_label_accuracy +
-#                hard_negative_pairs (anchor panel capped to a fixed
-#                salted-hash top-32), lang_temperature_rates/_sample
-#                (integer-stabilized pow sum).
-# The round-6 skew-hardening rewrites (dedup_keep_best, corpus_curate,
-# incremental_dedup_assign, incremental_curate, source_capped_sample)
-# are OUTPUT-IDENTICAL (verified against their unchanged oracles), so
-# their r4/r5 driver rows remain valid evidence and they yield their
-# slots to the stale cohort. Names and semantics are untouched — this
-# is purely an export-order contract; everything outside the window
-# keeps its verify_sweep + pytest coverage.
+# Round-7 rotation (new registrations + staleness refresh):
+#   slots 1-6    the round-6-staged families, registered this round and
+#                never driver-checked: PII detection/redaction, the
+#                Gopher quality gate, DSIR importance scoring. Each was
+#                value-verified in pytest (inline oracle + pure-Python
+#                reimplementation) while staged; the driver row is the
+#                remaining external evidence.
+#   slots 7-50   the full 44-query cohort whose latest driver row is
+#                round 3 (alphabetical; all equally old) — rotated in so
+#                no query's latest driver row lags more than three
+#                rounds behind CORRECTNESS_r07, per the mechanized
+#                staleness rule in tests/test_registry_contract.py.
+# The round-7 advisory fixes (staged PII redaction counts, widened PII
+# patterns, gopher_pass_rates empty-corpus guard, lang_temperature float
+# division) change no query outside slots 1-6 on the fixture corpora
+# (lang_temperature_* values are bit-identical below 2^53; re-verified
+# by targeted verify_sweep), so the r4-r6 rows of everything else remain
+# valid evidence. Everything outside the window keeps its verify_sweep +
+# pytest coverage.
 _DRIVER_WINDOW_FIRST = (
-    # -- slot 1: the last never-driver-checked query ------------------
-    "chunk_embed_topk",
-    # -- slots 2-3: latest driver row round 1 -------------------------
-    "language_id",
-    "text_quality",
-    # -- slots 4-44: latest driver row round 2 ------------------------
-    "bigram_rel_freq",
-    "bigram_stripes",
-    "bm25_retrieval",
-    "boolean_retrieval",
-    "cosine_topk",
-    "dedup_exact",
-    "embedding_near_duplicates",
-    "inverted_index_df",
-    "inverted_index_postings",
-    "ivf_assignments",
-    "ivf_centroid_norms",
-    "ivf_topk",
-    "lsh_codes",
-    "lsh_topk",
-    "minhash_near_duplicates",
-    "minhash_signatures",
-    "near_duplicate_clusters",
-    "ngram_jaccard_pairs",
-    "phrase_retrieval",
-    "pmi_pairs",
-    "pmi_stripes",
-    "pmi_word_line_counts",
-    "positional_postings",
-    "ppr_graph_edges",
-    "ppr_graph_stats",
-    "ppr_mass_conservation",
-    "prefix_count",
-    "q1_count_shipped",
-    "q2_orders_semijoin_topk",
-    "q3_lineitem_part_supplier",
-    "q4_shipments_by_nation",
-    "q5_monthly_shipments_two_nations",
-    "q6_pricing_summary",
-    "q7_top_revenue_orders",
-    "ranked_retrieval",
-    "semantic_search",
-    "simhash_fingerprints",
-    "simhash_near_duplicates",
-    "spam_training_set",
-    "tfidf_scores",
-    "wordcount",
-    # -- slot 45: new this round --------------------------------------
-    "strip_spans_keep_first",
-    # -- slots 46-50: round-6 output-changed, fresh rows needed -------
-    "semantic_dedup_keep_best",
-    "knn_label_accuracy",
-    "hard_negative_pairs",
-    "lang_temperature_rates",
-    "lang_temperature_sample",
+    # -- slots 1-6: registered this round, never driver-checked -------
+    "pii_stats",
+    "pii_redact",
+    "gopher_quality_flags",
+    "gopher_pass_rates",
+    "dsir_scores",
+    "dsir_topk",
+    # -- slots 7-50: latest driver row round 3 ------------------------
+    "bigram_lm_perplexity",
+    "boilerplate_fraction",
+    "boilerplate_ngrams",
+    "clean_corpus",
+    "contamination_flags",
+    "customers_without_orders",
+    "dataset_split",
+    "degree_distribution",
+    "doc_fingerprints",
+    "error_click_window_counts",
+    "events_apply_changes",
+    "events_asof_last_click",
+    "events_cube_counts",
+    "events_distinct_users",
+    "events_gap_filled_counts",
+    "events_hash_sample",
+    "events_rollup_counts",
+    "events_sketch_check",
+    "events_sliding_counts",
+    "events_snapshot_diff",
+    "events_tumbling_counts",
+    "events_value_percentiles",
+    "ivf_topk_indexed",
+    "lang_mixture_sample",
+    "media_meta",
+    "order_quartiles",
+    "profile_lineitem",
+    "quality_stratified_sample",
+    "repetition_stats",
+    "stream_dedup",
+    "stream_enriched",
+    "stream_error_click_join",
+    "stream_running_counts",
+    "stream_session_windows",
+    "stream_sliding_counts",
+    "stream_tumbling_counts",
+    "tbl_scan_nation",
+    "token_counts",
+    "top_users_by_type",
+    "triangle_count",
+    "user_event_gaps",
+    "user_funnel",
+    "user_rolling_value",
+    "user_type_pivot",
 )
 
 

@@ -1,8 +1,8 @@
-"""Gopher quality rules vs an inline DuckDB oracle AND a pure-Python
+"""Gopher quality rules vs the registered DuckDB oracle (single-sourced
+in plans/catalog.py since round-7 registration) AND a pure-Python
 reimplementation on crafted multi-line documents (the fixture corpus is
 single-line word soup, so line-shape rules get their real exercise from
-the crafted set). Staged for round-7 registration per the window
-contract (the DSIR discipline)."""
+the crafted set)."""
 
 from __future__ import annotations
 
@@ -22,58 +22,6 @@ from bigdata_infra_cs489_spark.operators.docquality import (
 
 from .oracle import assert_matches_oracle
 
-_STOP_HITS = " + ".join(
-    "(CASE WHEN list_contains(list_transform(words, t -> lower(t)), "
-    f"'{s}') THEN 1 ELSE 0 END)"
-    for s in GOPHER_STOPWORDS
-)
-
-_FLAGS_SQL = f"""
-    WITH w AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
-                         t -> len(t) > 0) AS words,
-             string_split(text, chr(10)) AS lines,
-             CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT)
-                 AS n_symbols
-      FROM documents),
-    m AS (
-      SELECT doc_id,
-             CAST(len(words) AS BIGINT) AS n_words,
-             CAST(coalesce(list_sum(list_transform(words, t -> len(t))), 0)
-                  AS BIGINT) AS word_chars,
-             CAST(len(list_filter(words, t -> regexp_matches(t, '[A-Za-z]')))
-                  AS BIGINT) AS n_alpha_words,
-             CAST({_STOP_HITS} AS BIGINT) AS n_stopword_hits,
-             CAST(len(lines) AS BIGINT) AS n_lines,
-             CAST(len(list_filter(lines, l -> regexp_matches(l, '^ *[-*]')))
-                  AS BIGINT) AS n_bullet_lines,
-             CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$')))
-                  AS BIGINT) AS n_ellipsis_lines,
-             n_symbols
-      FROM w)
-    SELECT doc_id, n_words, word_chars, n_alpha_words, n_stopword_hits,
-           n_lines, n_bullet_lines, n_ellipsis_lines, n_symbols,
-           round(word_chars / greatest(n_words, 1), 6) AS mean_word_len,
-           n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
-               AS flag_word_count,
-           (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
-               AS flag_mean_word_len,
-           10 * n_symbols <= n_words AS flag_symbol_ratio,
-           10 * n_bullet_lines <= 9 * n_lines AS flag_bullet,
-           10 * n_ellipsis_lines <= 3 * n_lines AS flag_ellipsis,
-           5 * n_alpha_words >= 4 * n_words AS flag_alpha,
-           n_stopword_hits >= {GOPHER_MIN_STOPWORDS} AS flag_stopwords,
-           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
-            AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
-            AND 10 * n_symbols <= n_words
-            AND 10 * n_bullet_lines <= 9 * n_lines
-            AND 10 * n_ellipsis_lines <= 3 * n_lines
-            AND 5 * n_alpha_words >= 4 * n_words
-            AND n_stopword_hits >= {GOPHER_MIN_STOPWORDS}) AS gopher_pass
-    FROM m
-"""
-
 _RULES = (
     "word_count",
     "mean_word_len",
@@ -84,35 +32,26 @@ _RULES = (
     "stopwords",
     "gopher_pass",
 )
-_RATE_ARMS = "\n    UNION ALL ".join(
-    f"SELECT '{r}' AS rule, "
-    + (
-        f"CAST(sum(CASE WHEN NOT flag_{r} THEN 1 ELSE 0 END) AS BIGINT)"
-        if r != "gopher_pass"
-        else "CAST(sum(CASE WHEN NOT gopher_pass THEN 1 ELSE 0 END) AS BIGINT)"
-    )
-    + " AS n_fail, CAST(count(*) AS BIGINT) AS n_docs FROM m"
-    for r in _RULES
-)
-
-_RATES_SQL = f"""
-    WITH m AS ({_FLAGS_SQL}),
-    arms AS ({_RATE_ARMS})
-    SELECT rule, n_fail,
-           CAST((n_fail * 1000000 + n_docs // 2) // n_docs AS BIGINT)
-               AS fail_ppm
-    FROM arms
-"""
 
 
 def test_flags_match_oracle(spark, sf_correct):
+    import __spark_entry__ as entrymod
+
     assert_matches_oracle(
-        gopher_quality_flags(spark, sf_correct), _FLAGS_SQL, sf_correct
+        gopher_quality_flags(spark, sf_correct),
+        entrymod.oracle_sql()["gopher_quality_flags"],
+        sf_correct,
     )
 
 
 def test_rates_match_oracle(spark, sf_correct):
-    assert_matches_oracle(gopher_pass_rates(spark, sf_correct), _RATES_SQL, sf_correct)
+    import __spark_entry__ as entrymod
+
+    assert_matches_oracle(
+        gopher_pass_rates(spark, sf_correct),
+        entrymod.oracle_sql()["gopher_pass_rates"],
+        sf_correct,
+    )
 
 
 # --- crafted multi-line corpus vs a pure-Python reimplementation ------------

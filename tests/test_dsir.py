@@ -1,7 +1,6 @@
-"""DSIR importance scoring vs an inline DuckDB oracle AND a pure-Python
-reimplementation (staged for round-7 registration: the operator is fully
-value-verified here; the register() + driver-window slot follow next
-rotation so the window contract stays exact)."""
+"""DSIR importance scoring vs the registered DuckDB oracle
+(single-sourced in plans/catalog.py since round-7 registration) AND a
+pure-Python reimplementation."""
 
 from __future__ import annotations
 
@@ -22,66 +21,24 @@ from bigdata_infra_cs489_spark.operators.dsir import (
 
 from .oracle import assert_matches_oracle
 
-_H8 = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
-_TOKS = (
-    "list_filter(list_transform("
-    "string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), "
-    "t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$)', '', 'g')), t -> len(t) > 0)"
-)
-
-_SCORES_SQL = f"""
-    WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    words AS (SELECT doc_id, unnest(toks) AS word FROM toks),
-    b AS (SELECT doc_id, {_H8.format(x='word')} % {DSIR_BUCKETS} AS bucket
-          FROM words),
-    tcnt AS (SELECT bucket, count(*) AS n FROM b
-             WHERE doc_id % {DSIR_TARGET_MOD} = 0 GROUP BY bucket),
-    rcnt AS (SELECT bucket, count(*) AS n FROM b
-             WHERE doc_id % {DSIR_TARGET_MOD} != 0 GROUP BY bucket),
-    tt AS (SELECT coalesce(sum(n), 0) AS t FROM tcnt),
-    rt AS (SELECT coalesce(sum(n), 0) AS r FROM rcnt),
-    lr AS (SELECT g.bucket,
-                  CAST(floor((ln((coalesce(tc.n, 0) + 1)
-                                 / (tt.t + {DSIR_BUCKETS}))
-                              - ln((coalesce(rc.n, 0) + 1)
-                                   / (rt.r + {DSIR_BUCKETS})))
-                             * 1000000 + 0.5) AS BIGINT) AS lr_micro
-           FROM (SELECT unnest(range(0, {DSIR_BUCKETS})) AS bucket) g
-           LEFT JOIN tcnt tc USING (bucket)
-           LEFT JOIN rcnt rc USING (bucket), tt, rt),
-    pdb AS (SELECT doc_id, bucket, count(*) AS c FROM b
-            WHERE doc_id % {DSIR_TARGET_MOD} != 0 GROUP BY doc_id, bucket),
-    sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-                  CAST(sum(c * lr_micro) AS BIGINT) AS score_micro
-           FROM pdb JOIN lr USING (bucket) GROUP BY doc_id)
-    SELECT d.doc_id,
-           CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
-           CAST(coalesce(sc.score_micro, 0) AS BIGINT) AS score_micro,
-           round(coalesce(sc.score_micro, 0)
-                 / (greatest(coalesce(sc.n_tokens, 0), 1) * 1000000.0), 6)
-               AS avg_logratio
-    FROM (SELECT doc_id FROM documents
-          WHERE doc_id % {DSIR_TARGET_MOD} != 0) d
-    LEFT JOIN sc USING (doc_id)
-"""
-
-_TOPK_SQL = f"""
-    WITH s AS ({_SCORES_SQL}),
-    top AS (SELECT doc_id, n_tokens, avg_logratio FROM s
-            ORDER BY avg_logratio DESC, doc_id LIMIT {DSIR_TOP_K})
-    SELECT CAST(row_number() OVER (ORDER BY avg_logratio DESC, doc_id)
-                AS INT) AS rank,
-           doc_id, n_tokens, avg_logratio
-    FROM top
-"""
-
-
 def test_scores_match_oracle(spark, sf_correct):
-    assert_matches_oracle(dsir_scores(spark, sf_correct), _SCORES_SQL, sf_correct)
+    import __spark_entry__ as entrymod
+
+    assert_matches_oracle(
+        dsir_scores(spark, sf_correct),
+        entrymod.oracle_sql()["dsir_scores"],
+        sf_correct,
+    )
 
 
 def test_topk_matches_oracle(spark, sf_correct):
-    assert_matches_oracle(dsir_topk(spark, sf_correct), _TOPK_SQL, sf_correct)
+    import __spark_entry__ as entrymod
+
+    assert_matches_oracle(
+        dsir_topk(spark, sf_correct),
+        entrymod.oracle_sql()["dsir_topk"],
+        sf_correct,
+    )
 
 
 def _py_tokenize(text: str) -> list[str]:

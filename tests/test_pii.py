@@ -1,7 +1,7 @@
-"""PII scan/redact vs an inline DuckDB oracle AND a pure-Python `re`
-reimplementation (staged for round-7 registration, the DSIR discipline:
-fully value-verified here; register() + driver-window slot follow next
-rotation so the window contract stays exact)."""
+"""PII scan/redact vs the registered DuckDB oracle (single-sourced in
+plans/catalog.py since round-7 registration) AND a pure-Python `re`
+reimplementation — a third engine agreeing on the RE2-safe pattern set's
+match semantics."""
 
 from __future__ import annotations
 
@@ -17,79 +17,24 @@ from bigdata_infra_cs489_spark.operators.pii import (
 
 from .oracle import assert_matches_oracle
 
-# The decoration expression, mirrored byte-for-byte from
-# operators/pii.py::decorate_with_pii (suffixes append in when-order).
-_DECORATED = """
-    SELECT doc_id,
-           text
-           || CASE WHEN doc_id % 3 = 0
-                THEN ' Contact user' || CAST(doc_id AS VARCHAR)
-                     || '@example.com now.' ELSE '' END
-           || CASE WHEN doc_id % 4 = 0
-                THEN ' Call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
-                     || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                     || '.' ELSE '' END
-           || CASE WHEN doc_id % 5 = 0
-                THEN ' SSN 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                     || '.' ELSE '' END
-           || CASE WHEN doc_id % 6 = 0
-                THEN ' Card 4111 1111 1111 '
-                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                     || '.' ELSE '' END
-           || CASE WHEN doc_id % 7 = 0
-                THEN ' Host 10.' || CAST(doc_id % 200 AS VARCHAR)
-                     || '.' || CAST(doc_id % 250 AS VARCHAR)
-                     || '.' || CAST(doc_id % 100 + 1 AS VARCHAR)
-                     || '.' ELSE '' END
-           AS text
-    FROM documents
-"""
-
-_COUNT_COLS = ",\n".join(
-    f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{cat}"
-    for cat, pat, _ in PII_PATTERNS
-)
-_TOTAL = " + ".join(f"n_{cat}" for cat, _, _ in PII_PATTERNS)
-
-_STATS_SQL = f"""
-    WITH dec AS ({_DECORATED}),
-    c AS (SELECT doc_id, {_COUNT_COLS} FROM dec)
-    SELECT *, CAST({_TOTAL} AS BIGINT) AS n_total
-    FROM c WHERE {_TOTAL} > 0
-"""
-
-
-def _staged_redact() -> tuple[list[str], str]:
-    """Mirror redact_pii's staged chain: each category's count is taken
-    on the text with all earlier categories already replaced, so the sum
-    is the actual substitution count."""
-    expr = "text"
-    counts = []
-    for _, pat, ph in PII_PATTERNS:
-        counts.append(f"len(regexp_extract_all({expr}, '{pat}'))")
-        expr = f"regexp_replace({expr}, '{pat}', '{ph}', 'g')"
-    return counts, expr
-
-
-_STAGED_COUNTS, _CLEAN_EXPR = _staged_redact()
-
-_REDACT_SQL = f"""
-    WITH dec AS ({_DECORATED}),
-    r AS (SELECT doc_id,
-                 {_CLEAN_EXPR} AS clean_text,
-                 CAST({" + ".join(_STAGED_COUNTS)}
-                      AS BIGINT) AS n_redactions
-          FROM dec)
-    SELECT * FROM r WHERE n_redactions > 0
-"""
-
-
 def test_stats_match_oracle(spark, sf_correct):
-    assert_matches_oracle(pii_stats(spark, sf_correct), _STATS_SQL, sf_correct)
+    import __spark_entry__ as entrymod
+
+    assert_matches_oracle(
+        pii_stats(spark, sf_correct),
+        entrymod.oracle_sql()["pii_stats"],
+        sf_correct,
+    )
 
 
 def test_redact_matches_oracle(spark, sf_correct):
-    assert_matches_oracle(pii_redact(spark, sf_correct), _REDACT_SQL, sf_correct)
+    import __spark_entry__ as entrymod
+
+    assert_matches_oracle(
+        pii_redact(spark, sf_correct),
+        entrymod.oracle_sql()["pii_redact"],
+        sf_correct,
+    )
 
 
 def _py_decorate(doc_id: int, text: str) -> str:
