@@ -184,3 +184,64 @@ def dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered-query-shaped entry for the selection step."""
     target, raw = _split_target_raw(spark, sf_dir)
     return dsir_select_topk(target, raw)
+
+
+# --- importance RESAMPLING (the paper's actual selection rule) -------------
+
+DSIR_RESAMPLE_K = 100  # documents drawn by the resampling step
+DSIR_GUMBEL_SALT = "dsir-gumbel-v1"  # version the draw without new data
+
+
+def dsir_resample_topk(
+    target: DataFrame, raw: DataFrame, k: int = DSIR_RESAMPLE_K
+) -> DataFrame:
+    """(rank, doc_id, n_tokens, avg_logratio, gumbel_key): k raw
+    documents drawn WITHOUT replacement with probability proportional to
+    the importance weight exp(sum-of-token log ratios) — the resampling
+    rule of Xie et al. 2023 §2, which dsir_select_topk's deterministic
+    top-k only approximates at temperature 0.
+
+    Sampling ∝ softmax(log w_i) without replacement is exactly the
+    Gumbel-top-k trick: key_i = log w_i + G_i with G_i standard Gumbel,
+    take the k largest keys. Determinism/scale discipline:
+    - G_i = -ln(-ln(u_i)) with u_i = (h8(doc_id || salt) % 1e6 + 0.5) /
+      1e6 — the repo's salted-hash uniform, identical on both engines
+      and collision-free in (0, 1);
+    - log w_i = score_micro / 1e6: ONE float op on the exact integer
+      score, then one shared-libm log pair for the Gumbel — the 6dp
+      rounded key is engine-stable (the lang_temperature discipline);
+    - selection is a global top-k on (gumbel_key desc, doc_id asc) —
+      TakeOrderedAndProject, bounded driver state at any corpus size;
+      the in-sample rank is attached with the bounded k^2 broadcast
+      self-join (no partition-less window)."""
+    scores = dsir_doc_scores(target, raw)
+    u = (
+        h8(F.concat(F.col("doc_id").cast("string"), F.lit(DSIR_GUMBEL_SALT)))
+        % _MICRO
+        + F.lit(0.5)
+    ) / F.lit(float(_MICRO))
+    keyed = scores.withColumn(
+        "gumbel_key",
+        F.round(
+            F.col("score_micro") / F.lit(float(_MICRO)) - F.log(-F.log(u)), 6
+        ),
+    )
+    top = keyed.orderBy(F.desc("gumbel_key"), F.asc("doc_id")).limit(k)
+    other = top.select(
+        F.col("doc_id").alias("o_id"), F.col("gumbel_key").alias("o_k")
+    )
+    ahead = (F.col("o_k") > F.col("gumbel_key")) | (
+        (F.col("o_k") == F.col("gumbel_key")) & (F.col("o_id") < F.col("doc_id"))
+    )
+    return (
+        top.join(F.broadcast(other), ahead, "left")
+        .groupBy("doc_id", "n_tokens", "avg_logratio", "gumbel_key")
+        .agg((F.count("o_id") + 1).cast("int").alias("rank"))
+        .select("rank", "doc_id", "n_tokens", "avg_logratio", "gumbel_key")
+    )
+
+
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-query-shaped entry for the resampling step."""
+    target, raw = _split_target_raw(spark, sf_dir)
+    return dsir_resample_topk(target, raw)

@@ -109,3 +109,98 @@ def test_against_python_reimplementation(spark, sf_smoke):
     )[: len(top)]
     assert [r.doc_id for r in sorted(top, key=lambda r: r.rank)] == order
     assert all(r.doc_id % DSIR_TARGET_MOD != 0 for r in top)
+
+
+# --- importance resampling (staged for round-8 registration) ----------------
+
+def _resample_sql(k: int) -> str:
+    from bigdata_infra_cs489_spark.operators.dsir import DSIR_GUMBEL_SALT
+    from bigdata_infra_cs489_spark.plans.catalog import DUCK_DSIR_SCORES
+
+    h = _H8.format(x=f"CAST(doc_id AS VARCHAR) || '{DSIR_GUMBEL_SALT}'")
+    return f"""
+    WITH s AS ({DUCK_DSIR_SCORES}),
+    keyed AS (SELECT *,
+                     round(score_micro / 1000000.0
+                           - ln(-ln((({h}) % 1000000 + 0.5) / 1000000.0)),
+                           6) AS gumbel_key
+              FROM s),
+    top AS (SELECT doc_id, n_tokens, avg_logratio, gumbel_key FROM keyed
+            ORDER BY gumbel_key DESC, doc_id LIMIT {k})
+    SELECT CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id)
+                AS INT) AS rank,
+           doc_id, n_tokens, avg_logratio, gumbel_key
+    FROM top
+    """
+
+
+_H8 = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+
+
+def test_resample_matches_oracle(spark, sf_correct):
+    from bigdata_infra_cs489_spark.operators.dsir import (
+        DSIR_RESAMPLE_K,
+        dsir_resample,
+    )
+
+    assert_matches_oracle(
+        dsir_resample(spark, sf_correct), _resample_sql(DSIR_RESAMPLE_K), sf_correct
+    )
+
+
+def test_resample_against_python(spark, sf_smoke):
+    """Gumbel-top-k draw against an independent Python implementation:
+    deterministic uniforms from the salted hash, shared-libm logs, exact
+    (key desc, doc_id) order; the sample must also be raw-side only with
+    dense unique ranks."""
+    from bigdata_infra_cs489_spark.operators.dsir import (
+        DSIR_GUMBEL_SALT,
+        DSIR_RESAMPLE_K,
+        dsir_resample,
+    )
+
+    tbl = pq.read_table(f"{sf_smoke}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    buckets = {
+        d: Counter(_py_h8(w) % DSIR_BUCKETS for w in _py_tokenize(t))
+        for d, t in texts.items()
+    }
+    tcnt: Counter = Counter()
+    rcnt: Counter = Counter()
+    for d, c in buckets.items():
+        (tcnt if d % DSIR_TARGET_MOD == 0 else rcnt).update(c)
+    T, R = sum(tcnt.values()), sum(rcnt.values())
+    lr = {
+        b: int(
+            math.floor(
+                (
+                    math.log((tcnt.get(b, 0) + 1) / (T + DSIR_BUCKETS))
+                    - math.log((rcnt.get(b, 0) + 1) / (R + DSIR_BUCKETS))
+                )
+                * 1e6
+                + 0.5
+            )
+        )
+        for b in range(DSIR_BUCKETS)
+    }
+
+    def _r6(x: float) -> float:
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    keys = {}
+    for d in texts:
+        if d % DSIR_TARGET_MOD == 0:
+            continue
+        s = sum(cnt * lr[b] for b, cnt in buckets[d].items())
+        u = (_py_h8(f"{d}{DSIR_GUMBEL_SALT}") % 1_000_000 + 0.5) / 1e6
+        keys[d] = _r6(s / 1e6 - math.log(-math.log(u)))
+
+    want = sorted(keys, key=lambda d: (-keys[d], d))[:DSIR_RESAMPLE_K]
+    got = sorted(
+        dsir_resample(spark, sf_smoke).collect(), key=lambda r: r.rank
+    )
+    assert [r.doc_id for r in got] == want
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
+    assert all(r.doc_id % DSIR_TARGET_MOD != 0 for r in got)
+    for r in got:
+        assert abs(r.gumbel_key - keys[r.doc_id]) < 1e-9, r.doc_id
