@@ -1,0 +1,192 @@
+"""Corpus line-level dedup vs an inline DuckDB oracle AND a pure-Python
+reimplementation, plus a crafted newline corpus for the real-world
+segmenter and a fingerprint-path pinning test (staged for round-8
+registration per the window contract — the DSIR/PII discipline)."""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow.parquet as pq
+
+from bigdata_infra_cs489_spark.operators.linededup import (
+    LINE_W,
+    POS_ENC,
+    dedup_lines_keep_first,
+    dup_line_report,
+    dup_line_stats,
+    line_dedup_corpus,
+    newline_lines,
+    token_window_lines,
+)
+
+from .oracle import assert_matches_oracle
+
+# Fixture segmenter twin: raw whitespace words re-joined into LINE_W-token
+# windows (the chunk_embed stride shape with stride = size).
+_DUCK_LINES = f"""
+    w AS (SELECT doc_id,
+                 list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                             t -> len(t) > 0) AS words
+          FROM documents),
+    nz AS (SELECT * FROM w WHERE len(words) > 0),
+    st AS (SELECT doc_id, words,
+                  CAST(generate_subscripts(range(0, len(words), {LINE_W}), 1)
+                       - 1 AS BIGINT) AS line_no,
+                  unnest(range(0, len(words), {LINE_W})) AS start
+           FROM nz),
+    lines AS (SELECT doc_id, line_no,
+                     array_to_string(words[start + 1 : start + {LINE_W}], ' ')
+                         AS line
+              FROM st)
+"""
+
+_STATS_SQL = f"""
+    WITH {_DUCK_LINES},
+    g AS (SELECT line, count(*) AS n_occ FROM lines GROUP BY line)
+    SELECT CAST(coalesce(sum(n_occ), 0) AS BIGINT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_distinct_lines,
+           CAST(coalesce(sum(CASE WHEN n_occ > 1 THEN n_occ END), 0)
+                AS BIGINT) AS dup_occurrences,
+           CAST(coalesce(sum(n_occ - 1), 0) AS BIGINT) AS removed_occurrences,
+           CAST((coalesce(sum(n_occ - 1), 0) * 1000000
+                 + coalesce(sum(n_occ), 0) // 2)
+                // greatest(coalesce(sum(n_occ), 0), 1) AS BIGINT)
+               AS dup_line_ppm
+    FROM g
+"""
+
+_DEDUP_SQL = f"""
+    WITH {_DUCK_LINES},
+    g AS (SELECT line, min(doc_id * {POS_ENC} + line_no) AS first_pos
+          FROM lines GROUP BY line),
+    kept AS (SELECT l.doc_id, l.line_no, l.line
+             FROM lines l JOIN g USING (line)
+             WHERE l.doc_id * {POS_ENC} + l.line_no = g.first_pos),
+    pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_lines,
+                  coalesce(array_to_string(list(line ORDER BY line_no), ' '),
+                           '') AS clean_text
+           FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+            FROM lines GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(tot.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(pd.kept_lines, 0) AS BIGINT) AS kept_lines,
+           coalesce(pd.clean_text, '') AS clean_text
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN tot USING (doc_id)
+    LEFT JOIN pd USING (doc_id)
+"""
+
+
+def test_stats_match_oracle(spark, sf_correct):
+    assert_matches_oracle(dup_line_stats(spark, sf_correct), _STATS_SQL, sf_correct)
+
+
+def test_dedup_matches_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        line_dedup_corpus(spark, sf_correct), _DEDUP_SQL, sf_correct
+    )
+
+
+def test_fingerprint_path_pins_to_string_path(spark, sf_correct):
+    """The xxhash64 exchange shape must produce the IDENTICAL kept set
+    and reassembled text as the oracle-checkable string path (the
+    repeated_spans_fp playbook)."""
+    from bigdata_infra_cs489_spark.sources.tables import load
+
+    docs = load(spark, sf_correct, "documents").select("doc_id", "text")
+    lines = token_window_lines(docs)
+    a = {
+        r["doc_id"]: (r["n_lines"], r["kept_lines"], r["clean_text"])
+        for r in dedup_lines_keep_first(docs, lines).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_lines"], r["kept_lines"], r["clean_text"])
+        for r in dedup_lines_keep_first(
+            docs, lines, use_fingerprints=True
+        ).collect()
+    }
+    assert a == b
+
+
+def _py_windows(text: str) -> list[str]:
+    words = [w for w in re.split("[ \t\n\x0b\f\r]+", text) if w]
+    return [
+        " ".join(words[i : i + LINE_W]) for i in range(0, len(words), LINE_W)
+    ]
+
+
+def test_against_python_reimplementation(spark, sf_smoke):
+    """Keep-first dedup against an independent Python implementation:
+    exact (doc_id, line_no) arbitration, per-doc reassembly order, and
+    the stats/dedup consistency invariant
+    sum(n_lines - kept_lines) == removed_occurrences."""
+    tbl = pq.read_table(f"{sf_smoke}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+
+    first: dict[str, tuple[int, int]] = {}
+    for d in sorted(texts):
+        for i, line in enumerate(_py_windows(texts[d])):
+            first.setdefault(line, (d, i))
+    expected = {}
+    for d in sorted(texts):
+        wins = _py_windows(texts[d])
+        kept = [l for i, l in enumerate(wins) if first[l] == (d, i)]
+        expected[d] = (len(wins), len(kept), " ".join(kept))
+
+    got = {
+        r["doc_id"]: (r["n_lines"], r["kept_lines"], r["clean_text"])
+        for r in line_dedup_corpus(spark, sf_smoke).collect()
+    }
+    assert got == expected
+
+    stats = dup_line_stats(spark, sf_smoke).collect()[0]
+    assert stats["removed_occurrences"] == sum(
+        n - k for n, k, _ in expected.values()
+    )
+    assert stats["n_lines"] == sum(n for n, _, _ in expected.values())
+    assert stats["n_distinct_lines"] == len(first)
+
+
+def test_crafted_newline_corpus(spark):
+    """The real-world newline segmenter on a crafted corpus with
+    cross-document boilerplate: the repeated banner keeps exactly its
+    first occurrence, unique lines all survive, and reassembly preserves
+    in-document order."""
+    banner = "SUBSCRIBE TO OUR NEWSLETTER"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta\n{banner}\ngamma"),
+            (2, f"{banner}\ndelta\n{banner}"),
+            (3, "epsilon\nzeta"),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    lines = newline_lines(docs)
+    got = {
+        r["doc_id"]: (r["n_lines"], r["kept_lines"], r["clean_text"])
+        for r in dedup_lines_keep_first(docs, lines).collect()
+    }
+    assert got[1] == (3, 3, f"alpha beta {banner} gamma")
+    assert got[2] == (3, 1, "delta")  # both banner copies are later dups
+    assert got[3] == (2, 2, "epsilon zeta")
+    assert got[4] == (1, 1, "")  # split('') -> [''] on both engines
+
+    rep = dup_line_report(lines).collect()[0]
+    assert rep["n_lines"] == 9
+    assert rep["removed_occurrences"] == 2
+    assert rep["dup_occurrences"] == 3
+
+
+def test_empty_corpus_degrades_to_zero(spark):
+    docs = spark.createDataFrame([], "doc_id bigint, text string")
+    rep = dup_line_report(token_window_lines(docs)).collect()[0]
+    assert (
+        rep["n_lines"],
+        rep["n_distinct_lines"],
+        rep["removed_occurrences"],
+        rep["dup_line_ppm"],
+    ) == (0, 0, 0, 0)
+    assert dedup_lines_keep_first(docs, token_window_lines(docs)).count() == 0
