@@ -718,20 +718,33 @@ _SGD_SHUF_ORDER = (
 )
 
 
-def _sgd_with(models: list[tuple[str, str, str]]) -> str:
-    """WITH RECURSIVE prelude computing sgd_weights_<tag> for each
-    (tag, subset_predicate_sql, order_sql) — shared doc/vocab prep plus one
-    recursive trainer per model."""
-    prelude = f"""
-    WITH RECURSIVE
-    sgd_ds AS MATERIALIZED (
+# The spam training-set CTE body (the default); _sgd_with also accepts a
+# different labeled ds (same column contract: docid, is_spam, label,
+# src_g, feats) so other families can reuse the recursive trainer — the
+# quality-distillation classifier (operators/qualitymodel.py) passes a
+# text_quality-threshold-labeled body.
+_SGD_SPAM_DS = f"""
       SELECT doc_id AS docid,
              CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS is_spam,
              CASE WHEN doc_id % 3 = 0 THEN 'spam' ELSE 'ham' END AS label,
              TRY_CAST(regexp_extract(source, '(\\d+)$', 1) AS INT)
-                 % {M.N_ENSEMBLE} AS src_g,
-             {_SGD_FEAT} AS feats
+                 % {{n_ensemble}} AS src_g,
+             {{feats}} AS feats
       FROM documents
+"""
+
+
+def _sgd_with(models: list[tuple[str, str, str]], ds_sql: str | None = None) -> str:
+    """WITH RECURSIVE prelude computing sgd_weights_<tag> for each
+    (tag, subset_predicate_sql, order_sql) — shared doc/vocab prep plus one
+    recursive trainer per model. ``ds_sql`` overrides the labeled
+    training-set CTE body (default: the spam set)."""
+    if ds_sql is None:
+        ds_sql = _SGD_SPAM_DS.format(n_ensemble=M.N_ENSEMBLE, feats=_SGD_FEAT)
+    prelude = f"""
+    WITH RECURSIVE
+    sgd_ds AS MATERIALIZED (
+      {ds_sql}
     ),
     sgd_vocab AS MATERIALIZED (
       SELECT feature, CAST(row_number() OVER (ORDER BY feature) AS INT) AS idx
