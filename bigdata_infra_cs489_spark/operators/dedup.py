@@ -903,3 +903,93 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(err), 6).alias("max_abs_err"),
         )
     )
+
+
+# --- fuzzy benchmark decontamination ---------------------------------------
+
+# Lower operating point than within-corpus dedup's JACCARD_THRESHOLD:
+# decontamination review is recall-leaning — a paraphrased benchmark item
+# at 0.5 Jaccard still leaks the answer, and flagged docs get human or
+# exact-span triage downstream.
+CONTAM_NEAR_THRESHOLD = 0.5
+
+
+def contamination_near_flags(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = CONTAM_NEAR_THRESHOLD,
+) -> DataFrame:
+    """(doc_id, n_candidates, best_eval_id, best_jaccard, contaminated):
+    NEAR-duplicate benchmark decontamination — flag training documents
+    whose shingle set is close (true Jaccard >= threshold) to some
+    held-out evaluation document, catching the paraphrased / lightly
+    edited leaks that contamination_flags' exact n-gram hit test ranks
+    low. The standard fuzzy-decontamination pass (GPT-3 appendix C
+    discipline) run before a training mix ships.
+
+    Shape (the incremental_dedup_assign asymmetry): the eval side is
+    benchmark-sized, so its bands and shingle arrays BROADCAST; the
+    corpus side streams through one band equi-join (cost ∝ collisions),
+    exact verification touches only candidate pairs, and the per-doc
+    argmax is a partial-aggregatable max_by — no window, no corpus
+    self-join, no shuffle of corpus text. Ties on jaccard resolve to the
+    smallest eval_id via the (jaccard, -eval_id) max_by ordering; docs
+    with no candidate band collision report (-1, 0.0, false)."""
+    cb = signature_bands(corpus)
+    eb = signature_bands(eval_docs).select(
+        F.col("doc_id").alias("eval_id"), "band", "band_key"
+    )
+    cand = (
+        cb.join(F.broadcast(eb), ["band", "band_key"])
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    sh_c = shingles(corpus)
+    sh_e = shingles(eval_docs).select(
+        F.col("doc_id").alias("eval_id"), F.col("shingles").alias("sh_e")
+    )
+    jac = F.round(
+        F.size(F.array_intersect("shingles", "sh_e"))
+        / F.size(F.array_union("shingles", "sh_e")),
+        6,
+    )
+    verified = (
+        cand.join(sh_c, "doc_id")
+        .join(F.broadcast(sh_e), "eval_id")
+        .select("doc_id", "eval_id", jac.alias("jaccard"))
+    )
+    best = verified.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.max_by(
+            F.col("eval_id"), F.struct(F.col("jaccard"), (-F.col("eval_id")))
+        ).alias("best_eval_id"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
+    return (
+        corpus.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+            F.coalesce("best_eval_id", F.lit(-1)).cast("bigint").alias(
+                "best_eval_id"
+            ),
+            F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
+            (F.coalesce("best_jaccard", F.lit(0.0)) >= threshold).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def q_contamination_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-query shape: same eval/train split convention as
+    q_contamination_flags (doc_id < CONTAM_EVAL_MAX_ID plays the
+    benchmark)."""
+    docs = _docs(spark, sf_dir)
+    return contamination_near_flags(
+        docs.where(F.col("doc_id") >= CONTAM_EVAL_MAX_ID),
+        docs.where(F.col("doc_id") < CONTAM_EVAL_MAX_ID),
+    )

@@ -192,3 +192,60 @@ def dup_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return dedup_lines_keep_first(docs, token_window_lines(docs))
+
+
+# --- incremental form: new crawl batch vs the standing line index ----------
+
+
+def incremental_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_lines, dup_lines, clean_text) for each NEW-batch
+    document (doc_id % NEW_BATCH_MOD == NEW_BATCH_MOD - 1, the
+    incremental_dedup_assign convention): lines already present in the
+    standing OLD-corpus line set are dropped, the rest reassemble in
+    order — the recurring production shape at 100 TB, where the distinct
+    line set is a maintained asset and each increment only PROBES it
+    (one semi-join, cost ∝ increment size), never re-scanning
+    old-vs-old. Only new-vs-old duplication counts here; repeats within
+    the batch are the batch's own intra-run keep-first pass
+    (dedup_lines_keep_first). On a deployment the standing index is the
+    persisted table (stored as xxhash64 fingerprints, the
+    use_fingerprints exchange); here it rebuilds from the fixture so the
+    DuckDB oracle is self-contained."""
+    from .dedup import NEW_BATCH_MOD
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    lines = token_window_lines(docs)
+    is_new = (F.col("doc_id") % NEW_BATCH_MOD) == (NEW_BATCH_MOD - 1)
+    standing = lines.where(~is_new).select("line").distinct()
+    new_lines = lines.where(is_new)
+    kept = new_lines.join(standing, "line", "left_anti")
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = new_lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    return (
+        docs.where(is_new)
+        .select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+            (
+                F.coalesce("n_lines", F.lit(0))
+                - F.coalesce("kept_lines", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("dup_lines"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

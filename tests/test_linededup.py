@@ -190,3 +190,53 @@ def test_empty_corpus_degrades_to_zero(spark):
         rep["dup_line_ppm"],
     ) == (0, 0, 0, 0)
     assert dedup_lines_keep_first(docs, token_window_lines(docs)).count() == 0
+
+
+def test_incremental_matches_oracle(spark, sf_correct):
+    from bigdata_infra_cs489_spark.operators.dedup import NEW_BATCH_MOD
+    from bigdata_infra_cs489_spark.operators.linededup import (
+        incremental_line_dedup,
+    )
+
+    new_pred = f"doc_id % {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}"
+    sql = f"""
+    WITH {_DUCK_LINES},
+    standing AS (SELECT DISTINCT line FROM lines WHERE NOT ({new_pred})),
+    nl AS (SELECT * FROM lines WHERE {new_pred}),
+    kept AS (SELECT * FROM nl
+             WHERE line NOT IN (SELECT line FROM standing)),
+    pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_lines,
+                  coalesce(array_to_string(list(line ORDER BY line_no), ' '),
+                           '') AS clean_text
+           FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+            FROM nl GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(tot.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(tot.n_lines, 0) - coalesce(pd.kept_lines, 0)
+                AS BIGINT) AS dup_lines,
+           coalesce(pd.clean_text, '') AS clean_text
+    FROM (SELECT doc_id FROM documents WHERE {new_pred}) d
+    LEFT JOIN tot USING (doc_id)
+    LEFT JOIN pd USING (doc_id)
+    """
+    assert_matches_oracle(incremental_line_dedup(spark, sf_correct), sql, sf_correct)
+
+
+def test_incremental_consistency(spark, sf_smoke):
+    """Invariants: only new-batch docs appear; dup_lines + kept text
+    window count = n_lines; a new doc whose every window is novel keeps
+    its full reassembled text."""
+    from bigdata_infra_cs489_spark.operators.dedup import NEW_BATCH_MOD
+    from bigdata_infra_cs489_spark.operators.linededup import (
+        incremental_line_dedup,
+    )
+
+    rows = incremental_line_dedup(spark, sf_smoke).collect()
+    assert rows, "smoke fixture must contain new-batch docs"
+    for r in rows:
+        assert r["doc_id"] % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+        kept = len(_py_windows(r["clean_text"])) if r["clean_text"] else 0
+        assert 0 <= r["dup_lines"] <= r["n_lines"]
+        if r["dup_lines"] == 0 and r["n_lines"] > 0:
+            assert kept == r["n_lines"]
