@@ -55,6 +55,30 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_tokens (= tokens remaining after span stripping). The split
     column is the leakage-safe cluster-hashed train/val/test assignment.
     """
+    kept = _curate_gated(spark, sf_dir).select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "split",
+        "n_tokens",
+        "dup_tokens",
+        (F.col("n_tokens") - F.col("dup_tokens")).alias("kept_tokens"),
+        "quality_score",
+    )
+    packed = with_running_totals(
+        kept,
+        [F.desc("quality_score"), F.asc("doc_id")],
+        {"cum_kept_tokens": "kept_tokens"},
+    )
+    return packed.where(F.col("cum_kept_tokens") <= CURATE_TOKEN_BUDGET)
+
+
+def _curate_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared bootstrap chain up to (and including) the v1 gates:
+    canonical-copy ∩ keep-best rep, cluster-hashed split, span and
+    quality lineages joined as per-doc scalars, quality + span-budget
+    gates applied. corpus_curate packs this directly; corpus_curate_v2
+    joins the round-7 audit lineages and adds its gates on top."""
     exact_ok = (
         q_exact_dedup(spark, sf_dir).where(~F.col("is_duplicate")).select("doc_id")
     )
@@ -100,7 +124,7 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spans = dup_span_stats(spark, sf_dir).select("doc_id", "n_tokens", "dup_tokens")
     qual = text_quality(spark, sf_dir).select("doc_id", "quality_score")
-    kept = (
+    return (
         reps.join(exact_ok, "doc_id")
         .join(spans, "doc_id")
         .join(qual, "doc_id")
@@ -108,6 +132,50 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("quality_score") >= CURATE_MIN_QUALITY)
             & (F.col("dup_tokens") * CURATE_MAX_DUP_DEN <= F.col("n_tokens"))
         )
+    )
+
+
+# Gopher rules enforced by corpus_curate_v2. Only flag_word_count carries
+# signal on the synthetic fixture corpus (single-line word soup passes
+# the shape rules vacuously and always fails flag_stopwords, which would
+# empty the corpus) — a deployment sets the full rule tuple it trusts;
+# the gate is rule-name-generic.
+CURATE_GOPHER_RULES: tuple[str, ...] = ("flag_word_count",)
+
+
+def corpus_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_curate + the round-7 curation families as first-class
+    stages: the Gopher rule gate (CURATE_GOPHER_RULES must all hold) and
+    two audit lineages every production corpus card carries — n_redactions
+    (PII substitutions the export stage applies, counted on the
+    decorated fixture twin per the pii.py convention) and dup_lines
+    (pseudo-line occurrences this doc loses to corpus line dedup's
+    keep-first arbitration). Same output contract as corpus_curate plus
+    (n_redactions, dup_lines), same single-computation cluster lineage,
+    all new stages doc_id-keyed scalar joins — the DAG stays one
+    declarative plan with zero extra corpus scans of text beyond each
+    lineage's own."""
+    from .docquality import gopher_metrics
+    from .linededup import dedup_lines_keep_first, token_window_lines
+    from .pii import decorate_with_pii, redact_pii
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    gates = gopher_metrics(docs).select("doc_id", *CURATE_GOPHER_RULES)
+    pii = redact_pii(decorate_with_pii(docs)).select("doc_id", "n_redactions")
+    lines = dedup_lines_keep_first(docs, token_window_lines(docs)).select(
+        "doc_id",
+        (F.col("n_lines") - F.col("kept_lines")).cast("bigint").alias("dup_lines"),
+    )
+    gate_ok = None
+    for r in CURATE_GOPHER_RULES:
+        c = F.col(r)
+        gate_ok = c if gate_ok is None else (gate_ok & c)
+    kept = (
+        _curate_gated(spark, sf_dir)
+        .join(gates, "doc_id")
+        .where(gate_ok)
+        .join(pii, "doc_id", "left")
+        .join(lines, "doc_id")
         .select(
             "doc_id",
             "cluster_id",
@@ -117,6 +185,10 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_tokens",
             (F.col("n_tokens") - F.col("dup_tokens")).alias("kept_tokens"),
             "quality_score",
+            F.coalesce("n_redactions", F.lit(0)).cast("bigint").alias(
+                "n_redactions"
+            ),
+            "dup_lines",
         )
     )
     packed = with_running_totals(
