@@ -48,6 +48,11 @@ HOSTILE_QUERIES = (
     "lang_temperature_rates",
     "semantic_dedup_keep_best",
     "chunk_embed_topk",
+    # round-7 registrations: regex pipelines (PII), integer rule gates
+    # (Gopher), and the DSIR driver-side log finish + broadcast probe
+    "pii_redact",
+    "gopher_pass_rates",
+    "dsir_topk",
 )
 
 
