@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cu.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     cu.add_argument("--out", required=True)
+    cu.add_argument(
+        "--v2",
+        action="store_true",
+        help="use corpus_curate_v2 (Gopher gate + PII/line-dedup audit "
+        "columns) and export PII-redacted text",
+    )
 
     sub.add_parser("list", help="list registered queries")
     return p
@@ -80,20 +86,34 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "curate":
         from pyspark.sql import functions as F
 
-        from .operators.curate import corpus_curate
+        from .operators.curate import corpus_curate, corpus_curate_v2
         from .operators.spans import strip_spans
 
-        kept = corpus_curate(spark, args.sf_dir)
+        kept = (corpus_curate_v2 if args.v2 else corpus_curate)(
+            spark, args.sf_dir
+        )
         # join the cleaned text onto the surviving docs; the span lineage
         # runs once per branch here (one-shot export job — sharing it
         # would need an explicit checkpoint for no steady-state benefit)
         clean = strip_spans(spark, args.sf_dir).select("doc_id", "clean_text")
+        if args.v2:
+            # v2 export ships the scrubbing stage: placeholders replace
+            # every PII hit in the span-stripped text (the audit column
+            # n_redactions counts the decorated-twin substitutions)
+            from .operators.pii import PII_PATTERNS
+
+            expr = F.col("clean_text")
+            for _, pat, ph in PII_PATTERNS:
+                expr = F.regexp_replace(expr, pat, ph)
+            clean = clean.select("doc_id", expr.alias("clean_text"))
+        audit = ["n_redactions", "dup_lines"] if args.v2 else []
         out = kept.join(clean, "doc_id").select(
             "doc_id",
             "cluster_id",
             "n_tokens",
             "kept_tokens",
             "quality_score",
+            *audit,
             "clean_text",
             "split",
         )

@@ -78,3 +78,23 @@ def test_cli_curate_writes_partitioned_corpus(spark, sf_smoke, tmp_path, capsys)
     # the stripped text length matches the recorded kept token count
     for r in back.collect():
         assert len(r.clean_text.split()) == r.kept_tokens
+
+
+def test_cli_curate_v2_exports_redacted_audited_corpus(spark, sf_smoke, tmp_path, capsys):
+    """--v2: the export carries the audit columns and the shipped text is
+    actually scrubbed — no PII pattern matches anything in the output."""
+    import re
+
+    from bigdata_infra_cs489_spark.__main__ import main
+    from bigdata_infra_cs489_spark.operators.curate import corpus_curate_v2
+    from bigdata_infra_cs489_spark.operators.pii import PII_PATTERNS
+
+    out = str(tmp_path / "curated_v2")
+    assert main(["curate", "--v2", "--sf-dir", sf_smoke, "--out", out]) == 0
+    assert "wrote" in capsys.readouterr().out
+    back = spark.read.parquet(out)
+    assert back.count() == corpus_curate_v2(spark, sf_smoke).count()
+    assert {"n_redactions", "dup_lines"} <= set(back.columns)
+    for r in back.collect():
+        for _, pat, _ph in PII_PATTERNS:
+            assert not re.search(pat, r.clean_text), (r.doc_id, pat)

@@ -203,3 +203,116 @@ def test_distsort_ntile_matches_python(spark, rows, n):
                 expect[ordered[pos][0]] = tile
                 pos += 1
     assert got == expect
+
+
+# --- round-7 family properties ---------------------------------------------
+
+_PII_SNIPPETS = st.sampled_from(
+    [
+        "mail me at a.b+c@ex-ample.org today",
+        "ssn 123-45-6789 ok",
+        "call 555-123-4567 or 555.987.6543",
+        "card 4111 1111 1111 1111 end",
+        "card 4111-1111-1111-1111 end",
+        "host 10.0.255.7 and 256.300.1.999",
+        "sneaky 999-99-9999.123",
+        "a@b.co",
+        "",
+    ]
+)
+_pii_texts = st.lists(
+    st.one_of(
+        _PII_SNIPPETS,
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=50,
+        ),
+    ),
+    min_size=1,
+    max_size=6,
+).map(" ".join)
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=st.lists(_pii_texts, min_size=1, max_size=8))
+def test_pii_redaction_idempotent_and_matches_python(spark, texts):
+    """redact_pii is a fixpoint (placeholders never re-match any
+    pattern) and its staged substitution count equals Python `re`'s
+    staged replay on arbitrary PII-bearing text."""
+    import re as _re
+
+    from bigdata_infra_cs489_spark.operators.pii import PII_PATTERNS, redact_pii
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+
+    for d, t in enumerate(texts):
+        clean, nred = t, 0
+        for _, pat, ph in PII_PATTERNS:
+            nred += len(_re.findall(pat, clean))
+            clean = _re.sub(pat, ph, clean)
+        if nred == 0:
+            assert d not in got
+            continue
+        assert got[d].clean_text == clean
+        assert got[d].n_redactions == nred
+        # fixpoint: a second redaction pass changes nothing
+        for _, pat, _ph in PII_PATTERNS:
+            assert not _re.search(pat, clean), (pat, clean)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa bb", "cc dd", "ee ff", "boiler plate", "x"]),
+            min_size=0,
+            max_size=5,
+        ).map("\n".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_line_dedup_keep_first_matches_python(spark, docs):
+    """Corpus keep-first line dedup on arbitrary newline documents
+    matches a pure-Python replay exactly (kept set, counts, reassembly
+    order), and the duplicate report reconciles with the per-doc rows —
+    after one pass each distinct line survives exactly once corpus-wide,
+    which is the idempotence invariant."""
+    from bigdata_infra_cs489_spark.operators.linededup import (
+        dedup_lines_keep_first,
+        dup_line_report,
+        newline_lines,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    out1 = {
+        r.doc_id: r for r in dedup_lines_keep_first(df, newline_lines(df)).collect()
+    }
+
+    first: dict[str, tuple[int, int]] = {}
+    for d, t in enumerate(docs):
+        for i, line in enumerate(t.split("\n")):
+            first.setdefault(line, (d, i))
+    kept_total = 0
+    for d, t in enumerate(docs):
+        lines = t.split("\n")
+        kept = [l for i, l in enumerate(lines) if first[l] == (d, i)]
+        kept_total += len(kept)
+        r = out1[d]
+        assert (r.n_lines, r.kept_lines, r.clean_text) == (
+            len(lines),
+            len(kept),
+            " ".join(kept),
+        ), d
+    # each distinct line survives exactly once corpus-wide
+    assert kept_total == len(first)
+    rep = dup_line_report(newline_lines(df)).collect()[0]
+    assert rep["n_lines"] == sum(r.n_lines for r in out1.values())
+    assert rep["removed_occurrences"] == sum(
+        r.n_lines - r.kept_lines for r in out1.values()
+    )
