@@ -50,18 +50,6 @@ DSIR_TOP_K = 100  # raw documents kept by the selection step
 _MICRO = 1_000_000
 
 
-def _bucketed_counts(docs: DataFrame) -> DataFrame:
-    """(bucket, n): token occurrences per hashed feature bucket — one
-    partial-aggregated pass from the token stream to <= DSIR_BUCKETS
-    rows."""
-    toks = exploded_tokens(docs, keep=("doc_id",))
-    return (
-        toks.select((h8(F.col("word")) % DSIR_BUCKETS).alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
 def dsir_logratios(target: DataFrame, raw: DataFrame) -> DataFrame:
     """(bucket, lr_micro): add-one-smoothed log importance ratio
     log((t_b+1)/(T+B)) - log((r_b+1)/(R+B)) per feature bucket, rounded
@@ -73,9 +61,25 @@ def dsir_logratios(target: DataFrame, raw: DataFrame) -> DataFrame:
     tables (the lang_mixture_rates O(tiny) collect discipline), keeping
     the log computation a single Python math.log per bucket — identical
     doubles to DuckDB's ln() via the shared libm, and only the ROUNDED
-    integer crosses into the distributed plan."""
-    tc = {int(r["bucket"]): int(r["n"]) for r in _bucketed_counts(target).collect()}
-    rc = {int(r["bucket"]): int(r["n"]) for r in _bucketed_counts(raw).collect()}
+    integer crosses into the distributed plan.
+
+    Both distributions come from ONE corpus pass: target and raw are
+    unioned with a side tag and partially aggregated by (side, bucket)
+    — <= 2B result rows for one token-stream scan, where per-side
+    _bucketed_counts calls would scan the corpus twice (the two
+    lineages are opaque to Catalyst's subplan sharing)."""
+    tagged = target.select(F.lit(1).alias("side"), "text").unionByName(
+        raw.select(F.lit(0).alias("side"), "text")
+    )
+    toks = exploded_tokens(tagged, keep=("side",))
+    counts = (
+        toks.select("side", (h8(F.col("word")) % DSIR_BUCKETS).alias("bucket"))
+        .groupBy("side", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    tc = {int(r["bucket"]): int(r["n"]) for r in counts if r["side"] == 1}
+    rc = {int(r["bucket"]): int(r["n"]) for r in counts if r["side"] == 0}
     t_total = sum(tc.values())
     r_total = sum(rc.values())
     spark = target.sparkSession
