@@ -100,8 +100,12 @@ def line_dedup_stream(
         (F.col("doc_id") % NEW_BATCH_MOD) == (NEW_BATCH_MOD - 1)
     )
     lines = _windows_outer(docs)
+    # no broadcast hint: the fixture index broadcasts on its own under
+    # the threshold, but a real standing corpus index is arbitrarily
+    # large — Catalyst must stay free to plan the shuffled stream-static
+    # join (forcing broadcast here would OOM the driver at 100 TB)
     marked = lines.join(
-        F.broadcast(standing.select("line").distinct().withColumn("hit", F.lit(1))),
+        standing.select("line").distinct().withColumn("hit", F.lit(1)),
         "line",
         "left",
     )
