@@ -1,0 +1,138 @@
+"""HTML → text extraction: the step a crawl pipeline runs before ANY of
+the curation families — strip markup, scripts, styles and chrome from
+raw HTML, recover the article text, and harvest the link graph.
+
+No reference counterpart (north-star extension family; the
+trafilatura/jusText stage of a crawl pipeline, reduced to its
+deterministic skeleton). The fixture corpus is plain text, so the
+registered-query shape WRAPS each document in deterministic
+doc_id-derived HTML inside the query (title, script, style, nav chrome,
+one content paragraph, two links, footer — the PII-decoration
+convention, mirrored byte-for-byte in the DuckDB twin) and then runs
+the real extractor on it; a deployment calls the extractor functions on
+its crawled HTML column and skips the decoration.
+
+Scale/determinism design:
+- the whole extractor is a chain of codegen'd regexp_replace /
+  regexp_extract_all column expressions — zero exchanges, zero Python,
+  embarrassingly parallel at any corpus size (the PII plan shape);
+- every pattern is RE2-safe (non-greedy ``.*?`` and ``[^>]`` classes,
+  no backreferences/lookaround), so DuckDB executes the IDENTICAL
+  regexes with identical leftmost-first semantics;
+- extraction order is fixed and state-free: drop script blocks, drop
+  style blocks, drop nav/footer chrome, replace remaining tags with a
+  space, collapse whitespace, trim — each stage a single replace over
+  the document string;
+- link harvest is one regexp_extract_all over the SAME scan, exploded
+  to (src, dst) edge rows — the input the graph family (PageRank, CC,
+  degree stats) consumes.
+
+The round-trip contract is test-enforced: on the decorated fixture the
+extracted text must equal the original document text EXACTLY (the
+decoration is lossless by construction), so the extractor's correctness
+is a visible boolean, not a judgment call.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+
+# chrome the extractor must drop; parametrized by doc_id so every page
+# differs (a constant banner would also be caught by line dedup, which
+# is exactly why extraction runs FIRST in a real pipeline)
+_NAV = "Home | About | Section {m7}"
+_FOOTER = "(c) example-site {m5} - all rights reserved"
+
+
+def decorate_with_html(docs: DataFrame) -> DataFrame:
+    """Fixture-only: wrap each document's text in a deterministic HTML
+    page. Pure string concat the DuckDB twin reproduces byte-for-byte."""
+    did = F.col("doc_id").cast("string")
+    m5 = (F.col("doc_id") % 5).cast("string")
+    m7 = (F.col("doc_id") % 7).cast("string")
+    nxt = (F.col("doc_id") + 1).cast("string")
+    rel = ((F.col("doc_id") * 31) % 997).cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did, F.lit("</title>"),
+        F.lit("<script>var page="), did, F.lit(";track(page);</script>"),
+        F.lit("<style>.m{color:#000}</style></head><body>"),
+        F.lit('<nav class="top">'),
+        F.lit(_NAV.split("{m7}")[0]), m7,
+        F.lit("</nav><h1>Doc "), did, F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit('</p><a href="/doc/'), nxt, F.lit('">next</a>'),
+        F.lit('<a href="/doc/'), rel, F.lit('">related</a><footer>'),
+        F.lit(_FOOTER.split("{m5}")[0]), m5,
+        F.lit(_FOOTER.split("{m5}")[1]), F.lit("</footer></body></html>"),
+    )
+    return docs.select("doc_id", F.col("text").alias("raw_text"), html.alias("html"))
+
+
+# (pattern, replacement) applied in this fixed order on both engines.
+EXTRACT_STAGES: tuple[tuple[str, str], ...] = (
+    (r"<script[^>]*>.*?</script>", " "),
+    (r"<style[^>]*>.*?</style>", " "),
+    (r"<nav[^>]*>.*?</nav>", " "),
+    (r"<footer[^>]*>.*?</footer>", " "),
+    (r"<title[^>]*>.*?</title>", " "),
+    (r"<[^>]+>", " "),
+)
+TITLE_RE = r"<title[^>]*>(.*?)</title>"
+HREF_RE = r'href="([^"]*)"'
+
+
+def extract_text(html: Column) -> Column:
+    """The extractor proper: staged chrome removal, tag strip, whitespace
+    collapse. One codegen'd expression tree."""
+    out = html
+    for pat, rep in EXTRACT_STAGES:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, title, n_links, clean_text, roundtrip_ok): the extraction
+    pass over the (decorated) corpus. roundtrip_ok asserts the recovered
+    body equals the pre-decoration text minus the injected heading —
+    the extractor's quality as a visible boolean on every row."""
+    d = decorate_with_html(load(spark, sf_dir, "documents"))
+    heading = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"), F.lit(" "))
+    body = extract_text(F.col("html"))
+    return d.select(
+        "doc_id",
+        F.regexp_extract("html", TITLE_RE, 1).alias("title"),
+        F.size(F.regexp_extract_all("html", F.lit(HREF_RE), F.lit(1)))
+        .cast("bigint")
+        .alias("n_links"),
+        body.alias("clean_text"),
+        # expected = the page's visible text, whitespace-collapsed AFTER
+        # assembly (collapsing per-piece would leave doubled spaces
+        # around empty or padded documents)
+        (
+            body
+            == F.trim(
+                F.regexp_replace(
+                    F.concat(heading, F.col("raw_text"), F.lit(" next related")),
+                    r"\s+",
+                    " ",
+                )
+            )
+        ).alias("roundtrip_ok"),
+    )
+
+
+def html_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst): the harvested link graph — every href, resolved to its
+    numeric target, exploded to edge rows in one pass over the same
+    scan. The input shape the graph family consumes (degree stats,
+    PageRank, components)."""
+    d = decorate_with_html(load(spark, sf_dir, "documents"))
+    hrefs = F.regexp_extract_all("html", F.lit(r'href="/doc/(\d+)"'), F.lit(1))
+    return (
+        d.select(F.col("doc_id").alias("src"), F.explode(hrefs).alias("h"))
+        .select("src", F.col("h").cast("bigint").alias("dst"))
+        .orderBy("src", "dst")
+    )

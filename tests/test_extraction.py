@@ -1,0 +1,146 @@
+"""HTML extraction vs an inline DuckDB oracle AND a pure-Python `re`
+reimplementation, plus crafted real-world-shaped pages (staged for
+round-8 registration per the window contract)."""
+
+from __future__ import annotations
+
+import re
+
+from bigdata_infra_cs489_spark.operators.extraction import (
+    EXTRACT_STAGES,
+    HREF_RE,
+    TITLE_RE,
+    decorate_with_html,
+    extract_text,
+    html_extract,
+    html_link_edges,
+)
+
+from .oracle import assert_matches_oracle
+
+# decorate_with_html mirrored byte-for-byte
+_DUCK_HTML = """
+    SELECT doc_id, text AS raw_text,
+           '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+           || '<script>var page=' || CAST(doc_id AS VARCHAR)
+           || ';track(page);</script>'
+           || '<style>.m{color:#000}</style></head><body>'
+           || '<nav class="top">Home | About | Section '
+           || CAST(doc_id % 7 AS VARCHAR)
+           || '</nav><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+           || text
+           || '</p><a href="/doc/' || CAST(doc_id + 1 AS VARCHAR)
+           || '">next</a>'
+           || '<a href="/doc/' || CAST((doc_id * 31) % 997 AS VARCHAR)
+           || '">related</a><footer>(c) example-site '
+           || CAST(doc_id % 5 AS VARCHAR)
+           || ' - all rights reserved</footer></body></html>' AS html
+    FROM documents
+"""
+
+
+def _duck_extract(expr: str) -> str:
+    for pat, rep in EXTRACT_STAGES:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+
+
+_EXTRACT_SQL = f"""
+    WITH d AS ({_DUCK_HTML})
+    SELECT doc_id,
+           regexp_extract(html, '{TITLE_RE}', 1) AS title,
+           CAST(len(regexp_extract_all(html, 'href="([^"]*)"', 1))
+                AS BIGINT) AS n_links,
+           {_duck_extract("html")} AS clean_text,
+           {_duck_extract("html")} = trim(regexp_replace(
+               'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || raw_text
+                      || ' next related', '\\s+', ' ', 'g'))
+               AS roundtrip_ok
+    FROM d
+"""
+
+_EDGES_SQL = f"""
+    WITH d AS ({_DUCK_HTML})
+    SELECT src, CAST(h AS BIGINT) AS dst
+    FROM (SELECT doc_id AS src,
+                 unnest(regexp_extract_all(html, 'href="/doc/(\\d+)"', 1)) AS h
+          FROM d)
+    ORDER BY src, dst
+"""
+
+
+def test_extract_matches_oracle(spark, sf_correct):
+    assert_matches_oracle(html_extract(spark, sf_correct), _EXTRACT_SQL, sf_correct)
+
+
+def test_edges_match_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        html_link_edges(spark, sf_correct), _EDGES_SQL, sf_correct
+    )
+
+
+def test_roundtrip_holds_corpus_wide(spark, sf_correct):
+    """The extractor must recover the pre-decoration text on EVERY
+    document — the lossless-by-construction contract."""
+    rows = html_extract(spark, sf_correct).collect()
+    assert rows
+    assert all(r["roundtrip_ok"] for r in rows)
+    assert all(r["n_links"] == 2 for r in rows)
+
+
+def _py_extract(html: str) -> str:
+    out = html
+    for pat, rep in EXTRACT_STAGES:
+        out = re.sub(pat, rep, out)
+    return re.sub(r"\s+", " ", out).strip()
+
+
+def test_crafted_pages_match_python(spark):
+    """The extractor on real-world-shaped pages (attributes on script
+    tags, multiple paragraphs, absolute links, self-closing tags,
+    chrome) against Python `re` — and sanity on the recovered text."""
+    pages = [
+        (
+            1,
+            '<html><head><title>A page</title><script src="/x.js" defer>'
+            "if(a<b){go()}</script></head><body>"
+            '<nav id="n">Home</nav><p>first para</p>\n<p>second para</p>'
+            '<img src="x.png"/><a href="https://ex.org/z">out</a>'
+            "<footer>foot</footer></body></html>",
+        ),
+        (2, "<p>plain</p>"),
+        (3, "no markup at all"),
+        (4, ""),
+        (
+            5,
+            "<style>p{x:1}</style><p>kept &amp; shown</p>"
+            '<a href="/doc/7">seven</a>',
+        ),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    got = {
+        r.doc_id: r.clean
+        for r in df.select(
+            "doc_id", extract_text(F.col("html")).alias("clean")
+        ).collect()
+    }
+    for d, html in pages:
+        assert got[d] == _py_extract(html), d
+    assert got[1] == "first para second para out"
+    assert got[2] == "plain"
+    assert got[3] == "no markup at all"
+    assert got[4] == ""
+    assert got[5] == "kept &amp; shown seven"
+
+
+def test_decorated_links_form_a_graph(spark, sf_smoke):
+    """Edge targets are the deterministic (id+1, id*31 mod 997) pair per
+    source — the shape the graph family consumes."""
+    edges = html_link_edges(spark, sf_smoke).collect()
+    by_src: dict[int, set[int]] = {}
+    for r in edges:
+        by_src.setdefault(r.src, set()).add(r.dst)
+    for src, dsts in by_src.items():
+        assert dsts == {src + 1, (src * 31) % 997}, src
