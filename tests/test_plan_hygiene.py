@@ -127,3 +127,50 @@ def test_no_content_keyed_windows_in_source():
             if pat.search(line):
                 offenders.append(f"{py.name}:{i}: {line.strip()}")
     assert offenders == [], offenders
+
+
+# Round-7 staged operators (registration queued for the next window
+# rotation) — the same plan-hygiene bar applies BEFORE they reach the
+# registry, so the queue can't regress while it waits. The streaming
+# twin and the sequential-SGD trainers follow the ITERATIVE exclusion
+# rationale (post-hoc/loop plans) and are exercised by their own tests.
+def _staged_queries():
+    from bigdata_infra_cs489_spark.operators.curate import corpus_curate_v2
+    from bigdata_infra_cs489_spark.operators.dedup import q_contamination_near
+    from bigdata_infra_cs489_spark.operators.dsir import dsir_resample
+    from bigdata_infra_cs489_spark.operators.extraction import (
+        html_extract,
+        html_link_edges,
+    )
+    from bigdata_infra_cs489_spark.operators.linededup import (
+        dup_line_stats,
+        incremental_line_dedup,
+        line_dedup_corpus,
+    )
+    from bigdata_infra_cs489_spark.operators.qualitymodel import (
+        quality_model_scores,
+    )
+
+    return [
+        ("dsir_resample", dsir_resample),
+        ("dup_line_stats", dup_line_stats),
+        ("line_dedup_corpus", line_dedup_corpus),
+        ("incremental_line_dedup", incremental_line_dedup),
+        ("contamination_near", q_contamination_near),
+        ("quality_model_scores", quality_model_scores),
+        ("corpus_curate_v2", corpus_curate_v2),
+        ("html_extract", html_extract),
+        ("html_link_edges", html_link_edges),
+    ]
+
+
+@pytest.mark.parametrize(
+    "name,fn", _staged_queries(), ids=[n for n, _ in _staged_queries()]
+)
+def test_staged_plan_hygiene(spark, sf_smoke, name, fn):
+    plan = _plan(fn(spark, sf_smoke))
+    assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+    assert not _global_window_lines(plan), (
+        f"{name} has a single-partition window: {_global_window_lines(plan)}"
+    )
+    assert "Batched: false" not in plan, f"{name} has a non-vectorized scan"
