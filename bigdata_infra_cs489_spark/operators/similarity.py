@@ -1231,3 +1231,115 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(F.sum(d2)), 6).alias("centroid_dist"),
         )
     )
+
+
+# --- Johnson-Lindenstrauss random projection (dim reduction) ----------------
+
+# The dimensionality-reduction stage a 100 TB embedding pipeline runs
+# before clustering / ANN indexing: project D-dim vectors onto a K-dim
+# Rademacher (+-1) matrix — JL guarantees pairwise inner products are
+# preserved within epsilon for K = O(log n / eps^2), and a sign matrix
+# needs no float matrix distribution at all. The matrix derives from the
+# portable h8 hash, so both engines (and any future executor) rebuild it
+# bit-identically from the salt alone; it is interpolated as literals
+# (computed ONCE driver-side) rather than hashed per row-element.
+RP_DIM = 32
+RP_IN_DIM = 64  # fixture embedding dim; a deployment passes its own
+RP_SALT = "rp-v1"
+RP_SHORTLIST = 100  # coarse-filter candidates re-ranked exactly
+
+
+def rp_sign_matrix(
+    k: int = RP_DIM, d: int = RP_IN_DIM, salt: str = RP_SALT
+) -> list[list[int]]:
+    """K x D Rademacher matrix from md5 (the h8 construction in pure
+    Python — single-sourced: the Spark literals, the DuckDB oracle, and
+    any reimplementation call this same function)."""
+    import hashlib
+
+    def h8s(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    return [
+        [1 if h8s(f"{salt}:{j}:{i}") % 2 == 0 else -1 for i in range(d)]
+        for j in range(k)
+    ]
+
+
+def rp_project_cols(vec: Column) -> list[Column]:
+    """The K projected coordinates of ``vec`` as rounded double columns —
+    each one codegen'd zip_with/aggregate against a literal sign row (no
+    shuffle, no Python)."""
+    signs = rp_sign_matrix()
+    return [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(s)) for s in row]),
+                    lambda x, s: x * s,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias(f"y{j}")
+        for j, row in enumerate(signs)
+    ]
+
+
+def rp_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, y0..y{K-1}): every embedding projected to K dims — the
+    narrow table downstream clustering/indexing consumes (K/D of the
+    original width on disk and on every exchange)."""
+    emb = _emb(spark, sf_dir)
+    return emb.select("vec_id", *rp_project_cols(F.col("embedding")))
+
+
+def rp_recall_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = QUERY_VEC_ID,
+    k: int = TOP_K,
+    shortlist: int = RP_SHORTLIST,
+) -> DataFrame:
+    """One-row JL quality gate for the coarse-filter-then-rerank search:
+    (k, shortlist, n_overlap, recall) — how much of the exact cosine
+    top-k survives inside the projected-space SHORTLIST (the candidates
+    an RP-first search would exactly re-rank). This is the measured
+    answer to 'is RP_DIM enough for this corpus', run before committing
+    the cheap index; both sets are deterministic (cosine desc, vec_id
+    asc).
+
+    Honesty note for the fixture: the synthetic embeddings are ~iid
+    noise, whose top-k margins are O(1/sqrt(D)) — JL at K << D cannot
+    fully preserve them (recall ~0.5-0.6 here, vs a shortlist/n random
+    baseline of 0.2). Real embedding corpora are anisotropic and
+    cluster-structured, i.e. far more compressible; the gate exists
+    precisely to measure that before trusting the projection."""
+    proj = rp_projected(spark, sf_dir)
+    yc = [F.col(f"y{j}") for j in range(RP_DIM)]
+    qp = proj.where(F.col("vec_id") == query_vec_id).select(
+        *[c.alias(f"q{j}") for j, c in enumerate(yc)]
+    )
+    dot = sum(F.col(f"y{j}") * F.col(f"q{j}") for j in range(RP_DIM))
+    na = F.sqrt(sum(F.col(f"y{j}") * F.col(f"y{j}") for j in range(RP_DIM)))
+    nb = F.sqrt(sum(F.col(f"q{j}") * F.col(f"q{j}") for j in range(RP_DIM)))
+    rp_short = (
+        proj.crossJoin(F.broadcast(qp))
+        .select("vec_id", F.round(dot / (na * nb), 6).alias("cos_rp"))
+        .orderBy(F.desc("cos_rp"), F.asc("vec_id"))
+        .limit(shortlist)
+        .select("vec_id")
+    )
+    exact_top = cosine_topk(spark, sf_dir, query_vec_id, k).select("vec_id")
+    return (
+        rp_short.join(exact_top, "vec_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            F.lit(shortlist).cast("int").alias("shortlist"),
+            "n_overlap",
+            F.round(F.col("n_overlap") / k, 6).alias("recall"),
+        )
+    )
