@@ -150,8 +150,14 @@ def _staged_queries():
     from bigdata_infra_cs489_spark.operators.qualitymodel import (
         quality_model_scores,
     )
+    from bigdata_infra_cs489_spark.operators.similarity import (
+        rp_projected,
+        rp_recall_topk,
+    )
 
     return [
+        ("rp_projected", rp_projected),
+        ("rp_recall_topk", rp_recall_topk),
         ("dsir_resample", dsir_resample),
         ("dup_line_stats", dup_line_stats),
         ("line_dedup_corpus", line_dedup_corpus),
