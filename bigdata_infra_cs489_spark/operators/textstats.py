@@ -406,3 +406,78 @@ def token_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(y, x), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(y, x), 6).alias("zipf_r2"),
     )
+
+
+def pack_manifest(
+    spark: SparkSession, sf_dir: str, seq_len: int = SEQ_LEN
+) -> DataFrame:
+    """(seq_id, n_docs, seq_tokens, doc_spans): the inverse view of
+    sequence_pack — for every fixed-length training sequence, which
+    document pieces it contains and where. This is the manifest a
+    trainer consumes to build document-boundary attention masks (and
+    the lineage audit that maps any training token back to its source
+    doc); every real concat-and-chunk pipeline materializes it.
+
+    doc_spans renders as the canonical 'doc:start:end' ';'-join in
+    in-sequence order — pure integer arithmetic end-to-end, so the
+    DuckDB twin reproduces it byte-for-byte. Shape: each doc explodes
+    into the <= n_tokens/seq_len + 1 sequences it crosses (bounded by
+    doc length, not corpus size), then ONE partial-aggregated groupBy
+    per sequence; no window beyond sequence_pack's own distsort
+    machinery."""
+    from ..functions.hashing import h8
+    from .distsort import with_running_totals
+
+    q = text_quality(spark, sf_dir).select("doc_id", "n_tokens")
+    ordered = q.withColumn(
+        "ok", h8(F.concat(F.col("doc_id").cast("string"), F.lit(PACK_SALT)))
+    )
+    packed = with_running_totals(
+        ordered, [F.asc("ok"), F.asc("doc_id")], {"cum": "n_tokens"}
+    ).where(F.col("n_tokens") > 0)
+    before = F.col("cum") - F.col("n_tokens")
+    spans = packed.select(
+        "doc_id",
+        "n_tokens",
+        before.alias("gstart"),
+        F.explode(
+            F.sequence(
+                (before / seq_len).cast("bigint"),
+                ((F.col("cum") - 1) / seq_len).cast("bigint"),
+            )
+        ).alias("seq_id"),
+    ).select(
+        "seq_id",
+        "doc_id",
+        F.greatest(F.col("gstart") - F.col("seq_id") * seq_len, F.lit(0)).alias(
+            "start"
+        ),
+        (
+            F.least(
+                F.col("gstart") + F.col("n_tokens") - 1,
+                (F.col("seq_id") + 1) * seq_len - 1,
+            )
+            - F.col("seq_id") * seq_len
+        ).alias("end"),
+    )
+    piece = F.struct(
+        F.col("start").cast("bigint").alias("start"),
+        F.col("doc_id").alias("doc_id"),
+        F.col("end").cast("bigint").alias("end"),
+    )
+    return spans.groupBy("seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("end") - F.col("start") + 1).cast("bigint").alias("seq_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(piece)),
+                lambda s: F.concat_ws(
+                    ":",
+                    s["doc_id"].cast("string"),
+                    s["start"].cast("string"),
+                    s["end"].cast("string"),
+                ),
+            ),
+            ";",
+        ).alias("doc_spans"),
+    )
