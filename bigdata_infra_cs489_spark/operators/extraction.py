@@ -72,6 +72,15 @@ def decorate_with_html(docs: DataFrame) -> DataFrame:
 
 
 # (pattern, replacement) applied in this fixed order on both engines.
+#
+# Malformed-markup honesty: this is the deterministic regex skeleton of
+# an extractor, not an HTML5 tree builder. An UNCLOSED <script>/<style>
+# block never matches its non-greedy pair pattern, so only its tags are
+# stripped and its code text survives into the output (pinned by
+# tests/test_extraction.py::test_unclosed_script_degrades_predictably);
+# a production deployment swaps a real parser into this stage and keeps
+# the surrounding plumbing. The shapes are RE2-safe and the fixed stage
+# order makes the degradation identical on both engines.
 EXTRACT_STAGES: tuple[tuple[str, str], ...] = (
     (r"<script[^>]*>.*?</script>", " "),
     (r"<style[^>]*>.*?</style>", " "),

@@ -144,3 +144,18 @@ def test_decorated_links_form_a_graph(spark, sf_smoke):
         by_src.setdefault(r.src, set()).add(r.dst)
     for src, dsts in by_src.items():
         assert dsts == {src + 1, (src * 31) % 997}, src
+
+
+def test_unclosed_script_degrades_predictably(spark):
+    """Documented limitation: without a closing tag the non-greedy block
+    pattern never fires, so the tag-strip stage removes the markup but
+    the script TEXT survives — the identical degradation on Python `re`
+    (and on RE2). The test pins the behavior so a future parser swap is
+    a visible semantic change, not a silent one."""
+    from pyspark.sql import functions as F
+
+    html = "<p>before</p><script>var broken = 1; <p>after</p>"
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    got = df.select(extract_text(F.col("html")).alias("c")).collect()[0]["c"]
+    assert got == _py_extract(html)
+    assert got == "before var broken = 1; after"

@@ -154,8 +154,10 @@ def _staged_queries():
         rp_projected,
         rp_recall_topk,
     )
+    from bigdata_infra_cs489_spark.operators.textstats import pack_manifest
 
     return [
+        ("pack_manifest", pack_manifest),
         ("rp_projected", rp_projected),
         ("rp_recall_topk", rp_recall_topk),
         ("dsir_resample", dsir_resample),
