@@ -52,6 +52,19 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # by targeted verify_sweep), so the r4-r6 rows of everything else remain
 # valid evidence. Everything outside the window keeps its verify_sweep +
 # pytest coverage.
+#
+# STAGED FOR THE ROUND-8 ROTATION (built + value-verified in round 7;
+# register() deliberately deferred so the window contract stays exact —
+# oracle SQL sits in each family's test file or composes from catalog
+# fragments): dsir_resample, dup_line_stats, line_dedup_corpus,
+# incremental_line_dedup, contamination_near, quality_model_weights,
+# quality_model_scores, quality_model_report, corpus_curate_v2,
+# html_extract, html_link_edges, rp_projected, rp_recall_topk,
+# pack_manifest, stream_line_dedup (the streaming twin registers with
+# incremental_line_dedup's oracle — identical output). Round-8 window =
+# these 15 + 35 of the 48-query r4-stale cohort; the ~13 overflow
+# queues for r9 under the size-derived staleness bound
+# (tests/test_registry_contract.py).
 _DRIVER_WINDOW_FIRST = (
     # -- slots 1-6: registered this round, never driver-checked -------
     "pii_stats",
