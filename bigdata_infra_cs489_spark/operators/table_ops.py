@@ -405,3 +405,83 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_value"),
     )
     return merged.where(F.col("n_events") > 0)
+
+
+K_ANON_THRESHOLDS = (2, 5, 10)
+
+
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, n_cohorts, n_small_cohorts, n_users_at_risk, risk_ppm): the
+    k-anonymity audit a privacy pipeline runs before releasing
+    per-cohort aggregates — users are binned by their quasi-identifier
+    (first-active day x dominant event type, the released-report
+    granularity) and any cohort with fewer than k members makes its
+    users re-identifiable in the release. One row per audit threshold.
+    Companion to user_erasure_audit on the governance shelf.
+
+    The QI is deliberately the RELEASE granularity, not the full
+    behavioral signature — a user's complete (type, day) history is
+    essentially always unique (measured: 150/150 singleton cohorts on
+    the fixture), which is the well-known result that behavioral
+    fingerprints defeat k-anonymity; the audit's job is to check the
+    coarsened release, and the QI columns are the knob a deployment
+    turns.
+
+    Shape: two partial-aggregated per-user passes (first day; dominant
+    type via max_by over per-(user, type) counts, count-then-type
+    struct order so ties break deterministically), one groupBy on the
+    QI (hot cohorts are count-only rows, AQE-splittable), then a
+    #cohorts-row scalar aggregate per threshold. Exact integer
+    arithmetic throughout."""
+    ev = load(spark, sf_dir, "events")
+    dom = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.col("event_type"), F.struct(F.col("c"), F.col("event_type"))
+            ).alias("dom")
+        )
+    )
+    first = ev.groupBy("user_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("first_day")
+    )
+    cohorts = (
+        first.join(dom, "user_id")
+        .select(F.concat_ws(":", "first_day", "dom").alias("qi"))
+        .groupBy("qi")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rows = []
+    for k in K_ANON_THRESHOLDS:
+        rows.append(
+            cohorts.agg(
+                F.lit(k).cast("int").alias("k"),
+                F.count(F.lit(1)).cast("bigint").alias("n_cohorts"),
+                F.coalesce(
+                    F.sum(F.when(F.col("c") < k, 1)), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("n_small_cohorts"),
+                F.coalesce(
+                    F.sum(F.when(F.col("c") < k, F.col("c"))), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("n_users_at_risk"),
+                F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("_n"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "k",
+        "n_cohorts",
+        "n_small_cohorts",
+        "n_users_at_risk",
+        F.expr(
+            "CAST((n_users_at_risk * 1000000L + _n div 2) div greatest(_n, 1L)"
+            " AS BIGINT)"
+        ).alias("risk_ppm"),
+    )

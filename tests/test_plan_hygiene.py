@@ -154,9 +154,13 @@ def _staged_queries():
         rp_projected,
         rp_recall_topk,
     )
+    from bigdata_infra_cs489_spark.operators.table_ops import (
+        k_anonymity_report,
+    )
     from bigdata_infra_cs489_spark.operators.textstats import pack_manifest
 
     return [
+        ("k_anonymity_report", k_anonymity_report),
         ("pack_manifest", pack_manifest),
         ("rp_projected", rp_projected),
         ("rp_recall_topk", rp_recall_topk),
