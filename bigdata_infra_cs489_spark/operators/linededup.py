@@ -197,7 +197,9 @@ def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- incremental form: new crawl batch vs the standing line index ----------
 
 
-def incremental_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def incremental_line_dedup(
+    spark: SparkSession, sf_dir: str, use_fingerprints: bool = False
+) -> DataFrame:
     """(doc_id, n_lines, dup_lines, clean_text) for each NEW-batch
     document (doc_id % NEW_BATCH_MOD == NEW_BATCH_MOD - 1, the
     incremental_dedup_assign convention): lines already present in the
@@ -208,17 +210,26 @@ def incremental_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     old-vs-old. Only new-vs-old duplication counts here; repeats within
     the batch are the batch's own intra-run keep-first pass
     (dedup_lines_keep_first). On a deployment the standing index is the
-    persisted table (stored as xxhash64 fingerprints, the
-    use_fingerprints exchange); here it rebuilds from the fixture so the
-    DuckDB oracle is self-contained."""
+    persisted table — stored as xxhash64 fingerprints:
+    ``use_fingerprints=True`` probes by (xxhash64, length) so both the
+    asset and the semi-join exchange carry 8-byte keys instead of line
+    text, pinned output-identical to the string path by test. Here it
+    rebuilds from the fixture so the DuckDB oracle is self-contained."""
     from .dedup import NEW_BATCH_MOD
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     lines = token_window_lines(docs)
+    if use_fingerprints:
+        lines = lines.withColumn("line_fp", F.xxhash64("line")).withColumn(
+            "line_len", F.length("line")
+        )
+        probe_keys = ["line_fp", "line_len"]
+    else:
+        probe_keys = ["line"]
     is_new = (F.col("doc_id") % NEW_BATCH_MOD) == (NEW_BATCH_MOD - 1)
-    standing = lines.where(~is_new).select("line").distinct()
+    standing = lines.where(~is_new).select(*probe_keys).distinct()
     new_lines = lines.where(is_new)
-    kept = new_lines.join(standing, "line", "left_anti")
+    kept = new_lines.join(standing, probe_keys, "left_anti")
     per_doc = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("kept_lines"),
         F.array_join(

@@ -240,3 +240,23 @@ def test_incremental_consistency(spark, sf_smoke):
         assert 0 <= r["dup_lines"] <= r["n_lines"]
         if r["dup_lines"] == 0 and r["n_lines"] > 0:
             assert kept == r["n_lines"]
+
+
+def test_incremental_fingerprint_path_pins_to_string_path(spark, sf_correct):
+    """The 8-byte-key standing-index probe must produce the IDENTICAL
+    result as the oracle-checkable string probe."""
+    from bigdata_infra_cs489_spark.operators.linededup import (
+        incremental_line_dedup,
+    )
+
+    a = {
+        r["doc_id"]: (r["n_lines"], r["dup_lines"], r["clean_text"])
+        for r in incremental_line_dedup(spark, sf_correct).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_lines"], r["dup_lines"], r["clean_text"])
+        for r in incremental_line_dedup(
+            spark, sf_correct, use_fingerprints=True
+        ).collect()
+    }
+    assert a == b
