@@ -453,28 +453,30 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qi")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    rows = []
-    for k in K_ANON_THRESHOLDS:
-        rows.append(
-            cohorts.agg(
-                F.lit(k).cast("int").alias("k"),
-                F.count(F.lit(1)).cast("bigint").alias("n_cohorts"),
-                F.coalesce(
-                    F.sum(F.when(F.col("c") < k, 1)), F.lit(0)
-                )
-                .cast("bigint")
-                .alias("n_small_cohorts"),
-                F.coalesce(
-                    F.sum(F.when(F.col("c") < k, F.col("c"))), F.lit(0)
-                )
-                .cast("bigint")
-                .alias("n_users_at_risk"),
-                F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("_n"),
+    # ONE cohort lineage for all thresholds: explode the (tiny) k spine
+    # over the cohort-count rows and aggregate per k — three separate
+    # .agg() arms would recompute the per-user passes three times (the
+    # branches are opaque to Catalyst subplan sharing; measured 12 vs 4
+    # exchanges in PLAN_AUDIT).
+    ks = F.explode(
+        F.array(*[F.lit(k).cast("int") for k in K_ANON_THRESHOLDS])
+    )
+    out = (
+        cohorts.select(ks.alias("k"), "c")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cohorts"),
+            F.coalesce(F.sum(F.when(F.col("c") < F.col("k"), 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_small_cohorts"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") < F.col("k"), F.col("c"))), F.lit(0)
             )
+            .cast("bigint")
+            .alias("n_users_at_risk"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("_n"),
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
+    )
     return out.select(
         "k",
         "n_cohorts",

@@ -135,45 +135,9 @@ def test_no_content_keyed_windows_in_source():
 # twin and the sequential-SGD trainers follow the ITERATIVE exclusion
 # rationale (post-hoc/loop plans) and are exercised by their own tests.
 def _staged_queries():
-    from bigdata_infra_cs489_spark.operators.curate import corpus_curate_v2
-    from bigdata_infra_cs489_spark.operators.dedup import q_contamination_near
-    from bigdata_infra_cs489_spark.operators.dsir import dsir_resample
-    from bigdata_infra_cs489_spark.operators.extraction import (
-        html_extract,
-        html_link_edges,
-    )
-    from bigdata_infra_cs489_spark.operators.linededup import (
-        dup_line_stats,
-        incremental_line_dedup,
-        line_dedup_corpus,
-    )
-    from bigdata_infra_cs489_spark.operators.qualitymodel import (
-        quality_model_scores,
-    )
-    from bigdata_infra_cs489_spark.operators.similarity import (
-        rp_projected,
-        rp_recall_topk,
-    )
-    from bigdata_infra_cs489_spark.operators.table_ops import (
-        k_anonymity_report,
-    )
-    from bigdata_infra_cs489_spark.operators.textstats import pack_manifest
+    from bigdata_infra_cs489_spark.plans.staged import staged_queries
 
-    return [
-        ("k_anonymity_report", k_anonymity_report),
-        ("pack_manifest", pack_manifest),
-        ("rp_projected", rp_projected),
-        ("rp_recall_topk", rp_recall_topk),
-        ("dsir_resample", dsir_resample),
-        ("dup_line_stats", dup_line_stats),
-        ("line_dedup_corpus", line_dedup_corpus),
-        ("incremental_line_dedup", incremental_line_dedup),
-        ("contamination_near", q_contamination_near),
-        ("quality_model_scores", quality_model_scores),
-        ("corpus_curate_v2", corpus_curate_v2),
-        ("html_extract", html_extract),
-        ("html_link_edges", html_link_edges),
-    ]
+    return list(staged_queries().items())
 
 
 @pytest.mark.parametrize(
