@@ -98,14 +98,24 @@ def main(argv: list[str] | None = None) -> int:
         clean = strip_spans(spark, args.sf_dir).select("doc_id", "clean_text")
         if args.v2:
             # v2 export ships the scrubbing stage: placeholders replace
-            # every PII hit in the span-stripped text (the audit column
-            # n_redactions counts the decorated-twin substitutions)
+            # every PII hit in the span-stripped text, and the exported
+            # n_redactions counts the substitutions made on THIS text
+            # (stage-wise, same order as the replacements), so the audit
+            # column describes the clean_text in the same row — the
+            # pipeline's own n_redactions (decorated-fixture twin) stays
+            # internal to the kept-set gate
             from .operators.pii import PII_PATTERNS
 
             expr = F.col("clean_text")
+            counts = []
             for _, pat, ph in PII_PATTERNS:
+                counts.append(F.regexp_count(expr, F.lit(pat)))
                 expr = F.regexp_replace(expr, pat, ph)
-            clean = clean.select("doc_id", expr.alias("clean_text"))
+            n_red = sum(counts[1:], counts[0]).cast("bigint")
+            clean = clean.select(
+                "doc_id", expr.alias("clean_text"), n_red.alias("n_redactions")
+            )
+            kept = kept.drop("n_redactions")
         audit = ["n_redactions", "dup_lines"] if args.v2 else []
         out = kept.join(clean, "doc_id").select(
             "doc_id",

@@ -136,13 +136,19 @@ def dedup_lines_keep_first(
     docs: DataFrame,
     lines: DataFrame,
     use_fingerprints: bool = False,
+    sep: str = " ",
 ) -> DataFrame:
     """(doc_id, n_lines, kept_lines, clean_text) for EVERY document:
     each line survives iff its (doc_id, line_no) is the globally first
     occurrence of that exact line (unique lines trivially are) —
     CCNet's keep-one policy at segment granularity. Documents with no
     lines (or whose every line was a later duplicate) degrade to
-    kept_lines = 0 / clean_text = ''."""
+    kept_lines = 0 / clean_text = ''.
+
+    ``sep`` is the reassembly join separator: keep the default ' ' for
+    the token-window fixture segmenter; pass '\\n' with newline_lines so
+    the surviving text preserves its line boundaries instead of
+    flattening them."""
     g = _line_groups(lines, use_fingerprints)
     pos = F.col("doc_id") * POS_ENC + F.col("line_no")
     if use_fingerprints:
@@ -162,7 +168,7 @@ def dedup_lines_keep_first(
                 ),
                 lambda s: s["line"],
             ),
-            " ",
+            sep,
         ).alias("clean_text"),
     )
     totals = lines.groupBy("doc_id").agg(
@@ -198,7 +204,10 @@ def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def incremental_line_dedup(
-    spark: SparkSession, sf_dir: str, use_fingerprints: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    use_fingerprints: bool = False,
+    sep: str = " ",
 ) -> DataFrame:
     """(doc_id, n_lines, dup_lines, clean_text) for each NEW-batch
     document (doc_id % NEW_BATCH_MOD == NEW_BATCH_MOD - 1, the
@@ -237,7 +246,7 @@ def incremental_line_dedup(
                 F.array_sort(F.collect_list(F.struct("line_no", "line"))),
                 lambda s: s["line"],
             ),
-            " ",
+            sep,
         ).alias("clean_text"),
     )
     totals = new_lines.groupBy("doc_id").agg(

@@ -84,11 +84,16 @@ def apply_quality_classifier(
         weights = train_quality_classifier(spark, sf_dir)
     ds = quality_training_set(spark, sf_dir)
     scored = _score(ds, weights)
+    # Threshold on the 6dp-ROUNDED score (the same value the row exports),
+    # mirroring the rounded label threshold in quality_training_set — a
+    # weight-sum within float-noise of 0 must not flip keep/drop across
+    # engines or partition orderings.
+    rounded = F.round("score", 6)
     return scored.select(
         F.col("docid").alias("doc_id"),
         "label",
-        F.round("score", 6).alias("score"),
-        F.when(F.col("score") > 0, "keep").otherwise("drop").alias("pred"),
+        rounded.alias("score"),
+        F.when(rounded > 0, "keep").otherwise("drop").alias("pred"),
     )
 
 

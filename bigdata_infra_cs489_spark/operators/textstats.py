@@ -442,8 +442,10 @@ def pack_manifest(
         before.alias("gstart"),
         F.explode(
             F.sequence(
-                (before / seq_len).cast("bigint"),
-                ((F.col("cum") - 1) / seq_len).cast("bigint"),
+                # exact integer DIV like sequence_pack — double division
+                # truncates differently above 2^53 cumulative tokens
+                F.expr(f"(cum - n_tokens) DIV {seq_len}"),
+                F.expr(f"(cum - 1) DIV {seq_len}"),
             )
         ).alias("seq_id"),
     ).select(

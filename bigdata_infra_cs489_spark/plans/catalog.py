@@ -4728,3 +4728,559 @@ register(
     FROM top
     """,
 )
+
+# --- round-8 rotation: the staged round-7 families register -----------------
+# Each oracle below was written alongside its operator in round 7 and
+# value-verified in its family's test file while staged (the test files
+# now import these single-sourced strings, the DSIR/PII discipline).
+
+from ..operators import curate as CUR  # noqa: E402,F401  (CU already bound)
+from ..operators import extraction as EX  # noqa: E402
+from ..operators import linededup as LD  # noqa: E402
+from ..operators import qualitymodel as QM  # noqa: E402
+from ..streaming import docs_stream as DSTR  # noqa: E402
+
+# -- DSIR Gumbel-top-k importance resampling ---------------------------------
+
+_DSIR_GUMBEL_U = DUCK_H8.format(
+    x=f"CAST(doc_id AS VARCHAR) || '{DS.DSIR_GUMBEL_SALT}'"
+)
+
+register(
+    "dsir_resample",
+    DS.dsir_resample,
+    f"""
+    WITH s AS ({DUCK_DSIR_SCORES}),
+    keyed AS (SELECT *,
+                     round(score_micro / 1000000.0
+                           - ln(-ln((({_DSIR_GUMBEL_U}) % 1000000 + 0.5)
+                                    / 1000000.0)),
+                           6) AS gumbel_key
+              FROM s),
+    top AS (SELECT doc_id, n_tokens, avg_logratio, gumbel_key FROM keyed
+            ORDER BY gumbel_key DESC, doc_id LIMIT {DS.DSIR_RESAMPLE_K})
+    SELECT CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id)
+                AS INT) AS rank,
+           doc_id, n_tokens, avg_logratio, gumbel_key
+    FROM top
+    """,
+)
+
+# -- corpus line-level dedup (operators/linededup.py) ------------------------
+# Fixture segmenter twin: raw whitespace words re-joined into LINE_W-token
+# windows (the chunk_embed stride shape with stride = size).
+
+DUCK_LINE_CTES = f"""
+    w AS (SELECT doc_id,
+                 list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                             t -> len(t) > 0) AS words
+          FROM documents),
+    nz AS (SELECT * FROM w WHERE len(words) > 0),
+    st AS (SELECT doc_id, words,
+                  CAST(generate_subscripts(range(0, len(words), {LD.LINE_W}), 1)
+                       - 1 AS BIGINT) AS line_no,
+                  unnest(range(0, len(words), {LD.LINE_W})) AS start
+           FROM nz),
+    lines AS (SELECT doc_id, line_no,
+                     array_to_string(words[start + 1 : start + {LD.LINE_W}], ' ')
+                         AS line
+              FROM st)
+"""
+
+register(
+    "dup_line_stats",
+    LD.dup_line_stats,
+    f"""
+    WITH {DUCK_LINE_CTES},
+    g AS (SELECT line, count(*) AS n_occ FROM lines GROUP BY line)
+    SELECT CAST(coalesce(sum(n_occ), 0) AS BIGINT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_distinct_lines,
+           CAST(coalesce(sum(CASE WHEN n_occ > 1 THEN n_occ END), 0)
+                AS BIGINT) AS dup_occurrences,
+           CAST(coalesce(sum(n_occ - 1), 0) AS BIGINT) AS removed_occurrences,
+           CAST((coalesce(sum(n_occ - 1), 0) * 1000000
+                 + coalesce(sum(n_occ), 0) // 2)
+                // greatest(coalesce(sum(n_occ), 0), 1) AS BIGINT)
+               AS dup_line_ppm
+    FROM g
+    """,
+)
+
+register(
+    "line_dedup_corpus",
+    LD.line_dedup_corpus,
+    f"""
+    WITH {DUCK_LINE_CTES},
+    g AS (SELECT line, min(doc_id * {LD.POS_ENC} + line_no) AS first_pos
+          FROM lines GROUP BY line),
+    kept AS (SELECT l.doc_id, l.line_no, l.line
+             FROM lines l JOIN g USING (line)
+             WHERE l.doc_id * {LD.POS_ENC} + l.line_no = g.first_pos),
+    pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_lines,
+                  coalesce(array_to_string(list(line ORDER BY line_no), ' '),
+                           '') AS clean_text
+           FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+            FROM lines GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(tot.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(pd.kept_lines, 0) AS BIGINT) AS kept_lines,
+           coalesce(pd.clean_text, '') AS clean_text
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN tot USING (doc_id)
+    LEFT JOIN pd USING (doc_id)
+    """,
+)
+
+_LD_NEW_PRED = f"doc_id % {D.NEW_BATCH_MOD} = {D.NEW_BATCH_MOD - 1}"
+
+_INCR_LINE_DEDUP_SQL = f"""
+    WITH {DUCK_LINE_CTES},
+    standing AS (SELECT DISTINCT line FROM lines WHERE NOT ({_LD_NEW_PRED})),
+    nl AS (SELECT * FROM lines WHERE {_LD_NEW_PRED}),
+    kept AS (SELECT * FROM nl
+             WHERE line NOT IN (SELECT line FROM standing)),
+    pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_lines,
+                  coalesce(array_to_string(list(line ORDER BY line_no), ' '),
+                           '') AS clean_text
+           FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+            FROM nl GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(tot.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(tot.n_lines, 0) - coalesce(pd.kept_lines, 0)
+                AS BIGINT) AS dup_lines,
+           coalesce(pd.clean_text, '') AS clean_text
+    FROM (SELECT doc_id FROM documents WHERE {_LD_NEW_PRED}) d
+    LEFT JOIN tot USING (doc_id)
+    LEFT JOIN pd USING (doc_id)
+"""
+
+register(
+    "incremental_line_dedup",
+    LD.incremental_line_dedup,
+    _INCR_LINE_DEDUP_SQL,
+)
+
+# The streaming twin's complete-mode output equals the batch probe
+# row-for-row (pinned by tests/test_streaming_docs.py), so it registers
+# against the SAME oracle — a full value hash, not a rows-only check.
+register(
+    "stream_line_dedup",
+    DSTR.q_stream_line_dedup,
+    _INCR_LINE_DEDUP_SQL,
+)
+
+# -- fuzzy benchmark decontamination (banded MinHash + exact-Jaccard verify) -
+
+_CN_ROWS = D.NUM_HASHES // D.NUM_BANDS
+
+register(
+    "contamination_near",
+    D.q_contamination_near,
+    f"""
+    WITH {DUCK_SHINGLES},
+    sigs AS (SELECT doc_id, {DUCK_MINHASH_SIG} AS sig FROM sh),
+    bands AS (
+        SELECT doc_id, b,
+               array_to_string(list_transform(
+                   sig[b*{_CN_ROWS}+1 : b*{_CN_ROWS}+{_CN_ROWS}],
+                   v -> v::VARCHAR), ':') AS band_key
+        FROM sigs, unnest(range(0, {D.NUM_BANDS})) t(b)),
+    cand AS (
+        SELECT DISTINCT c.doc_id, e.doc_id AS eval_id
+        FROM bands c JOIN bands e ON c.b = e.b AND c.band_key = e.band_key
+        WHERE c.doc_id >= {D.CONTAM_EVAL_MAX_ID}
+          AND e.doc_id < {D.CONTAM_EVAL_MAX_ID}),
+    ver AS (
+        SELECT cand.doc_id, cand.eval_id,
+               round(len(list_intersect(sa.sh, sb.sh)) /
+                     len(list_distinct(list_concat(sa.sh, sb.sh))), 6)
+                   AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.doc_id
+        JOIN sh sb ON sb.doc_id = cand.eval_id),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY jaccard DESC, eval_id ASC) AS rn,
+               count(*) OVER (PARTITION BY doc_id) AS n_candidates
+        FROM ver),
+    best AS (SELECT doc_id, n_candidates, eval_id AS best_eval_id,
+                    jaccard AS best_jaccard
+             FROM ranked WHERE rn = 1)
+    SELECT d.doc_id,
+           CAST(coalesce(b.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(coalesce(b.best_eval_id, -1) AS BIGINT) AS best_eval_id,
+           coalesce(b.best_jaccard, 0.0) AS best_jaccard,
+           coalesce(b.best_jaccard, 0.0) >= {D.CONTAM_NEAR_THRESHOLD}
+               AS contaminated
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id >= {D.CONTAM_EVAL_MAX_ID}) d
+    LEFT JOIN best b USING (doc_id)
+    """,
+)
+
+# -- quality-distillation classifier (operators/qualitymodel.py) -------------
+# The trainer carries the shared recursive-CTE SGD oracle (_sgd_with),
+# parametrized with the text_quality-threshold labels.
+
+_QM_DS_SQL = f"""
+      SELECT q.doc_id AS docid,
+             CASE WHEN q.quality_score >= {QM.QUALITY_THRESHOLD} THEN 1 ELSE 0
+                 END AS is_spam,
+             CASE WHEN q.quality_score >= {QM.QUALITY_THRESHOLD} THEN 'keep'
+                  ELSE 'drop' END AS label,
+             CAST(NULL AS INT) AS src_g,
+             {_SGD_FEAT} AS feats
+      FROM ({_TEXT_QUALITY_SQL}) q JOIN documents USING (doc_id)
+    """
+
+# pred thresholds on the 6dp-ROUNDED score on BOTH engines (the same
+# value the row exports), so keep/drop can never flip on a last-ulp
+# weight-sum disagreement — mirrors the rounded label threshold.
+_QM_SCORES_TAIL = """
+    , sgd_scores AS (
+      SELECT o.docid, coalesce(sum(w.weight), 0.0) AS score
+      FROM sgd_occ o LEFT JOIN sgd_weights_m w USING (feature)
+      GROUP BY o.docid
+    ),
+    q_scored AS (
+      SELECT d.docid AS doc_id, d.label,
+             round(coalesce(s.score, 0.0), 6) AS score,
+             CASE WHEN round(coalesce(s.score, 0.0), 6) > 0 THEN 'keep'
+                  ELSE 'drop' END AS pred
+      FROM sgd_ds d LEFT JOIN sgd_scores s USING (docid)
+    )"""
+
+register(
+    "quality_model_weights",
+    QM.quality_model_weights,
+    _sgd_with([("m", "TRUE", "d.docid")], ds_sql=_QM_DS_SQL)
+    + "\n    SELECT feature, round(weight, 6) AS weight FROM sgd_weights_m",
+)
+
+register(
+    "quality_model_scores",
+    QM.quality_model_scores,
+    _sgd_with([("m", "TRUE", "d.docid")], ds_sql=_QM_DS_SQL)
+    + _QM_SCORES_TAIL
+    + "\n    SELECT * FROM q_scored",
+)
+
+register(
+    "quality_model_report",
+    QM.quality_model_report,
+    _sgd_with([("m", "TRUE", "d.docid")], ds_sql=_QM_DS_SQL)
+    + _QM_SCORES_TAIL
+    + """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(CASE WHEN label = 'keep' THEN 1 END), 0)
+                AS BIGINT) AS n_keep_label,
+           CAST(coalesce(sum(CASE WHEN pred = 'keep' THEN 1 END), 0)
+                AS BIGINT) AS n_keep_pred,
+           CAST(coalesce(sum(CASE WHEN label = pred THEN 1 END), 0)
+                AS BIGINT) AS n_agree,
+           CAST((coalesce(sum(CASE WHEN label = pred THEN 1 END), 0) * 1000000
+                 + count(*) // 2) // greatest(count(*), 1) AS BIGINT)
+               AS accuracy_ppm
+    FROM q_scored""",
+)
+
+# -- HTML extraction (operators/extraction.py) -------------------------------
+# decorate_with_html mirrored byte-for-byte.
+
+DUCK_HTML_DECORATED = """
+    SELECT doc_id, text AS raw_text,
+           '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+           || '<script>var page=' || CAST(doc_id AS VARCHAR)
+           || ';track(page);</script>'
+           || '<style>.m{color:#000}</style></head><body>'
+           || '<nav class="top">Home | About | Section '
+           || CAST(doc_id % 7 AS VARCHAR)
+           || '</nav><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+           || text
+           || '</p><a href="/doc/' || CAST(doc_id + 1 AS VARCHAR)
+           || '">next</a>'
+           || '<a href="/doc/' || CAST((doc_id * 31) % 997 AS VARCHAR)
+           || '">related</a><footer>(c) example-site '
+           || CAST(doc_id % 5 AS VARCHAR)
+           || ' - all rights reserved</footer></body></html>' AS html
+    FROM documents
+"""
+
+
+def _duck_html_extract(expr: str) -> str:
+    for pat, rep in EX.EXTRACT_STAGES:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+
+
+register(
+    "html_extract",
+    EX.html_extract,
+    f"""
+    WITH d AS ({DUCK_HTML_DECORATED})
+    SELECT doc_id,
+           regexp_extract(html, '{EX.TITLE_RE}', 1) AS title,
+           CAST(len(regexp_extract_all(html, 'href="([^"]*)"', 1))
+                AS BIGINT) AS n_links,
+           {_duck_html_extract("html")} AS clean_text,
+           {_duck_html_extract("html")} = trim(regexp_replace(
+               'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || raw_text
+                      || ' next related', '\\s+', ' ', 'g'))
+               AS roundtrip_ok
+    FROM d
+    """,
+)
+
+register(
+    "html_link_edges",
+    EX.html_link_edges,
+    f"""
+    WITH d AS ({DUCK_HTML_DECORATED})
+    SELECT src, CAST(h AS BIGINT) AS dst
+    FROM (SELECT doc_id AS src,
+                 unnest(regexp_extract_all(html, 'href="/doc/(\\d+)"', 1)) AS h
+          FROM d)
+    ORDER BY src, dst
+    """,
+)
+
+# -- JL random projection (operators/similarity.py rp_*) ---------------------
+
+_RP_PROJ_COLS = ",\n           ".join(
+    "round(list_sum(list_transform(range(1, "
+    f"{S.RP_IN_DIM + 1}), i -> embedding[i] * "
+    f"([{', '.join(str(v) + '.0' for v in row)}])[i])), 6) AS y{j}"
+    for j, row in enumerate(S.rp_sign_matrix())
+)
+
+DUCK_RP_PROJECTED = f"""
+    SELECT vec_id,
+           {_RP_PROJ_COLS}
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+          FROM embeddings)
+"""
+
+register("rp_projected", S.rp_projected, DUCK_RP_PROJECTED)
+
+_RP_YCOLS = ", ".join(f"y{j}" for j in range(S.RP_DIM))
+_RP_DOT = " + ".join(f"p.y{j} * q.y{j}" for j in range(S.RP_DIM))
+_RP_NA = " + ".join(f"p.y{j} * p.y{j}" for j in range(S.RP_DIM))
+_RP_NB = " + ".join(f"q.y{j} * q.y{j}" for j in range(S.RP_DIM))
+
+register(
+    "rp_recall_topk",
+    S.rp_recall_topk,
+    f"""
+    WITH proj AS ({DUCK_RP_PROJECTED}),
+    q AS (SELECT {_RP_YCOLS} FROM proj WHERE vec_id = {S.QUERY_VEC_ID}),
+    rp_short AS (
+        SELECT p.vec_id,
+               round(({_RP_DOT}) / (sqrt({_RP_NA}) * sqrt({_RP_NB})), 6)
+                   AS cos_rp
+        FROM proj p, q
+        ORDER BY cos_rp DESC, p.vec_id ASC LIMIT {S.RP_SHORTLIST}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+          FROM embeddings),
+    qe AS (SELECT embedding AS qv FROM e WHERE vec_id = {S.QUERY_VEC_ID}),
+    exact_top AS (
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding, qe.qv), 6) AS c
+        FROM e, qe
+        ORDER BY c DESC, e.vec_id ASC LIMIT {S.TOP_K})
+    SELECT CAST({S.TOP_K} AS INT) AS k,
+           CAST({S.RP_SHORTLIST} AS INT) AS shortlist,
+           CAST(count(*) AS BIGINT) AS n_overlap,
+           round(count(*) / {S.TOP_K}, 6) AS recall
+    FROM rp_short JOIN exact_top USING (vec_id)
+    """,
+)
+
+# -- pack_manifest (the attention-mask / lineage manifest of sequence_pack) --
+
+_PACK_OK = DUCK_H8.format(x=f"(CAST(doc_id AS VARCHAR) || '{TS.PACK_SALT}')")
+
+register(
+    "pack_manifest",
+    TS.pack_manifest,
+    f"""
+    WITH tq AS ({_TEXT_QUALITY_SQL}),
+    o AS (SELECT doc_id, n_tokens, {_PACK_OK} AS ok FROM tq),
+    c AS (SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY ok, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM o),
+    nz AS (SELECT doc_id, n_tokens, cum, cum - n_tokens AS gstart
+           FROM c WHERE n_tokens > 0),
+    spans AS (
+        SELECT seq_id, doc_id,
+               greatest(gstart - seq_id * {TS.SEQ_LEN}, 0) AS start,
+               least(gstart + n_tokens - 1, (seq_id + 1) * {TS.SEQ_LEN} - 1)
+                   - seq_id * {TS.SEQ_LEN} AS "end"
+        FROM (SELECT *, unnest(range(CAST(gstart // {TS.SEQ_LEN} AS BIGINT),
+                                     CAST((cum - 1) // {TS.SEQ_LEN} + 1
+                                          AS BIGINT))) AS seq_id
+              FROM nz))
+    SELECT seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum("end" - start + 1) AS BIGINT) AS seq_tokens,
+           array_to_string(
+               list(CAST(doc_id AS VARCHAR) || ':' || CAST(start AS VARCHAR)
+                    || ':' || CAST("end" AS VARCHAR)
+                    ORDER BY start, doc_id), ';') AS doc_spans
+    FROM spans GROUP BY seq_id
+    """,
+)
+
+# -- k-anonymity audit (operators/table_ops.py) ------------------------------
+# dominant type: max count, ties to the lexicographically LAST type —
+# the (count, event_type) struct order the Spark max_by uses.
+
+_KANON_ARMS = "\n    UNION ALL ".join(
+    f"""SELECT CAST({k} AS INT) AS k,
+           CAST(count(*) AS BIGINT) AS n_cohorts,
+           CAST(coalesce(sum(CASE WHEN c < {k} THEN 1 END), 0) AS BIGINT)
+               AS n_small_cohorts,
+           CAST(coalesce(sum(CASE WHEN c < {k} THEN c END), 0) AS BIGINT)
+               AS n_users_at_risk,
+           CAST((coalesce(sum(CASE WHEN c < {k} THEN c END), 0) * 1000000
+                 + sum(c) // 2) // greatest(sum(c), 1) AS BIGINT) AS risk_ppm
+    FROM cohorts"""
+    for k in TO.K_ANON_THRESHOLDS
+)
+
+register(
+    "k_anonymity_report",
+    TO.k_anonymity_report,
+    f"""
+    WITH tc AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY user_id, event_type),
+    dom AS (
+        SELECT user_id, event_type AS dom FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                          ORDER BY c DESC, event_type DESC) AS rn
+            FROM tc)
+        WHERE rn = 1),
+    fd AS (
+        SELECT user_id, strftime(min(ts), '%Y-%m-%d') AS first_day
+        FROM events GROUP BY user_id),
+    cohorts AS (
+        SELECT first_day || ':' || dom AS qi, count(*) AS c
+        FROM fd JOIN dom USING (user_id)
+        GROUP BY 1)
+    {_KANON_ARMS}
+    """,
+)
+
+# -- corpus_curate_v2 (flagship pipeline + the round-7 families as stages) ---
+
+_V2_SPLIT_HASH = DUCK_H8.format(
+    x=f"CAST(cluster_id AS VARCHAR) || '{SA.CLUSTER_SPLIT_SALT}'"
+)
+_V2_GATE = " AND ".join(f"gof.{r}" for r in CU.CURATE_GOPHER_RULES)
+_V2_GOF_COLS = ", ".join(CU.CURATE_GOPHER_RULES)
+
+register(
+    "corpus_curate_v2",
+    CU.corpus_curate_v2,
+    f"""
+    WITH RECURSIVE {DUCK_MINHASH_PAIR_CTES},{DUCK_SPAN_TAIL_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        WHERE jaccard >= {D.JACCARD_THRESHOLD}
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+        WHERE jaccard >= {D.JACCARD_THRESHOLD}),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    cl AS (
+        SELECT src AS doc_id, min(dst) AS cluster_id
+        FROM reach GROUP BY src),
+    chars AS (SELECT doc_id, CAST(len(text) AS INT) AS n_chars FROM documents),
+    reps AS (
+        SELECT cluster_id, doc_id, CAST(cluster_size AS BIGINT) AS cluster_size
+        FROM (
+            SELECT cl.cluster_id, cl.doc_id,
+                   row_number() OVER (PARTITION BY cl.cluster_id
+                       ORDER BY chars.n_chars DESC, cl.doc_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY cl.cluster_id) AS cluster_size
+            FROM cl JOIN chars USING (doc_id))
+        WHERE rn = 1),
+    ex AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS can
+            FROM documents)
+        WHERE doc_id = can),
+    splits AS (
+        SELECT doc_id,
+               CASE WHEN {_V2_SPLIT_HASH} % 100 < {SA.TRAIN_PCT} THEN 'train'
+                    WHEN {_V2_SPLIT_HASH} % 100 < {SA.TRAIN_PCT + SA.VAL_PCT}
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM cl),
+    cov AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_tokens
+            FROM spans GROUP BY doc_id),
+    alltoks AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM toks),
+    sp AS (
+        SELECT a.doc_id, a.n_tokens,
+               coalesce(c.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens
+        FROM alltoks a LEFT JOIN cov c USING (doc_id)),
+    tq AS ({_TEXT_QUALITY_SQL}),
+    gof AS (SELECT doc_id, {_V2_GOF_COLS} FROM ({DUCK_GOPHER_FLAGS})),
+    piir AS (
+        SELECT doc_id,
+               CAST({" + ".join(_PII_STAGED_COUNTS)} AS BIGINT) AS n_redactions
+        FROM ({DUCK_PII_DECORATED}) dec),
+    {DUCK_LINE_CTES.lstrip()},
+    ldg AS (SELECT line, min(doc_id * {LD.POS_ENC} + line_no) AS first_pos
+            FROM lines GROUP BY line),
+    ldk AS (SELECT l.doc_id, CAST(count(*) AS BIGINT) AS kept_lines
+            FROM lines l JOIN ldg USING (line)
+            WHERE l.doc_id * {LD.POS_ENC} + l.line_no = ldg.first_pos
+            GROUP BY l.doc_id),
+    ldt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+            FROM lines GROUP BY doc_id),
+    ld AS (
+        SELECT d.doc_id,
+               CAST(coalesce(t.n_lines, 0) - coalesce(k.kept_lines, 0)
+                    AS BIGINT) AS dup_lines
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN ldt t USING (doc_id)
+        LEFT JOIN ldk k USING (doc_id)),
+    kept AS (
+        SELECT r.doc_id, r.cluster_id, r.cluster_size, s.split,
+               sp.n_tokens, sp.dup_tokens,
+               sp.n_tokens - sp.dup_tokens AS kept_tokens,
+               tq.quality_score,
+               CAST(coalesce(piir.n_redactions, 0) AS BIGINT) AS n_redactions,
+               ld.dup_lines
+        FROM reps r
+        JOIN ex USING (doc_id)
+        JOIN splits s USING (doc_id)
+        JOIN sp USING (doc_id)
+        JOIN tq USING (doc_id)
+        JOIN gof USING (doc_id)
+        LEFT JOIN piir USING (doc_id)
+        JOIN ld USING (doc_id)
+        WHERE tq.quality_score >= {CU.CURATE_MIN_QUALITY}
+          AND sp.dup_tokens * {CU.CURATE_MAX_DUP_DEN} <= sp.n_tokens
+          AND {_V2_GATE}),
+    packed AS (
+        SELECT *, sum(kept_tokens) OVER (
+                   ORDER BY quality_score DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_kept_tokens
+        FROM kept)
+    SELECT doc_id, cluster_id, cluster_size, split, n_tokens, dup_tokens,
+           CAST(kept_tokens AS BIGINT) AS kept_tokens, quality_score,
+           n_redactions, dup_lines,
+           CAST(cum_kept_tokens AS BIGINT) AS cum_kept_tokens
+    FROM packed WHERE cum_kept_tokens <= {CU.CURATE_TOKEN_BUDGET}
+    """,
+)

@@ -33,91 +33,82 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 
 # The driver's correctness run covers the FIRST 50 entries of queries().
-# Round-7 rotation (new registrations + staleness refresh):
-#   slots 1-6    the round-6-staged families, registered this round and
-#                never driver-checked: PII detection/redaction, the
-#                Gopher quality gate, DSIR importance scoring. Each was
-#                value-verified in pytest (inline oracle + pure-Python
-#                reimplementation) while staged; the driver row is the
-#                remaining external evidence.
-#   slots 7-50   the full 44-query cohort whose latest driver row is
-#                round 3 (alphabetical; all equally old) — rotated in so
-#                no query's latest driver row lags more than three
-#                rounds behind CORRECTNESS_r07, per the mechanized
-#                staleness rule in tests/test_registry_contract.py.
-# The round-7 advisory fixes (staged PII redaction counts, widened PII
-# patterns, gopher_pass_rates empty-corpus guard, lang_temperature float
-# division) change no query outside slots 1-6 on the fixture corpora
-# (lang_temperature_* values are bit-identical below 2^53; re-verified
-# by targeted verify_sweep), so the r4-r6 rows of everything else remain
-# valid evidence. Everything outside the window keeps its verify_sweep +
-# pytest coverage.
-#
-# STAGED FOR THE ROUND-8 ROTATION (built + value-verified in round 7;
-# register() deliberately deferred so the window contract stays exact —
-# oracle SQL sits in each family's test file or composes from catalog
-# fragments): dsir_resample, dup_line_stats, line_dedup_corpus,
-# incremental_line_dedup, contamination_near, quality_model_weights,
-# quality_model_scores, quality_model_report, corpus_curate_v2,
-# html_extract, html_link_edges, rp_projected, rp_recall_topk,
-# pack_manifest, stream_line_dedup (the streaming twin registers with
-# incremental_line_dedup's oracle — identical output). Round-8 window =
-# these 15 + 35 of the 48-query r4-stale cohort; the ~13 overflow
-# queues for r9 under the size-derived staleness bound
-# (tests/test_registry_contract.py).
+# Round-8 rotation (new registrations + staleness refresh):
+#   slots 1-16   the full round-7-staged queue (plans/staged.py as of
+#                round 7), registered this round and never
+#                driver-checked: line dedup (+ its streaming twin, which
+#                shares incremental_line_dedup's oracle — the complete
+#                output is row-identical by the twin contract), fuzzy
+#                decontamination, the quality-distillation classifier,
+#                corpus_curate_v2, HTML extraction, JL random
+#                projection, pack_manifest, k-anonymity, DSIR
+#                resampling. Each was value-verified in pytest (inline
+#                oracle + independent Python/NumPy reimplementation)
+#                while staged, plus a 10-query sf0.1 oracle run; the
+#                driver row is the remaining external evidence.
+#   slots 17-50  34 of the 48-query cohort whose latest driver row is
+#                round 4 (alphabetical; all equally old). The remaining
+#                14 (spam_model_auc .. weekly_active_users) queue for
+#                round 9 at lag 4, inside the size-derived staleness
+#                bound max(4, ceil(211/50)) = 5 rounds mechanized by
+#                tests/test_registry_contract.py.
+# The round-8 advisory fixes (quality_model pred thresholds on the
+# 6dp-rounded score on both engines; pack_manifest integer DIV) change
+# only slots entering the window this round; everything else keeps its
+# r5-r7 rows plus verify_sweep + pytest coverage.
 _DRIVER_WINDOW_FIRST = (
-    # -- slots 1-6: registered this round, never driver-checked -------
-    "pii_stats",
-    "pii_redact",
-    "gopher_quality_flags",
-    "gopher_pass_rates",
-    "dsir_scores",
-    "dsir_topk",
-    # -- slots 7-50: latest driver row round 3 ------------------------
-    "bigram_lm_perplexity",
-    "boilerplate_fraction",
-    "boilerplate_ngrams",
-    "clean_corpus",
-    "contamination_flags",
-    "customers_without_orders",
-    "dataset_split",
-    "degree_distribution",
-    "doc_fingerprints",
-    "error_click_window_counts",
-    "events_apply_changes",
-    "events_asof_last_click",
-    "events_cube_counts",
-    "events_distinct_users",
-    "events_gap_filled_counts",
-    "events_hash_sample",
-    "events_rollup_counts",
-    "events_sketch_check",
-    "events_sliding_counts",
-    "events_snapshot_diff",
-    "events_tumbling_counts",
-    "events_value_percentiles",
-    "ivf_topk_indexed",
-    "lang_mixture_sample",
-    "media_meta",
-    "order_quartiles",
-    "profile_lineitem",
-    "quality_stratified_sample",
-    "repetition_stats",
-    "stream_dedup",
-    "stream_enriched",
-    "stream_error_click_join",
-    "stream_running_counts",
-    "stream_session_windows",
-    "stream_sliding_counts",
-    "stream_tumbling_counts",
-    "tbl_scan_nation",
-    "token_counts",
-    "top_users_by_type",
-    "triangle_count",
-    "user_event_gaps",
-    "user_funnel",
-    "user_rolling_value",
-    "user_type_pivot",
+    # -- slots 1-16: registered this round, never driver-checked ------
+    "dsir_resample",
+    "dup_line_stats",
+    "line_dedup_corpus",
+    "incremental_line_dedup",
+    "stream_line_dedup",
+    "contamination_near",
+    "quality_model_weights",
+    "quality_model_scores",
+    "quality_model_report",
+    "corpus_curate_v2",
+    "html_extract",
+    "html_link_edges",
+    "rp_projected",
+    "rp_recall_topk",
+    "pack_manifest",
+    "k_anonymity_report",
+    # -- slots 17-50: latest driver row round 4 ------------------------
+    "bloom_prefilter_check",
+    "bpe_merges",
+    "bpe_token_counts",
+    "cms_heavy_hitters",
+    "corpus_report",
+    "customer_rfm",
+    "dedup_keep_best",
+    "editdist_near_duplicates",
+    "embedding_drift",
+    "events_json_stats",
+    "events_quality_gate",
+    "events_sessionize",
+    "incremental_dedup_assign",
+    "ivf_topk_trained",
+    "ivf_train_centroids",
+    "ivfpq_topk",
+    "ivfpq_topk_indexed",
+    "jaccard_prefix_join",
+    "jsonl_roundtrip_events",
+    "lang_mixture_rates",
+    "leakage_safe_split",
+    "lsh_topk_indexed",
+    "minhash_estimate_error",
+    "orc_roundtrip_customer",
+    "partitioned_day_scan",
+    "pq_codes",
+    "pq_topk",
+    "schema_evolution_events",
+    "sequence_pack",
+    "source_dedup_rates",
+    "source_lang_entropy",
+    "spam_apply",
+    "spam_ensemble_average",
+    "spam_ensemble_vote",
 )
 
 

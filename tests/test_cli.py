@@ -98,3 +98,8 @@ def test_cli_curate_v2_exports_redacted_audited_corpus(spark, sf_smoke, tmp_path
     for r in back.collect():
         for _, pat, _ph in PII_PATTERNS:
             assert not re.search(pat, r.clean_text), (r.doc_id, pat)
+        # n_redactions describes THIS row's clean_text: each substitution
+        # inserted exactly one placeholder token, and placeholders never
+        # occur in the source corpus
+        n_ph = sum(r.clean_text.count(ph) for _, _, ph in PII_PATTERNS)
+        assert r.n_redactions == n_ph, (r.doc_id, r.n_redactions, n_ph)

@@ -1,7 +1,7 @@
-"""Fuzzy benchmark decontamination vs an inline DuckDB oracle (banded
+"""Fuzzy benchmark decontamination vs the registered DuckDB oracle
+(single-sourced in plans/catalog.py since round-8 registration: banded
 MinHash candidates + exact-Jaccard verify, train-vs-eval asymmetric) and
-cross-operator consistency invariants (staged for round-8 registration
-per the window contract)."""
+cross-operator consistency invariants."""
 
 from __future__ import annotations
 
@@ -15,60 +15,13 @@ from bigdata_infra_cs489_spark.operators.dedup import (
 from .oracle import assert_matches_oracle
 
 
-def _near_sql() -> str:
-    from bigdata_infra_cs489_spark.operators import dedup as D
-    from bigdata_infra_cs489_spark.plans.catalog import (
-        DUCK_MINHASH_SIG,
-        DUCK_SHINGLES,
-    )
-
-    rows = D.NUM_HASHES // D.NUM_BANDS
-    return f"""
-    WITH {DUCK_SHINGLES},
-    sigs AS (SELECT doc_id, {DUCK_MINHASH_SIG} AS sig FROM sh),
-    bands AS (
-        SELECT doc_id, b,
-               array_to_string(list_transform(
-                   sig[b*{rows}+1 : b*{rows}+{rows}],
-                   v -> v::VARCHAR), ':') AS band_key
-        FROM sigs, unnest(range(0, {D.NUM_BANDS})) t(b)),
-    cand AS (
-        SELECT DISTINCT c.doc_id, e.doc_id AS eval_id
-        FROM bands c JOIN bands e ON c.b = e.b AND c.band_key = e.band_key
-        WHERE c.doc_id >= {CONTAM_EVAL_MAX_ID}
-          AND e.doc_id < {CONTAM_EVAL_MAX_ID}),
-    ver AS (
-        SELECT cand.doc_id, cand.eval_id,
-               round(len(list_intersect(sa.sh, sb.sh)) /
-                     len(list_distinct(list_concat(sa.sh, sb.sh))), 6)
-                   AS jaccard
-        FROM cand
-        JOIN sh sa ON sa.doc_id = cand.doc_id
-        JOIN sh sb ON sb.doc_id = cand.eval_id),
-    ranked AS (
-        SELECT *,
-               row_number() OVER (PARTITION BY doc_id
-                                  ORDER BY jaccard DESC, eval_id ASC) AS rn,
-               count(*) OVER (PARTITION BY doc_id) AS n_candidates
-        FROM ver),
-    best AS (SELECT doc_id, n_candidates, eval_id AS best_eval_id,
-                    jaccard AS best_jaccard
-             FROM ranked WHERE rn = 1)
-    SELECT d.doc_id,
-           CAST(coalesce(b.n_candidates, 0) AS BIGINT) AS n_candidates,
-           CAST(coalesce(b.best_eval_id, -1) AS BIGINT) AS best_eval_id,
-           coalesce(b.best_jaccard, 0.0) AS best_jaccard,
-           coalesce(b.best_jaccard, 0.0) >= {CONTAM_NEAR_THRESHOLD}
-               AS contaminated
-    FROM (SELECT doc_id FROM documents
-          WHERE doc_id >= {CONTAM_EVAL_MAX_ID}) d
-    LEFT JOIN best b USING (doc_id)
-    """
-
-
 def test_matches_oracle(spark, sf_correct):
+    import __spark_entry__ as entrymod
+
     assert_matches_oracle(
-        q_contamination_near(spark, sf_correct), _near_sql(), sf_correct
+        q_contamination_near(spark, sf_correct),
+        entrymod.oracle_sql()["contamination_near"],
+        sf_correct,
     )
 
 

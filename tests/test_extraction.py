@@ -1,6 +1,6 @@
-"""HTML extraction vs an inline DuckDB oracle AND a pure-Python `re`
-reimplementation, plus crafted real-world-shaped pages (staged for
-round-8 registration per the window contract)."""
+"""HTML extraction vs the registered DuckDB oracle (single-sourced
+in plans/catalog.py since round-8 registration) AND a pure-Python `re`
+reimplementation, plus crafted real-world-shaped pages."""
 
 from __future__ import annotations
 
@@ -18,64 +18,23 @@ from bigdata_infra_cs489_spark.operators.extraction import (
 
 from .oracle import assert_matches_oracle
 
-# decorate_with_html mirrored byte-for-byte
-_DUCK_HTML = """
-    SELECT doc_id, text AS raw_text,
-           '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
-           || '<script>var page=' || CAST(doc_id AS VARCHAR)
-           || ';track(page);</script>'
-           || '<style>.m{color:#000}</style></head><body>'
-           || '<nav class="top">Home | About | Section '
-           || CAST(doc_id % 7 AS VARCHAR)
-           || '</nav><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
-           || text
-           || '</p><a href="/doc/' || CAST(doc_id + 1 AS VARCHAR)
-           || '">next</a>'
-           || '<a href="/doc/' || CAST((doc_id * 31) % 997 AS VARCHAR)
-           || '">related</a><footer>(c) example-site '
-           || CAST(doc_id % 5 AS VARCHAR)
-           || ' - all rights reserved</footer></body></html>' AS html
-    FROM documents
-"""
-
-
-def _duck_extract(expr: str) -> str:
-    for pat, rep in EXTRACT_STAGES:
-        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
-    return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
-
-
-_EXTRACT_SQL = f"""
-    WITH d AS ({_DUCK_HTML})
-    SELECT doc_id,
-           regexp_extract(html, '{TITLE_RE}', 1) AS title,
-           CAST(len(regexp_extract_all(html, 'href="([^"]*)"', 1))
-                AS BIGINT) AS n_links,
-           {_duck_extract("html")} AS clean_text,
-           {_duck_extract("html")} = trim(regexp_replace(
-               'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || raw_text
-                      || ' next related', '\\s+', ' ', 'g'))
-               AS roundtrip_ok
-    FROM d
-"""
-
-_EDGES_SQL = f"""
-    WITH d AS ({_DUCK_HTML})
-    SELECT src, CAST(h AS BIGINT) AS dst
-    FROM (SELECT doc_id AS src,
-                 unnest(regexp_extract_all(html, 'href="/doc/(\\d+)"', 1)) AS h
-          FROM d)
-    ORDER BY src, dst
-"""
-
-
 def test_extract_matches_oracle(spark, sf_correct):
-    assert_matches_oracle(html_extract(spark, sf_correct), _EXTRACT_SQL, sf_correct)
+    import __spark_entry__ as entrymod
+
+    assert_matches_oracle(
+        html_extract(spark, sf_correct),
+        entrymod.oracle_sql()["html_extract"],
+        sf_correct,
+    )
 
 
 def test_edges_match_oracle(spark, sf_correct):
+    import __spark_entry__ as entrymod
+
     assert_matches_oracle(
-        html_link_edges(spark, sf_correct), _EDGES_SQL, sf_correct
+        html_link_edges(spark, sf_correct),
+        entrymod.oracle_sql()["html_link_edges"],
+        sf_correct,
     )
 
 

@@ -1,7 +1,7 @@
-"""Corpus line-level dedup vs an inline DuckDB oracle AND a pure-Python
-reimplementation, plus a crafted newline corpus for the real-world
-segmenter and a fingerprint-path pinning test (staged for round-8
-registration per the window contract — the DSIR/PII discipline)."""
+"""Corpus line-level dedup vs the registered DuckDB oracle
+(single-sourced in plans/catalog.py since round-8 registration) AND a
+pure-Python reimplementation, plus a crafted newline corpus for the
+real-world segmenter and a fingerprint-path pinning test."""
 
 from __future__ import annotations
 
@@ -11,7 +11,6 @@ import pyarrow.parquet as pq
 
 from bigdata_infra_cs489_spark.operators.linededup import (
     LINE_W,
-    POS_ENC,
     dedup_lines_keep_first,
     dup_line_report,
     dup_line_stats,
@@ -22,70 +21,24 @@ from bigdata_infra_cs489_spark.operators.linededup import (
 
 from .oracle import assert_matches_oracle
 
-# Fixture segmenter twin: raw whitespace words re-joined into LINE_W-token
-# windows (the chunk_embed stride shape with stride = size).
-_DUCK_LINES = f"""
-    w AS (SELECT doc_id,
-                 list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
-                             t -> len(t) > 0) AS words
-          FROM documents),
-    nz AS (SELECT * FROM w WHERE len(words) > 0),
-    st AS (SELECT doc_id, words,
-                  CAST(generate_subscripts(range(0, len(words), {LINE_W}), 1)
-                       - 1 AS BIGINT) AS line_no,
-                  unnest(range(0, len(words), {LINE_W})) AS start
-           FROM nz),
-    lines AS (SELECT doc_id, line_no,
-                     array_to_string(words[start + 1 : start + {LINE_W}], ' ')
-                         AS line
-              FROM st)
-"""
-
-_STATS_SQL = f"""
-    WITH {_DUCK_LINES},
-    g AS (SELECT line, count(*) AS n_occ FROM lines GROUP BY line)
-    SELECT CAST(coalesce(sum(n_occ), 0) AS BIGINT) AS n_lines,
-           CAST(count(*) AS BIGINT) AS n_distinct_lines,
-           CAST(coalesce(sum(CASE WHEN n_occ > 1 THEN n_occ END), 0)
-                AS BIGINT) AS dup_occurrences,
-           CAST(coalesce(sum(n_occ - 1), 0) AS BIGINT) AS removed_occurrences,
-           CAST((coalesce(sum(n_occ - 1), 0) * 1000000
-                 + coalesce(sum(n_occ), 0) // 2)
-                // greatest(coalesce(sum(n_occ), 0), 1) AS BIGINT)
-               AS dup_line_ppm
-    FROM g
-"""
-
-_DEDUP_SQL = f"""
-    WITH {_DUCK_LINES},
-    g AS (SELECT line, min(doc_id * {POS_ENC} + line_no) AS first_pos
-          FROM lines GROUP BY line),
-    kept AS (SELECT l.doc_id, l.line_no, l.line
-             FROM lines l JOIN g USING (line)
-             WHERE l.doc_id * {POS_ENC} + l.line_no = g.first_pos),
-    pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_lines,
-                  coalesce(array_to_string(list(line ORDER BY line_no), ' '),
-                           '') AS clean_text
-           FROM kept GROUP BY doc_id),
-    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
-            FROM lines GROUP BY doc_id)
-    SELECT d.doc_id,
-           CAST(coalesce(tot.n_lines, 0) AS BIGINT) AS n_lines,
-           CAST(coalesce(pd.kept_lines, 0) AS BIGINT) AS kept_lines,
-           coalesce(pd.clean_text, '') AS clean_text
-    FROM (SELECT doc_id FROM documents) d
-    LEFT JOIN tot USING (doc_id)
-    LEFT JOIN pd USING (doc_id)
-"""
-
 
 def test_stats_match_oracle(spark, sf_correct):
-    assert_matches_oracle(dup_line_stats(spark, sf_correct), _STATS_SQL, sf_correct)
+    import __spark_entry__ as entrymod
+
+    assert_matches_oracle(
+        dup_line_stats(spark, sf_correct),
+        entrymod.oracle_sql()["dup_line_stats"],
+        sf_correct,
+    )
 
 
 def test_dedup_matches_oracle(spark, sf_correct):
+    import __spark_entry__ as entrymod
+
     assert_matches_oracle(
-        line_dedup_corpus(spark, sf_correct), _DEDUP_SQL, sf_correct
+        line_dedup_corpus(spark, sf_correct),
+        entrymod.oracle_sql()["line_dedup_corpus"],
+        sf_correct,
     )
 
 
@@ -179,6 +132,14 @@ def test_crafted_newline_corpus(spark):
     assert rep["removed_occurrences"] == 2
     assert rep["dup_occurrences"] == 3
 
+    # sep='\n' preserves the newline structure instead of flattening it
+    nl = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup_lines_keep_first(docs, lines, sep="\n").collect()
+    }
+    assert nl[1] == f"alpha beta\n{banner}\ngamma"
+    assert nl[3] == "epsilon\nzeta"
+
 
 def test_empty_corpus_degrades_to_zero(spark):
     docs = spark.createDataFrame([], "doc_id bigint, text string")
@@ -193,34 +154,17 @@ def test_empty_corpus_degrades_to_zero(spark):
 
 
 def test_incremental_matches_oracle(spark, sf_correct):
-    from bigdata_infra_cs489_spark.operators.dedup import NEW_BATCH_MOD
+    import __spark_entry__ as entrymod
+
     from bigdata_infra_cs489_spark.operators.linededup import (
         incremental_line_dedup,
     )
 
-    new_pred = f"doc_id % {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}"
-    sql = f"""
-    WITH {_DUCK_LINES},
-    standing AS (SELECT DISTINCT line FROM lines WHERE NOT ({new_pred})),
-    nl AS (SELECT * FROM lines WHERE {new_pred}),
-    kept AS (SELECT * FROM nl
-             WHERE line NOT IN (SELECT line FROM standing)),
-    pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_lines,
-                  coalesce(array_to_string(list(line ORDER BY line_no), ' '),
-                           '') AS clean_text
-           FROM kept GROUP BY doc_id),
-    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
-            FROM nl GROUP BY doc_id)
-    SELECT d.doc_id,
-           CAST(coalesce(tot.n_lines, 0) AS BIGINT) AS n_lines,
-           CAST(coalesce(tot.n_lines, 0) - coalesce(pd.kept_lines, 0)
-                AS BIGINT) AS dup_lines,
-           coalesce(pd.clean_text, '') AS clean_text
-    FROM (SELECT doc_id FROM documents WHERE {new_pred}) d
-    LEFT JOIN tot USING (doc_id)
-    LEFT JOIN pd USING (doc_id)
-    """
-    assert_matches_oracle(incremental_line_dedup(spark, sf_correct), sql, sf_correct)
+    assert_matches_oracle(
+        incremental_line_dedup(spark, sf_correct),
+        entrymod.oracle_sql()["incremental_line_dedup"],
+        sf_correct,
+    )
 
 
 def test_incremental_consistency(spark, sf_smoke):

@@ -1,6 +1,6 @@
 """pack_manifest (the attention-mask / lineage manifest of
-sequence_pack) vs an inline DuckDB oracle plus tiling invariants
-(staged for round-8 registration per the window contract)."""
+sequence_pack) vs the registered DuckDB oracle (single-sourced in
+plans/catalog.py since round-8 registration) plus tiling invariants."""
 
 from __future__ import annotations
 
@@ -13,46 +13,13 @@ from bigdata_infra_cs489_spark.operators.textstats import (
 from .oracle import assert_matches_oracle
 
 
-def _manifest_sql() -> str:
-    from bigdata_infra_cs489_spark.operators.textstats import PACK_SALT
-    from bigdata_infra_cs489_spark.plans.catalog import (
-        _TEXT_QUALITY_SQL,
-        DUCK_H8,
-    )
-
-    ok = DUCK_H8.format(x=f"(CAST(doc_id AS VARCHAR) || '{PACK_SALT}')")
-    return f"""
-    WITH tq AS ({_TEXT_QUALITY_SQL}),
-    o AS (SELECT doc_id, n_tokens, {ok} AS ok FROM tq),
-    c AS (SELECT doc_id, n_tokens,
-                 sum(n_tokens) OVER (ORDER BY ok, doc_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-          FROM o),
-    nz AS (SELECT doc_id, n_tokens, cum, cum - n_tokens AS gstart
-           FROM c WHERE n_tokens > 0),
-    spans AS (
-        SELECT seq_id, doc_id,
-               greatest(gstart - seq_id * {SEQ_LEN}, 0) AS start,
-               least(gstart + n_tokens - 1, (seq_id + 1) * {SEQ_LEN} - 1)
-                   - seq_id * {SEQ_LEN} AS "end"
-        FROM (SELECT *, unnest(range(CAST(gstart // {SEQ_LEN} AS BIGINT),
-                                     CAST((cum - 1) // {SEQ_LEN} + 1
-                                          AS BIGINT))) AS seq_id
-              FROM nz))
-    SELECT seq_id,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum("end" - start + 1) AS BIGINT) AS seq_tokens,
-           array_to_string(
-               list(CAST(doc_id AS VARCHAR) || ':' || CAST(start AS VARCHAR)
-                    || ':' || CAST("end" AS VARCHAR)
-                    ORDER BY start, doc_id), ';') AS doc_spans
-    FROM spans GROUP BY seq_id
-    """
-
-
 def test_matches_oracle(spark, sf_correct):
+    import __spark_entry__ as entrymod
+
     assert_matches_oracle(
-        pack_manifest(spark, sf_correct), _manifest_sql(), sf_correct
+        pack_manifest(spark, sf_correct),
+        entrymod.oracle_sql()["pack_manifest"],
+        sf_correct,
     )
 
 

@@ -1,7 +1,7 @@
-"""JL random projection vs an inline DuckDB oracle (sign matrix
-single-sourced from rp_sign_matrix) and a NumPy replay, plus the
-recall gate's fixture signal (staged for round-8 registration per the
-window contract)."""
+"""JL random projection vs the registered DuckDB oracle (single-sourced
+in plans/catalog.py since round-8 registration; sign matrix from
+rp_sign_matrix) and a NumPy replay, plus the recall gate's fixture
+signal."""
 
 from __future__ import annotations
 
@@ -20,62 +20,23 @@ from bigdata_infra_cs489_spark.operators.similarity import (
 from .oracle import assert_matches_oracle
 
 
-def _projected_sql() -> str:
-    signs = rp_sign_matrix()
-    cols = ",\n           ".join(
-        "round(list_sum(list_transform(range(1, "
-        f"{RP_IN_DIM + 1}), i -> embedding[i] * ([{', '.join(str(s) + '.0' for s in row)}])[i])), 6) AS y{j}"
-        for j, row in enumerate(signs)
-    )
-    return f"""
-    SELECT vec_id,
-           {cols}
-    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
-          FROM embeddings)
-    """
-
-
-def _recall_sql() -> str:
-    from bigdata_infra_cs489_spark.operators.similarity import (
-        QUERY_VEC_ID,
-        RP_SHORTLIST,
-    )
-
-    ycols = ", ".join(f"y{j}" for j in range(RP_DIM))
-    dot = " + ".join(f"p.y{j} * q.y{j}" for j in range(RP_DIM))
-    na = " + ".join(f"p.y{j} * p.y{j}" for j in range(RP_DIM))
-    nb = " + ".join(f"q.y{j} * q.y{j}" for j in range(RP_DIM))
-    return f"""
-    WITH proj AS ({_projected_sql()}),
-    q AS (SELECT {ycols} FROM proj WHERE vec_id = {QUERY_VEC_ID}),
-    rp_short AS (
-        SELECT p.vec_id,
-               round(({dot}) / (sqrt({na}) * sqrt({nb})), 6) AS cos_rp
-        FROM proj p, q
-        ORDER BY cos_rp DESC, p.vec_id ASC LIMIT {RP_SHORTLIST}),
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
-          FROM embeddings),
-    qe AS (SELECT embedding AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
-    exact_top AS (
-        SELECT e.vec_id,
-               round(list_cosine_similarity(e.embedding, qe.qv), 6) AS c
-        FROM e, qe
-        ORDER BY c DESC, e.vec_id ASC LIMIT {TOP_K})
-    SELECT CAST({TOP_K} AS INT) AS k,
-           CAST({RP_SHORTLIST} AS INT) AS shortlist,
-           CAST(count(*) AS BIGINT) AS n_overlap,
-           round(count(*) / {TOP_K}, 6) AS recall
-    FROM rp_short JOIN exact_top USING (vec_id)
-    """
-
-
 def test_projected_matches_oracle(spark, sf_correct):
-    assert_matches_oracle(rp_projected(spark, sf_correct), _projected_sql(), sf_correct)
+    import __spark_entry__ as entrymod
+
+    assert_matches_oracle(
+        rp_projected(spark, sf_correct),
+        entrymod.oracle_sql()["rp_projected"],
+        sf_correct,
+    )
 
 
 def test_recall_matches_oracle(spark, sf_correct):
+    import __spark_entry__ as entrymod
+
     assert_matches_oracle(
-        rp_recall_topk(spark, sf_correct), _recall_sql(), sf_correct
+        rp_recall_topk(spark, sf_correct),
+        entrymod.oracle_sql()["rp_recall_topk"],
+        sf_correct,
     )
 
 
