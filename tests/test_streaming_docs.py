@@ -27,3 +27,50 @@ def test_stream_is_streaming_plan(spark, sf_correct):
     must carry dup_lines > 0 so the standing-index probe is exercised."""
     rows = q_stream_line_dedup(spark, sf_correct).collect()
     assert any(r["dup_lines"] > 0 for r in rows)
+
+
+def test_stream_matches_batch_on_crafted_newline_corpus(spark, tmp_path):
+    """Batch/stream pinning on a crafted corpus (the test_linededup
+    newline-banner shape re-cut to the fixture window segmenter): the
+    repeated banner, an all-duplicate doc, and an empty doc must come out
+    of the streaming twin IDENTICAL to the batch probe, including the
+    n_lines = 0 degrade row the stream reaches via explode_outer."""
+    banner = "subscribe to our newsletter now please kindly do it today friends"
+    filler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    novel = "one two three four five six seven eight nine ten"
+    rows = [
+        # old corpus (doc_id % 10 != 9): the standing line set
+        (1, f"{banner}\n{filler}"),
+        (2, banner),
+        # new batch (doc_id % 10 == 9)
+        (9, f"{banner}\n{novel}"),  # one dup window, one novel
+        (19, banner),  # every window already standing
+        (29, ""),  # zero-word degrade row
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(d, t, "en", "crafted", len(t)) for d, t in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.parquet(sf + "/_tmp")
+    import glob
+    import shutil
+
+    shutil.move(glob.glob(sf + "/_tmp/part-*.parquet")[0], sf + "/documents.parquet")
+    shutil.rmtree(sf + "/_tmp")
+
+    from bigdata_infra_cs489_spark.operators.linededup import (
+        incremental_line_dedup,
+    )
+
+    batch = {
+        r["doc_id"]: (r["n_lines"], r["dup_lines"], r["clean_text"])
+        for r in incremental_line_dedup(spark, sf).collect()
+    }
+    stream = {
+        r["doc_id"]: (r["n_lines"], r["dup_lines"], r["clean_text"])
+        for r in q_stream_line_dedup(spark, sf).collect()
+    }
+    assert stream == batch
+    assert batch[29] == (0, 0, "")
+    assert batch[19][1] == batch[19][0]  # fully duplicated vs standing
+    assert batch[9][1] >= 1 and novel.split()[0] in batch[9][2]
