@@ -8,6 +8,15 @@ as canonical strings by the registry, matching the driver's pandas
 
 Usage:
     python -m tools.verify_sweep [--sf-dir /root/testdata/sf0.01] [names...]
+    python -m tools.verify_sweep --changed [REF]
+
+``--changed`` derives the target set from ``git diff --name-only REF``
+(default HEAD, i.e. the working tree): an operator/streaming module's
+change selects every registered query whose callable lives in — or
+whose module transitively imports — a changed file (source-level import
+scan, so function-local imports count). Changes to the shared spine
+(plans/, functions/, sources/tables.py, session.py, __spark_entry__.py)
+fall back to the full registry: their blast radius is everything.
 
 Prints one status line per query and a JSON summary to
 ``SWEEP_LOCAL.json``; exits non-zero if any query fails.
@@ -16,7 +25,11 @@ Prints one status line per query and a JSON summary to
 from __future__ import annotations
 
 import argparse
+import ast
+import inspect
 import json
+import os
+import subprocess
 import sys
 import time
 import traceback
@@ -26,6 +39,156 @@ sys.path.insert(0, "/root/repo")
 from bigdata_infra_cs489_spark.plans import registry  # noqa: E402
 from bigdata_infra_cs489_spark.session import get_spark  # noqa: E402
 from tests.oracle import _canon, duck_connection, fragile_duck_columns  # noqa: E402
+
+REPO = "/root/repo"
+PKG = "bigdata_infra_cs489_spark"
+
+# any change here invalidates everything the registry serves
+FULL_SWEEP_PREFIXES = (
+    f"{PKG}/plans/",
+    f"{PKG}/functions/",
+    f"{PKG}/sources/tables.py",
+    f"{PKG}/session.py",
+    "__spark_entry__.py",
+)
+
+
+def _module_of(path: str) -> str:
+    """repo-relative .py path -> dotted module name."""
+    return path[: -len(".py")].replace("/", ".").replace(os.sep, ".")
+
+
+def _internal_imports(path: str) -> set[str]:
+    """Dotted names of every same-package module ``path`` imports,
+    wherever the import statement sits (module top or function body)."""
+    mod = _module_of(path)
+    pkg_parts = mod.split(".")[:-1]
+    found: set[str] = set()
+    try:
+        tree = ast.parse(open(os.path.join(REPO, path)).read())
+    except (OSError, SyntaxError):
+        return found
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith(PKG):
+                    found.add(a.name)
+        elif isinstance(node, ast.ImportFrom):
+            if node.level:
+                base = pkg_parts[: len(pkg_parts) - (node.level - 1)]
+            else:
+                base = []
+            stem = (node.module or "").split(".") if node.module else []
+            root = ".".join([*base, *stem]) if (base or stem) else ""
+            if root.startswith(PKG) or (node.level and root):
+                if root:
+                    found.add(root)
+                for a in node.names:
+                    found.add(f"{root}.{a.name}" if root else a.name)
+    return found
+
+
+def _import_graph() -> dict[str, set[str]]:
+    """module -> set of internal modules it imports (files that exist)."""
+    files = []
+    for dirpath, _dirs, names in os.walk(os.path.join(REPO, PKG)):
+        for n in names:
+            if n.endswith(".py"):
+                files.append(
+                    os.path.relpath(os.path.join(dirpath, n), REPO)
+                )
+    known = {_module_of(f) for f in files}
+    graph: dict[str, set[str]] = {}
+    for f in files:
+        mod = _module_of(f)
+        # the plans/ glue imports EVERY operator module to register it;
+        # reverse-reachability through it would select the whole
+        # registry for any one-operator change. Changes to plans/ itself
+        # are a spine full-sweep (FULL_SWEEP_PREFIXES), so drop the glue
+        # from closure propagation entirely.
+        if mod.startswith(f"{PKG}.plans"):
+            continue
+        deps = {
+            d
+            for d in _internal_imports(f)
+            if d in known and not d.startswith(f"{PKG}.plans")
+        }
+        graph[mod] = deps
+    return graph
+
+
+def _affected_modules(changed_mods: set[str]) -> set[str]:
+    """Transitive reverse closure: every module that (indirectly)
+    imports a changed module, plus the changed modules themselves."""
+    graph = _import_graph()
+    affected = set(changed_mods)
+    grew = True
+    while grew:
+        grew = False
+        for mod, deps in graph.items():
+            if mod not in affected and deps & affected:
+                affected.add(mod)
+                grew = True
+    return affected
+
+
+def _query_modules(fn) -> set[str]:
+    """Internal modules a registered callable directly touches: its own
+    defining module, plus (for the catalog lambdas) every internal
+    module/function its body references by name."""
+    mods = set()
+    m = getattr(fn, "__module__", "")
+    if m.startswith(PKG) and not m.startswith(f"{PKG}.plans"):
+        mods.add(m)
+    code = getattr(fn, "__code__", None)
+    if code is not None:
+        for name in code.co_names:
+            obj = fn.__globals__.get(name)
+            om = inspect.getmodule(obj)
+            if (
+                om is not None
+                and om.__name__.startswith(PKG)
+                and not om.__name__.startswith(f"{PKG}.plans")
+            ):
+                mods.add(om.__name__)
+    return mods
+
+
+def changed_query_names(ref: str) -> list[str] | None:
+    """Registered queries affected by the diff against ``ref``.
+
+    Returns None to request a full sweep (spine change or git failure).
+    """
+    try:
+        out = subprocess.run(
+            ["git", "diff", "--name-only", ref],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+    except (OSError, subprocess.CalledProcessError) as e:
+        print(f"--changed: git diff failed ({e!r}); running full sweep")
+        return None
+    changed = [ln.strip() for ln in out.splitlines() if ln.strip()]
+    spine = [
+        f
+        for f in changed
+        if any(f.startswith(p) for p in FULL_SWEEP_PREFIXES)
+    ]
+    if spine:
+        print(f"--changed: spine file(s) {spine} changed; full sweep")
+        return None
+    changed_mods = {
+        _module_of(f)
+        for f in changed
+        if f.startswith(PKG + "/") and f.endswith(".py")
+    }
+    if not changed_mods:
+        return []
+    affected = _affected_modules(changed_mods)
+    qs = registry.queries()
+    return [n for n, fn in qs.items() if _query_modules(fn) & affected]
 
 
 def sweep(sf_dir: str, only: list[str] | None = None) -> dict[str, dict]:
@@ -97,8 +260,30 @@ def sweep(sf_dir: str, only: list[str] | None = None) -> dict[str, dict]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--changed",
+        nargs="?",
+        const="HEAD",
+        default=None,
+        metavar="REF",
+        help="derive the target set from git diff against REF "
+        "(default HEAD); spine changes fall back to a full sweep",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+    if args.changed is not None:
+        if args.names:
+            ap.error("--changed and explicit names are mutually exclusive")
+        derived = changed_query_names(args.changed)
+        if derived == []:
+            print("--changed: no registered queries affected; nothing to run")
+            return 0
+        if derived is not None:
+            print(
+                f"--changed: {len(derived)} affected queries: "
+                f"{' '.join(sorted(derived))}"
+            )
+        args.names = derived or []
     results = sweep(args.sf_dir, args.names or None)
     # A targeted run MERGES into the standing file instead of clobbering
     # the full-registry record (a 1-query rerun once replaced the whole
