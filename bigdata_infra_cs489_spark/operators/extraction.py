@@ -145,3 +145,27 @@ def html_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", F.col("h").cast("bigint").alias("dst"))
         .orderBy("src", "dst")
     )
+
+
+def link_indegree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(in_degree, n_pages, min_page, max_page): the in-degree histogram
+    of the harvested link graph — the crawl-frontier health check run
+    right after extraction (a spiky head = link farms / boilerplate nav
+    the dedup families will hit; a long tail of 0/1 = frontier still
+    open). min/max_page anchor each bucket to concrete exemplars so a
+    card reader can spot-check.
+
+    Shape: two partial-aggregated groupBys (dst -> in_degree, then
+    in_degree -> histogram row) over the same single decorated scan —
+    both combine map-side, no window, output bounded by the distinct
+    degree count."""
+    deg = (
+        html_link_edges(spark, sf_dir)
+        .groupBy("dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("in_degree"))
+    )
+    return deg.groupBy("in_degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+        F.min("dst").alias("min_page"),
+        F.max("dst").alias("max_page"),
+    )

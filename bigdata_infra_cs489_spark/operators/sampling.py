@@ -399,3 +399,65 @@ def weighted_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.count("o_id") + 1).cast("int").alias("rank"))
         .select("rank", "doc_id", "n_chars", "key")
     )
+
+
+MIX_TRAIN_BUDGET = 50_000  # tokens the mixture plan draws (fixture-scale)
+
+
+def source_mixture_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = MIX_ALPHA,
+    budget: int = MIX_TRAIN_BUDGET,
+) -> DataFrame:
+    """(source, n_docs, total_tokens, p_raw, p_temp, draw_tokens,
+    epochs_micro): the per-source data-mixing plan — the table a
+    pretraining run is configured from (the LLaMA-style "sampling
+    proportion + epochs" card): temperature-weighted target shares over
+    SOURCES (q_s ∝ tokens_s^alpha, the lang_temperature_rates math on the
+    source axis), the token draw each source contributes to a fixed
+    training budget, and the effective epochs (passes over the source's
+    data, in exact ppm) that draw implies — upweighted low-resource
+    sources show epochs > 1.0, downweighted head sources < 1.0.
+
+    Determinism: the same integer-scaled pow-weight discipline as
+    lang_temperature_rates (one libm pow per source, immediately scaled
+    to int64; exact integer normalization; single rounded divisions of
+    identical int64 pairs). draw_tokens derives from the ROUNDED p_temp
+    (floor(p_temp * budget + 0.5)), epochs_micro by rounded integer
+    division of exact int64s — bit-deterministic end-to-end. Driver-side
+    finish is O(#sources) rows, the established model-sized bound."""
+    import math
+
+    from .textstats import text_quality
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    toks = text_quality(spark, sf_dir).select("doc_id", "n_tokens")
+    totals = sorted(
+        (r["source"], int(r["n_docs"]), int(r["total_tokens"]))
+        for r in docs.join(toks, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .collect()
+    )
+    grand = sum(t for _, _, t in totals)
+    wis = {
+        src: (int(math.floor(t**alpha * 1e6 + 0.5)) if t else 0)
+        for src, _, t in totals
+    }
+    s = sum(wis.values())
+    rows = []
+    for src, nd, t in totals:
+        p_raw = _r6(float(t) / float(grand)) if t else 0.0
+        p_temp = _r6(float(wis[src]) / float(s)) if t else 0.0
+        draw = int(math.floor(p_temp * budget + 0.5))
+        epochs = (draw * _PPM + t // 2) // t if t else 0
+        rows.append((src, nd, t, p_raw, p_temp, draw, epochs))
+    return spark.createDataFrame(
+        rows,
+        "source string, n_docs bigint, total_tokens bigint, p_raw double, "
+        "p_temp double, draw_tokens bigint, epochs_micro bigint",
+    )

@@ -1343,3 +1343,57 @@ def rp_recall_topk(
             F.round(F.col("n_overlap") / k, 6).alias("recall"),
         )
     )
+
+
+def pq_distortion_stats(
+    spark: SparkSession, sf_dir: str, m: int = PQ_M, k: int = PQ_K
+) -> DataFrame:
+    """(subspace, n_vecs, mean_sqdist_micro, max_sqdist_micro): the
+    reconstruction-error card for the PQ codebook — per subspace, the
+    exact-integer mean and max of each vector's squared distance to its
+    ASSIGNED sub-centroid (the quantization distortion). This is the
+    number an ANN operator reads before trusting PQ recall: a subspace
+    whose distortion dwarfs the others needs more sub-centroids or a
+    rotation (OPQ), and codebook drift shows up here before it shows up
+    in recall.
+
+    Shape: the sub-centroid tensor is model-sized driver state baked
+    into literal expressions (the pq_codes plan), so per-vector
+    distortion is ONE narrow JVM-side scan; the explode adds m rows per
+    vector (m = 4) and the groupBy on the m-valued subspace key
+    partial-aggregates map-side to m rows per partition. Micro-scaled
+    int64 distortions (floor(d * 1e6 + 0.5) of bit-identical fold
+    doubles) make the mean an exact rounded integer division — no
+    accumulation-order float anywhere."""
+    subc = _pq_subcentroids(spark, sf_dir, m, k)
+    dsub = subc.shape[2]
+    emb = _emb(spark, sf_dir)
+    pairs = []
+    for j in range(m):
+        sub = F.slice("embedding", j * dsub + 1, dsub)
+        darr = F.array(*[_pq_sq_dist(sub, subc[j][ci]) for ci in range(k)])
+        micro = F.floor(F.array_min(darr) * 1e6 + F.lit(0.5)).cast("bigint")
+        pairs.append(
+            F.struct(
+                F.lit(j).cast("int").alias("subspace"), micro.alias("micro")
+            )
+        )
+    exploded = emb.select(F.explode(F.array(*pairs)).alias("p")).select(
+        F.col("p.subspace").alias("subspace"), F.col("p.micro").alias("micro")
+    )
+    return (
+        exploded.groupBy("subspace")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("micro").cast("bigint").alias("sum_micro"),
+            F.max("micro").cast("bigint").alias("max_sqdist_micro"),
+        )
+        .select(
+            "subspace",
+            "n_vecs",
+            F.expr(
+                "CAST((sum_micro + n_vecs DIV 2) DIV n_vecs AS BIGINT)"
+            ).alias("mean_sqdist_micro"),
+            "max_sqdist_micro",
+        )
+    )

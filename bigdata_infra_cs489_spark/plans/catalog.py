@@ -2584,11 +2584,10 @@ register(
     """,
 )
 
-register(
-    "bigram_lm_perplexity",
-    lambda spark, sf: T.bigram_lm_perplexity(spark, sf),
-    f"""
-    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+# named CTE block so downstream oracles (ccnet perplexity buckets) can
+# compose the same LM; `lm_scored` is the per-doc (n_bigrams, avg_nll)
+DUCK_BIGRAM_LM_CTES = f"""
+    toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
     bg AS (
         SELECT doc_id, unnest(toks[1:len(toks)-1]) AS lt,
                unnest(toks[2:len(toks)]) AS rt
@@ -2603,9 +2602,19 @@ register(
                    / (coalesce(m.lcnt, 0) + {T.LM_K} * (SELECT v FROM v)) AS p
         FROM bg b
         LEFT JOIN counts c ON b.lt = c.lt AND b.rt = c.rt
-        LEFT JOIN marg m ON b.lt = m.lt)
-    SELECT doc_id, count(*) AS n_bigrams, round(avg(-log10(p)), 6) AS avg_nll
-    FROM scored GROUP BY doc_id
+        LEFT JOIN marg m ON b.lt = m.lt),
+    lm_scored AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(avg(-log10(p)), 6) AS avg_nll
+        FROM scored GROUP BY doc_id)
+"""
+
+register(
+    "bigram_lm_perplexity",
+    lambda spark, sf: T.bigram_lm_perplexity(spark, sf),
+    f"""
+    WITH {DUCK_BIGRAM_LM_CTES}
+    SELECT doc_id, n_bigrams, avg_nll FROM lm_scored
     """,
 )
 

@@ -18,8 +18,10 @@ Consumers:
 The round-7 queue (line dedup + streaming twin, fuzzy decontamination,
 quality-distillation classifier, corpus_curate_v2, HTML extraction, JL
 random projection, pack_manifest, k-anonymity, DSIR resampling — 16
-queries) registered in the round-8 rotation; the queue is currently
-empty. New operators built this round append here.
+queries) registered in the round-8 rotation. The entries below were
+built and value-verified in round 8 (oracle SQL in each family's test
+file, composing from catalog fragments) and queue for the round-9
+rotation.
 """
 
 from __future__ import annotations
@@ -33,4 +35,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def staged_queries() -> dict[str, QueryFn]:
     """name -> callable for every plan-auditable staged operator."""
-    return {}
+    from ..operators.ccnet import ccnet_bucket_stats, ccnet_perplexity_buckets
+    from ..operators.extraction import link_indegree_hist
+    from ..operators.sampling import source_mixture_plan
+    from ..operators.similarity import pq_distortion_stats
+
+    return {
+        "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
+        "ccnet_bucket_stats": ccnet_bucket_stats,
+        "source_mixture_plan": source_mixture_plan,
+        "link_indegree_hist": link_indegree_hist,
+        "pq_distortion_stats": pq_distortion_stats,
+    }

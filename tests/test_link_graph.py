@@ -1,0 +1,50 @@
+"""link_indegree_hist vs an inline DuckDB oracle plus conservation
+invariants (staged for round-9 registration per the window contract)."""
+
+from __future__ import annotations
+
+from bigdata_infra_cs489_spark.operators.extraction import (
+    html_link_edges,
+    link_indegree_hist,
+)
+
+from .oracle import assert_matches_oracle
+
+
+def _hist_sql() -> str:
+    from bigdata_infra_cs489_spark.plans.catalog import DUCK_HTML_DECORATED
+
+    return f"""
+    WITH d AS ({DUCK_HTML_DECORATED}),
+    edges AS (
+        SELECT doc_id AS src, CAST(h AS BIGINT) AS dst
+        FROM (SELECT doc_id,
+                     unnest(regexp_extract_all(html, 'href="/doc/(\\d+)"', 1))
+                         AS h
+              FROM d)),
+    deg AS (SELECT dst, CAST(count(*) AS BIGINT) AS in_degree
+            FROM edges GROUP BY dst)
+    SELECT in_degree,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           min(dst) AS min_page,
+           max(dst) AS max_page
+    FROM deg GROUP BY in_degree
+    """
+
+
+def test_matches_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        link_indegree_hist(spark, sf_correct), _hist_sql(), sf_correct
+    )
+
+
+def test_conserves_edges_and_pages(spark, sf_smoke):
+    """sum(in_degree * n_pages) must equal the edge count and
+    sum(n_pages) the distinct-target count — the histogram loses
+    nothing."""
+    edges = html_link_edges(spark, sf_smoke).collect()
+    hist = link_indegree_hist(spark, sf_smoke).collect()
+    assert sum(r["in_degree"] * r["n_pages"] for r in hist) == len(edges)
+    assert sum(r["n_pages"] for r in hist) == len({r["dst"] for r in edges})
+    for r in hist:
+        assert r["min_page"] <= r["max_page"]
