@@ -1074,3 +1074,99 @@ def q_contamination_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") >= CONTAM_EVAL_MAX_ID),
         docs.where(F.col("doc_id") < CONTAM_EVAL_MAX_ID),
     )
+
+
+# --- content-defined chunking (FastCDC-style, token granularity) ------------
+
+CDC_MOD = 8  # boundary when h8(token) % CDC_MOD == 0 -> ~8-token chunks
+
+
+def cdc_chunks(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_no, chunk, chunk_len): content-defined chunking of
+    the token stream — a chunk boundary falls AFTER every token whose
+    portable hash is 0 mod CDC_MOD (the rolling-hash cut rule of
+    CDC/FastCDC storage dedup, at token granularity). Unlike fixed
+    windows (token_window_lines) the cut points move WITH the content,
+    so inserting one token near the front shifts at most one chunk —
+    the property that makes chunk-level dedup robust to small edits.
+
+    Shape: the whole segmentation is ONE higher-order column expression
+    (boundary positions -> start/end arrays -> zip_with segments ->
+    posexplode) — no Python, no window, no shuffle; cost is linear in
+    tokens and embarrassingly parallel. The h8 cut rule is the shared
+    portable hash, so the DuckDB twin reproduces every boundary."""
+    from ..functions.text import tokenize
+
+    toks = docs.select("doc_id", tokenize("text").alias("toks")).where(
+        F.size("toks") > 0
+    )
+    n = F.size("toks")
+    bpos = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: _h8(F.element_at("toks", i)) % CDC_MOD == 0,
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda p: p + 1))
+    ends = F.concat(bpos, F.array(n))
+    segs = F.zip_with(
+        starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+    )
+    return (
+        toks.select("doc_id", "toks", F.posexplode(segs).alias("chunk_no", "seg"))
+        .where(F.col("seg.e") >= F.col("seg.s"))
+        .select(
+            "doc_id",
+            F.col("chunk_no").cast("bigint").alias("chunk_no"),
+            F.concat_ws(
+                " ",
+                F.slice("toks", F.col("seg.s"), F.col("seg.e") - F.col("seg.s") + 1),
+            ).alias("chunk"),
+            (F.col("seg.e") - F.col("seg.s") + 1)
+            .cast("bigint")
+            .alias("chunk_len"),
+        )
+    )
+
+
+def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus report: (n_chunks, n_distinct_chunks,
+    dup_occurrences, removed_occurrences, dup_chunk_ppm,
+    mean_chunk_len_micro) — how much of the corpus is chunk-level
+    duplicated under content-defined cuts, the storage-dedup twin of
+    dup_line_stats (whose fixed windows miss shifted duplicates that CDC
+    catches). Two partial-aggregated passes (chunk groupBy carrying the
+    per-group max count+len, then one scalar agg over distinct-chunk
+    rows); exact integer ppm/micro arithmetic end-to-end."""
+    g = (
+        cdc_chunks(_docs(spark, sf_dir))
+        .groupBy("chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.max("chunk_len").alias("chunk_len"),
+        )
+    )
+    return g.agg(
+        F.coalesce(F.sum("n_occ"), F.lit(0)).cast("bigint").alias("n_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_chunks"),
+        F.coalesce(F.sum(F.when(F.col("n_occ") > 1, F.col("n_occ"))), F.lit(0))
+        .cast("bigint")
+        .alias("dup_occurrences"),
+        F.coalesce(F.sum(F.col("n_occ") - 1), F.lit(0))
+        .cast("bigint")
+        .alias("removed_occurrences"),
+        F.coalesce(F.sum(F.col("n_occ") * F.col("chunk_len")), F.lit(0))
+        .cast("bigint")
+        .alias("sum_len"),
+    ).select(
+        "n_chunks",
+        "n_distinct_chunks",
+        "dup_occurrences",
+        "removed_occurrences",
+        F.expr(
+            "CAST((removed_occurrences * 1000000L + n_chunks div 2)"
+            " div greatest(n_chunks, 1L) AS BIGINT)"
+        ).alias("dup_chunk_ppm"),
+        F.expr(
+            "CAST((sum_len * 1000000L + n_chunks div 2)"
+            " div greatest(n_chunks, 1L) AS BIGINT)"
+        ).alias("mean_chunk_len_micro"),
+    )

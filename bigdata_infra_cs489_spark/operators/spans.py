@@ -410,3 +410,53 @@ def corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, n_spans, contam_tokens, contam_ppm) for every
+    TRAIN document: which spans of training text overlap the held-out
+    benchmark at k-gram granularity — the GPT-3 appendix-C "dirty span"
+    marking that position-level decontamination needs, one level finer
+    than the document booleans of contamination_flags/contamination_near
+    (a doc can be 0.1% contaminated — mask the span — or 90% — drop it;
+    the booleans cannot tell them apart). Eval side is the
+    CONTAM_EVAL_MAX_ID convention shared by the whole decontamination
+    family.
+
+    Shape (the _dup_hits/incremental-probe discipline): the eval k-gram
+    set is benchmark-sized and distinct'd; the train side pays ONE
+    equi-join of its gram stream against it (broadcast when the
+    benchmark is small — always, by definition — cost ∝ train grams);
+    marked hits merge per doc with the shared interval-merge window
+    (doc-bounded hit subsets, never the corpus); the final aggregate is
+    one partial-agg groupBy joined onto the train-doc spine so untouched
+    docs report exact zeros. contam_ppm is rounded integer division of
+    exact int64s."""
+    from .dedup import CONTAM_EVAL_MAX_ID
+
+    g = _grams(spark, sf_dir)
+    eval_grams = (
+        g.where(F.col("doc_id") < CONTAM_EVAL_MAX_ID).select("gram").distinct()
+    )
+    hits = (
+        g.where(F.col("doc_id") >= CONTAM_EVAL_MAX_ID)
+        .join(eval_grams, "gram")
+        .select("doc_id", "n_tokens", "pos")
+    )
+    cov = _merge_intervals(hits).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("span_len").cast("bigint").alias("contam_tokens"),
+    )
+    spine = load(spark, sf_dir, "documents", parallelize=True).where(
+        F.col("doc_id") >= CONTAM_EVAL_MAX_ID
+    ).select("doc_id", F.size(tokenize("text")).cast("bigint").alias("n_tokens"))
+    return spine.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("contam_tokens", F.lit(0)).cast("bigint").alias("contam_tokens"),
+        F.expr(
+            "CAST((coalesce(contam_tokens, 0L) * 1000000L + n_tokens div 2)"
+            " div greatest(n_tokens, 1L) AS BIGINT)"
+        ).alias("contam_ppm"),
+    )

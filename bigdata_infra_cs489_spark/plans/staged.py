@@ -36,9 +36,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def staged_queries() -> dict[str, QueryFn]:
     """name -> callable for every plan-auditable staged operator."""
     from ..operators.ccnet import ccnet_bucket_stats, ccnet_perplexity_buckets
+    from ..operators.dedup import cdc_chunk_stats
     from ..operators.extraction import link_indegree_hist
     from ..operators.sampling import source_mixture_plan
     from ..operators.similarity import pq_distortion_stats
+    from ..operators.spans import contamination_spans
 
     return {
         "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
@@ -46,4 +48,6 @@ def staged_queries() -> dict[str, QueryFn]:
         "source_mixture_plan": source_mixture_plan,
         "link_indegree_hist": link_indegree_hist,
         "pq_distortion_stats": pq_distortion_stats,
+        "contamination_spans": contamination_spans,
+        "cdc_chunk_stats": cdc_chunk_stats,
     }
