@@ -145,3 +145,58 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.sum("cnt").alias("n"))
     )
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_words, n_subwords, n_chars, fertility_micro,
+    chars_per_subword_micro): the corpus ENCODED with the learned merge
+    table — the tokenizer-apply step (and the fertility card: subwords
+    per word, chars per subword) a pipeline reads to size a token budget
+    and compare tokenizer candidates per language/source.
+
+    Production shape: encoding never re-runs merges per token — the
+    trained segmentation is a WORD -> subwords table (vocab-sized by
+    definition, ~1e5 rows even at 100 TB: train_bpe's final vocabulary),
+    and the corpus pays ONE word-explode joined against that broadcast
+    table plus one partial-aggregated per-doc groupBy. Zero-token docs
+    degrade to an all-zeros row via the docs spine. All derived rates
+    are exact rounded integer division (micro units)."""
+    _, vocab = train_bpe(spark, sf_dir)
+    seg = vocab.select(
+        "word",
+        F.size("syms").cast("bigint").alias("n_sub"),
+        F.length("word").cast("bigint").alias("n_chars"),
+    )
+    words = load(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", F.explode(tokenize("text")).alias("word")
+    )
+    per_doc = (
+        words.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_subwords"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+    spine = load(spark, sf_dir, "documents").select("doc_id")
+    return (
+        spine.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("n_subwords", F.lit(0)).cast("bigint").alias("n_subwords"),
+            F.coalesce("n_chars", F.lit(0)).cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "CAST((n_subwords * 1000000L + n_words div 2)"
+                " div greatest(n_words, 1L) AS BIGINT)"
+            ).alias("fertility_micro"),
+            F.expr(
+                "CAST((n_chars * 1000000L + n_subwords div 2)"
+                " div greatest(n_subwords, 1L) AS BIGINT)"
+            ).alias("chars_per_subword_micro"),
+        )
+    )

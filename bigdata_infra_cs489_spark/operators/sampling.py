@@ -461,3 +461,48 @@ def source_mixture_plan(
         "source string, n_docs bigint, total_tokens bigint, p_raw double, "
         "p_temp double, draw_tokens bigint, epochs_micro bigint",
     )
+
+
+def split_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(split, lang, n_docs, expected_micro, deviation_ppm): the split
+    QA gate — for every (split, language) stratum, the observed count
+    against the expectation implied by the split's target percentages
+    and the language's corpus share, with the relative deviation in
+    exact ppm. A salted-hash split is only pseudo-random; this is the
+    audit a release runs to prove no stratum drifted (a language whose
+    doc ids cluster could silently starve val/test).
+
+    Shape: one groupBy(split, lang) count + one groupBy(lang) count and
+    a broadcast join of the #langs-sized totals — everything partial-
+    aggregated; expectation and deviation are exact integer micro/ppm
+    arithmetic on both engines."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    splits = dataset_split(spark, sf_dir)
+    joined = docs.join(splits, "doc_id")
+    per = joined.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    lang_tot = joined.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("lang_docs")
+    )
+    pct = (
+        F.when(F.col("split") == "train", F.lit(TRAIN_PCT))
+        .when(F.col("split") == "val", F.lit(VAL_PCT))
+        .otherwise(F.lit(100 - TRAIN_PCT - VAL_PCT))
+        .cast("bigint")
+    )
+    # expected_micro = lang_docs * pct% in exact micro-docs
+    expected = (F.col("lang_docs") * pct * 10_000).cast("bigint")
+    return (
+        per.join(F.broadcast(lang_tot), "lang")
+        .select(
+            "split",
+            "lang",
+            "n_docs",
+            expected.alias("expected_micro"),
+            F.expr(
+                "CAST(abs(n_docs * 1000000L - expected_micro) * 1000000L"
+                " div greatest(expected_micro, 1L) AS BIGINT)"
+            ).alias("deviation_ppm"),
+        )
+    )

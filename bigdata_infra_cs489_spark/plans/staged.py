@@ -21,7 +21,12 @@ random projection, pack_manifest, k-anonymity, DSIR resampling — 16
 queries) registered in the round-8 rotation. The entries below were
 built and value-verified in round 8 (oracle SQL in each family's test
 file, composing from catalog fragments) and queue for the round-9
-rotation.
+rotation, together with ``bpe_encode_stats`` (tokenizer apply +
+fertility card) which is EXCLUDED from this plan-auditable listing for
+the registry's own ITERATIVE rationale — its callable runs the BPE
+trainer loop, so building its plan string would re-run the whole loop;
+its value evidence is tests/test_bpe_encode.py (DuckDB oracle +
+pure-Python merge replay).
 """
 
 from __future__ import annotations
@@ -38,7 +43,7 @@ def staged_queries() -> dict[str, QueryFn]:
     from ..operators.ccnet import ccnet_bucket_stats, ccnet_perplexity_buckets
     from ..operators.dedup import cdc_chunk_stats
     from ..operators.extraction import link_indegree_hist
-    from ..operators.sampling import source_mixture_plan
+    from ..operators.sampling import source_mixture_plan, split_balance_report
     from ..operators.similarity import pq_distortion_stats
     from ..operators.spans import contamination_spans
 
@@ -50,4 +55,5 @@ def staged_queries() -> dict[str, QueryFn]:
         "pq_distortion_stats": pq_distortion_stats,
         "contamination_spans": contamination_spans,
         "cdc_chunk_stats": cdc_chunk_stats,
+        "split_balance_report": split_balance_report,
     }
