@@ -279,3 +279,112 @@ def incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             verdict.alias("verdict"),
         )
     )
+
+
+CURATE_FUNNEL_STAGES = (
+    "corpus",
+    "exact_canonical",
+    "neardup_representative",
+    "quality_gate",
+    "span_budget_gate",
+    "token_budget_pack",
+)
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage_no, stage, n_docs, n_tokens, dropped_docs): the curation
+    funnel card — cumulative survivors (documents and their pre-strip
+    tokens) after each gate of the corpus_curate chain, plus how many
+    documents the stage dropped. This is the table every production
+    pipeline prints per run: it makes a silently over-aggressive gate
+    (or a broken upstream batch) visible as a step change before anyone
+    trains on the output.
+
+    Stage semantics are bit-identical to corpus_curate's own gates
+    (canonical exact copy -> keep-best near-dup representative ->
+    quality >= CURATE_MIN_QUALITY -> span budget -> greedy token-budget
+    pack), pinned by the consistency test against corpus_curate's
+    output. Shape: per-doc boolean flags assembled with doc_id-keyed
+    narrow joins, then ONE aggregate of conditional exact-integer sums
+    unpivoted into the six stage rows — the funnel itself adds no
+    window and no extra corpus scan beyond the flag lineages (honest
+    cost note: the CC cluster lineage runs once here and once inside
+    corpus_curate's packed set — the one-shot observability query is
+    not worth an explicit checkpoint to share it)."""
+    from .dedup import dedup_keep_best
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    toks = dup_span_stats(spark, sf_dir).select("doc_id", "n_tokens", "dup_tokens")
+    exact_ok = (
+        q_exact_dedup(spark, sf_dir)
+        .where(~F.col("is_duplicate"))
+        .select("doc_id", F.lit(1).alias("e"))
+    )
+    reps = dedup_keep_best(spark, sf_dir).select("doc_id", F.lit(1).alias("r"))
+    qual = text_quality(spark, sf_dir).select(
+        "doc_id", (F.col("quality_score") >= CURATE_MIN_QUALITY).alias("q")
+    )
+    packed = corpus_curate(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("p")
+    )
+    f = (
+        docs.join(toks, "doc_id")
+        .join(exact_ok, "doc_id", "left")
+        .join(reps, "doc_id", "left")
+        .join(qual, "doc_id", "left")
+        .join(packed, "doc_id", "left")
+        .select(
+            "n_tokens",
+            F.col("e").isNotNull().alias("f1"),
+            (F.col("e").isNotNull() & F.col("r").isNotNull()).alias("f2"),
+            (
+                F.col("e").isNotNull()
+                & F.col("r").isNotNull()
+                & F.coalesce("q", F.lit(False))
+            ).alias("f3"),
+            (
+                F.col("e").isNotNull()
+                & F.col("r").isNotNull()
+                & F.coalesce("q", F.lit(False))
+                & (F.col("dup_tokens") * CURATE_MAX_DUP_DEN <= F.col("n_tokens"))
+            ).alias("f4"),
+            F.col("p").isNotNull().alias("f5"),
+        )
+    )
+
+    def _pair(flag, i):
+        cond = F.lit(True) if flag is None else F.col(flag)
+        return [
+            F.coalesce(F.sum(F.when(cond, 1)), F.lit(0))
+            .cast("bigint")
+            .alias(f"d{i}"),
+            F.coalesce(F.sum(F.when(cond, F.col("n_tokens"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"t{i}"),
+        ]
+
+    agg = f.agg(
+        *_pair(None, 0),
+        *_pair("f1", 1),
+        *_pair("f2", 2),
+        *_pair("f3", 3),
+        *_pair("f4", 4),
+        *_pair("f5", 5),
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("stage_no"),
+                F.lit(name).alias("stage"),
+                F.col(f"d{i}").alias("n_docs"),
+                F.col(f"t{i}").alias("n_tokens"),
+                (
+                    F.lit(0).cast("bigint")
+                    if i == 0
+                    else (F.col(f"d{i-1}") - F.col(f"d{i}")).cast("bigint")
+                ).alias("dropped_docs"),
+            )
+            for i, name in enumerate(CURATE_FUNNEL_STAGES)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("s")).select("s.*")

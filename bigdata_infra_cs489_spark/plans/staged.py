@@ -41,6 +41,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def staged_queries() -> dict[str, QueryFn]:
     """name -> callable for every plan-auditable staged operator."""
     from ..operators.ccnet import ccnet_bucket_stats, ccnet_perplexity_buckets
+    from ..operators.curate import curation_funnel
     from ..operators.dedup import cdc_chunk_stats
     from ..operators.extraction import link_indegree_hist
     from ..operators.sampling import source_mixture_plan, split_balance_report
@@ -56,4 +57,5 @@ def staged_queries() -> dict[str, QueryFn]:
         "contamination_spans": contamination_spans,
         "cdc_chunk_stats": cdc_chunk_stats,
         "split_balance_report": split_balance_report,
+        "curation_funnel": curation_funnel,
     }
