@@ -366,3 +366,45 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     fr = sample_frames(media_table(spark, sf_dir))
     return fr.select("doc_id", "frame_idx", F.hex("frame").alias("frame_hex"))
+
+
+def media_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, media_type, content_id, n_copies, is_duplicate):
+    container-metadata-invariant exact media dedup — the same payload
+    bytes re-wrapped in different headers (re-encoded dimensions, other
+    sample rate fields, different container) are the duplicate class a
+    whole-file digest misses, and real multimodal corpora are full of
+    such re-hosted copies. Payload extraction is format-aware JVM hex
+    arithmetic over the REAL byte layouts (PNG after the 33-byte
+    signature+IHDR, JPEG after the SOF0 block, WAV after the located
+    'data' chunk tag + size field — located, not fixed-offset, the
+    media_meta discipline); the dedup itself is the exact_dedup shape:
+    partial-aggregated groupBy on the payload digest joined back, never
+    a payload-keyed window (mass-duplicated media is the same skew
+    feature as mass-duplicated text). Zero Python anywhere."""
+    m = media_table(spark, sf_dir).select(
+        "doc_id", F.col("meta.media_type").alias("media_type"),
+        F.hex("media").alias("h"),
+    )
+    payload = (
+        F.when(F.col("media_type") == "image", F.expr("substring(h, 67)"))
+        .when(
+            F.col("media_type") == "audio",
+            F.expr("substring(h, locate('64617461', h) + 16)"),
+        )
+        .otherwise(F.expr("substring(h, 31)"))
+    )
+    keyed = m.select(
+        "doc_id", "media_type", F.md5(payload).alias("dig")
+    )
+    canon = keyed.groupBy("dig").agg(
+        F.min("doc_id").alias("content_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+    )
+    return keyed.join(canon, "dig").select(
+        "doc_id",
+        "media_type",
+        "content_id",
+        "n_copies",
+        (F.col("doc_id") != F.col("content_id")).alias("is_duplicate"),
+    )

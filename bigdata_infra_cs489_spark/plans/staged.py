@@ -44,6 +44,7 @@ def staged_queries() -> dict[str, QueryFn]:
     from ..operators.curate import curation_funnel
     from ..operators.dedup import cdc_chunk_stats
     from ..operators.extraction import link_indegree_hist
+    from ..operators.multimodal import media_content_dedup
     from ..operators.sampling import source_mixture_plan, split_balance_report
     from ..operators.similarity import pq_distortion_stats
     from ..operators.spans import contamination_spans
@@ -58,4 +59,5 @@ def staged_queries() -> dict[str, QueryFn]:
         "cdc_chunk_stats": cdc_chunk_stats,
         "split_balance_report": split_balance_report,
         "curation_funnel": curation_funnel,
+        "media_content_dedup": media_content_dedup,
     }
