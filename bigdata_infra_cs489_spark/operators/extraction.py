@@ -169,3 +169,49 @@ def link_indegree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dst").alias("min_page"),
         F.max("dst").alias("max_page"),
     )
+
+
+FRONTIER_K = 50
+
+
+def crawl_frontier(
+    spark: SparkSession, sf_dir: str, k: int = FRONTIER_K
+) -> DataFrame:
+    """(rank, page, in_degree): the next crawl batch — link targets NOT
+    yet in the corpus, ranked by how many crawled pages point at them
+    (the classic indegree-priority frontier a BFS crawler pops from).
+    Completes the extraction family's crawl loop: extract -> harvest
+    edges -> frontier -> fetch -> extract ...
+
+    Shape: one partial-aggregated in-degree groupBy over the harvested
+    edges, one LEFT ANTI join against the corpus doc-id spine (the
+    crawled set projects to one bigint column), a global top-k via
+    TakeOrderedAndProject with explicit (in_degree desc, page asc)
+    tie-break, and the in-top-k rank attached with the bounded k^2
+    broadcast self-join (the dsir_select_topk pattern — no
+    partition-less window)."""
+    deg = (
+        html_link_edges(spark, sf_dir)
+        .groupBy("dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("in_degree"))
+    )
+    crawled = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("dst")
+    )
+    top = (
+        deg.join(crawled, "dst", "left_anti")
+        .orderBy(F.desc("in_degree"), F.asc("dst"))
+        .limit(k)
+    )
+    other = top.select(
+        F.col("dst").alias("o_id"), F.col("in_degree").alias("o_d")
+    )
+    ahead = (F.col("o_d") > F.col("in_degree")) | (
+        (F.col("o_d") == F.col("in_degree")) & (F.col("o_id") < F.col("dst"))
+    )
+    return (
+        top.join(F.broadcast(other), ahead, "left")
+        .groupBy("dst", "in_degree")
+        .agg((F.count("o_id") + 1).cast("int").alias("rank"))
+        .select("rank", F.col("dst").alias("page"), "in_degree")
+    )

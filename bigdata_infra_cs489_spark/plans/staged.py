@@ -43,7 +43,7 @@ def staged_queries() -> dict[str, QueryFn]:
     from ..operators.ccnet import ccnet_bucket_stats, ccnet_perplexity_buckets
     from ..operators.curate import curation_funnel
     from ..operators.dedup import cdc_chunk_stats
-    from ..operators.extraction import link_indegree_hist
+    from ..operators.extraction import crawl_frontier, link_indegree_hist
     from ..operators.multimodal import media_content_dedup
     from ..operators.sampling import source_mixture_plan, split_balance_report
     from ..operators.similarity import pq_distortion_stats
@@ -60,4 +60,5 @@ def staged_queries() -> dict[str, QueryFn]:
         "split_balance_report": split_balance_report,
         "curation_funnel": curation_funnel,
         "media_content_dedup": media_content_dedup,
+        "crawl_frontier": crawl_frontier,
     }

@@ -48,3 +48,56 @@ def test_conserves_edges_and_pages(spark, sf_smoke):
     assert sum(r["n_pages"] for r in hist) == len({r["dst"] for r in edges})
     for r in hist:
         assert r["min_page"] <= r["max_page"]
+
+
+def _frontier_sql() -> str:
+    from bigdata_infra_cs489_spark.operators.extraction import FRONTIER_K
+    from bigdata_infra_cs489_spark.plans.catalog import DUCK_HTML_DECORATED
+
+    return f"""
+    WITH d AS ({DUCK_HTML_DECORATED}),
+    edges AS (
+        SELECT doc_id AS src, CAST(h AS BIGINT) AS dst
+        FROM (SELECT doc_id,
+                     unnest(regexp_extract_all(html, 'href="/doc/(\\d+)"', 1))
+                         AS h
+              FROM d)),
+    deg AS (SELECT dst, CAST(count(*) AS BIGINT) AS in_degree
+            FROM edges GROUP BY dst),
+    fr AS (SELECT * FROM deg
+           WHERE dst NOT IN (SELECT doc_id FROM documents)
+           ORDER BY in_degree DESC, dst ASC LIMIT {FRONTIER_K})
+    SELECT CAST(row_number() OVER (ORDER BY in_degree DESC, dst ASC)
+                AS INT) AS rank,
+           dst AS page, in_degree
+    FROM fr
+    """
+
+
+def test_frontier_matches_oracle(spark, sf_correct):
+    from bigdata_infra_cs489_spark.operators.extraction import crawl_frontier
+
+    assert_matches_oracle(
+        crawl_frontier(spark, sf_correct), _frontier_sql(), sf_correct
+    )
+
+
+def test_frontier_is_uncrawled_and_ranked(spark, sf_smoke):
+    """Every frontier page is absent from the corpus, ranks are dense
+    and ordered by (in_degree desc, page asc), and the fixture must
+    actually have uncrawled targets (the decoration links to doc_id+1,
+    so the max doc's 'next' link always points off-corpus)."""
+    from bigdata_infra_cs489_spark.operators.extraction import crawl_frontier
+    from bigdata_infra_cs489_spark.sources.tables import load
+
+    rows = sorted(
+        crawl_frontier(spark, sf_smoke).collect(), key=lambda r: r["rank"]
+    )
+    assert rows
+    crawled = {
+        r["doc_id"] for r in load(spark, sf_smoke, "documents").select("doc_id").collect()
+    }
+    assert all(r["page"] not in crawled for r in rows)
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    keys = [(-r["in_degree"], r["page"]) for r in rows]
+    assert keys == sorted(keys)
