@@ -1170,3 +1170,79 @@ def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div greatest(n_chunks, 1L) AS BIGINT)"
         ).alias("mean_chunk_len_micro"),
     )
+
+
+NEAR_DUP_METHODS = ("editdist", "minhash", "ngram", "simhash")
+
+
+def near_dup_method_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(method_a, method_b, n_a, n_b, n_both, pair_jaccard_ppm): the
+    cross-method agreement matrix of the dedup shelf — for every pair of
+    near-dup detectors (exact-Jaccard-verified MinHash, SimHash block
+    LSH, sparse n-gram Jaccard, edit-distance verify), how many document
+    pairs each flags and how much the pair SETS overlap (exact-integer
+    Jaccard in ppm). This is the completeness audit a pipeline owner
+    reads before trusting any single method's recall: a method whose
+    pair set drifts away from its siblings after a tokenizer or
+    threshold change shows up here as a step change, without anyone
+    eyeballing pair lists.
+
+    Shape: the four pair relations (each already candidate-bounded by
+    its own LSH/index — never all-pairs) union into one tagged relation;
+    set sizes are one 4-row groupBy; intersections are ONE equi-join on
+    the (doc_a, doc_b) key grouped by the method pair; the full
+    upper-triangle grid (including empty intersections) assembles from a
+    broadcast 4×4 cross of the size table. Output is 10 rows at any
+    corpus size."""
+    docs = _docs(spark, sf_dir)
+    pair_sets = {
+        "minhash": minhash_near_duplicates(docs).select("doc_a", "doc_b"),
+        "simhash": simhash_near_duplicates(docs).select("doc_a", "doc_b"),
+        "ngram": ngram_jaccard_pairs(docs).select("doc_a", "doc_b"),
+        "editdist": edit_distance_pairs(docs, lsh_candidate_pairs(docs)).select(
+            "doc_a", "doc_b"
+        ),
+    }
+    tagged = None
+    for m in NEAR_DUP_METHODS:
+        part = pair_sets[m].select(
+            F.lit(m).alias("m"), "doc_a", "doc_b"
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    sizes = tagged.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    x = tagged.select(F.col("m").alias("ma"), "doc_a", "doc_b")
+    y = tagged.select(F.col("m").alias("mb"), "doc_a", "doc_b")
+    inter = (
+        x.join(y, ["doc_a", "doc_b"])
+        .where(F.col("ma") <= F.col("mb"))
+        .groupBy("ma", "mb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    grid = (
+        sizes.select(F.col("m").alias("ma"), F.col("n").alias("n_a"))
+        .crossJoin(
+            F.broadcast(
+                sizes.select(F.col("m").alias("mb"), F.col("n").alias("n_b"))
+            )
+        )
+        .where(F.col("ma") <= F.col("mb"))
+    )
+    return (
+        grid.join(F.broadcast(inter), ["ma", "mb"], "left")
+        .select(
+            F.col("ma").alias("method_a"),
+            F.col("mb").alias("method_b"),
+            "n_a",
+            "n_b",
+            F.coalesce("n_both", F.lit(0)).cast("bigint").alias("n_both"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "CAST((n_both * 1000000L + (n_a + n_b - n_both) div 2)"
+                " div greatest(n_a + n_b - n_both, 1L) AS BIGINT)"
+            ).alias("pair_jaccard_ppm"),
+        )
+    )

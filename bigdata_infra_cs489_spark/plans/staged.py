@@ -42,7 +42,7 @@ def staged_queries() -> dict[str, QueryFn]:
     """name -> callable for every plan-auditable staged operator."""
     from ..operators.ccnet import ccnet_bucket_stats, ccnet_perplexity_buckets
     from ..operators.curate import curation_funnel
-    from ..operators.dedup import cdc_chunk_stats
+    from ..operators.dedup import cdc_chunk_stats, near_dup_method_audit
     from ..operators.extraction import crawl_frontier, link_indegree_hist
     from ..operators.multimodal import media_content_dedup
     from ..operators.sampling import source_mixture_plan, split_balance_report
@@ -61,4 +61,5 @@ def staged_queries() -> dict[str, QueryFn]:
         "curation_funnel": curation_funnel,
         "media_content_dedup": media_content_dedup,
         "crawl_frontier": crawl_frontier,
+        "near_dup_method_audit": near_dup_method_audit,
     }
