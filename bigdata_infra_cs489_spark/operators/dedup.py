@@ -643,10 +643,13 @@ def dedup_index_path(sf_dir: str) -> str:
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     sig = f"{st.st_size}_{st.st_mtime_ns}"
     label = os.path.basename(os.path.normpath(sf_dir))
+    # the verify threshold shapes the persisted CLUSTERS (pairs are kept
+    # at jaccard >= threshold before CC), so it must be part of the key
+    jpct = round(JACCARD_THRESHOLD * 100)
     return os.path.join(
         INDEX_ROOT,
         f"dedupidx_{label}_{sig}_h{NUM_HASHES}b{NUM_BANDS}"
-        f"n{SHINGLE_N}m{NEW_BATCH_MOD}",
+        f"n{SHINGLE_N}m{NEW_BATCH_MOD}j{jpct}",
     )
 
 
@@ -1209,8 +1212,18 @@ def near_dup_method_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(m).alias("m"), "doc_a", "doc_b"
         )
         tagged = part if tagged is None else tagged.unionByName(part)
-    sizes = tagged.groupBy("m").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+    # sizes come from the STATIC method list, not the tagged rows: a
+    # detector whose pair set collapses to zero (the exact regression
+    # this audit exists to flag) must still appear with n = 0, never
+    # silently vanish from the matrix
+    method_spine = spark.createDataFrame(
+        [(m,) for m in NEAR_DUP_METHODS], "m string"
+    )
+    counted = tagged.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    sizes = method_spine.join(counted, "m", "left").select(
+        "m", F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n")
     )
     x = tagged.select(F.col("m").alias("ma"), "doc_a", "doc_b")
     y = tagged.select(F.col("m").alias("mb"), "doc_a", "doc_b")

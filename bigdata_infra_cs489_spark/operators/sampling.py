@@ -485,6 +485,14 @@ def split_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang_tot = joined.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("lang_docs")
     )
+    # the stratum spine is splits × langs, NOT the observed strata: a
+    # fully starved (split, lang) cell — the report's own motivating
+    # failure — must appear as an explicit n_docs = 0 row with its full
+    # deviation, never be silently absent
+    split_names = spark.createDataFrame(
+        [("train",), ("val",), ("test",)], "split string"
+    )
+    spine = lang_tot.crossJoin(F.broadcast(split_names))
     pct = (
         F.when(F.col("split") == "train", F.lit(TRAIN_PCT))
         .when(F.col("split") == "val", F.lit(VAL_PCT))
@@ -494,7 +502,13 @@ def split_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expected_micro = lang_docs * pct% in exact micro-docs
     expected = (F.col("lang_docs") * pct * 10_000).cast("bigint")
     return (
-        per.join(F.broadcast(lang_tot), "lang")
+        spine.join(F.broadcast(per), ["split", "lang"], "left")
+        .select(
+            "split",
+            "lang",
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+            "lang_docs",
+        )
         .select(
             "split",
             "lang",

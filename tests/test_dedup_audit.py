@@ -62,8 +62,12 @@ def _audit_sql() -> str:
         UNION ALL SELECT 'ngram', doc_a, doc_b FROM ng
         UNION ALL SELECT 'simhash', doc_a, doc_b FROM sh_pairs
         UNION ALL SELECT 'editdist', doc_a, doc_b FROM ed),
-    sizes AS (SELECT m, CAST(count(*) AS BIGINT) AS n
-              FROM tagged GROUP BY m),
+    methods AS (SELECT unnest(['editdist', 'minhash', 'ngram',
+                               'simhash']) AS m),
+    counted AS (SELECT m, CAST(count(*) AS BIGINT) AS n_obs
+                FROM tagged GROUP BY m),
+    sizes AS (SELECT methods.m, CAST(coalesce(n_obs, 0) AS BIGINT) AS n
+              FROM methods LEFT JOIN counted USING (m)),
     inter AS (
         SELECT x.m AS ma, y.m AS mb, CAST(count(*) AS BIGINT) AS n_both
         FROM tagged x JOIN tagged y

@@ -28,7 +28,13 @@ def _report_sql() -> str:
     per AS (SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
             FROM s GROUP BY split, lang),
     lt AS (SELECT lang, CAST(count(*) AS BIGINT) AS lang_docs
-           FROM s GROUP BY lang)
+           FROM s GROUP BY lang),
+    spine AS (
+        SELECT sp.split, lt.lang, lt.lang_docs,
+               CAST(coalesce(per.n_docs, 0) AS BIGINT) AS n_docs
+        FROM (SELECT unnest(['train', 'val', 'test']) AS split) sp
+        CROSS JOIN lt
+        LEFT JOIN per ON per.split = sp.split AND per.lang = lt.lang)
     SELECT p.split, p.lang, p.n_docs,
            CAST(lt.lang_docs
                 * (CASE p.split WHEN 'train' THEN {TRAIN_PCT}
@@ -45,7 +51,7 @@ def _report_sql() -> str:
                                     WHEN 'val' THEN {VAL_PCT}
                                     ELSE {100 - TRAIN_PCT - VAL_PCT} END)
                     * 10000, 1) AS BIGINT) AS deviation_ppm
-    FROM per p JOIN lt USING (lang)
+    FROM spine p, lt WHERE lt.lang = p.lang
     """
 
 

@@ -43,13 +43,17 @@ from tests.oracle import _canon, duck_connection, fragile_duck_columns  # noqa: 
 REPO = "/root/repo"
 PKG = "bigdata_infra_cs489_spark"
 
-# any change here invalidates everything the registry serves
+# any change here invalidates everything the registry serves — including
+# the verification logic itself (tests/oracle.py defines what hash-green
+# MEANS; this tool defines how the check runs)
 FULL_SWEEP_PREFIXES = (
     f"{PKG}/plans/",
     f"{PKG}/functions/",
     f"{PKG}/sources/tables.py",
     f"{PKG}/session.py",
     "__spark_entry__.py",
+    "tests/oracle.py",
+    "tools/verify_sweep.py",
 )
 
 
