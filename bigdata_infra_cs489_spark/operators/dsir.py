@@ -249,3 +249,69 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered-query-shaped entry for the resampling step."""
     target, raw = _split_target_raw(spark, sf_dir)
     return dsir_resample_topk(target, raw)
+
+
+# --- corpus drift monitoring (the data-mixing shelf's QA gate) --------------
+
+DRIFT_BUCKET_PPM = 1000  # a bucket is "shifted" when |p - q| >= this
+
+
+def token_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus drift card: (n_old_tokens, n_new_tokens, tvd_micro,
+    js_micro, n_shifted_buckets) comparing the NEW crawl batch's hashed
+    token distribution against the standing corpus's — the monitor a
+    recurring ingest runs before letting an increment into training
+    (a scraper regression, language flip, or spam flood shows up as a
+    step change in total-variation / Jensen-Shannon distance long
+    before any downstream eval moves). Slices follow the
+    incremental-family convention (doc_id % NEW_BATCH_MOD).
+
+    Determinism/scale design (the dsir_logratios discipline): both
+    distributions come from ONE tagged token-stream pass partially
+    aggregated to <= 2*DSIR_BUCKETS rows (model-sized at any corpus
+    scale); each bucket's |p-q| and JS terms are computed once from
+    identical int64-count divisions and immediately rounded half-up to
+    micro units, so the cross-bucket sums are EXACT integer arithmetic
+    — a float sum over buckets would make the report depend on
+    accumulation order, which DuckDB's unordered aggregate does not
+    pin. Zero-token slices degrade to an all-zeros row."""
+    from .dedup import NEW_BATCH_MOD
+
+    docs = load(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "text"
+    )
+    is_new = (F.col("doc_id") % NEW_BATCH_MOD) == (NEW_BATCH_MOD - 1)
+    tagged = docs.select(is_new.cast("int").alias("side"), "text")
+    toks = exploded_tokens(tagged, keep=("side",))
+    counts = (
+        toks.select("side", (h8(F.col("word")) % DSIR_BUCKETS).alias("bucket"))
+        .groupBy("side", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    old = {int(r["bucket"]): int(r["n"]) for r in counts if r["side"] == 0}
+    new = {int(r["bucket"]): int(r["n"]) for r in counts if r["side"] == 1}
+    n_old, n_new = sum(old.values()), sum(new.values())
+    tvd = js = shifted = 0
+    if n_old and n_new:
+        for b in range(DSIR_BUCKETS):
+            p = old.get(b, 0) / float(n_old)
+            q = new.get(b, 0) / float(n_new)
+            if p == 0.0 and q == 0.0:
+                continue
+            d = int(math.floor(abs(p - q) * _MICRO + 0.5))
+            tvd += int(math.floor(abs(p - q) * 0.5 * _MICRO + 0.5))
+            if d >= DRIFT_BUCKET_PPM:
+                shifted += 1
+            m = (p + q) / 2.0
+            t = 0.0
+            if p > 0.0:
+                t += 0.5 * p * math.log(p / m)
+            if q > 0.0:
+                t += 0.5 * q * math.log(q / m)
+            js += int(math.floor(t * _MICRO + 0.5))
+    return spark.createDataFrame(
+        [(n_old, n_new, tvd, js, shifted)],
+        "n_old_tokens bigint, n_new_tokens bigint, tvd_micro bigint,"
+        " js_micro bigint, n_shifted_buckets bigint",
+    )

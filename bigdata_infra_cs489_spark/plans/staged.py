@@ -43,6 +43,7 @@ def staged_queries() -> dict[str, QueryFn]:
     from ..operators.ccnet import ccnet_bucket_stats, ccnet_perplexity_buckets
     from ..operators.curate import curation_funnel
     from ..operators.dedup import cdc_chunk_stats, near_dup_method_audit
+    from ..operators.dsir import token_drift_report
     from ..operators.extraction import crawl_frontier, link_indegree_hist
     from ..operators.multimodal import media_content_dedup
     from ..operators.sampling import source_mixture_plan, split_balance_report
@@ -62,4 +63,5 @@ def staged_queries() -> dict[str, QueryFn]:
         "media_content_dedup": media_content_dedup,
         "crawl_frontier": crawl_frontier,
         "near_dup_method_audit": near_dup_method_audit,
+        "token_drift_report": token_drift_report,
     }
