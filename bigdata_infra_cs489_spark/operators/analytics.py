@@ -847,3 +847,53 @@ def user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_share_ppm"),
         )
     )
+
+
+ANOMALY_Z = 2.0  # |z| at or above this flags the day
+
+
+def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, n_events, z_score, is_anomaly): daily event
+    volumes z-scored against their own event type's distribution over
+    days — the ops-dashboard anomaly scan that surfaces an outage (count
+    collapse) or a bot flood (spike) per event family without anyone
+    choosing absolute thresholds.
+
+    Determinism/scale design: daily counts are ONE partial-aggregated
+    groupBy; per-type mean/std derive from exact int64 (n, Σn, Σn²)
+    aggregates — #event-types rows, broadcast back — with the variance
+    computed by ONE fixed double expression over those identical
+    integers on both engines, so the 6dp-rounded z can never diverge;
+    the anomaly flag thresholds on the ROUNDED z (the qualitymodel pred
+    discipline). Types observed on a single day (no variance ground) and
+    zero-variance types degrade to z = 0 / false."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+        F.sum("n_events").cast("bigint").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("bigint").alias("ss"),
+    )
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("d")
+    ) / (F.col("d") - 1)
+    z = F.when(
+        (F.col("d") > 1) & (var > 0),
+        F.round(
+            (F.col("n_events") - F.col("s").cast("double") / F.col("d"))
+            / F.sqrt(var),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "n_events",
+        z.alias("z_score"),
+        (F.abs(z) >= ANOMALY_Z).alias("is_anomaly"),
+    )

@@ -40,6 +40,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def staged_queries() -> dict[str, QueryFn]:
     """name -> callable for every plan-auditable staged operator."""
+    from ..operators.analytics import events_anomaly_days
     from ..operators.ccnet import ccnet_bucket_stats, ccnet_perplexity_buckets
     from ..operators.curate import curation_funnel
     from ..operators.dedup import cdc_chunk_stats, near_dup_method_audit
@@ -64,4 +65,5 @@ def staged_queries() -> dict[str, QueryFn]:
         "crawl_frontier": crawl_frontier,
         "near_dup_method_audit": near_dup_method_audit,
         "token_drift_report": token_drift_report,
+        "events_anomaly_days": events_anomaly_days,
     }
