@@ -63,13 +63,13 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # source_mixture_plan, link_indegree_hist, pq_distortion_stats,
 # contamination_spans, cdc_chunk_stats, split_balance_report,
 # curation_funnel, media_content_dedup, crawl_frontier,
-# near_dup_method_audit (12 plan-auditable), plus bpe_encode_stats
-# (ITERATIVE trainer loop, excluded from the plan-auditable listing
-# like bpe_merges) — 13 queries. Round-9 window = these 13 + the 14
-# r4-stale overflow (spam_model_auc .. weekly_active_users) + the 23
-# alphabetically-first r5-stale queries; the remaining 24 r5 queries
-# reach lag 5 at round 10, exactly the size-derived bound for a
-# 224-query registry.
+# near_dup_method_audit, token_drift_report, events_anomaly_days
+# (14 plan-auditable), plus bpe_encode_stats (ITERATIVE trainer loop,
+# excluded from the plan-auditable listing like bpe_merges) — 15
+# queries. Round-9 window = these 15 + the 14 r4-stale overflow
+# (spam_model_auc .. weekly_active_users) + the 21 alphabetically-first
+# r5-stale queries; the remaining 26 r5 queries reach lag 5 at round
+# 10, inside the size-derived bound for a 226-query registry.
 _DRIVER_WINDOW_FIRST = (
     # -- slots 1-16: registered this round, never driver-checked ------
     "dsir_resample",
