@@ -467,8 +467,9 @@ def split_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(split, lang, n_docs, expected_micro, deviation_ppm): the split
     QA gate — for every (split, language) stratum, the observed count
     against the expectation implied by the split's target percentages
-    and the language's corpus share, with the relative deviation in
-    exact ppm. A salted-hash split is only pseudo-random; this is the
+    and the language's corpus share, with the relative deviation in ppm
+    (divisor rescaled to whole docs so the integer arithmetic holds at
+    any stratum size). A salted-hash split is only pseudo-random; this is the
     audit a release runs to prove no stratum drifted (a language whose
     doc ids cluster could silently starve val/test).
 
@@ -514,9 +515,13 @@ def split_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_docs",
             expected.alias("expected_micro"),
+            # divide by the expectation rescaled to whole docs instead of
+            # multiplying the micro-doc diff by 1e6: the intermediate
+            # stays at micro-doc magnitude (int64-safe past 9.2M-doc
+            # strata, where diff*1e6 would wrap)
             F.expr(
-                "CAST(abs(n_docs * 1000000L - expected_micro) * 1000000L"
-                " div greatest(expected_micro, 1L) AS BIGINT)"
+                "CAST(abs(n_docs * 1000000L - expected_micro)"
+                " div greatest(expected_micro div 1000000L, 1L) AS BIGINT)"
             ).alias("deviation_ppm"),
         )
     )

@@ -5293,3 +5293,597 @@ register(
     FROM packed WHERE cum_kept_tokens <= {CU.CURATE_TOKEN_BUDGET}
     """,
 )
+
+# --- round-9 rotation: the staged round-8 families register -----------------
+# Each oracle below was written alongside its operator in round 8 and
+# value-verified in its family's test file while staged (the test files
+# now import these single-sourced strings, the DSIR/PII discipline).
+
+from ..operators import ccnet as CN  # noqa: E402
+
+# -- CCNet perplexity terciles (operators/ccnet.py) --------------------------
+
+_CCNET_NAMES = ", ".join(f"'{n}'" for n in CN.CCNET_BUCKET_NAMES)
+
+_CCNET_BUCKETS_SQL = f"""
+    WITH {DUCK_BIGRAM_LM_CTES},
+    withlang AS (
+        SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_nll
+        FROM lm_scored s JOIN documents d USING (doc_id)),
+    rn AS (
+        SELECT *, row_number() OVER (ORDER BY lang, avg_nll, doc_id) AS grn
+        FROM withlang),
+    pl AS (SELECT lang, min(grn) AS first_rn, count(*) AS n_lang
+           FROM rn GROUP BY lang)
+    SELECT rn.doc_id, rn.lang, rn.n_bigrams, rn.avg_nll,
+           ([{_CCNET_NAMES}])[CAST(((grn - first_rn) * {CN.CCNET_N_BUCKETS})
+                            // n_lang AS INT) + 1] AS bucket
+    FROM rn JOIN pl USING (lang)
+    """
+
+register("ccnet_perplexity_buckets", CN.ccnet_perplexity_buckets, _CCNET_BUCKETS_SQL)
+
+register(
+    "ccnet_bucket_stats",
+    CN.ccnet_bucket_stats,
+    f"""
+    WITH b AS ({_CCNET_BUCKETS_SQL})
+    SELECT lang, bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(avg_nll) AS min_nll,
+           max(avg_nll) AS max_nll,
+           CAST((sum(CAST(floor(avg_nll * 1000000 + 0.5) AS BIGINT))
+                 + count(*) // 2) // count(*) AS BIGINT) AS mean_nll_micro
+    FROM b GROUP BY lang, bucket
+    """,
+)
+
+# -- temperature-mixed source plan (operators/sampling.py) -------------------
+
+register(
+    "source_mixture_plan",
+    SA.source_mixture_plan,
+    f"""
+    WITH tq AS ({_TEXT_QUALITY_SQL}),
+    per_src AS (
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(coalesce(sum(tq.n_tokens), 0) AS BIGINT) AS total_tokens
+        FROM documents d JOIN tq USING (doc_id)
+        GROUP BY d.source),
+    w AS (
+        SELECT *,
+               CASE WHEN total_tokens > 0
+                    THEN CAST(floor(pow(total_tokens, {SA.MIX_ALPHA}) * 1000000
+                                    + 0.5) AS BIGINT)
+                    ELSE 0 END AS wi
+        FROM per_src),
+    tot AS (SELECT sum(total_tokens) AS grand, sum(wi) AS s FROM w),
+    shares AS (
+        SELECT w.source, w.n_docs, w.total_tokens,
+               CASE WHEN w.total_tokens > 0
+                    THEN round(CAST(w.total_tokens AS DOUBLE)
+                               / CAST(tot.grand AS DOUBLE), 6)
+                    ELSE 0.0 END AS p_raw,
+               CASE WHEN w.total_tokens > 0
+                    THEN round(CAST(w.wi AS DOUBLE) / CAST(tot.s AS DOUBLE), 6)
+                    ELSE 0.0 END AS p_temp
+        FROM w, tot)
+    SELECT source, n_docs, total_tokens, p_raw, p_temp,
+           CAST(floor(p_temp * {SA.MIX_TRAIN_BUDGET} + 0.5) AS BIGINT)
+               AS draw_tokens,
+           CASE WHEN total_tokens > 0
+                THEN CAST((CAST(floor(p_temp * {SA.MIX_TRAIN_BUDGET} + 0.5)
+                                AS BIGINT) * 1000000 + total_tokens // 2)
+                          // total_tokens AS BIGINT)
+                ELSE 0 END AS epochs_micro
+    FROM shares
+    """,
+)
+
+# -- split-balance stratum QA (operators/sampling.py) ------------------------
+# deviation_ppm divides by the micro-doc expectation RESCALED to docs
+# (expected_micro // 1e6) so the intermediate never exceeds micro-doc
+# magnitude — the int64-overflow fix from the round-8 advisory.
+
+_SPLIT_H = DUCK_H8.format(x=f"(CAST(doc_id AS VARCHAR) || '{SA.SPLIT_SALT}')")
+_SPLIT_PCT = (
+    f"(CASE p.split WHEN 'train' THEN {SA.TRAIN_PCT}"
+    f" WHEN 'val' THEN {SA.VAL_PCT}"
+    f" ELSE {100 - SA.TRAIN_PCT - SA.VAL_PCT} END)"
+)
+
+register(
+    "split_balance_report",
+    SA.split_balance_report,
+    f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               CASE WHEN ({_SPLIT_H}) % 100 < {SA.TRAIN_PCT} THEN 'train'
+                    WHEN ({_SPLIT_H}) % 100 < {SA.TRAIN_PCT + SA.VAL_PCT}
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents),
+    per AS (SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM s GROUP BY split, lang),
+    lt AS (SELECT lang, CAST(count(*) AS BIGINT) AS lang_docs
+           FROM s GROUP BY lang),
+    spine AS (
+        SELECT sp.split, lt.lang, lt.lang_docs,
+               CAST(coalesce(per.n_docs, 0) AS BIGINT) AS n_docs
+        FROM (SELECT unnest(['train', 'val', 'test']) AS split) sp
+        CROSS JOIN lt
+        LEFT JOIN per ON per.split = sp.split AND per.lang = lt.lang)
+    SELECT p.split, p.lang, p.n_docs,
+           CAST(lt.lang_docs * {_SPLIT_PCT} * 10000 AS BIGINT)
+               AS expected_micro,
+           CAST(abs(p.n_docs * 1000000 - lt.lang_docs * {_SPLIT_PCT} * 10000)
+                // greatest(lt.lang_docs * {_SPLIT_PCT} * 10000 // 1000000, 1)
+                AS BIGINT) AS deviation_ppm
+    FROM spine p, lt WHERE lt.lang = p.lang
+    """,
+)
+
+# -- crawl-link graph cards (operators/extraction.py) ------------------------
+
+_LINK_DEG_CTES = f"""
+    d AS ({DUCK_HTML_DECORATED}),
+    edges AS (
+        SELECT doc_id AS src, CAST(h AS BIGINT) AS dst
+        FROM (SELECT doc_id,
+                     unnest(regexp_extract_all(html, 'href="/doc/(\\d+)"', 1))
+                         AS h
+              FROM d)),
+    deg AS (SELECT dst, CAST(count(*) AS BIGINT) AS in_degree
+            FROM edges GROUP BY dst)
+"""
+
+register(
+    "link_indegree_hist",
+    EX.link_indegree_hist,
+    f"""
+    WITH {_LINK_DEG_CTES}
+    SELECT in_degree,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           min(dst) AS min_page,
+           max(dst) AS max_page
+    FROM deg GROUP BY in_degree
+    """,
+)
+
+register(
+    "crawl_frontier",
+    EX.crawl_frontier,
+    f"""
+    WITH {_LINK_DEG_CTES},
+    fr AS (SELECT * FROM deg
+           WHERE dst NOT IN (SELECT doc_id FROM documents)
+           ORDER BY in_degree DESC, dst ASC LIMIT {EX.FRONTIER_K})
+    SELECT CAST(row_number() OVER (ORDER BY in_degree DESC, dst ASC)
+                AS INT) AS rank,
+           dst AS page, in_degree
+    FROM fr
+    """,
+)
+
+# -- PQ quantization distortion card (operators/similarity.py) ---------------
+
+register(
+    "pq_distortion_stats",
+    S.pq_distortion_stats,
+    f"""
+    WITH {_PQ_COMMON},
+    mind AS (
+        SELECT vec_id, j, min(dist) AS dmin FROM d GROUP BY vec_id, j),
+    micro AS (
+        SELECT CAST(j AS INT) AS subspace,
+               CAST(floor(dmin * 1000000 + 0.5) AS BIGINT) AS mc
+        FROM mind)
+    SELECT subspace,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST((sum(mc) + count(*) // 2) // count(*) AS BIGINT)
+               AS mean_sqdist_micro,
+           CAST(max(mc) AS BIGINT) AS max_sqdist_micro
+    FROM micro GROUP BY subspace
+    """,
+)
+
+# -- position-level contamination spans (operators/spans.py) -----------------
+
+register(
+    "contamination_spans",
+    SP.contamination_spans,
+    f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    {DUCK_SPAN_GRAM_CTES.lstrip()},
+    ev AS (SELECT DISTINCT gram FROM grams
+           WHERE doc_id < {D.CONTAM_EVAL_MAX_ID}),
+    hits AS (SELECT g.doc_id, g.n_tokens, g.pos
+             FROM grams g JOIN ev USING (gram)
+             WHERE g.doc_id >= {D.CONTAM_EVAL_MAX_ID}),
+    {DUCK_SPAN_MERGE_CTES.lstrip()},
+    cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(span_len) AS BIGINT) AS contam_tokens
+            FROM spans GROUP BY doc_id),
+    spine AS (SELECT doc_id,
+                     CAST(len({DUCK_TOKS}) AS BIGINT) AS n_tokens
+              FROM documents WHERE doc_id >= {D.CONTAM_EVAL_MAX_ID})
+    SELECT s.doc_id, s.n_tokens,
+           CAST(coalesce(c.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(c.contam_tokens, 0) AS BIGINT) AS contam_tokens,
+           CAST((coalesce(c.contam_tokens, 0) * 1000000 + s.n_tokens // 2)
+                // greatest(s.n_tokens, 1) AS BIGINT) AS contam_ppm
+    FROM spine s LEFT JOIN cov c USING (doc_id)
+    """,
+)
+
+# -- content-defined-chunking dedup card (operators/dedup.py) ----------------
+
+_CDC_H = DUCK_H8.format(x="toks[i]")
+
+register(
+    "cdc_chunk_stats",
+    D.cdc_chunk_stats,
+    f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    nz AS (SELECT * FROM toks WHERE len(toks) > 0),
+    b AS (SELECT doc_id, toks,
+                 list_filter(range(1, len(toks) + 1),
+                             i -> ({_CDC_H}) % {D.CDC_MOD} = 0) AS bpos
+          FROM nz),
+    segs AS (SELECT doc_id, toks,
+                    list_concat([1], list_transform(bpos, p -> p + 1))
+                        AS starts,
+                    list_concat(bpos, [len(toks)]) AS ends
+             FROM b),
+    chunks AS (
+        SELECT doc_id,
+               array_to_string(toks[starts[k]:ends[k]], ' ') AS chunk,
+               ends[k] - starts[k] + 1 AS chunk_len
+        FROM segs, unnest(range(1, len(starts) + 1)) t(k)
+        WHERE ends[k] >= starts[k]),
+    g AS (SELECT chunk, count(*) AS n_occ, max(chunk_len) AS chunk_len
+          FROM chunks GROUP BY chunk),
+    tot AS (
+        SELECT CAST(coalesce(sum(n_occ), 0) AS BIGINT) AS n_chunks,
+               CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+               CAST(coalesce(sum(CASE WHEN n_occ > 1 THEN n_occ END), 0)
+                    AS BIGINT) AS dup_occurrences,
+               CAST(coalesce(sum(n_occ - 1), 0) AS BIGINT)
+                   AS removed_occurrences,
+               CAST(coalesce(sum(n_occ * chunk_len), 0) AS BIGINT) AS sum_len
+        FROM g)
+    SELECT n_chunks, n_distinct_chunks, dup_occurrences, removed_occurrences,
+           CAST((removed_occurrences * 1000000 + n_chunks // 2)
+                // greatest(n_chunks, 1) AS BIGINT) AS dup_chunk_ppm,
+           CAST((sum_len * 1000000 + n_chunks // 2)
+                // greatest(n_chunks, 1) AS BIGINT) AS mean_chunk_len_micro
+    FROM tot
+    """,
+)
+
+# -- per-stage curation funnel (operators/curate.py) -------------------------
+
+def _funnel_arms() -> str:
+    stage_rows = []
+    for i, name in enumerate(CU.CURATE_FUNNEL_STAGES):
+        drop = "CAST(0 AS BIGINT)" if i == 0 else f"CAST(d{i-1} - d{i} AS BIGINT)"
+        stage_rows.append(
+            f"SELECT CAST({i} AS INT) AS stage_no, '{name}' AS stage, "
+            f"d{i} AS n_docs, t{i} AS n_tokens, {drop} AS dropped_docs "
+            "FROM agg"
+        )
+    return "\n    UNION ALL ".join(stage_rows)
+
+
+register(
+    "curation_funnel",
+    CU.curation_funnel,
+    f"""
+    WITH RECURSIVE {DUCK_MINHASH_PAIR_CTES},{DUCK_SPAN_TAIL_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        WHERE jaccard >= {D.JACCARD_THRESHOLD}
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+        WHERE jaccard >= {D.JACCARD_THRESHOLD}),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    cl AS (SELECT src AS doc_id, min(dst) AS cluster_id
+           FROM reach GROUP BY src),
+    chars AS (SELECT doc_id, CAST(len(text) AS INT) AS n_chars FROM documents),
+    reps AS (
+        SELECT doc_id FROM (
+            SELECT cl.doc_id,
+                   row_number() OVER (PARTITION BY cl.cluster_id
+                       ORDER BY chars.n_chars DESC, cl.doc_id ASC) AS rn
+            FROM cl JOIN chars USING (doc_id))
+        WHERE rn = 1),
+    ex AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS can
+            FROM documents)
+        WHERE doc_id = can),
+    cov AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_tokens
+            FROM spans GROUP BY doc_id),
+    alltoks AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM toks),
+    sp AS (
+        SELECT a.doc_id, a.n_tokens,
+               coalesce(c.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens
+        FROM alltoks a LEFT JOIN cov c USING (doc_id)),
+    tq AS ({_TEXT_QUALITY_SQL}),
+    kept AS (
+        SELECT r.doc_id, sp.n_tokens - sp.dup_tokens AS kept_tokens,
+               tq.quality_score
+        FROM reps r
+        JOIN ex USING (doc_id)
+        JOIN sp USING (doc_id)
+        JOIN tq USING (doc_id)
+        WHERE tq.quality_score >= {CU.CURATE_MIN_QUALITY}
+          AND sp.dup_tokens * {CU.CURATE_MAX_DUP_DEN} <= sp.n_tokens),
+    packed AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, sum(kept_tokens) OVER (
+                       ORDER BY quality_score DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM kept)
+        WHERE cum <= {CU.CURATE_TOKEN_BUDGET}),
+    f AS (
+        SELECT d.doc_id, sp.n_tokens,
+               ex.doc_id IS NOT NULL AS f1,
+               ex.doc_id IS NOT NULL AND rp.doc_id IS NOT NULL AS f2,
+               ex.doc_id IS NOT NULL AND rp.doc_id IS NOT NULL
+                   AND tq.quality_score >= {CU.CURATE_MIN_QUALITY} AS f3,
+               ex.doc_id IS NOT NULL AND rp.doc_id IS NOT NULL
+                   AND tq.quality_score >= {CU.CURATE_MIN_QUALITY}
+                   AND sp.dup_tokens * {CU.CURATE_MAX_DUP_DEN} <= sp.n_tokens
+                   AS f4,
+               pk.doc_id IS NOT NULL AS f5
+        FROM (SELECT doc_id FROM documents) d
+        JOIN sp USING (doc_id)
+        JOIN tq USING (doc_id)
+        LEFT JOIN ex ON ex.doc_id = d.doc_id
+        LEFT JOIN reps rp ON rp.doc_id = d.doc_id
+        LEFT JOIN packed pk ON pk.doc_id = d.doc_id),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS d0,
+               CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS t0,
+               CAST(coalesce(sum(CASE WHEN f1 THEN 1 END), 0) AS BIGINT) AS d1,
+               CAST(coalesce(sum(CASE WHEN f1 THEN n_tokens END), 0)
+                    AS BIGINT) AS t1,
+               CAST(coalesce(sum(CASE WHEN f2 THEN 1 END), 0) AS BIGINT) AS d2,
+               CAST(coalesce(sum(CASE WHEN f2 THEN n_tokens END), 0)
+                    AS BIGINT) AS t2,
+               CAST(coalesce(sum(CASE WHEN f3 THEN 1 END), 0) AS BIGINT) AS d3,
+               CAST(coalesce(sum(CASE WHEN f3 THEN n_tokens END), 0)
+                    AS BIGINT) AS t3,
+               CAST(coalesce(sum(CASE WHEN f4 THEN 1 END), 0) AS BIGINT) AS d4,
+               CAST(coalesce(sum(CASE WHEN f4 THEN n_tokens END), 0)
+                    AS BIGINT) AS t4,
+               CAST(coalesce(sum(CASE WHEN f5 THEN 1 END), 0) AS BIGINT) AS d5,
+               CAST(coalesce(sum(CASE WHEN f5 THEN n_tokens END), 0)
+                    AS BIGINT) AS t5
+        FROM f)
+    {_funnel_arms()}
+    """,
+)
+
+# -- container-invariant media dedup (operators/multimodal.py) ---------------
+# The decoration's payload is repeat(md5(text), doc_id % 4 + 1) unhexed;
+# Spark's hex() renders uppercase, so the oracle normalizes the same way.
+
+register(
+    "media_content_dedup",
+    MM.media_content_dedup,
+    """
+    WITH keyed AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+               md5(upper(repeat(md5(text), CAST(doc_id % 4 + 1 AS INT))))
+                   AS dig
+        FROM documents),
+    canon AS (
+        SELECT dig, min(doc_id) AS content_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM keyed GROUP BY dig)
+    SELECT k.doc_id, k.media_type, c.content_id, c.n_copies,
+           k.doc_id != c.content_id AS is_duplicate
+    FROM keyed k JOIN canon c USING (dig)
+    """,
+)
+
+# -- cross-method near-dup agreement matrix (operators/dedup.py) -------------
+
+register(
+    "near_dup_method_audit",
+    D.near_dup_method_audit,
+    f"""
+    WITH {DUCK_MINHASH_PAIR_CTES},
+    mh AS (SELECT doc_a, doc_b FROM pairs
+           WHERE jaccard >= {D.JACCARD_THRESHOLD}),
+    ng_ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+    ng AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS na, b.n_sh AS nb, count(*) AS c
+            FROM ng_ex a JOIN ng_ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+        WHERE round(c / (na + nb - c), 6) >= 0.5),
+    tf AS (SELECT doc_id, tok, count(*) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+           GROUP BY doc_id, tok),
+    hh AS (SELECT doc_id, tf, {DUCK_H8.format(x='tok')} AS h FROM tf),
+    votes AS (
+        SELECT doc_id, j, sum(tf * (((h >> j) & 1) * 2 - 1)) AS v
+        FROM hh, unnest(range(0, {D.SIMHASH_BITS})) t(j)
+        GROUP BY doc_id, j),
+    fps AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id),
+    sh_pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash))
+              <= {D.HAMMING_THRESHOLD}),
+    ed AS (
+        SELECT doc_a, doc_b FROM cand
+        JOIN documents da ON da.doc_id = doc_a
+        JOIN documents db ON db.doc_id = doc_b
+        WHERE round(1.0 - levenshtein(da.text, db.text)
+              / greatest(len(da.text), len(db.text), 1), 6)
+              >= {D.EDIT_SIM_MIN}),
+    tagged AS (
+        SELECT 'minhash' AS m, doc_a, doc_b FROM mh
+        UNION ALL SELECT 'ngram', doc_a, doc_b FROM ng
+        UNION ALL SELECT 'simhash', doc_a, doc_b FROM sh_pairs
+        UNION ALL SELECT 'editdist', doc_a, doc_b FROM ed),
+    methods AS (SELECT unnest(['editdist', 'minhash', 'ngram',
+                               'simhash']) AS m),
+    counted AS (SELECT m, CAST(count(*) AS BIGINT) AS n_obs
+                FROM tagged GROUP BY m),
+    sizes AS (SELECT methods.m, CAST(coalesce(n_obs, 0) AS BIGINT) AS n
+              FROM methods LEFT JOIN counted USING (m)),
+    inter AS (
+        SELECT x.m AS ma, y.m AS mb, CAST(count(*) AS BIGINT) AS n_both
+        FROM tagged x JOIN tagged y
+          ON x.doc_a = y.doc_a AND x.doc_b = y.doc_b
+        WHERE x.m <= y.m GROUP BY 1, 2),
+    grid AS (
+        SELECT a.m AS ma, a.n AS n_a, b.m AS mb, b.n AS n_b
+        FROM sizes a, sizes b WHERE a.m <= b.m)
+    SELECT ma AS method_a, mb AS method_b, n_a, n_b,
+           CAST(coalesce(i.n_both, 0) AS BIGINT) AS n_both,
+           CAST((coalesce(i.n_both, 0) * 1000000
+                 + (n_a + n_b - coalesce(i.n_both, 0)) // 2)
+                // greatest(n_a + n_b - coalesce(i.n_both, 0), 1) AS BIGINT)
+               AS pair_jaccard_ppm
+    FROM grid LEFT JOIN inter i USING (ma, mb)
+    """,
+)
+
+# -- old-vs-new-batch token drift card (operators/dsir.py) -------------------
+
+_DRIFT_NEW_PRED = f"doc_id % {D.NEW_BATCH_MOD} = {D.NEW_BATCH_MOD - 1}"
+
+register(
+    "token_drift_report",
+    DS.token_drift_report,
+    f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    words AS (SELECT doc_id, unnest(toks) AS word FROM toks),
+    b AS (SELECT CASE WHEN {_DRIFT_NEW_PRED} THEN 1 ELSE 0 END AS side,
+                 {DUCK_H8.format(x='word')} % {DS.DSIR_BUCKETS} AS bucket
+          FROM words),
+    c AS (SELECT side, bucket, count(*) AS n FROM b GROUP BY side, bucket),
+    tot AS (SELECT
+                CAST(coalesce(sum(CASE WHEN side = 0 THEN n END), 0)
+                     AS BIGINT) AS n_old,
+                CAST(coalesce(sum(CASE WHEN side = 1 THEN n END), 0)
+                     AS BIGINT) AS n_new
+            FROM c),
+    pq_tbl AS (
+        SELECT g.bucket,
+               coalesce(o.n, 0) / CAST(tot.n_old AS DOUBLE) AS p,
+               coalesce(w.n, 0) / CAST(tot.n_new AS DOUBLE) AS q
+        FROM (SELECT unnest(range(0, {DS.DSIR_BUCKETS})) AS bucket) g
+        LEFT JOIN (SELECT bucket, n FROM c WHERE side = 0) o USING (bucket)
+        LEFT JOIN (SELECT bucket, n FROM c WHERE side = 1) w USING (bucket),
+        tot
+        WHERE tot.n_old > 0 AND tot.n_new > 0
+          AND (coalesce(o.n, 0) > 0 OR coalesce(w.n, 0) > 0)),
+    terms AS (
+        SELECT CAST(floor(abs(p - q) * 1000000 + 0.5) AS BIGINT) AS d,
+               CAST(floor(abs(p - q) * 0.5 * 1000000 + 0.5) AS BIGINT)
+                   AS tvd_t,
+               CAST(floor((CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p+q)/2))
+                                ELSE 0 END
+                           + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p+q)/2))
+                                  ELSE 0 END) * 1000000 + 0.5) AS BIGINT)
+                   AS js_t
+        FROM pq_tbl)
+    SELECT tot.n_old AS n_old_tokens, tot.n_new AS n_new_tokens,
+           CAST(coalesce((SELECT sum(tvd_t) FROM terms), 0) AS BIGINT)
+               AS tvd_micro,
+           CAST(coalesce((SELECT sum(js_t) FROM terms), 0) AS BIGINT)
+               AS js_micro,
+           CAST(coalesce((SELECT sum(CASE WHEN d >= {DS.DRIFT_BUCKET_PPM}
+                                          THEN 1 END) FROM terms), 0)
+                AS BIGINT) AS n_shifted_buckets
+    FROM tot
+    """,
+)
+
+# -- per-type daily z-score anomaly scan (operators/analytics.py) ------------
+
+register(
+    "events_anomaly_days",
+    AN.events_anomaly_days,
+    f"""
+    WITH daily AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type, day),
+    st AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS d,
+               CAST(sum(n_events) AS BIGINT) AS s,
+               CAST(sum(n_events * n_events) AS BIGINT) AS ss
+        FROM daily GROUP BY event_type),
+    z AS (
+        SELECT daily.event_type, daily.day, daily.n_events,
+               CASE WHEN st.d > 1
+                         AND (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / d)
+                             / (d - 1) > 0
+                    THEN round((daily.n_events - CAST(s AS DOUBLE) / d)
+                               / sqrt((CAST(ss AS DOUBLE)
+                                       - CAST(s AS DOUBLE) * s / d)
+                                      / (d - 1)), 6)
+                    ELSE 0.0 END AS z_score
+        FROM daily JOIN st USING (event_type))
+    SELECT event_type, day, n_events, z_score,
+           abs(z_score) >= {AN.ANOMALY_Z} AS is_anomaly
+    FROM z
+    """,
+)
+
+# -- BPE tokenizer apply + fertility card (operators/bpe.py) -----------------
+# ITERATIVE callable (runs the trainer loop), the bpe_merges exclusion
+# rationale in plan hygiene; value evidence in tests/test_bpe_encode.py.
+
+register(
+    "bpe_encode_stats",
+    BP.bpe_encode_stats,
+    _bpe_with(BP.N_MERGES)
+    + f""",
+    doc_words AS (
+        SELECT doc_id, unnest({DUCK_TOKS}) AS word FROM documents),
+    enc AS (
+        SELECT dw.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(v.syms)) AS BIGINT) AS n_subwords,
+               CAST(sum(len(v.word)) AS BIGINT) AS n_chars
+        FROM doc_words dw JOIN bpe_w{BP.N_MERGES} v USING (word)
+        GROUP BY dw.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(e.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(e.n_subwords, 0) AS BIGINT) AS n_subwords,
+           CAST(coalesce(e.n_chars, 0) AS BIGINT) AS n_chars,
+           CAST((coalesce(e.n_subwords, 0) * 1000000
+                 + coalesce(e.n_words, 0) // 2)
+                // greatest(coalesce(e.n_words, 0), 1) AS BIGINT)
+               AS fertility_micro,
+           CAST((coalesce(e.n_chars, 0) * 1000000
+                 + coalesce(e.n_subwords, 0) // 2)
+                // greatest(coalesce(e.n_subwords, 0), 1) AS BIGINT)
+               AS chars_per_subword_micro
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN enc e USING (doc_id)
+    """,
+)

@@ -33,96 +33,93 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 
 # The driver's correctness run covers the FIRST 50 entries of queries().
-# Round-8 rotation (new registrations + staleness refresh):
-#   slots 1-16   the full round-7-staged queue (plans/staged.py as of
-#                round 7), registered this round and never
-#                driver-checked: line dedup (+ its streaming twin, which
-#                shares incremental_line_dedup's oracle — the complete
-#                output is row-identical by the twin contract), fuzzy
-#                decontamination, the quality-distillation classifier,
-#                corpus_curate_v2, HTML extraction, JL random
-#                projection, pack_manifest, k-anonymity, DSIR
-#                resampling. Each was value-verified in pytest (inline
-#                oracle + independent Python/NumPy reimplementation)
-#                while staged, plus a 10-query sf0.1 oracle run; the
-#                driver row is the remaining external evidence.
-#   slots 17-50  34 of the 48-query cohort whose latest driver row is
-#                round 4 (alphabetical; all equally old). The remaining
-#                14 (spam_model_auc .. weekly_active_users) queue for
-#                round 9 at lag 4, inside the size-derived staleness
-#                bound max(4, ceil(211/50)) = 5 rounds mechanized by
+# Round-9 rotation (new registrations + staleness refresh):
+#   slots 1-15   the full round-8-staged queue (plans/staged.py as of
+#                round 8), registered this round and never
+#                driver-checked: CCNet perplexity terciles ×2, the
+#                temperature mixture plan, split-balance QA, the
+#                crawl-link histogram + frontier, PQ distortion,
+#                contamination spans, CDC chunk dedup, the curation
+#                funnel, container-invariant media dedup, the
+#                cross-method near-dup audit, token drift,
+#                daily-anomaly scan, and bpe_encode_stats. Each was
+#                value-verified in pytest (inline oracle + independent
+#                Python/NumPy reimplementation) while staged, plus a
+#                13-query sf0.1 oracle run (staged_oracle_sf01_r8.log);
+#                the driver row is the remaining external evidence.
+#   slots 16-29  the 14-query r4-stale overflow deferred from round 8
+#                (spam_model_auc .. weekly_active_users), now at lag 5 —
+#                exactly the size-derived staleness bound
+#                max(4, ceil(226/50)) = 5 rounds mechanized by
 #                tests/test_registry_contract.py.
-# The round-8 advisory fixes (quality_model pred thresholds on the
-# 6dp-rounded score on both engines; pack_manifest integer DIV) change
-# only slots entering the window this round; everything else keeps its
-# r5-r7 rows plus verify_sweep + pytest coverage.
+#   slots 30-50  the 21 alphabetically-first queries of the 47-query
+#                round-5 cohort (ab_test_zscore ..
+#                incremental_agg_refresh; all equally old).
+# The round-8 advisory fix (split_balance_report deviation_ppm int64
+# rescale) changes only a slot entering the window this round.
 #
-# STAGED FOR THE ROUND-9 ROTATION (built + value-verified in round 8;
-# queue single-sourced in plans/staged.py, oracle SQL in each family's
-# test file): ccnet_perplexity_buckets, ccnet_bucket_stats,
-# source_mixture_plan, link_indegree_hist, pq_distortion_stats,
-# contamination_spans, cdc_chunk_stats, split_balance_report,
-# curation_funnel, media_content_dedup, crawl_frontier,
-# near_dup_method_audit, token_drift_report, events_anomaly_days
-# (14 plan-auditable), plus bpe_encode_stats (ITERATIVE trainer loop,
-# excluded from the plan-auditable listing like bpe_merges) — 15
-# queries. Round-9 window = these 15 + the 14 r4-stale overflow
-# (spam_model_auc .. weekly_active_users) + the 21 alphabetically-first
-# r5-stale queries; the remaining 26 r5 queries reach lag 5 at round
-# 10, inside the size-derived bound for a 226-query registry.
+# ROUND-10 WINDOW, PRE-COMMITTED (the r10 staleness head-off): the
+# remaining 26 r5-stale queries (incremental_curate ..
+# weighted_sample_topn) MUST hold slots — they reach lag 5 at round 10.
+# That leaves 24 slots for round-9-staged registrations first, then the
+# alphabetical head of the round-6 cohort (50 queries, lag 4 at r10).
+# The r6 cohort's overflow reaches lag 5 at round 11 and fits the
+# following window iff new registrations stay ≤ 24 slots per round at
+# the current registry size — keep the r9 staging queue within that.
 _DRIVER_WINDOW_FIRST = (
-    # -- slots 1-16: registered this round, never driver-checked ------
-    "dsir_resample",
-    "dup_line_stats",
-    "line_dedup_corpus",
-    "incremental_line_dedup",
-    "stream_line_dedup",
-    "contamination_near",
-    "quality_model_weights",
-    "quality_model_scores",
-    "quality_model_report",
-    "corpus_curate_v2",
-    "html_extract",
-    "html_link_edges",
-    "rp_projected",
-    "rp_recall_topk",
-    "pack_manifest",
-    "k_anonymity_report",
-    # -- slots 17-50: latest driver row round 4 ------------------------
-    "bloom_prefilter_check",
-    "bpe_merges",
-    "bpe_token_counts",
-    "cms_heavy_hitters",
-    "corpus_report",
-    "customer_rfm",
-    "dedup_keep_best",
-    "editdist_near_duplicates",
-    "embedding_drift",
-    "events_json_stats",
-    "events_quality_gate",
-    "events_sessionize",
-    "incremental_dedup_assign",
-    "ivf_topk_trained",
-    "ivf_train_centroids",
-    "ivfpq_topk",
-    "ivfpq_topk_indexed",
-    "jaccard_prefix_join",
-    "jsonl_roundtrip_events",
-    "lang_mixture_rates",
-    "leakage_safe_split",
-    "lsh_topk_indexed",
-    "minhash_estimate_error",
-    "orc_roundtrip_customer",
-    "partitioned_day_scan",
-    "pq_codes",
-    "pq_topk",
-    "schema_evolution_events",
-    "sequence_pack",
-    "source_dedup_rates",
-    "source_lang_entropy",
-    "spam_apply",
-    "spam_ensemble_average",
-    "spam_ensemble_vote",
+    # -- slots 1-15: registered this round, never driver-checked ------
+    "ccnet_perplexity_buckets",
+    "ccnet_bucket_stats",
+    "source_mixture_plan",
+    "split_balance_report",
+    "link_indegree_hist",
+    "crawl_frontier",
+    "pq_distortion_stats",
+    "contamination_spans",
+    "cdc_chunk_stats",
+    "curation_funnel",
+    "media_content_dedup",
+    "near_dup_method_audit",
+    "token_drift_report",
+    "events_anomaly_days",
+    "bpe_encode_stats",
+    # -- slots 16-29: latest driver row round 4 (lag-5 deadline) -------
+    "spam_model_auc",
+    "spam_train",
+    "spam_train_shuffled",
+    "stream_partitioned_sink",
+    "stream_upsert_user_state",
+    "term_lookup",
+    "token_budget_pack",
+    "token_zipf_stats",
+    "user_churn_flags",
+    "user_decayed_value",
+    "user_feature_matrix",
+    "user_retention_cohorts",
+    "user_scd2_history",
+    "weekly_active_users",
+    # -- slots 30-50: latest driver row round 5 (alphabetical head) ----
+    "ab_test_zscore",
+    "bucketed_customer_orders",
+    "cluster_balanced_sample",
+    "conversion_attribution",
+    "corpus_curate",
+    "corpus_novelty",
+    "cross_source_overlap",
+    "daily_value_ewma",
+    "doc_chunks",
+    "doc_keywords",
+    "dup_span_stats",
+    "event_type_transitions",
+    "events_debounced",
+    "events_exact_median_global",
+    "events_seasonality",
+    "events_throttled",
+    "events_value_histogram",
+    "events_value_median_by_type",
+    "funnel_latency",
+    "heavy_key_report",
+    "incremental_agg_refresh",
 )
 
 

@@ -1,6 +1,6 @@
 """events_anomaly_days (per-type daily z-score anomaly scan) vs an
 inline DuckDB oracle AND a NumPy replay plus a crafted-spike corpus
-check (staged for round-9 registration per the window contract)."""
+check (single-sourced in plans/catalog.py since round-9 registration)."""
 
 from __future__ import annotations
 
@@ -13,37 +13,13 @@ from bigdata_infra_cs489_spark.operators.analytics import (
 
 from .oracle import assert_matches_oracle
 
-_SQL = f"""
-    WITH daily AS (
-        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-               CAST(count(*) AS BIGINT) AS n_events
-        FROM events GROUP BY event_type, day),
-    st AS (
-        SELECT event_type,
-               CAST(count(*) AS BIGINT) AS d,
-               CAST(sum(n_events) AS BIGINT) AS s,
-               CAST(sum(n_events * n_events) AS BIGINT) AS ss
-        FROM daily GROUP BY event_type),
-    z AS (
-        SELECT daily.event_type, daily.day, daily.n_events,
-               CASE WHEN st.d > 1
-                         AND (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / d)
-                             / (d - 1) > 0
-                    THEN round((daily.n_events - CAST(s AS DOUBLE) / d)
-                               / sqrt((CAST(ss AS DOUBLE)
-                                       - CAST(s AS DOUBLE) * s / d)
-                                      / (d - 1)), 6)
-                    ELSE 0.0 END AS z_score
-        FROM daily JOIN st USING (event_type))
-    SELECT event_type, day, n_events, z_score,
-           abs(z_score) >= {ANOMALY_Z} AS is_anomaly
-    FROM z
-"""
-
-
 def test_matches_oracle(spark, sf_correct):
+    import __spark_entry__ as entrymod
+
     assert_matches_oracle(
-        events_anomaly_days(spark, sf_correct), _SQL, sf_correct
+        events_anomaly_days(spark, sf_correct),
+        entrymod.oracle_sql()["events_anomaly_days"],
+        sf_correct,
     )
 
 

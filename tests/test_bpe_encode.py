@@ -20,36 +20,9 @@ from .oracle import assert_matches_oracle
 
 
 def _encode_sql() -> str:
-    from bigdata_infra_cs489_spark.plans.catalog import DUCK_TOKS, _bpe_with
+    import __spark_entry__ as entrymod
 
-    return (
-        _bpe_with(N_MERGES)
-        + f""",
-    doc_words AS (
-        SELECT doc_id, unnest({DUCK_TOKS}) AS word FROM documents),
-    enc AS (
-        SELECT dw.doc_id,
-               CAST(count(*) AS BIGINT) AS n_words,
-               CAST(sum(len(v.syms)) AS BIGINT) AS n_subwords,
-               CAST(sum(len(v.word)) AS BIGINT) AS n_chars
-        FROM doc_words dw JOIN bpe_w{N_MERGES} v USING (word)
-        GROUP BY dw.doc_id)
-    SELECT d.doc_id,
-           CAST(coalesce(e.n_words, 0) AS BIGINT) AS n_words,
-           CAST(coalesce(e.n_subwords, 0) AS BIGINT) AS n_subwords,
-           CAST(coalesce(e.n_chars, 0) AS BIGINT) AS n_chars,
-           CAST((coalesce(e.n_subwords, 0) * 1000000
-                 + coalesce(e.n_words, 0) // 2)
-                // greatest(coalesce(e.n_words, 0), 1) AS BIGINT)
-               AS fertility_micro,
-           CAST((coalesce(e.n_chars, 0) * 1000000
-                 + coalesce(e.n_subwords, 0) // 2)
-                // greatest(coalesce(e.n_subwords, 0), 1) AS BIGINT)
-               AS chars_per_subword_micro
-    FROM (SELECT doc_id FROM documents) d
-    LEFT JOIN enc e USING (doc_id)
-    """
-    )
+    return entrymod.oracle_sql()["bpe_encode_stats"]
 
 
 def test_matches_oracle(spark, sf_correct):

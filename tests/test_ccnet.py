@@ -1,7 +1,6 @@
 """CCNet perplexity terciles vs an inline DuckDB oracle (composed from
 the registered bigram-LM fragment) AND a pure-Python replay of the
-bucket arithmetic (staged for round-9 registration per the window
-contract)."""
+bucket arithmetic (single-sourced in plans/catalog.py since round-9 registration)."""
 
 from __future__ import annotations
 
@@ -16,37 +15,15 @@ from .oracle import assert_matches_oracle
 
 
 def _buckets_sql() -> str:
-    from bigdata_infra_cs489_spark.plans.catalog import DUCK_BIGRAM_LM_CTES
+    import __spark_entry__ as entrymod
 
-    names = ", ".join(f"'{n}'" for n in CCNET_BUCKET_NAMES)
-    return f"""
-    WITH {DUCK_BIGRAM_LM_CTES},
-    withlang AS (
-        SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_nll
-        FROM lm_scored s JOIN documents d USING (doc_id)),
-    rn AS (
-        SELECT *, row_number() OVER (ORDER BY lang, avg_nll, doc_id) AS grn
-        FROM withlang),
-    pl AS (SELECT lang, min(grn) AS first_rn, count(*) AS n_lang
-           FROM rn GROUP BY lang)
-    SELECT rn.doc_id, rn.lang, rn.n_bigrams, rn.avg_nll,
-           ([{names}])[CAST(((grn - first_rn) * {CCNET_N_BUCKETS})
-                            // n_lang AS INT) + 1] AS bucket
-    FROM rn JOIN pl USING (lang)
-    """
+    return entrymod.oracle_sql()["ccnet_perplexity_buckets"]
 
 
 def _stats_sql() -> str:
-    return f"""
-    WITH b AS ({_buckets_sql()})
-    SELECT lang, bucket,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           min(avg_nll) AS min_nll,
-           max(avg_nll) AS max_nll,
-           CAST((sum(CAST(floor(avg_nll * 1000000 + 0.5) AS BIGINT))
-                 + count(*) // 2) // count(*) AS BIGINT) AS mean_nll_micro
-    FROM b GROUP BY lang, bucket
-    """
+    import __spark_entry__ as entrymod
+
+    return entrymod.oracle_sql()["ccnet_bucket_stats"]
 
 
 def test_buckets_match_oracle(spark, sf_correct):

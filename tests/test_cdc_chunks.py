@@ -1,7 +1,6 @@
 """Content-defined chunking dedup vs an inline DuckDB oracle AND a
 pure-Python replay of the cut rule, plus the shift-robustness property
-fixed windows lack (staged for round-9 registration per the window
-contract)."""
+fixed windows lack (single-sourced in plans/catalog.py since round-9 registration)."""
 
 from __future__ import annotations
 
@@ -18,45 +17,9 @@ from .oracle import assert_matches_oracle
 
 
 def _stats_sql() -> str:
-    from bigdata_infra_cs489_spark.plans.catalog import DUCK_H8, DUCK_TOKS
+    import __spark_entry__ as entrymod
 
-    h = DUCK_H8.format(x="toks[i]")
-    return f"""
-    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
-    nz AS (SELECT * FROM toks WHERE len(toks) > 0),
-    b AS (SELECT doc_id, toks,
-                 list_filter(range(1, len(toks) + 1),
-                             i -> ({h}) % {CDC_MOD} = 0) AS bpos
-          FROM nz),
-    segs AS (SELECT doc_id, toks,
-                    list_concat([1], list_transform(bpos, p -> p + 1))
-                        AS starts,
-                    list_concat(bpos, [len(toks)]) AS ends
-             FROM b),
-    chunks AS (
-        SELECT doc_id,
-               array_to_string(toks[starts[k]:ends[k]], ' ') AS chunk,
-               ends[k] - starts[k] + 1 AS chunk_len
-        FROM segs, unnest(range(1, len(starts) + 1)) t(k)
-        WHERE ends[k] >= starts[k]),
-    g AS (SELECT chunk, count(*) AS n_occ, max(chunk_len) AS chunk_len
-          FROM chunks GROUP BY chunk),
-    tot AS (
-        SELECT CAST(coalesce(sum(n_occ), 0) AS BIGINT) AS n_chunks,
-               CAST(count(*) AS BIGINT) AS n_distinct_chunks,
-               CAST(coalesce(sum(CASE WHEN n_occ > 1 THEN n_occ END), 0)
-                    AS BIGINT) AS dup_occurrences,
-               CAST(coalesce(sum(n_occ - 1), 0) AS BIGINT)
-                   AS removed_occurrences,
-               CAST(coalesce(sum(n_occ * chunk_len), 0) AS BIGINT) AS sum_len
-        FROM g)
-    SELECT n_chunks, n_distinct_chunks, dup_occurrences, removed_occurrences,
-           CAST((removed_occurrences * 1000000 + n_chunks // 2)
-                // greatest(n_chunks, 1) AS BIGINT) AS dup_chunk_ppm,
-           CAST((sum_len * 1000000 + n_chunks // 2)
-                // greatest(n_chunks, 1) AS BIGINT) AS mean_chunk_len_micro
-    FROM tot
-    """
+    return entrymod.oracle_sql()["cdc_chunk_stats"]
 
 
 def test_matches_oracle(spark, sf_correct):

@@ -1,7 +1,7 @@
 """contamination_spans (position-level benchmark-overlap marking) vs an
 inline DuckDB oracle composed from the shared span fragments, plus
 cross-operator consistency with the document-level contamination flags
-(staged for round-9 registration per the window contract)."""
+(single-sourced in plans/catalog.py since round-9 registration)."""
 
 from __future__ import annotations
 
@@ -15,34 +15,9 @@ from .oracle import assert_matches_oracle
 
 
 def _spans_sql() -> str:
-    from bigdata_infra_cs489_spark.plans.catalog import (
-        DUCK_SPAN_GRAM_CTES,
-        DUCK_SPAN_MERGE_CTES,
-        DUCK_TOKS,
-    )
+    import __spark_entry__ as entrymod
 
-    return f"""
-    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
-    {DUCK_SPAN_GRAM_CTES.lstrip()},
-    ev AS (SELECT DISTINCT gram FROM grams
-           WHERE doc_id < {CONTAM_EVAL_MAX_ID}),
-    hits AS (SELECT g.doc_id, g.n_tokens, g.pos
-             FROM grams g JOIN ev USING (gram)
-             WHERE g.doc_id >= {CONTAM_EVAL_MAX_ID}),
-    {DUCK_SPAN_MERGE_CTES.lstrip()},
-    cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-                   CAST(sum(span_len) AS BIGINT) AS contam_tokens
-            FROM spans GROUP BY doc_id),
-    spine AS (SELECT doc_id,
-                     CAST(len({DUCK_TOKS}) AS BIGINT) AS n_tokens
-              FROM documents WHERE doc_id >= {CONTAM_EVAL_MAX_ID})
-    SELECT s.doc_id, s.n_tokens,
-           CAST(coalesce(c.n_spans, 0) AS BIGINT) AS n_spans,
-           CAST(coalesce(c.contam_tokens, 0) AS BIGINT) AS contam_tokens,
-           CAST((coalesce(c.contam_tokens, 0) * 1000000 + s.n_tokens // 2)
-                // greatest(s.n_tokens, 1) AS BIGINT) AS contam_ppm
-    FROM spine s LEFT JOIN cov c USING (doc_id)
-    """
+    return entrymod.oracle_sql()["contamination_spans"]
 
 
 def test_matches_oracle(spark, sf_correct):

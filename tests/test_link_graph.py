@@ -1,5 +1,5 @@
 """link_indegree_hist vs an inline DuckDB oracle plus conservation
-invariants (staged for round-9 registration per the window contract)."""
+invariants (single-sourced in plans/catalog.py since round-9 registration)."""
 
 from __future__ import annotations
 
@@ -12,24 +12,9 @@ from .oracle import assert_matches_oracle
 
 
 def _hist_sql() -> str:
-    from bigdata_infra_cs489_spark.plans.catalog import DUCK_HTML_DECORATED
+    import __spark_entry__ as entrymod
 
-    return f"""
-    WITH d AS ({DUCK_HTML_DECORATED}),
-    edges AS (
-        SELECT doc_id AS src, CAST(h AS BIGINT) AS dst
-        FROM (SELECT doc_id,
-                     unnest(regexp_extract_all(html, 'href="/doc/(\\d+)"', 1))
-                         AS h
-              FROM d)),
-    deg AS (SELECT dst, CAST(count(*) AS BIGINT) AS in_degree
-            FROM edges GROUP BY dst)
-    SELECT in_degree,
-           CAST(count(*) AS BIGINT) AS n_pages,
-           min(dst) AS min_page,
-           max(dst) AS max_page
-    FROM deg GROUP BY in_degree
-    """
+    return entrymod.oracle_sql()["link_indegree_hist"]
 
 
 def test_matches_oracle(spark, sf_correct):
@@ -51,27 +36,9 @@ def test_conserves_edges_and_pages(spark, sf_smoke):
 
 
 def _frontier_sql() -> str:
-    from bigdata_infra_cs489_spark.operators.extraction import FRONTIER_K
-    from bigdata_infra_cs489_spark.plans.catalog import DUCK_HTML_DECORATED
+    import __spark_entry__ as entrymod
 
-    return f"""
-    WITH d AS ({DUCK_HTML_DECORATED}),
-    edges AS (
-        SELECT doc_id AS src, CAST(h AS BIGINT) AS dst
-        FROM (SELECT doc_id,
-                     unnest(regexp_extract_all(html, 'href="/doc/(\\d+)"', 1))
-                         AS h
-              FROM d)),
-    deg AS (SELECT dst, CAST(count(*) AS BIGINT) AS in_degree
-            FROM edges GROUP BY dst),
-    fr AS (SELECT * FROM deg
-           WHERE dst NOT IN (SELECT doc_id FROM documents)
-           ORDER BY in_degree DESC, dst ASC LIMIT {FRONTIER_K})
-    SELECT CAST(row_number() OVER (ORDER BY in_degree DESC, dst ASC)
-                AS INT) AS rank,
-           dst AS page, in_degree
-    FROM fr
-    """
+    return entrymod.oracle_sql()["crawl_frontier"]
 
 
 def test_frontier_matches_oracle(spark, sf_correct):

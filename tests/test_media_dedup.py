@@ -12,29 +12,13 @@ from bigdata_infra_cs489_spark.operators.multimodal import (
 
 from .oracle import assert_matches_oracle
 
-# The decoration's payload is repeat(md5(text), doc_id % 4 + 1) unhexed;
-# Spark's hex() renders uppercase, so the oracle normalizes the same way.
-_SQL = """
-    WITH keyed AS (
-        SELECT doc_id,
-               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-                    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-               md5(upper(repeat(md5(text), CAST(doc_id % 4 + 1 AS INT))))
-                   AS dig
-        FROM documents),
-    canon AS (
-        SELECT dig, min(doc_id) AS content_id,
-               CAST(count(*) AS BIGINT) AS n_copies
-        FROM keyed GROUP BY dig)
-    SELECT k.doc_id, k.media_type, c.content_id, c.n_copies,
-           k.doc_id != c.content_id AS is_duplicate
-    FROM keyed k JOIN canon c USING (dig)
-"""
-
-
 def test_matches_oracle(spark, sf_correct):
+    import __spark_entry__ as entrymod
+
     assert_matches_oracle(
-        media_content_dedup(spark, sf_correct), _SQL, sf_correct
+        media_content_dedup(spark, sf_correct),
+        entrymod.oracle_sql()["media_content_dedup"],
+        sf_correct,
     )
 
 

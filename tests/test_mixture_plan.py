@@ -1,7 +1,6 @@
 """source_mixture_plan vs an inline DuckDB oracle (integer-scaled pow
 weights, the lang_temperature_rates twin on the source axis) and a
-pure-Python replay of the budget/epochs arithmetic (staged for round-9
-registration per the window contract)."""
+pure-Python replay of the budget/epochs arithmetic (single-sourced in plans/catalog.py since round-9 registration)."""
 
 from __future__ import annotations
 
@@ -15,44 +14,9 @@ from .oracle import assert_matches_oracle
 
 
 def _plan_sql() -> str:
-    from bigdata_infra_cs489_spark.plans.catalog import _TEXT_QUALITY_SQL
+    import __spark_entry__ as entrymod
 
-    return f"""
-    WITH tq AS ({_TEXT_QUALITY_SQL}),
-    per_src AS (
-        SELECT d.source,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(coalesce(sum(tq.n_tokens), 0) AS BIGINT) AS total_tokens
-        FROM documents d JOIN tq USING (doc_id)
-        GROUP BY d.source),
-    w AS (
-        SELECT *,
-               CASE WHEN total_tokens > 0
-                    THEN CAST(floor(pow(total_tokens, {MIX_ALPHA}) * 1000000
-                                    + 0.5) AS BIGINT)
-                    ELSE 0 END AS wi
-        FROM per_src),
-    tot AS (SELECT sum(total_tokens) AS grand, sum(wi) AS s FROM w),
-    shares AS (
-        SELECT w.source, w.n_docs, w.total_tokens,
-               CASE WHEN w.total_tokens > 0
-                    THEN round(CAST(w.total_tokens AS DOUBLE)
-                               / CAST(tot.grand AS DOUBLE), 6)
-                    ELSE 0.0 END AS p_raw,
-               CASE WHEN w.total_tokens > 0
-                    THEN round(CAST(w.wi AS DOUBLE) / CAST(tot.s AS DOUBLE), 6)
-                    ELSE 0.0 END AS p_temp
-        FROM w, tot)
-    SELECT source, n_docs, total_tokens, p_raw, p_temp,
-           CAST(floor(p_temp * {MIX_TRAIN_BUDGET} + 0.5) AS BIGINT)
-               AS draw_tokens,
-           CASE WHEN total_tokens > 0
-                THEN CAST((CAST(floor(p_temp * {MIX_TRAIN_BUDGET} + 0.5)
-                                AS BIGINT) * 1000000 + total_tokens // 2)
-                          // total_tokens AS BIGINT)
-                ELSE 0 END AS epochs_micro
-    FROM shares
-    """
+    return entrymod.oracle_sql()["source_mixture_plan"]
 
 
 def test_matches_oracle(spark, sf_correct):

@@ -1,6 +1,5 @@
 """pq_distortion_stats vs an inline DuckDB oracle (composed from the
-registered _PQ_COMMON fragment) and a NumPy replay (staged for round-9
-registration per the window contract)."""
+registered _PQ_COMMON fragment) and a NumPy replay (single-sourced in plans/catalog.py since round-9 registration)."""
 
 from __future__ import annotations
 
@@ -17,23 +16,9 @@ from .oracle import assert_matches_oracle
 
 
 def _stats_sql() -> str:
-    from bigdata_infra_cs489_spark.plans.catalog import _PQ_COMMON
+    import __spark_entry__ as entrymod
 
-    return f"""
-    WITH {_PQ_COMMON},
-    mind AS (
-        SELECT vec_id, j, min(dist) AS dmin FROM d GROUP BY vec_id, j),
-    micro AS (
-        SELECT CAST(j AS INT) AS subspace,
-               CAST(floor(dmin * 1000000 + 0.5) AS BIGINT) AS mc
-        FROM mind)
-    SELECT subspace,
-           CAST(count(*) AS BIGINT) AS n_vecs,
-           CAST((sum(mc) + count(*) // 2) // count(*) AS BIGINT)
-               AS mean_sqdist_micro,
-           CAST(max(mc) AS BIGINT) AS max_sqdist_micro
-    FROM micro GROUP BY subspace
-    """
+    return entrymod.oracle_sql()["pq_distortion_stats"]
 
 
 def test_matches_oracle(spark, sf_correct):

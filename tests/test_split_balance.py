@@ -14,45 +14,9 @@ from .oracle import assert_matches_oracle
 
 
 def _report_sql() -> str:
-    from bigdata_infra_cs489_spark.operators import sampling as SA
-    from bigdata_infra_cs489_spark.plans.catalog import DUCK_H8
+    import __spark_entry__ as entrymod
 
-    h = DUCK_H8.format(x=f"(CAST(doc_id AS VARCHAR) || '{SA.SPLIT_SALT}')")
-    return f"""
-    WITH s AS (
-        SELECT doc_id, lang,
-               CASE WHEN ({h}) % 100 < {TRAIN_PCT} THEN 'train'
-                    WHEN ({h}) % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
-                    ELSE 'test' END AS split
-        FROM documents),
-    per AS (SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
-            FROM s GROUP BY split, lang),
-    lt AS (SELECT lang, CAST(count(*) AS BIGINT) AS lang_docs
-           FROM s GROUP BY lang),
-    spine AS (
-        SELECT sp.split, lt.lang, lt.lang_docs,
-               CAST(coalesce(per.n_docs, 0) AS BIGINT) AS n_docs
-        FROM (SELECT unnest(['train', 'val', 'test']) AS split) sp
-        CROSS JOIN lt
-        LEFT JOIN per ON per.split = sp.split AND per.lang = lt.lang)
-    SELECT p.split, p.lang, p.n_docs,
-           CAST(lt.lang_docs
-                * (CASE p.split WHEN 'train' THEN {TRAIN_PCT}
-                                WHEN 'val' THEN {VAL_PCT}
-                                ELSE {100 - TRAIN_PCT - VAL_PCT} END)
-                * 10000 AS BIGINT) AS expected_micro,
-           CAST(abs(p.n_docs * 1000000 - lt.lang_docs
-                    * (CASE p.split WHEN 'train' THEN {TRAIN_PCT}
-                                    WHEN 'val' THEN {VAL_PCT}
-                                    ELSE {100 - TRAIN_PCT - VAL_PCT} END)
-                    * 10000) * 1000000
-                // greatest(lt.lang_docs
-                    * (CASE p.split WHEN 'train' THEN {TRAIN_PCT}
-                                    WHEN 'val' THEN {VAL_PCT}
-                                    ELSE {100 - TRAIN_PCT - VAL_PCT} END)
-                    * 10000, 1) AS BIGINT) AS deviation_ppm
-    FROM spine p, lt WHERE lt.lang = p.lang
-    """
+    return entrymod.oracle_sql()["split_balance_report"]
 
 
 def test_matches_oracle(spark, sf_correct):

@@ -1,6 +1,6 @@
 """token_drift_report (old-vs-new-batch distribution drift card) vs an
 inline DuckDB oracle AND a pure-Python replay, plus a crafted-shift
-signal test (staged for round-9 registration per the window contract)."""
+signal test (single-sourced in plans/catalog.py since round-9 registration)."""
 
 from __future__ import annotations
 
@@ -21,53 +21,9 @@ from .oracle import assert_matches_oracle
 
 
 def _drift_sql() -> str:
-    from bigdata_infra_cs489_spark.operators.dedup import NEW_BATCH_MOD
-    from bigdata_infra_cs489_spark.plans.catalog import DUCK_H8, DUCK_TOKS
+    import __spark_entry__ as entrymod
 
-    new_pred = f"doc_id % {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}"
-    return f"""
-    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
-    words AS (SELECT doc_id, unnest(toks) AS word FROM toks),
-    b AS (SELECT CASE WHEN {new_pred} THEN 1 ELSE 0 END AS side,
-                 {DUCK_H8.format(x='word')} % {DSIR_BUCKETS} AS bucket
-          FROM words),
-    c AS (SELECT side, bucket, count(*) AS n FROM b GROUP BY side, bucket),
-    tot AS (SELECT
-                CAST(coalesce(sum(CASE WHEN side = 0 THEN n END), 0)
-                     AS BIGINT) AS n_old,
-                CAST(coalesce(sum(CASE WHEN side = 1 THEN n END), 0)
-                     AS BIGINT) AS n_new
-            FROM c),
-    pq_tbl AS (
-        SELECT g.bucket,
-               coalesce(o.n, 0) / CAST(tot.n_old AS DOUBLE) AS p,
-               coalesce(w.n, 0) / CAST(tot.n_new AS DOUBLE) AS q
-        FROM (SELECT unnest(range(0, {DSIR_BUCKETS})) AS bucket) g
-        LEFT JOIN (SELECT bucket, n FROM c WHERE side = 0) o USING (bucket)
-        LEFT JOIN (SELECT bucket, n FROM c WHERE side = 1) w USING (bucket),
-        tot
-        WHERE tot.n_old > 0 AND tot.n_new > 0
-          AND (coalesce(o.n, 0) > 0 OR coalesce(w.n, 0) > 0)),
-    terms AS (
-        SELECT CAST(floor(abs(p - q) * 1000000 + 0.5) AS BIGINT) AS d,
-               CAST(floor(abs(p - q) * 0.5 * 1000000 + 0.5) AS BIGINT)
-                   AS tvd_t,
-               CAST(floor((CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p+q)/2))
-                                ELSE 0 END
-                           + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p+q)/2))
-                                  ELSE 0 END) * 1000000 + 0.5) AS BIGINT)
-                   AS js_t
-        FROM pq_tbl)
-    SELECT tot.n_old AS n_old_tokens, tot.n_new AS n_new_tokens,
-           CAST(coalesce((SELECT sum(tvd_t) FROM terms), 0) AS BIGINT)
-               AS tvd_micro,
-           CAST(coalesce((SELECT sum(js_t) FROM terms), 0) AS BIGINT)
-               AS js_micro,
-           CAST(coalesce((SELECT sum(CASE WHEN d >= {DRIFT_BUCKET_PPM}
-                                          THEN 1 END) FROM terms), 0)
-                AS BIGINT) AS n_shifted_buckets
-    FROM tot
-    """
+    return entrymod.oracle_sql()["token_drift_report"]
 
 
 def test_matches_oracle(spark, sf_correct):
