@@ -3,12 +3,14 @@ decode / feature-extract / frame-sample stages as Arrow-batched
 mapInPandas operators.
 
 No reference counterpart; this is the north-star "multimodal columns"
-extension. The container has no image/audio codecs, so the *codec call*
-is stubbed exactly as the contract requires: when the real library is
-absent the decode uses a clearly-marked deterministic fake (or raises
-NotImplementedError in strict mode). Everything Spark-side is real and
-tested: binary column schema, metadata struct, mapInPandas batch shape,
-partitioning behavior.
+extension. Everything Spark-side is real and tested: binary column
+schema, metadata struct, mapInPandas batch shape, partitioning
+behavior. Since round 9 strict mode performs a REAL sample-level
+decode/resample for the two stdlib-decodable containers — zlib-PNG
+(IDAT inflate + all five scanline filters) and PCM-16 WAV (RIFF chunk
+walk + int16 frames) — with matching encoders; only genuinely
+codec-requiring containers (JPEG entropy decode) keep the honest
+NotImplementedError.
 
 Media derivation (fixture has no binary column): each doc gets a REAL
 format header followed by a deterministic payload (md5 digest bytes of
@@ -21,8 +23,9 @@ for WAV), and ``media_meta`` recovers them by PARSING those bytes —
 magic-number dispatch, marker scan for SOF0 — with JVM byte/hex
 built-ins, no Python and no codec library. The DuckDB oracle constructs
 and parses the same bytes, so width/height are real decoded data, not
-stub arithmetic. (Full image decode — IDAT inflate etc. — still sits
-behind the strict-mode NotImplementedError in decode_media.)
+stub arithmetic. (The synthetic PNG fixtures are header-only — no IDAT
+— so strict-mode pixel decode correctly refuses them; real zlib-PNGs
+built with ``encode_png`` decode fully.)
 """
 
 from __future__ import annotations
@@ -210,6 +213,182 @@ def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PNG_SIG = bytes.fromhex("89504E470D0A1A0A")
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> channels
 
+# --- real stdlib-only codecs (round-9: strict mode decodes these) -----------
+# Two genuinely decodable containers, no codec library required:
+#   - zlib-PNG: IDAT inflate (stdlib zlib) + full scanline de-filtering
+#     (all five PNG filter types), 8-bit gray / RGB / RGBA, and the
+#     matching encoder with real CRCs;
+#   - PCM WAV: proper RIFF chunk walk (not fixed offsets) + int16 sample
+#     decode, and the matching encoder.
+# JPEG stays behind NotImplementedError: baseline entropy decode
+# (Huffman + IDCT) is a codec, not container plumbing.
+
+_PNG_COLOR_TYPES = {0: 1, 2: 3, 6: 4}  # supported color type -> channels
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """A real PNG encoder: 8-bit gray/RGB/RGBA, filter-0 scanlines,
+    one zlib-deflated IDAT, spec CRCs. ``pixels`` is row-major
+    width*height*channels bytes."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes:
+    """Reverse PNG scanline filtering (types 0-4 per the spec)."""
+    stride = width * bpp
+    out = bytearray()
+    prev = bytes(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b, c = prev[i], (prev[i - bpp] if i >= bpp else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out += line
+        prev = bytes(line)
+    return bytes(out)
+
+
+def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, channels, pixels): a real pixel-level PNG decode —
+    chunk walk, concatenated-IDAT zlib inflate, scanline de-filtering.
+    Supports 8-bit depth, color types 0/2/6, no interlace; anything else
+    (palette, 16-bit, Adam7, missing IDAT — e.g. the synthetic
+    header-only fixtures) raises, keeping strict mode honest."""
+    import struct
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (length,), tag = struct.unpack(">I", b[pos : pos + 4]), b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth} unsupported")
+            if color not in _PNG_COLOR_TYPES:
+                raise NotImplementedError(f"PNG color type {color} unsupported")
+            if interlace:
+                raise NotImplementedError("interlaced PNG unsupported")
+            channels = _PNG_COLOR_TYPES[color]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + body + crc
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    if not idat:
+        raise ValueError("PNG without IDAT (header-only synthetic?)")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (1 + width * channels):
+        raise ValueError("IDAT length does not match dimensions")
+    return width, height, channels, _png_unfilter(raw, width, height, channels)
+
+
+def encode_wav(sample_rate: int, channels: int, samples: bytes) -> bytes:
+    """Canonical 44-byte-header PCM-16 WAV around raw little-endian
+    int16 frames."""
+    import struct
+
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(samples))
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH",
+            16, 1, channels, sample_rate,
+            sample_rate * channels * 2, channels * 2, 16,
+        )
+        + b"data"
+        + struct.pack("<I", len(samples))
+        + samples
+    )
+
+
+def decode_wav(b: bytes) -> tuple[int, int, list[int]]:
+    """(sample_rate, channels, samples): a real PCM-16 WAV decode with a
+    proper RIFF chunk WALK (fmt/data located by tag + size, arbitrary
+    chunk order / extra chunks tolerated). Non-PCM or non-16-bit audio
+    raises NotImplementedError — the honest strict boundary."""
+    import struct
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        tag, size = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, channels, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM-16 WAV is decodable (format {audio_format}, {bits}-bit)"
+        )
+    usable = len(data) - len(data) % (channels * 2)
+    samples = list(
+        struct.unpack(f"<{usable // 2}h", data[:usable])
+    )
+    return sample_rate, channels, samples
+
 
 def parse_media_header(b: bytes) -> tuple[int | None, int | None, int | None]:
     """(width, height, channels) parsed from real format headers — a
@@ -241,25 +420,37 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
     """mapInPandas decode stage -> (doc_id, width, height, channels).
 
     Arrow moves the binary column in columnar batches; each pandas batch
-    is decoded in bulk by parse_media_header — a REAL header decoder
-    (PNG IHDR / JPEG SOF marker walk / WAV fmt), no codec library
-    needed. strict=True demands full PIXEL decoding (IDAT inflate,
-    JPEG entropy decode), which still has no implementation in this
-    container — the honest NotImplementedError contract is unchanged.
-    """
+    is decoded in bulk. strict=False parses the REAL format headers
+    (PNG IHDR / JPEG SOF marker walk / WAV fmt) and returns their
+    metadata. strict=True demands a full SAMPLE-LEVEL decode and, since
+    round 9, delivers one for the two stdlib-decodable containers —
+    zlib-PNG (IDAT inflate + de-filter via ``decode_png``) and PCM-16
+    WAV (RIFF walk + int16 frames via ``decode_wav``) — returning
+    dimensions cross-checked against the decoded pixel/sample buffer.
+    JPEG (entropy decode) and every other container still raise
+    NotImplementedError: strict mode never presents header-only results
+    as a decode."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if strict:
-                # header metadata is decodable; PIXEL decode is not —
-                # strict mode must never present header-only results as a
-                # full decode
-                raise NotImplementedError(
-                    "pixel-level media decode not implemented"
-                    + ("" if HAVE_IMAGE_CODEC else " (and no codec installed)")
-                    + "; strict=False returns the parsed header metadata"
-                )
-            dims = [parse_media_header(bytes(m)) for m in pdf["media"]]
+                dims = []
+                for m in pdf["media"]:
+                    b = bytes(m)
+                    if b[:8] == _PNG_SIG:
+                        w, h, ch, _pixels = decode_png(b)
+                        dims.append((w, h, ch))
+                    elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                        _sr, ch, _samples = decode_wav(b)
+                        dims.append((None, None, ch))
+                    else:
+                        raise NotImplementedError(
+                            f"no sample-level decoder for container {b[:4]!r}"
+                            + ("" if HAVE_IMAGE_CODEC else " (no codec installed)")
+                            + "; strict=False returns parsed header metadata"
+                        )
+            else:
+                dims = [parse_media_header(bytes(m)) for m in pdf["media"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -295,29 +486,69 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(featurize, schema="doc_id bigint, features array<float>")
 
 
-def resize_media(df: DataFrame, target_bytes: int = 32, strict: bool = False) -> DataFrame:
+def resize_media(
+    df: DataFrame,
+    target_bytes: int = 32,
+    strict: bool = False,
+    target_w: int = 8,
+    target_h: int = 8,
+    target_rate: int = 8000,
+) -> DataFrame:
     """mapInPandas resize stage -> (doc_id, media binary, n_bytes).
 
-    A real implementation decodes, resamples to a target resolution, and
-    re-encodes; without a codec the deterministic stand-in truncates or
-    right-pads the payload by cycling it to ``target_bytes`` — preserving
-    the contract a resize has (fixed-size output derived from input) so
-    batch shape, schema, and downstream stages are testable. strict=True
-    always raises NotImplementedError (no real resample exists yet)."""
+    strict=False keeps the deterministic stand-in (cycle/truncate the
+    bytes to ``target_bytes``) so downstream batch-shape tests are
+    codec-free. strict=True performs a REAL decode -> resample ->
+    re-encode since round 9 for the two stdlib containers: zlib-PNG is
+    nearest-neighbor resampled to (``target_w``, ``target_h``) and
+    re-encoded (same channel count), PCM WAV is nearest-frame resampled
+    to ``target_rate`` and re-encoded. Other containers (JPEG) raise
+    NotImplementedError."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real media resize not implemented"
-                    + ("" if HAVE_IMAGE_CODEC else " (and no codec installed)")
-                    + "; run with strict=False for the deterministic fake"
-                )
             out = []
             for m in pdf["media"]:
                 b = bytes(m)
-                reps = (target_bytes + len(b) - 1) // len(b)
-                out.append((b * reps)[:target_bytes])
+                if not strict:
+                    reps = (target_bytes + len(b) - 1) // len(b)
+                    out.append((b * reps)[:target_bytes])
+                elif b[:8] == _PNG_SIG:
+                    w, h, ch, px = decode_png(b)
+                    rows = []
+                    for ty in range(target_h):
+                        sy = ty * h // target_h
+                        row = bytearray()
+                        for tx in range(target_w):
+                            sx = tx * w // target_w
+                            o = (sy * w + sx) * ch
+                            row += px[o : o + ch]
+                        rows.append(bytes(row))
+                    out.append(
+                        encode_png(target_w, target_h, b"".join(rows), ch)
+                    )
+                elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    sr, ch, samples = decode_wav(b)
+                    n_frames = len(samples) // ch
+                    n_out = max(1, round(n_frames * target_rate / sr))
+                    picked = []
+                    for i in range(n_out):
+                        src = min(n_frames - 1, i * n_frames // n_out)
+                        picked.extend(samples[src * ch : (src + 1) * ch])
+                    out.append(
+                        encode_wav(
+                            target_rate, ch,
+                            struct.pack(f"<{len(picked)}h", *picked),
+                        )
+                    )
+                else:
+                    raise NotImplementedError(
+                        f"no real resample for container {b[:4]!r}"
+                        + ("" if HAVE_IMAGE_CODEC else " (no codec installed)")
+                        + "; strict=False runs the deterministic stand-in"
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

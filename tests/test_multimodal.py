@@ -92,19 +92,45 @@ def test_media_meta_parses_real_headers(spark, sf_smoke):
             )
 
 
-def test_decode_strict_raises_without_codec(spark, sf_smoke):
+def test_decode_strict_refuses_undecodable_containers(spark, sf_smoke):
+    """strict mode must never present header-only results as a decode:
+    the synthetic PNG fixtures carry no IDAT (pixel decode impossible)
+    and JPEG has no stdlib entropy decoder — both raise."""
+    from pyspark.sql import functions as F
+
     from bigdata_infra_cs489_spark.operators.multimodal import (
-        HAVE_IMAGE_CODEC,
         decode_media,
         media_table,
     )
 
-    df = media_table(spark, sf_smoke).limit(4)
     from py4j.protocol import Py4JJavaError
     from pyspark.errors import PythonException
 
-    with pytest.raises((PythonException, Py4JJavaError)):
-        decode_media(df, strict=True).collect()
+    m = media_table(spark, sf_smoke)
+    for family in (0, 2):  # header-only PNG, JPEG
+        with pytest.raises((PythonException, Py4JJavaError)):
+            decode_media(
+                m.where(F.col("doc_id") % 3 == family).limit(4), strict=True
+            ).collect()
+
+
+def test_decode_strict_decodes_pcm_wav_fixture(spark, sf_smoke):
+    """The synthetic WAV docs are genuine PCM-16 containers, so strict
+    sample-level decode succeeds on them and recovers the generation
+    rule's channel count."""
+    from pyspark.sql import functions as F
+
+    from bigdata_infra_cs489_spark.operators.multimodal import (
+        decode_media,
+        media_table,
+    )
+
+    wav = media_table(spark, sf_smoke).where(F.col("doc_id") % 3 == 1)
+    rows = decode_media(wav, strict=True).collect()
+    assert rows
+    for r in rows:
+        assert (r.width, r.height) == (None, None)
+        assert r.channels == 1 + r.doc_id % 2
 
 
 def test_header_decode_matches_generation(spark, sf_smoke):
@@ -184,11 +210,11 @@ def test_resize_is_deterministic_fixed_size(spark, sf_smoke):
     assert all(r["n_bytes"] == 32 for r in a)
 
 
-def test_resize_strict_raises_without_codec(spark, sf_smoke):
+def test_resize_strict_raises_for_jpeg(spark, sf_smoke):
     import pytest
+    from pyspark.sql import functions as F
 
     from bigdata_infra_cs489_spark.operators.multimodal import (
-        HAVE_IMAGE_CODEC,
         media_table,
         resize_media,
     )
@@ -196,5 +222,153 @@ def test_resize_strict_raises_without_codec(spark, sf_smoke):
     from py4j.protocol import Py4JJavaError
     from pyspark.errors import PythonException
 
+    jpeg = media_table(spark, sf_smoke).where(F.col("doc_id") % 3 == 2)
     with pytest.raises((PythonException, Py4JJavaError)):
-        resize_media(media_table(spark, sf_smoke), strict=True).collect()
+        resize_media(jpeg, strict=True).collect()
+
+
+# --- real stdlib codecs (round 9): PNG / WAV strict paths -------------------
+
+
+def _gradient_pixels(w: int, h: int, ch: int) -> bytes:
+    return bytes(
+        (x * 13 + y * 29 + c * 57) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(ch)
+    )
+
+
+def test_png_roundtrip_all_color_types():
+    from bigdata_infra_cs489_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    for ch in (1, 3, 4):
+        px = _gradient_pixels(5, 4, ch)
+        w, h, got_ch, got = decode_png(encode_png(5, 4, px, ch))
+        assert (w, h, got_ch) == (5, 4, ch)
+        assert got == px
+
+
+def test_png_unfilter_matches_spec_filters():
+    """Decode a hand-built PNG whose IDAT uses Sub/Up/Average/Paeth
+    filtered scanlines — the decoder must reconstruct the same pixels an
+    unfiltered encoding carries."""
+    import struct
+    import zlib
+
+    from bigdata_infra_cs489_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_png,
+    )
+
+    w, h, ch = 4, 5, 3
+    px = _gradient_pixels(w, h, ch)
+    stride = w * ch
+
+    def filt(ftype: int, line: bytes, prev: bytes) -> bytes:
+        out = bytearray()
+        for i, x in enumerate(line):
+            a = line[i - ch] if i >= ch else 0
+            b, c = prev[i], (prev[i - ch] if i >= ch else 0)
+            if ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out.append((x - pred) & 0xFF)
+        return bytes(out)
+
+    ftypes = [0, 1, 2, 3, 4]
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, ftype in enumerate(ftypes):
+        line = px[y * stride : (y + 1) * stride]
+        raw += bytes([ftype]) + (line if ftype == 0 else filt(ftype, line, prev))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    b = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png(b) == (w, h, ch, px)
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """decode_wav survives an extra chunk before fmt/data (a real RIFF
+    walk, not fixed offsets) and recovers the exact int16 samples."""
+    import struct
+
+    from bigdata_infra_cs489_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = [0, 1000, -1000, 32767, -32768, 7, -7, 12345]
+    raw = struct.pack(f"<{len(samples)}h", *samples)
+    b = encode_wav(16000, 2, raw)
+    assert decode_wav(b) == (16000, 2, samples)
+    # splice a LIST chunk between WAVE and fmt
+    spliced = b[:12] + b"LIST" + struct.pack("<I", 4) + b"INFO" + b[12:]
+    assert decode_wav(spliced) == (16000, 2, samples)
+
+
+def test_resize_strict_png_nearest_neighbor(spark):
+    """strict resize of a real zlib-PNG: output re-decodes to the target
+    dims and every output pixel equals the nearest-neighbor source pixel."""
+    from bigdata_infra_cs489_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        resize_media,
+    )
+
+    w, h, ch, tw, th = 6, 4, 3, 3, 2
+    px = _gradient_pixels(w, h, ch)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(w, h, px, ch)))], "doc_id bigint, media binary"
+    )
+    out = resize_media(df, strict=True, target_w=tw, target_h=th).collect()
+    gw, gh, gch, gpx = decode_png(bytes(out[0]["media"]))
+    assert (gw, gh, gch) == (tw, th, ch)
+    for ty in range(th):
+        for tx in range(tw):
+            sx, sy = tx * w // tw, ty * h // th
+            got = gpx[(ty * tw + tx) * ch : (ty * tw + tx + 1) * ch]
+            want = px[(sy * w + sx) * ch : (sy * w + sx + 1) * ch]
+            assert got == want, (tx, ty)
+
+
+def test_resize_strict_wav_resamples_rate(spark):
+    """strict resize of a PCM WAV halves the frame count when the target
+    rate is half the source rate, keeping channel interleave intact."""
+    import struct
+
+    from bigdata_infra_cs489_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        resize_media,
+    )
+
+    frames = [(i * 100, -i * 100) for i in range(8)]  # 8 stereo frames
+    flat = [s for f in frames for s in f]
+    b = encode_wav(16000, 2, struct.pack(f"<{len(flat)}h", *flat))
+    df = spark.createDataFrame(
+        [(1, bytearray(b))], "doc_id bigint, media binary"
+    )
+    out = resize_media(df, strict=True, target_rate=8000).collect()
+    sr, ch, got = decode_wav(bytes(out[0]["media"]))
+    assert (sr, ch) == (8000, 2)
+    assert len(got) // ch == 4
+    # nearest-frame pick: frame i of the output is source frame 2i
+    for i in range(4):
+        assert tuple(got[i * 2 : i * 2 + 2]) == frames[i * 8 // 4]
