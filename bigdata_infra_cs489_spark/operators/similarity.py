@@ -753,6 +753,75 @@ def cosine_near_duplicate_pairs(
     return _block_grid_pairs(_emb(spark, sf_dir), threshold)
 
 
+def embedding_near_duplicates_scoped(
+    spark: SparkSession, sf_dir: str, threshold: float = PAIR_THRESHOLD
+) -> DataFrame:
+    """(vec_a, vec_b, cosine): the REGISTERED embedding near-dup query —
+    centroid-scoped candidate pairs (SemDeDup's within-cluster
+    discipline via scoped_near_duplicate_pairs), since round 9 the
+    default plan in place of the exact all-pairs scan: pair compute is
+    Σ_c n_c² instead of n², so no registered query's default plan is
+    quadratic in corpus size. The exact block grid
+    (cosine_near_duplicate_pairs) remains the fixture-scale recall
+    oracle, and embedding_dedup_recall pins the scoped-vs-exact pair-set
+    recall as a first-class audit card."""
+    emb = _emb(spark, sf_dir)
+    cents = _centroid_rows(spark, sf_dir, N_CENTROIDS)
+    return scoped_near_duplicate_pairs(emb, cents, threshold)
+
+
+# The audit threshold where every fixture SF carries real pair signal
+# (66/920 exact pairs at sf0.001/sf0.1; the registered 0.9 threshold
+# finds nothing in the random fixtures, making recall there vacuous).
+RECALL_AUDIT_THRESHOLD = 0.4
+
+
+def embedding_dedup_recall(
+    spark: SparkSession, sf_dir: str, threshold: float = RECALL_AUDIT_THRESHOLD
+) -> DataFrame:
+    """(n_exact_pairs, n_scoped_pairs, missed_pairs, recall_ppm,
+    max_missed_cosine): the exact-vs-scoped audit card — how many
+    above-threshold cosine pairs the centroid-scoped default plan keeps
+    (scoped ⊆ exact by construction: the scope only restricts
+    candidates, never adds) and the worst cosine it misses at a Voronoi
+    boundary. The near_dup_method_audit discipline applied to the
+    embedding family: the exact O(n²) block grid runs ONLY here, as the
+    fixture-scale recall oracle for the registered scoped plan.
+
+    Scale shape: both pair stages are block-grid applyInPandas; the
+    anti-join + global agg is one exchange on (vec_a, vec_b). At 100 TB
+    this card runs on a sampled slice — the exact leg prices it."""
+    exact = cosine_near_duplicate_pairs(spark, sf_dir, threshold)
+    scoped = embedding_near_duplicates_scoped(spark, sf_dir, threshold)
+    missed = exact.join(scoped, ["vec_a", "vec_b"], "left_anti")
+    counts = exact.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact_pairs")
+    ).crossJoin(
+        F.broadcast(
+            scoped.agg(F.count(F.lit(1)).cast("bigint").alias("n_scoped_pairs"))
+        )
+    ).crossJoin(
+        F.broadcast(
+            missed.agg(
+                F.count(F.lit(1)).cast("bigint").alias("missed_pairs"),
+                F.round(F.coalesce(F.max("cosine"), F.lit(0.0)), 6).alias(
+                    "max_missed_cosine"
+                ),
+            )
+        )
+    )
+    return counts.select(
+        "n_exact_pairs",
+        "n_scoped_pairs",
+        "missed_pairs",
+        F.expr(
+            "CAST((n_scoped_pairs * 1000000 + n_exact_pairs div 2)"
+            " div greatest(n_exact_pairs, 1) AS BIGINT)"
+        ).alias("recall_ppm"),
+        "max_missed_cosine",
+    )
+
+
 def scoped_near_duplicate_pairs(
     emb: DataFrame,
     cents: list[tuple[int, list[float]]],

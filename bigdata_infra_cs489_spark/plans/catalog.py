@@ -1231,15 +1231,37 @@ register(
     _IVF_TOPK_SQL,
 )
 
-register(
-    "embedding_near_duplicates",
-    lambda spark, sf: S.cosine_near_duplicate_pairs(spark, sf),
-    f"""
-    WITH e AS ({DUCK_EMB})
+# Since round 9 the registered plan is the centroid-SCOPED pair stage
+# (SemDeDup's within-cluster candidate discipline): pair compute is
+# Σ_c n_c², never n² in corpus size. The exact block grid
+# (cosine_near_duplicate_pairs) stays as the fixture-scale recall
+# oracle, pinned by the staged embedding_dedup_recall audit card.
+_EMB_SCOPE_CTES = f"""
+    cent AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
+             WHERE vec_id < {S.N_CENTROIDS}),
+    scoredc AS (SELECT e.vec_id, c.centroid_id,
+                       list_cosine_similarity(e.v, c.cvec) AS cos
+                FROM e, cent c),
+    best AS (SELECT vec_id, centroid_id, cos FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cos DESC, centroid_id) AS rn
+               FROM scoredc) WHERE rn = 1)"""
+
+_EMB_SCOPED_PAIRS_SQL = f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(a.v, b.v), 6) AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {S.PAIR_THRESHOLD}
+    JOIN best ba ON ba.vec_id = a.vec_id
+    JOIN best bb ON bb.vec_id = b.vec_id
+    WHERE ba.centroid_id = bb.centroid_id
+      AND round(list_cosine_similarity(a.v, b.v), 6) >= {S.PAIR_THRESHOLD}"""
+
+register(
+    "embedding_near_duplicates",
+    lambda spark, sf: S.embedding_near_duplicates_scoped(spark, sf),
+    f"""
+    WITH e AS ({DUCK_EMB}),{_EMB_SCOPE_CTES}
+    {_EMB_SCOPED_PAIRS_SQL}
     """,
 )
 

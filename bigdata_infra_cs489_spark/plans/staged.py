@@ -36,4 +36,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def staged_queries() -> dict[str, QueryFn]:
     """name -> callable for every plan-auditable staged operator."""
-    return {}
+    from ..operators.similarity import embedding_dedup_recall
+
+    return {
+        "embedding_dedup_recall": embedding_dedup_recall,
+    }
