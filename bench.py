@@ -36,6 +36,15 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     next(iter(qs.values()))(spark, sf_dir).collect()
 
+    # warm the Arrow/Python worker pool too: the first applyInPandas /
+    # applyInPandasWithState of a session pays daemon + worker spin-up
+    # (~2-4 s), which otherwise lands on whatever Arrow-stage query runs
+    # first after a window rotation and reads as a once-per-round
+    # regression (stream_running_counts r7, events_sketch_check r8)
+    spark.createDataFrame([(i,) for i in range(32)], "k bigint").groupBy(
+        "k"
+    ).applyInPandas(lambda pdf: pdf, "k bigint").collect()
+
     timings: dict[str, float] = {}
     t_all = time.time()
     for name, fn in qs.items():

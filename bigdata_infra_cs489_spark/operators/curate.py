@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import h8
 from ..sources.tables import load
-from .dedup import q_exact_dedup, q_near_duplicate_clusters
+from .dedup import q_exact_dedup, standing_full_clusters
 from .distsort import with_running_totals
 from .sampling import CLUSTER_SPLIT_SALT, TRAIN_PCT, VAL_PCT
 from .spans import dup_span_stats
@@ -86,15 +86,19 @@ def _curate_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and composing the standalone dedup_keep_best + leakage_safe_split
     # operators would run it TWICE (each re-derives clusters; the
     # checkpointed iterative lineage is opaque to Catalyst's subplan
-    # sharing). Compute clusters once; keep-best is a partial-aggregatable
-    # max_by argmax on top (NOT a cluster-partitioned window — a
-    # mega-cluster of mass duplicates would pin one task, and AQE splits
-    # skewed joins, never skewed windows; same hardening as
-    # dedup.dedup_keep_best), and the split is a pure hash expression on
-    # the surviving rep's cluster_id — no second lineage, no extra join.
-    # Semantic equality with the standalone operators is pinned by
-    # tests/test_curate.py::test_stages_agree_with_standalone_operators.
-    clusters = q_near_duplicate_clusters(spark, sf_dir)
+    # sharing). Since round 9 the cluster map is served from the STANDING
+    # asset (dedup.standing_full_clusters — built once per data
+    # generation, probed as a parquet scan afterwards: the warm path a
+    # recurring curation job actually pays; outputs bit-identical, same
+    # oracle). Keep-best is a partial-aggregatable max_by argmax on top
+    # (NOT a cluster-partitioned window — a mega-cluster of mass
+    # duplicates would pin one task, and AQE splits skewed joins, never
+    # skewed windows; same hardening as dedup.dedup_keep_best), and the
+    # split is a pure hash expression on the surviving rep's cluster_id
+    # — no second lineage, no extra join. Semantic equality with the
+    # standalone operators is pinned by tests/test_curate.py::
+    # test_stages_agree_with_standalone_operators.
+    clusters = standing_full_clusters(spark, sf_dir)
     chars = load(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").alias("n_chars")
     )

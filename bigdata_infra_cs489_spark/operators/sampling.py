@@ -331,9 +331,9 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable h8 contract as dataset_split, so the two splits are
     directly comparable.
     """
-    from .dedup import q_near_duplicate_clusters
+    from .dedup import standing_full_clusters
 
-    clusters = q_near_duplicate_clusters(spark, sf_dir)
+    clusters = standing_full_clusters(spark, sf_dir)
     bucket = (
         h8(
             F.concat(
