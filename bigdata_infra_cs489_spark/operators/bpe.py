@@ -155,10 +155,14 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and compare tokenizer candidates per language/source.
 
     Production shape: encoding never re-runs merges per token — the
-    trained segmentation is a WORD -> subwords table (vocab-sized by
-    definition, ~1e5 rows even at 100 TB: train_bpe's final vocabulary),
-    and the corpus pays ONE word-explode joined against that broadcast
-    table plus one partial-aggregated per-doc groupBy. Zero-token docs
+    trained segmentation is a WORD -> subwords table, and the corpus
+    pays ONE word-explode joined against it plus one partial-aggregated
+    per-doc groupBy. Honest scale note: train_bpe's returned frame is
+    the corpus's full DISTINCT-WORD vocabulary (not the ~1e5 merge
+    vocabulary), which at web scale is hundreds of millions of rows —
+    fine to broadcast at fixture scale, but a production deployment
+    would either shuffle-join on the word key or truncate to a capped
+    vocabulary with an UNK fallback before broadcasting. Zero-token docs
     degrade to an all-zeros row via the docs spine. All derived rates
     are exact rounded integer division (micro units)."""
     _, vocab = train_bpe(spark, sf_dir)

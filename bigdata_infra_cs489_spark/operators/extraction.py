@@ -215,3 +215,47 @@ def crawl_frontier(
         .agg((F.count("o_id") + 1).cast("int").alias("rank"))
         .select("rank", F.col("dst").alias("page"), "in_degree")
     )
+
+
+CRAWL_PR_ITERATIONS = 5
+CRAWL_PR_TOP_K = 20
+
+
+def crawl_pagerank_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    iterations: int = CRAWL_PR_ITERATIONS,
+    k: int = CRAWL_PR_TOP_K,
+) -> DataFrame:
+    """(node_id, mass, is_crawled): global top-k PageRank over the
+    OBSERVED web graph — crawled pages plus every uncrawled link target
+    — closing the extraction family's crawl loop with a principled
+    frontier priority: an uncrawled page's PageRank aggregates the
+    authority of everything pointing at it (transitively), which is the
+    classic upgrade over crawl_frontier's raw in-degree ranking (a page
+    linked once by a hub can outrank one linked twice by leaves).
+
+    Composition: html_link_edges harvests (src, dst) from the decorated
+    corpus; the node spine is doc ids ∪ link targets; the iteration
+    machinery is graph.pagerank_over_edges — uncrawled nodes are
+    dangling (outdeg 0), so their received mass re-enters uniformly,
+    exactly how a search engine scores its frontier. Ranked on the
+    6dp-ROUNDED mass with node_id tie-break (the pagerank_topk
+    fp-reproducibility rule); the DuckDB twin unrolls the fixed
+    iteration count (the _pagerank_topk_sql discipline)."""
+    from .graph import pagerank_over_edges
+
+    edges = html_link_edges(spark, sf_dir).select("src", "dst")
+    docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    nodes = docs.union(edges.select(F.col("dst").alias("id"))).distinct()
+    ranks = pagerank_over_edges(nodes, edges, iterations)
+    return (
+        ranks.join(docs.withColumn("c", F.lit(1)), "id", "left")
+        .select(
+            F.col("id").alias("node_id"),
+            F.round("mass", 6).alias("mass"),
+            F.col("c").isNotNull().alias("is_crawled"),
+        )
+        .orderBy(F.desc("mass"), F.asc("node_id"))
+        .limit(k)
+    )

@@ -542,6 +542,64 @@ def global_pagerank(
     return ranks
 
 
+def pagerank_over_edges(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = DEFAULT_ITERATIONS,
+    alpha: float = ALPHA,
+) -> DataFrame:
+    """Uniform-teleport PageRank over an EXPLICIT (src, dst) edge list
+    and (id) node spine — the graph-agnostic core global_pagerank's loop
+    follows, factored out so harvested graphs (the crawl-link graph from
+    html_link_edges) compose with the same iteration machinery. Parallel
+    edges keep their multiplicity (outdeg counts edge rows; a page
+    linking twice sends twice the mass), nodes absent from src (e.g.
+    uncrawled link targets) are dangling and their mass re-enters
+    through the uniform reclaim. Same scale shape as the fixture loop:
+    one shuffle + one scalar collect per iteration, lazy localCheckpoint
+    truncating lineage."""
+    adj = edges.groupBy("src").agg(
+        F.collect_list("dst").alias("adj"),
+        F.count(F.lit(1)).alias("outdeg"),
+    )
+    graph = (
+        nodes.join(adj, nodes["id"] == adj["src"], "left")
+        .select("id", "adj", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+        .cache()
+    )
+    n = graph.count()
+    one_minus = 1.0 - alpha
+    ranks = graph.select("id", F.lit(1.0 / n).alias("mass"))
+    for _ in range(iterations):
+        msgs = (
+            ranks.join(graph, "id")
+            .where(F.col("outdeg") > 0)
+            .select(
+                F.explode("adj").alias("id"),
+                (F.col("mass") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("m"))
+        )
+        received = (
+            graph.select("id")
+            .join(msgs, "id", "left")
+            .select("id", F.coalesce(F.col("m"), F.lit(0.0)).alias("mass"))
+            .localCheckpoint(eager=False)
+        )
+        total = received.agg(F.sum("mass")).collect()[0][0]
+        missing = max(0.0, 1.0 - (total or 0.0))
+        ranks = received.select(
+            "id",
+            (
+                F.lit(alpha / n)
+                + F.lit(one_minus) * (F.col("mass") + F.lit(missing / n))
+            ).alias("mass"),
+        )
+    graph.unpersist()
+    return ranks
+
+
 def pagerank_topk(
     spark: SparkSession,
     sf_dir: str,

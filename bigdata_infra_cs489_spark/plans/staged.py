@@ -36,8 +36,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def staged_queries() -> dict[str, QueryFn]:
     """name -> callable for every plan-auditable staged operator."""
+    from ..operators.extraction import crawl_pagerank_topk
     from ..operators.similarity import embedding_dedup_recall
 
     return {
         "embedding_dedup_recall": embedding_dedup_recall,
+        "crawl_pagerank": crawl_pagerank_topk,
     }
