@@ -204,3 +204,73 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_subword_micro"),
         )
     )
+
+
+BPE_VOCAB_CAP = 24  # capped deployment vocabulary for the coverage card
+
+
+def bpe_vocab_coverage(
+    spark: SparkSession, sf_dir: str, cap: int = BPE_VOCAB_CAP
+) -> DataFrame:
+    """(vocab_cap, total_subword_occ, covered_subword_occ, coverage_ppm,
+    total_word_occ, fully_covered_word_occ, word_coverage_ppm): what a
+    CAPPED subword vocabulary covers — the card behind the UNK-fallback
+    decision the encode stage's scale note calls for: keep the top
+    ``cap`` subwords by corpus occurrence (count desc, token asc
+    tie-break) and measure (a) the share of subword occurrences the cap
+    retains and (b) the share of word occurrences whose EVERY subword
+    survives (words that encode with zero UNKs).
+
+    Shape: the trained segmentation explodes to (token, occurrences)
+    [bpe_token_counts' aggregate], the top-cap set is a cap-sized
+    driver-state collect (model-sized, the centroid/codebook
+    discipline), and both coverage legs are one partial-aggregated pass
+    over the vocabulary frame with the cap set as a literal IN-list —
+    no second corpus scan, no join. Exact integer arithmetic in micro
+    units throughout."""
+    _, vocab = train_bpe(spark, sf_dir)
+    vocab = vocab.localCheckpoint(eager=False)
+    tok_occ = (
+        vocab.select("cnt", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("bigint").alias("n"))
+    )
+    top = [
+        r["token"]
+        for r in tok_occ.orderBy(F.desc("n"), F.asc("token")).limit(cap).collect()
+    ]
+    in_vocab = F.col("token").isin(top) if top else F.lit(False)
+    sub = tok_occ.agg(
+        F.sum("n").cast("bigint").alias("total_subword_occ"),
+        F.coalesce(F.sum(F.when(in_vocab, F.col("n"))), F.lit(0))
+        .cast("bigint")
+        .alias("covered_subword_occ"),
+    )
+    top_arr = F.array(*[F.lit(t) for t in top]) if top else F.array().cast(
+        "array<string>"
+    )
+    all_in = F.forall("syms", lambda s: F.array_contains(top_arr, s))
+    words = vocab.agg(
+        F.sum("cnt").cast("bigint").alias("total_word_occ"),
+        F.coalesce(F.sum(F.when(all_in, F.col("cnt"))), F.lit(0))
+        .cast("bigint")
+        .alias("fully_covered_word_occ"),
+    )
+    return (
+        sub.crossJoin(F.broadcast(words))
+        .select(
+            F.lit(cap).cast("int").alias("vocab_cap"),
+            "total_subword_occ",
+            "covered_subword_occ",
+            F.expr(
+                "CAST((covered_subword_occ * 1000000L + total_subword_occ div 2)"
+                " div greatest(total_subword_occ, 1L) AS BIGINT)"
+            ).alias("coverage_ppm"),
+            "total_word_occ",
+            "fully_covered_word_occ",
+            F.expr(
+                "CAST((fully_covered_word_occ * 1000000L + total_word_occ div 2)"
+                " div greatest(total_word_occ, 1L) AS BIGINT)"
+            ).alias("word_coverage_ppm"),
+        )
+    )

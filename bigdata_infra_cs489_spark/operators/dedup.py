@@ -1328,3 +1328,32 @@ def near_dup_method_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pair_jaccard_ppm"),
         )
     )
+
+
+def dedup_cluster_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster_size, n_clusters, n_docs): the size distribution of the
+    near-duplicate cluster map — the dedup-health card a pipeline prints
+    per run: a fat head (giant clusters) means boilerplate/mass
+    duplication the keep-best stage is about to collapse, a pure
+    size-1 tail means the near-dup gate is finding nothing. n_docs
+    telescopes back to the corpus size, so the card doubles as a
+    conservation check on the cluster map itself.
+
+    Shape: served from the STANDING cluster asset (standing_full_clusters
+    — parquet probe on the warm path, one CC build per data generation
+    otherwise), then two partial-aggregated groupBys (cluster -> size,
+    size -> histogram row); output is bounded by the distinct size
+    count. No window, no text columns on any exchange."""
+    cl = standing_full_clusters(spark, sf_dir)
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+    ).select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters"))
+        .cast("bigint")
+        .alias("n_docs"),
+    )

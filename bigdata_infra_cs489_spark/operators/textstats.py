@@ -483,3 +483,41 @@ def pack_manifest(
             ";",
         ).alias("doc_spans"),
     )
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang_true, lang_pred, n_docs, row_ppm): the language-ID confusion
+    matrix — predicted (stopword-heuristic) language against the stored
+    corpus label, with each cell's share of its TRUE-language row in
+    exact ppm. The calibration card a pipeline reads before trusting
+    lang_pred for mixture planning or per-language gates: the diagonal
+    is per-language recall, the 'und' column shows where the detector
+    abstains.
+
+    Shape: one narrow doc_id join of the langid scan against the label
+    column, one partial-aggregated groupBy to observed cells (the #langs²
+    bound), and a broadcast join of the #langs-row true-language totals;
+    row_ppm is exact rounded integer division. Observed cells only —
+    both engines group identically, so the sparse zero cells stay absent
+    on both sides."""
+    labels = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("lang_true")
+    )
+    pred = language_id(spark, sf_dir).select("doc_id", "lang_pred")
+    cells = (
+        labels.join(pred, "doc_id")
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    totals = labels.groupBy("lang_true").agg(
+        F.count(F.lit(1)).cast("bigint").alias("row_total")
+    )
+    return cells.join(F.broadcast(totals), "lang_true").select(
+        "lang_true",
+        "lang_pred",
+        "n_docs",
+        F.expr(
+            "CAST((n_docs * 1000000L + row_total div 2)"
+            " div greatest(row_total, 1L) AS BIGINT)"
+        ).alias("row_ppm"),
+    )

@@ -36,10 +36,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def staged_queries() -> dict[str, QueryFn]:
     """name -> callable for every plan-auditable staged operator."""
+    from ..operators.bpe import bpe_vocab_coverage
+    from ..operators.dedup import dedup_cluster_hist
     from ..operators.extraction import crawl_pagerank_topk
     from ..operators.similarity import embedding_dedup_recall
+    from ..operators.textstats import langid_confusion
 
     return {
         "embedding_dedup_recall": embedding_dedup_recall,
         "crawl_pagerank": crawl_pagerank_topk,
+        "langid_confusion": langid_confusion,
+        "dedup_cluster_hist": dedup_cluster_hist,
+        "bpe_vocab_coverage": bpe_vocab_coverage,
     }

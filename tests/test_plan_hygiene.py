@@ -30,6 +30,7 @@ ITERATIVE = {
     "ivf_centroid_norms",
     "bpe_merges",
     "bpe_token_counts",
+    "bpe_vocab_coverage",
     "spam_train",
     "spam_train_shuffled",
     "near_duplicate_clusters",
