@@ -1357,3 +1357,67 @@ def dedup_cluster_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_docs"),
     )
+
+
+def dedup_index_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, origin): the NEXT-GENERATION cluster map a
+    recurring dedup deployment publishes after absorbing an increment —
+    the commit step that closes the standing-index lifecycle
+    (build -> probe -> COMMIT -> probe ...):
+
+      origin='old'       every standing-corpus doc keeps its persisted
+                         cluster_id (the asset is append-only; history
+                         never reshuffles under a commit);
+      origin='assigned'  new docs the LSH probe matched inherit the old
+                         cluster (incremental_dedup_assign's verdicts,
+                         verbatim);
+      origin='new'       unmatched new docs are clustered among
+                         THEMSELVES (min-label CC over verified new-new
+                         pairs) and join as fresh clusters keyed by
+                         their smallest member.
+
+    Deliberate, documented approximation: a new-new pair whose one
+    endpoint matched an old cluster does NOT drag the other endpoint
+    into that cluster — transitive attach through a matched new doc is
+    deferred to the next full rebuild, exactly like cross-centroid
+    pairs in the scoped SemDeDup stage (the alternative would make
+    commit outcomes order-dependent across increments).
+
+    Scale shape: the old side is ONE probe of the persisted cluster
+    parquet (never recomputed); assignment is the standing band-join;
+    the new-new CC runs on the increment only (batch-sized, short
+    diameter). Per-doc signatures are deterministic, so banding just
+    the increment yields exactly the full run's new-new pairs."""
+    import os
+
+    path = ensure_dedup_index(spark, sf_dir)
+    old = (
+        spark.read.parquet(os.path.join(path, "clusters"))
+        .select(
+            F.col("old_id").alias("doc_id"),
+            "cluster_id",
+            F.lit("old").alias("origin"),
+        )
+    )
+    assign = incremental_dedup_assign(spark, sf_dir)
+    assigned = assign.where(F.col("matched") == 1).select(
+        "doc_id", "cluster_id", F.lit("assigned").alias("origin")
+    )
+    unmatched = assign.where(F.col("matched") == 0).select("doc_id")
+    docs = _docs(spark, sf_dir)
+    is_new = (F.col("doc_id") % NEW_BATCH_MOD) == (NEW_BATCH_MOD - 1)
+    new_docs = docs.where(is_new)
+    nn_pairs = (
+        minhash_near_duplicates(new_docs)
+        .join(unmatched.select(F.col("doc_id").alias("doc_a")), "doc_a")
+        .join(unmatched.select(F.col("doc_id").alias("doc_b")), "doc_b")
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    fresh = connected_components(
+        unmatched.select(F.col("doc_id").alias("id")), nn_pairs
+    ).select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.lit("new").alias("origin"),
+    )
+    return old.unionByName(assigned).unionByName(fresh)

@@ -37,7 +37,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def staged_queries() -> dict[str, QueryFn]:
     """name -> callable for every plan-auditable staged operator."""
     from ..operators.bpe import bpe_vocab_coverage
-    from ..operators.dedup import dedup_cluster_hist
+    from ..operators.dedup import dedup_cluster_hist, dedup_index_commit
     from ..operators.extraction import crawl_pagerank_topk
     from ..operators.similarity import embedding_dedup_recall
     from ..operators.textstats import langid_confusion
@@ -47,5 +47,6 @@ def staged_queries() -> dict[str, QueryFn]:
         "crawl_pagerank": crawl_pagerank_topk,
         "langid_confusion": langid_confusion,
         "dedup_cluster_hist": dedup_cluster_hist,
+        "dedup_index_commit": dedup_index_commit,
         "bpe_vocab_coverage": bpe_vocab_coverage,
     }

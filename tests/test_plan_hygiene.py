@@ -38,6 +38,7 @@ ITERATIVE = {
     "dedup_keep_best",
     "leakage_safe_split",
     "incremental_dedup_assign",
+    "dedup_index_commit",
     # the stream_* driver-contract queries execute a complete
     # availableNow streaming job just to build the final memory-table
     # scan — their plans are post-hoc scans, not worth the run
