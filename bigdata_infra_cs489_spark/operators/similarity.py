@@ -111,7 +111,11 @@ def _nearest_centroid_col(cents: list[tuple[int, list[float]]]) -> Column:
     norm dot(a,a) is hoisted into ONE fold shared by all C cosines, and
     each centroid's norm is a Python-computed literal (same left-to-right
     fold order as the column expression, so the double is bit-identical)
-    — C+1 folds per row instead of 3C."""
+    — C+1 folds per row instead of 3C. (Unrolling the dots into literal
+    expression trees was tried in round 9 and is ~3x SLOWER: the
+    C*dim-node tree blows the whole-stage-codegen method budget and
+    falls back to interpreted expression evaluation, which loses to the
+    fold's tight closure loop.)"""
     row_norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
 
     def cnorm(vec: list[float]) -> float:
