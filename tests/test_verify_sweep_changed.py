@@ -24,7 +24,12 @@ def _selected(module: str) -> set[str]:
 
 
 def test_leaf_module_selects_only_its_queries():
-    assert _selected("extraction") == {"html_extract", "html_link_edges"}
+    assert _selected("extraction") == {
+        "html_extract",
+        "html_link_edges",
+        "link_indegree_hist",
+        "crawl_frontier",
+    }
     assert _selected("qualitymodel") == {
         "quality_model_weights",
         "quality_model_scores",
