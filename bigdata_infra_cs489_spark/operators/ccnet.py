@@ -92,3 +92,53 @@ def ccnet_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_nll_micro"),
         )
     )
+
+
+def source_perplexity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, mean_nll_micro, head_docs, middle_docs,
+    tail_docs, head_ppm): the per-source LM-quality ranking card — the
+    RefinedWeb/CCNet-style view a pipeline owner reads to decide which
+    SOURCES to upweight: a source whose documents skew into the
+    within-language head tercile is fluent; one skewing tail is noisy
+    or off-language. Composes the tercile assignment (per-language, so
+    a low-resource language's source is never punished for its
+    language prior) with the documents' source column.
+
+    Shape: one doc_id-keyed narrow join of the bucketed docs against
+    the source column, one partial-aggregated groupBy(source) with
+    exact micro-nat means and conditional tercile counts; head_ppm is
+    exact rounded integer division. Output is #sources rows."""
+    b = ccnet_perplexity_buckets(spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    micro = F.expr("CAST(floor(avg_nll * 1000000 + 0.5) AS BIGINT)")
+    j = b.join(src, "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(micro).cast("bigint").alias("sum_micro"),
+            F.coalesce(
+                F.sum(F.when(F.col("bucket") == "head", 1)), F.lit(0)
+            ).cast("bigint").alias("head_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("bucket") == "middle", 1)), F.lit(0)
+            ).cast("bigint").alias("middle_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("bucket") == "tail", 1)), F.lit(0)
+            ).cast("bigint").alias("tail_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.expr(
+                "CAST((sum_micro + n_docs DIV 2) DIV n_docs AS BIGINT)"
+            ).alias("mean_nll_micro"),
+            "head_docs",
+            "middle_docs",
+            "tail_docs",
+            F.expr(
+                "CAST((head_docs * 1000000 + n_docs DIV 2)"
+                " DIV greatest(n_docs, 1) AS BIGINT)"
+            ).alias("head_ppm"),
+        )
+    )

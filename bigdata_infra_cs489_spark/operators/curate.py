@@ -392,3 +392,40 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return agg.select(F.explode(rows).alias("s")).select("s.*")
+
+
+SHARD_TOKENS = 2000  # kept-token capacity per export shard (fixture-scale)
+
+
+def export_shards(
+    spark: SparkSession, sf_dir: str, shard_tokens: int = SHARD_TOKENS
+) -> DataFrame:
+    """(shard_id, n_docs, shard_tokens, min_doc, max_doc): the export
+    manifest of the curated corpus — documents are laid into fixed-
+    capacity shards in pack order (quality desc, doc_id), each doc
+    assigned to the shard where its span STARTS:
+    shard_id = (cum_kept_tokens - kept_tokens) DIV capacity. This is
+    the writer plan a training job consumes (shard file sizes, doc
+    membership anchors for spot checks); at 100 TB it is literally the
+    DataFrameWriter's partitionBy column.
+
+    Shape: corpus_curate already carries the exact running totals
+    (distsort prefix machinery), so sharding is one integer projection
+    plus a partial-aggregated groupBy(shard_id) — no new ordering work,
+    no window. min/max_doc are exemplar anchors (the
+    link_indegree_hist convention), not pack-order endpoints."""
+    packed = corpus_curate(spark, sf_dir)
+    sharded = packed.select(
+        "doc_id",
+        "kept_tokens",
+        F.expr(
+            f"CAST((cum_kept_tokens - kept_tokens) DIV {shard_tokens}"
+            " AS BIGINT)"
+        ).alias("shard_id"),
+    )
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("kept_tokens").cast("bigint").alias("shard_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

@@ -291,6 +291,16 @@ def token_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old = {int(r["bucket"]): int(r["n"]) for r in counts if r["side"] == 0}
     new = {int(r["bucket"]): int(r["n"]) for r in counts if r["side"] == 1}
+    return drift_card_from_counts(spark, old, new)
+
+
+def drift_card_from_counts(
+    spark: SparkSession, old: dict[int, int], new: dict[int, int]
+) -> DataFrame:
+    """The drift card's driver-side finish over two model-sized
+    bucket-count dicts (<= DSIR_BUCKETS entries each) — shared by the
+    batch operator and its streaming twin so the card arithmetic can
+    never diverge between them."""
     n_old, n_new = sum(old.values()), sum(new.values())
     tvd = js = shifted = 0
     if n_old and n_new:

@@ -37,10 +37,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def staged_queries() -> dict[str, QueryFn]:
     """name -> callable for every plan-auditable staged operator."""
     from ..operators.bpe import bpe_vocab_coverage
+    from ..operators.ccnet import source_perplexity_report
+    from ..operators.curate import export_shards
     from ..operators.dedup import dedup_cluster_hist, dedup_index_commit
     from ..operators.extraction import crawl_pagerank_topk
     from ..operators.similarity import embedding_dedup_recall
     from ..operators.textstats import langid_confusion
+    from ..streaming.docs_stream import q_stream_token_drift
 
     return {
         "embedding_dedup_recall": embedding_dedup_recall,
@@ -49,4 +52,7 @@ def staged_queries() -> dict[str, QueryFn]:
         "dedup_cluster_hist": dedup_cluster_hist,
         "dedup_index_commit": dedup_index_commit,
         "bpe_vocab_coverage": bpe_vocab_coverage,
+        "export_shards": export_shards,
+        "source_perplexity_report": source_perplexity_report,
+        "stream_token_drift": q_stream_token_drift,
     }

@@ -155,3 +155,53 @@ def q_stream_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table("stream_line_dedup_tbl")
+
+
+def q_stream_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the token-drift monitor
+    (operators/dsir.token_drift_report): the standing corpus's hashed
+    token distribution is the STATIC reference (a <= DSIR_BUCKETS-row
+    maintained asset on a deployment); the NEW crawl batch streams in
+    and one complete-mode stateless-projection + groupBy(bucket)
+    aggregation accumulates its distribution; the card finish is the
+    SHARED driver-side arithmetic (dsir.drift_card_from_counts), so the
+    complete stream output is row-identical to the batch operator — the
+    twin contract, and the shape a live ingest monitor actually runs
+    (drift alarms fire per micro-batch from the running aggregate; the
+    availableNow fixture run is its terminal state)."""
+    from ..functions.hashing import h8
+    from ..functions.text import exploded_tokens
+    from ..operators.dedup import NEW_BATCH_MOD
+    from ..operators.dsir import DSIR_BUCKETS, drift_card_from_counts
+    from ..sources.tables import load
+    from .events_stream import STREAM_STATE_PARTITIONS, run_to_memory
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    is_new = (F.col("doc_id") % NEW_BATCH_MOD) == (NEW_BATCH_MOD - 1)
+    old_counts = (
+        exploded_tokens(docs.where(~is_new).select("text"))
+        .select((h8(F.col("word")) % DSIR_BUCKETS).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    old = {int(r["bucket"]): int(r["n"]) for r in old_counts}
+
+    stream = stream_documents(spark, sf_dir).where(is_new).select("text")
+    buckets = (
+        exploded_tokens(stream)
+        .select((h8(F.col("word")) % DSIR_BUCKETS).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        run_to_memory(buckets, "stream_token_drift_tbl", "complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    new = {
+        int(r["bucket"]): int(r["n"])
+        for r in spark.table("stream_token_drift_tbl").collect()
+    }
+    return drift_card_from_counts(spark, old, new)

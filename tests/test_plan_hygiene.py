@@ -51,6 +51,7 @@ ITERATIVE = {
     "stream_error_click_join",
     "stream_partitioned_sink",
     "stream_upsert_user_state",
+    "stream_token_drift",
 }
 
 

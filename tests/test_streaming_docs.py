@@ -74,3 +74,29 @@ def test_stream_matches_batch_on_crafted_newline_corpus(spark, tmp_path):
     assert batch[29] == (0, 0, "")
     assert batch[19][1] == batch[19][0]  # fully duplicated vs standing
     assert batch[9][1] >= 1 and novel.split()[0] in batch[9][2]
+
+
+def test_stream_token_drift_matches_batch_and_oracle(spark, sf_correct):
+    """The streaming drift monitor's terminal card equals the batch
+    operator row-for-row (the twin contract) AND hash-checks against
+    the batch card's registered DuckDB oracle — the
+    stream_line_dedup/incremental shared-oracle discipline (staged for
+    round-10 registration)."""
+    import __spark_entry__ as entrymod
+
+    from bigdata_infra_cs489_spark.operators.dsir import token_drift_report
+    from bigdata_infra_cs489_spark.streaming.docs_stream import (
+        q_stream_token_drift,
+    )
+
+    from .oracle import assert_matches_oracle
+
+    batch = token_drift_report(spark, sf_correct).collect()
+    stream_df = q_stream_token_drift(spark, sf_correct)
+    stream = stream_df.collect()
+    assert [tuple(r) for r in stream] == [tuple(r) for r in batch]
+    assert_matches_oracle(
+        stream_df,
+        entrymod.oracle_sql()["token_drift_report"],
+        sf_correct,
+    )
