@@ -53,6 +53,14 @@ HOSTILE_QUERIES = (
     "pii_redact",
     "gopher_pass_rates",
     "dsir_topk",
+    # round-9 registrations: per-type daily z-scores render day strings
+    # under a non-UTC session; the drift card is a driver-side float
+    # finish; split balance is pure integer-div arithmetic; media dedup
+    # rides the hex/digest path
+    "events_anomaly_days",
+    "token_drift_report",
+    "split_balance_report",
+    "media_content_dedup",
 )
 
 
