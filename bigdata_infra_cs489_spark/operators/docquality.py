@@ -177,3 +177,57 @@ def gopher_rate_report(m: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("fail_ppm"),
     )
+
+
+def quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, quality_ok, gopher_ok, n_docs, bucket_ppm): the
+    three-signal quality agreement card — for every CCNet perplexity
+    tercile, how its documents split across the heuristic quality gate
+    (quality_score >= CURATE_MIN_QUALITY) and the curate-trusted Gopher
+    rule gate (CURATE_GOPHER_RULES, the same subset corpus_curate_v2
+    enforces — the full 7-rule gopher_pass is structurally False on the
+    single-line synthetic fixture and would degenerate the matrix). The
+    near_dup_method_audit discipline applied to quality signals: three
+    independent quality judgments (LM fluency, surface heuristics,
+    shape rules) should broadly agree, and a pipeline owner reads this
+    card before trusting any single one as the training filter — a
+    'head' tercile failing the heuristic gate wholesale means one of
+    the signals is miscalibrated for this corpus. Domain is the
+    LM-scoreable documents (>= 2 tokens), the tercile operator's own.
+
+    Shape: three doc_id-keyed narrow scalar joins, one partial-
+    aggregated groupBy to <= 3*2*2 cells, and a broadcast join of the
+    3-row bucket totals; bucket_ppm is exact rounded integer division."""
+    from .ccnet import ccnet_perplexity_buckets
+    from .curate import CURATE_GOPHER_RULES, CURATE_MIN_QUALITY
+    from .textstats import text_quality
+
+    b = ccnet_perplexity_buckets(spark, sf_dir).select("doc_id", "bucket")
+    q = text_quality(spark, sf_dir).select(
+        "doc_id",
+        (F.col("quality_score") >= CURATE_MIN_QUALITY).alias("quality_ok"),
+    )
+    gate = None
+    for r in CURATE_GOPHER_RULES:
+        c = F.col(r)
+        gate = c if gate is None else (gate & c)
+    g = gopher_quality_flags(spark, sf_dir).select(
+        "doc_id", gate.alias("gopher_ok")
+    )
+    j = b.join(q, "doc_id").join(g, "doc_id")
+    cells = j.groupBy("bucket", "quality_ok", "gopher_ok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    totals = j.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("row_total")
+    )
+    return cells.join(F.broadcast(totals), "bucket").select(
+        "bucket",
+        "quality_ok",
+        "gopher_ok",
+        "n_docs",
+        F.expr(
+            "CAST((n_docs * 1000000L + row_total div 2)"
+            " div greatest(row_total, 1L) AS BIGINT)"
+        ).alias("bucket_ppm"),
+    )

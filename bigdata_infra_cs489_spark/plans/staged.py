@@ -40,6 +40,7 @@ def staged_queries() -> dict[str, QueryFn]:
     from ..operators.ccnet import source_perplexity_report
     from ..operators.curate import export_shards
     from ..operators.dedup import dedup_cluster_hist, dedup_index_commit
+    from ..operators.docquality import quality_signal_agreement
     from ..operators.extraction import crawl_pagerank_topk
     from ..operators.similarity import embedding_dedup_recall
     from ..operators.textstats import langid_confusion
@@ -55,4 +56,5 @@ def staged_queries() -> dict[str, QueryFn]:
         "export_shards": export_shards,
         "source_perplexity_report": source_perplexity_report,
         "stream_token_drift": q_stream_token_drift,
+        "quality_signal_agreement": quality_signal_agreement,
     }
