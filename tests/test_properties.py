@@ -316,3 +316,67 @@ def test_line_dedup_keep_first_matches_python(spark, docs):
     assert rep["removed_occurrences"] == sum(
         r.n_lines - r.kept_lines for r in out1.values()
     )
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=8),
+    h=st.integers(min_value=1, max_value=8),
+    ch=st.sampled_from([1, 3, 4]),
+    data=st.data(),
+)
+def test_png_codec_roundtrip(w, h, ch, data):
+    """encode_png/decode_png are exact inverses for any 8-bit pixel
+    buffer at any small geometry and every supported color type."""
+    from bigdata_infra_cs489_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h * ch,
+                max_size=w * h * ch,
+            )
+        )
+    )
+    assert decode_png(encode_png(w, h, px, ch)) == (w, h, ch, px)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    ch=st.sampled_from([1, 2]),
+    sr=st.integers(min_value=8000, max_value=48000),
+    frames=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=64
+    ),
+    n_junk=st.integers(min_value=0, max_value=2),
+)
+def test_wav_codec_roundtrip_with_junk_chunks(ch, sr, frames, n_junk):
+    """encode_wav/decode_wav are exact inverses, and the RIFF walk
+    tolerates arbitrary extra chunks (word-aligned, odd sizes padded)
+    spliced before the canonical fmt/data pair."""
+    import struct
+
+    from bigdata_infra_cs489_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = frames[: len(frames) - len(frames) % ch] or frames[:ch] * ch
+    samples = samples[: max(ch, len(samples) - len(samples) % ch)]
+    if len(samples) % ch:
+        samples = samples + [0] * (ch - len(samples) % ch)
+    raw = struct.pack(f"<{len(samples)}h", *samples)
+    b = encode_wav(sr, ch, raw)
+    assert decode_wav(b) == (sr, ch, samples)
+    spliced = b[:12]
+    for i in range(n_junk):
+        body = bytes([i]) * (3 if i % 2 else 4)  # odd size exercises padding
+        spliced += b"JUNK" + struct.pack("<I", len(body)) + body
+        if len(body) % 2:
+            spliced += b"\x00"
+    spliced += b[12:]
+    assert decode_wav(spliced) == (sr, ch, samples)
