@@ -147,7 +147,9 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_encode_stats(
+    spark: SparkSession, sf_dir: str, broadcast_vocab: bool = True
+) -> DataFrame:
     """(doc_id, n_words, n_subwords, n_chars, fertility_micro,
     chars_per_subword_micro): the corpus ENCODED with the learned merge
     table — the tokenizer-apply step (and the fertility card: subwords
@@ -160,22 +162,31 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc groupBy. Honest scale note: train_bpe's returned frame is
     the corpus's full DISTINCT-WORD vocabulary (not the ~1e5 merge
     vocabulary), which at web scale is hundreds of millions of rows —
-    fine to broadcast at fixture scale, but a production deployment
-    would either shuffle-join on the word key or truncate to a capped
-    vocabulary with an UNK fallback before broadcasting. Zero-token docs
-    degrade to an all-zeros row via the docs spine. All derived rates
-    are exact rounded integer division (micro units)."""
+    fine to broadcast at fixture scale, but past it a deployment either
+    truncates to a capped vocabulary with an UNK fallback (the
+    bpe_vocab_coverage sizing card) or runs the SHUFFLE join this
+    function exposes as ``broadcast_vocab=False`` — same word-keyed
+    equi-join, Catalyst plans the exchange on both sides, output pinned
+    row-identical by test. Zero-token docs degrade to an all-zeros row
+    via the docs spine. All derived rates are exact rounded integer
+    division (micro units)."""
     _, vocab = train_bpe(spark, sf_dir)
     seg = vocab.select(
         "word",
         F.size("syms").cast("bigint").alias("n_sub"),
         F.length("word").cast("bigint").alias("n_chars"),
     )
+    if broadcast_vocab:
+        seg = F.broadcast(seg)
+    else:
+        # defeat the auto-broadcast below the threshold so the plan truly
+        # exercises the at-scale shuffle-join shape
+        seg = seg.hint("SHUFFLE_HASH")
     words = load(spark, sf_dir, "documents", parallelize=True).select(
         "doc_id", F.explode(tokenize("text")).alias("word")
     )
     per_doc = (
-        words.join(F.broadcast(seg), "word")
+        words.join(seg, "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_words"),

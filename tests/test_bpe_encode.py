@@ -72,3 +72,16 @@ def test_encode_matches_python_replay(spark, sf_smoke):
         if r["n_words"]:
             assert 1_000_000 <= r["fertility_micro"]
             assert r["n_subwords"] <= r["n_chars"]
+
+
+def test_shuffle_join_path_is_row_identical(spark, sf_smoke):
+    """The at-scale shuffle-join variant (broadcast_vocab=False) returns
+    exactly the broadcast plan's rows — the scale knob changes the
+    exchange, never the values."""
+    a = sorted(
+        map(tuple, bpe_encode_stats(spark, sf_smoke).collect())
+    )
+    b = sorted(
+        map(tuple, bpe_encode_stats(spark, sf_smoke, broadcast_vocab=False).collect())
+    )
+    assert a == b
