@@ -127,3 +127,37 @@ def test_incremental_curate_verdicts(spark, sf_correct):
         assert r.split == want
         seen.add(r.verdict)
     assert "kept" in seen  # the increment isn't all rejects
+
+
+def test_flagship_rides_standing_cluster_asset(spark, sf_smoke):
+    """Once the data generation's cluster asset exists, the curate
+    chain's plan must PROBE it (a clusters_full parquet scan) — pinning
+    the round-9 warm path so a refactor can't silently regress to
+    re-running the iterative CC per query. dedup_keep_best and
+    leakage_safe_split ride the same probe."""
+    import os
+
+    from bigdata_infra_cs489_spark.operators.dedup import (
+        dedup_index_path,
+        standing_full_clusters,
+    )
+
+    standing_full_clusters(spark, sf_smoke).count()  # ensure built
+    sub = os.path.join(dedup_index_path(sf_smoke), "clusters_full")
+    assert os.path.exists(os.path.join(sub, "_SUCCESS"))
+    import __spark_entry__ as entrymod
+
+    from bigdata_infra_cs489_spark.operators.curate import _curate_gated
+
+    qs = entrymod.queries()
+    # corpus_curate's own printed plan is truncated by the pack stage's
+    # eager distsort checkpoint (the PLAN_AUDIT caveat), so the probe is
+    # pinned on its pre-pack chain; the other two print end-to-end.
+    frames = {
+        "corpus_curate[_curate_gated]": _curate_gated(spark, sf_smoke),
+        "dedup_keep_best": qs["dedup_keep_best"](spark, sf_smoke),
+        "leakage_safe_split": qs["leakage_safe_split"](spark, sf_smoke),
+    }
+    for name, df in frames.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "clusters_full" in plan, f"{name} does not probe the asset"
