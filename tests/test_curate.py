@@ -150,14 +150,18 @@ def test_flagship_rides_standing_cluster_asset(spark, sf_smoke):
     from bigdata_infra_cs489_spark.operators.curate import _curate_gated
 
     qs = entrymod.queries()
-    # corpus_curate's own printed plan is truncated by the pack stage's
-    # eager distsort checkpoint (the PLAN_AUDIT caveat), so the probe is
-    # pinned on its pre-pack chain; the other two print end-to-end.
+    # corpus_curate's own lineage is truncated by the pack stage's eager
+    # distsort checkpoint (the PLAN_AUDIT caveat), so the probe is
+    # pinned on its pre-pack chain. inputFiles() (the scans' actual file
+    # set) is used instead of the plan string, which elides file
+    # locations on wide plans.
     frames = {
         "corpus_curate[_curate_gated]": _curate_gated(spark, sf_smoke),
         "dedup_keep_best": qs["dedup_keep_best"](spark, sf_smoke),
         "leakage_safe_split": qs["leakage_safe_split"](spark, sf_smoke),
     }
     for name, df in frames.items():
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "clusters_full" in plan, f"{name} does not probe the asset"
+        files = df.inputFiles()
+        assert any("clusters_full" in f for f in files), (
+            f"{name} does not probe the asset: {files}"
+        )
