@@ -1421,3 +1421,45 @@ def dedup_index_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("new").alias("origin"),
     )
     return old.unionByName(assigned).unionByName(fresh)
+
+
+def jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(jaccard_pct, n_pairs, cum_pairs_at_or_above): how many verified
+    LSH-candidate pairs fall into each Jaccard centile, with the
+    cumulative count at-or-above — the sensitivity card behind the ONE
+    knob the near-dup family turns (JACCARD_THRESHOLD): a cliff between
+    deciles means the corpus separates cleanly into dup/non-dup; a flat
+    ramp means the threshold choice is materially deciding corpus
+    membership and deserves a human eyeball. Domain is the banded LSH
+    candidate set (the curve tunes the VERIFY threshold given the fixed
+    banding; pairs the bands never collide are out of scope by
+    construction — the recall side of the knob is priced separately by
+    minhash_estimate_error).
+
+    Shape: the standard banded candidate join + shingle verify, one
+    partial-aggregated groupBy to <= 101 centile rows, and a bounded
+    101² broadcast self-join for the cumulative column (never a
+    partition-less window). Centiles are computed on the 6dp-rounded
+    Jaccard both engines share; jaccard = 1.0 lands in centile 100
+    (banded candidates concentrate above ~0.8, so centile granularity
+    is what actually draws a curve — deciles collapse to one row at
+    fixture scale)."""
+    docs = _docs(spark, sf_dir)
+    j = jaccard_pairs(docs, lsh_candidate_pairs(docs))
+    per = (
+        j.select(
+            F.least(F.floor(F.col("jaccard") * 100).cast("int"), F.lit(100)).alias(
+                "jaccard_pct"
+            )
+        )
+        .groupBy("jaccard_pct")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    upper = per.select(
+        F.col("jaccard_pct").alias("o_d"), F.col("n_pairs").alias("o_n")
+    )
+    return (
+        per.join(F.broadcast(upper), F.col("o_d") >= F.col("jaccard_pct"))
+        .groupBy("jaccard_pct", "n_pairs")
+        .agg(F.sum("o_n").cast("bigint").alias("cum_pairs_at_or_above"))
+    )

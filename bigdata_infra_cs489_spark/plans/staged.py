@@ -39,7 +39,11 @@ def staged_queries() -> dict[str, QueryFn]:
     from ..operators.bpe import bpe_vocab_coverage
     from ..operators.ccnet import source_perplexity_report
     from ..operators.curate import export_shards
-    from ..operators.dedup import dedup_cluster_hist, dedup_index_commit
+    from ..operators.dedup import (
+        dedup_cluster_hist,
+        dedup_index_commit,
+        jaccard_threshold_curve,
+    )
     from ..operators.docquality import quality_signal_agreement
     from ..operators.extraction import crawl_pagerank_topk
     from ..operators.similarity import embedding_dedup_recall
@@ -57,4 +61,5 @@ def staged_queries() -> dict[str, QueryFn]:
         "source_perplexity_report": source_perplexity_report,
         "stream_token_drift": q_stream_token_drift,
         "quality_signal_agreement": quality_signal_agreement,
+        "jaccard_threshold_curve": jaccard_threshold_curve,
     }
