@@ -1463,3 +1463,59 @@ def jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("jaccard_pct", "n_pairs")
         .agg(F.sum("o_n").cast("bigint").alias("cum_pairs_at_or_above"))
     )
+
+
+LSH_RECALL_THRESHOLDS = (50, 60, 70, 80, 90)  # Jaccard percents
+
+
+def lsh_banding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t_pct, n_true_pairs, n_caught, recall_ppm): measured candidate
+    RECALL of the (NUM_HASHES, NUM_BANDS) banding — of all pairs whose
+    TRUE shingle Jaccard is >= t, how many the band join surfaces as
+    candidates. The other half of the LSH tuning pair: the
+    jaccard_threshold_curve prices the verify threshold over the
+    candidates; this card prices what the banding itself can ever see
+    (theory: P[candidate] = 1-(1-s^r)^b — at s=0.8 with 4 rows x 4
+    bands ≈ 0.93 — and the measurement is what validates the chosen
+    banding against the corpus's actual similarity profile). Ground
+    truth comes from the SPARSE shingle-index join
+    (ngram_jaccard_pairs, pairs sharing no shingle never materialize)
+    — never an all-pairs scan.
+
+    Shape: one sparse true-pair join at the lowest audited threshold,
+    one band-candidate equi-join, a doc-pair-keyed left join between
+    them, then a broadcast 5-row threshold spine and one partial-
+    aggregated groupBy. Threshold compares happen on the micro-int
+    rendering of the 6dp-rounded Jaccard, so a last-ulp double can
+    never flip a bucket cross-engine."""
+    docs = _docs(spark, sf_dir)
+    low = min(LSH_RECALL_THRESHOLDS) / 100.0
+    true_pairs = ngram_jaccard_pairs(docs, min_jaccard=low)
+    cand = lsh_candidate_pairs(docs).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    marked = true_pairs.join(cand, ["doc_a", "doc_b"], "left").select(
+        F.expr("CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT)").alias("j_micro"),
+        F.coalesce("hit", F.lit(0)).alias("hit"),
+    )
+    spine = spark.createDataFrame(
+        [(t,) for t in LSH_RECALL_THRESHOLDS], "t_pct int"
+    )
+    return (
+        marked.crossJoin(F.broadcast(spine))
+        .where(F.col("j_micro") >= F.col("t_pct") * 10_000)
+        .groupBy("t_pct")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
+            F.sum("hit").cast("bigint").alias("n_caught"),
+        )
+        .select(
+            "t_pct",
+            "n_true_pairs",
+            "n_caught",
+            F.expr(
+                "CAST((n_caught * 1000000L + n_true_pairs div 2)"
+                " div greatest(n_true_pairs, 1L) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )

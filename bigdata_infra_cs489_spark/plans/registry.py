@@ -66,15 +66,16 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # The r6 cohort's overflow reaches lag 5 at round 11 and fits the
 # following window iff new registrations stay ≤ 24 slots per round at
 # the current registry size — keep the r9 staging queue within that.
-# The round-9 queue closed at 11 (plans/staged.py: embedding_dedup_recall,
+# The round-9 queue closed at 12 (plans/staged.py: embedding_dedup_recall,
 # crawl_pagerank, langid_confusion, dedup_cluster_hist,
 # dedup_index_commit, bpe_vocab_coverage, export_shards,
 # source_perplexity_report, stream_token_drift,
-# quality_signal_agreement, jaccard_threshold_curve), so the r10
-# window = 26 r5-stale + 11 newly registered + the 13 alphabetically-
-# first r6-cohort queries; at the resulting 237-query registry the
-# bound is max(4, ceil(237/50)) = 5, and the r6 cohort only reaches
-# lag 5 at round 11 — one full window of slack.
+# quality_signal_agreement, jaccard_threshold_curve,
+# lsh_banding_recall), so the r10 window = 26 r5-stale + 12 newly
+# registered + the 12 alphabetically-first r6-cohort queries; at the
+# resulting 238-query registry the bound is max(4, ceil(238/50)) = 5,
+# and the r6 cohort only reaches lag 5 at round 11 — one full window
+# of slack.
 _DRIVER_WINDOW_FIRST = (
     # -- slots 1-15: registered this round, never driver-checked ------
     "ccnet_perplexity_buckets",

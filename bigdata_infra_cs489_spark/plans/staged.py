@@ -43,6 +43,7 @@ def staged_queries() -> dict[str, QueryFn]:
         dedup_cluster_hist,
         dedup_index_commit,
         jaccard_threshold_curve,
+        lsh_banding_recall,
     )
     from ..operators.docquality import quality_signal_agreement
     from ..operators.extraction import crawl_pagerank_topk
@@ -62,4 +63,5 @@ def staged_queries() -> dict[str, QueryFn]:
         "stream_token_drift": q_stream_token_drift,
         "quality_signal_agreement": quality_signal_agreement,
         "jaccard_threshold_curve": jaccard_threshold_curve,
+        "lsh_banding_recall": lsh_banding_recall,
     }
