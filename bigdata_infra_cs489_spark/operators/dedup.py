@@ -742,12 +742,40 @@ def ensure_dedup_index(spark: SparkSession, sf_dir: str) -> str:
             # complete subdir already there, replace torn ones — so a
             # concurrent or sibling publisher is never clobbered.
             for sub in ("clusters", "bands", "shingles"):
-                dst = os.path.join(path, sub)
-                if not os.path.exists(os.path.join(dst, "_SUCCESS")):
-                    shutil.rmtree(dst, ignore_errors=True)
-                    os.rename(os.path.join(tmp, sub), dst)
+                _publish_subdir(os.path.join(tmp, sub), os.path.join(path, sub))
             shutil.rmtree(tmp, ignore_errors=True)
     return path
+
+
+def _publish_subdir(src: str, dst: str) -> None:
+    """Publish one complete build subdir at ``dst``, racing safely with
+    concurrent publishers: a dst that already carries _SUCCESS always
+    stands (never deleted out from under a reader); a TORN dst is moved
+    ASIDE by rename (so a reader mid-listing keeps a valid path) and the
+    rename into place is retried, treating "dst now complete" as success
+    — the loser of any race discards its copy instead of raising."""
+    import os
+    import shutil
+    import uuid
+
+    for _ in range(5):
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            return
+        try:
+            os.rename(src, dst)
+            return
+        except OSError:
+            # dst exists: complete (another publisher won — done) or
+            # torn (move it aside, then retry the rename).
+            if os.path.exists(os.path.join(dst, "_SUCCESS")):
+                return
+            torn = f"{dst}.torn-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            try:
+                os.rename(dst, torn)
+            except OSError:
+                continue  # a racer moved/replaced dst first; re-check
+            shutil.rmtree(torn, ignore_errors=True)
+    raise OSError(f"could not publish {dst}: persistent publish race")
 
 
 def standing_full_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -772,14 +800,8 @@ def standing_full_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             path, f"clusters_full.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         )
         q_near_duplicate_clusters(spark, sf_dir).write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, sub)
-        except OSError:
-            if os.path.exists(os.path.join(sub, "_SUCCESS")):
-                shutil.rmtree(tmp, ignore_errors=True)
-            else:
-                shutil.rmtree(sub, ignore_errors=True)
-                os.rename(tmp, sub)
+        _publish_subdir(tmp, sub)
+        shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(sub)
 
 
@@ -1439,18 +1461,22 @@ def jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the standard banded candidate join + shingle verify, one
     partial-aggregated groupBy to <= 101 centile rows, and a bounded
     101² broadcast self-join for the cumulative column (never a
-    partition-less window). Centiles are computed on the 6dp-rounded
-    Jaccard both engines share; jaccard = 1.0 lands in centile 100
-    (banded candidates concentrate above ~0.8, so centile granularity
-    is what actually draws a curve — deciles collapse to one row at
-    fixture scale)."""
+    partition-less window). Centiles bucket on the micro-int rendering
+    of the 6dp-rounded Jaccard (floor(j*1e6+0.5) div 10000, the same
+    discipline as lsh_banding_recall), so a last-ulp cross-engine double
+    difference at an exact centile boundary like 0.850000 can never
+    flip a bucket; jaccard = 1.0 lands in centile 100 (banded
+    candidates concentrate above ~0.8, so centile granularity is what
+    actually draws a curve — deciles collapse to one row at fixture
+    scale)."""
     docs = _docs(spark, sf_dir)
     j = jaccard_pairs(docs, lsh_candidate_pairs(docs))
     per = (
         j.select(
-            F.least(F.floor(F.col("jaccard") * 100).cast("int"), F.lit(100)).alias(
-                "jaccard_pct"
-            )
+            F.expr(
+                "CAST(least(CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT)"
+                " div 10000, 100) AS INT)"
+            ).alias("jaccard_pct")
         )
         .groupBy("jaccard_pct")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))

@@ -568,6 +568,12 @@ def pagerank_over_edges(
         .cache()
     )
     n = graph.count()
+    if n == 0:
+        # an empty node spine (no documents, no harvested links) has no
+        # mass to distribute — return the empty rank frame instead of
+        # dividing by zero below
+        graph.unpersist()
+        return nodes.select("id", F.lit(0.0).alias("mass"))
     one_minus = 1.0 - alpha
     ranks = graph.select("id", F.lit(1.0 / n).alias("mass"))
     for _ in range(iterations):

@@ -6,10 +6,13 @@ No reference counterpart; this is the north-star "multimodal columns"
 extension. Everything Spark-side is real and tested: binary column
 schema, metadata struct, mapInPandas batch shape, partitioning
 behavior. Since round 9 strict mode performs a REAL sample-level
-decode/resample for the two stdlib-decodable containers — zlib-PNG
-(IDAT inflate + all five scanline filters) and PCM-16 WAV (RIFF chunk
-walk + int16 frames) — with matching encoders; only genuinely
-codec-requiring containers (JPEG entropy decode) keep the honest
+decode/resample for zlib-PNG (IDAT inflate + all five scanline
+filters) and PCM-16 WAV (RIFF chunk walk + int16 frames), with
+matching encoders; since round 10 baseline JPEG joins them
+(operators/jpeg.py: marker walk, DQT/DHT, Huffman entropy decode,
+dequantize + IDCT, chroma upsample — plus the matching 4:4:4/gray
+encoder). Only genuinely out-of-scope streams (progressive JPEG,
+non-PCM WAV, 16-bit/interlaced PNG) keep the honest
 NotImplementedError.
 
 Media derivation (fixture has no binary column): each doc gets a REAL
@@ -220,8 +223,10 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> channels
 #     matching encoder with real CRCs;
 #   - PCM WAV: proper RIFF chunk walk (not fixed offsets) + int16 sample
 #     decode, and the matching encoder.
-# JPEG stays behind NotImplementedError: baseline entropy decode
-# (Huffman + IDCT) is a codec, not container plumbing.
+# Since round 10 baseline JPEG is the third: operators/jpeg.py carries
+# the full sequential-DCT codec (Huffman entropy decode + IDCT +
+# chroma upsample, and the 4:4:4/grayscale encoder), imported lazily by
+# the strict-mode stages below.
 
 _PNG_COLOR_TYPES = {0: 1, 2: 3, 6: 4}  # supported color type -> channels
 
@@ -443,6 +448,11 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
                     elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                         _sr, ch, _samples = decode_wav(b)
                         dims.append((None, None, ch))
+                    elif b[:2] == b"\xff\xd8":
+                        from .jpeg import decode_jpeg
+
+                        w, h, ch, _pixels = decode_jpeg(b)
+                        dims.append((w, h, ch))
                     else:
                         raise NotImplementedError(
                             f"no sample-level decoder for container {b[:4]!r}"
@@ -502,8 +512,22 @@ def resize_media(
     re-encode since round 9 for the two stdlib containers: zlib-PNG is
     nearest-neighbor resampled to (``target_w``, ``target_h``) and
     re-encoded (same channel count), PCM WAV is nearest-frame resampled
-    to ``target_rate`` and re-encoded. Other containers (JPEG) raise
-    NotImplementedError."""
+    to ``target_rate`` and re-encoded. Since round 10 baseline JPEG gets
+    the same real treatment (operators/jpeg.py: Huffman + IDCT decode,
+    nearest resample, re-encode); only genuinely out-of-scope streams
+    (progressive JPEG, non-PCM audio, 16-bit PNG) still raise."""
+
+    def _nn_pixels(px: bytes, w: int, h: int, ch: int) -> bytes:
+        rows = []
+        for ty in range(target_h):
+            sy = ty * h // target_h
+            row = bytearray()
+            for tx in range(target_w):
+                sx = tx * w // target_w
+                o = (sy * w + sx) * ch
+                row += px[o : o + ch]
+            rows.append(bytes(row))
+        return b"".join(rows)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -517,17 +541,19 @@ def resize_media(
                     out.append((b * reps)[:target_bytes])
                 elif b[:8] == _PNG_SIG:
                     w, h, ch, px = decode_png(b)
-                    rows = []
-                    for ty in range(target_h):
-                        sy = ty * h // target_h
-                        row = bytearray()
-                        for tx in range(target_w):
-                            sx = tx * w // target_w
-                            o = (sy * w + sx) * ch
-                            row += px[o : o + ch]
-                        rows.append(bytes(row))
                     out.append(
-                        encode_png(target_w, target_h, b"".join(rows), ch)
+                        encode_png(
+                            target_w, target_h, _nn_pixels(px, w, h, ch), ch
+                        )
+                    )
+                elif b[:2] == b"\xff\xd8":
+                    from .jpeg import decode_jpeg, encode_jpeg
+
+                    w, h, ch, px = decode_jpeg(b)
+                    out.append(
+                        encode_jpeg(
+                            target_w, target_h, _nn_pixels(px, w, h, ch), ch
+                        )
                     )
                 elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                     sr, ch, samples = decode_wav(b)

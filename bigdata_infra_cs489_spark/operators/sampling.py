@@ -515,13 +515,17 @@ def split_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_docs",
             expected.alias("expected_micro"),
-            # divide by the expectation rescaled to whole docs instead of
-            # multiplying the micro-doc diff by 1e6: the intermediate
-            # stays at micro-doc magnitude (int64-safe past 9.2M-doc
-            # strata, where diff*1e6 would wrap)
+            # relative deviation in ppm with a MILLI-doc divisor: the
+            # whole-doc flooring of the earlier form inflated deviation
+            # up to 2x for strata expecting ~2 docs and unboundedly
+            # below 1 expected doc (a QA gate that over-alarms on tiny
+            # language strata). diff*1000 / (expected/1000) keeps the
+            # intermediate at milli-doc magnitude — int64-safe to
+            # ~9.2e9-doc strata — while quantization error stays <=
+            # 0.1% of the expectation
             F.expr(
-                "CAST(abs(n_docs * 1000000L - expected_micro)"
-                " div greatest(expected_micro div 1000000L, 1L) AS BIGINT)"
+                "CAST(abs(n_docs * 1000000L - expected_micro) * 1000L"
+                " div greatest(expected_micro div 1000L, 1L) AS BIGINT)"
             ).alias("deviation_ppm"),
         )
     )

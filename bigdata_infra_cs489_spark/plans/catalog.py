@@ -1235,7 +1235,11 @@ register(
 # (SemDeDup's within-cluster candidate discipline): pair compute is
 # Σ_c n_c², never n² in corpus size. The exact block grid
 # (cosine_near_duplicate_pairs) stays as the fixture-scale recall
-# oracle, pinned by the staged embedding_dedup_recall audit card.
+# oracle, pinned by the embedding_dedup_recall audit card.
+# Since round 10 both queries register at REGISTERED_PAIR_THRESHOLD
+# (0.4) instead of the 0.9 operator default: at 0.9 the fixtures hold
+# zero qualifying pairs at every SF, so the driver rows were vacuously
+# green — see the SEMANTIC CHANGE note at similarity.py's constant.
 _EMB_SCOPE_CTES = f"""
     cent AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
              WHERE vec_id < {S.N_CENTROIDS}),
@@ -1254,11 +1258,14 @@ _EMB_SCOPED_PAIRS_SQL = f"""
     JOIN best ba ON ba.vec_id = a.vec_id
     JOIN best bb ON bb.vec_id = b.vec_id
     WHERE ba.centroid_id = bb.centroid_id
-      AND round(list_cosine_similarity(a.v, b.v), 6) >= {S.PAIR_THRESHOLD}"""
+      AND round(list_cosine_similarity(a.v, b.v), 6)
+          >= {S.REGISTERED_PAIR_THRESHOLD}"""
 
 register(
     "embedding_near_duplicates",
-    lambda spark, sf: S.embedding_near_duplicates_scoped(spark, sf),
+    lambda spark, sf: S.embedding_near_duplicates_scoped(
+        spark, sf, threshold=S.REGISTERED_PAIR_THRESHOLD
+    ),
     f"""
     WITH e AS ({DUCK_EMB}),{_EMB_SCOPE_CTES}
     {_EMB_SCOPED_PAIRS_SQL}
@@ -1273,7 +1280,9 @@ register(
     # scan stays as the pytest-pinned correctness twin
     # (pair_mode='exact'; tests/test_similarity.py).
     "semantic_dedup_keep_best",
-    lambda spark, sf: S.semantic_dedup_keep_best(spark, sf),
+    lambda spark, sf: S.semantic_dedup_keep_best(
+        spark, sf, threshold=S.REGISTERED_PAIR_THRESHOLD
+    ),
     f"""
     WITH RECURSIVE e AS ({DUCK_EMB}),
     cent AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
@@ -1291,7 +1300,7 @@ register(
             JOIN best bb ON bb.vec_id = b.vec_id
             WHERE ba.centroid_id = bb.centroid_id
               AND round(list_cosine_similarity(a.v, b.v), 6)
-                  >= {S.PAIR_THRESHOLD}),
+                  >= {S.REGISTERED_PAIR_THRESHOLD}),
     edges AS (SELECT src, dst FROM prs UNION ALL SELECT dst, src FROM prs),
     reach AS (SELECT vec_id AS src, vec_id AS dst FROM e
               UNION
@@ -5404,9 +5413,10 @@ register(
 )
 
 # -- split-balance stratum QA (operators/sampling.py) ------------------------
-# deviation_ppm divides by the micro-doc expectation RESCALED to docs
-# (expected_micro // 1e6) so the intermediate never exceeds micro-doc
-# magnitude — the int64-overflow fix from the round-8 advisory.
+# deviation_ppm divides diff*1000 by the MILLI-doc expectation
+# (expected_micro // 1e3): int64-safe to ~9.2e9-doc strata (the round-8
+# advisory) without the whole-doc flooring that inflated deviation for
+# strata expecting < ~2 docs (the round-9 advisory).
 
 _SPLIT_H = DUCK_H8.format(x=f"(CAST(doc_id AS VARCHAR) || '{SA.SPLIT_SALT}')")
 _SPLIT_PCT = (
@@ -5440,7 +5450,8 @@ register(
            CAST(lt.lang_docs * {_SPLIT_PCT} * 10000 AS BIGINT)
                AS expected_micro,
            CAST(abs(p.n_docs * 1000000 - lt.lang_docs * {_SPLIT_PCT} * 10000)
-                // greatest(lt.lang_docs * {_SPLIT_PCT} * 10000 // 1000000, 1)
+                * 1000
+                // greatest(lt.lang_docs * {_SPLIT_PCT} * 10000 // 1000, 1)
                 AS BIGINT) AS deviation_ppm
     FROM spine p, lt WHERE lt.lang = p.lang
     """,
@@ -5907,5 +5918,427 @@ register(
                AS chars_per_subword_micro
     FROM (SELECT doc_id FROM documents) d
     LEFT JOIN enc e USING (doc_id)
+    """,
+)
+
+# ============================================================================
+# Round-10 registrations: the round-9 staged queue (plans/staged.py as of
+# round 9), lifted here with their oracle SQL single-sourced (the staged
+# test files now point at __spark_entry__.oracle_sql()).
+# ============================================================================
+
+
+def _registered_oracle(name: str) -> str:
+    """The already-registered oracle SQL for ``name`` — composition
+    helper so derived cards (export_shards over corpus_curate, the
+    stream twin over token_drift_report) reuse the registered text
+    verbatim instead of duplicating it."""
+    from .registry import _ORACLES
+
+    return _ORACLES[name]
+
+
+# -- exact-vs-scoped embedding near-dup recall card (operators/similarity.py)
+# The audit card pinning what the centroid-scoped registered default
+# (embedding_near_duplicates) misses vs the exact block grid at the SAME
+# registered threshold. The exact O(n²) leg runs ONLY here (and on a
+# sampled slice at production scale — the card's docstring prices it).
+
+register(
+    "embedding_dedup_recall",
+    lambda spark, sf: S.embedding_dedup_recall(spark, sf),
+    f"""
+    WITH e AS ({DUCK_EMB}),{_EMB_SCOPE_CTES},
+    ex AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+           FROM e a JOIN e b ON a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(a.v, b.v), 6)
+                 >= {S.RECALL_AUDIT_THRESHOLD}),
+    sc AS (SELECT ex.vec_a, ex.vec_b FROM ex
+           JOIN best ba ON ba.vec_id = ex.vec_a
+           JOIN best bb ON bb.vec_id = ex.vec_b
+           WHERE ba.centroid_id = bb.centroid_id),
+    mis AS (SELECT ex.cosine FROM ex
+            LEFT JOIN sc ON sc.vec_a = ex.vec_a AND sc.vec_b = ex.vec_b
+            WHERE sc.vec_a IS NULL),
+    tot AS (SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact_pairs,
+                   CAST((SELECT count(*) FROM sc) AS BIGINT) AS n_scoped_pairs,
+                   CAST((SELECT count(*) FROM mis) AS BIGINT) AS missed_pairs,
+                   round(coalesce((SELECT max(cosine) FROM mis), 0.0), 6)
+                       AS max_missed_cosine)
+    SELECT n_exact_pairs, n_scoped_pairs, missed_pairs,
+           CAST((n_scoped_pairs * 1000000 + n_exact_pairs // 2)
+                // greatest(n_exact_pairs, 1) AS BIGINT) AS recall_ppm,
+           max_missed_cosine
+    FROM tot
+    """,
+)
+
+# -- PageRank over the harvested crawl-link graph (operators/extraction.py) --
+# ITERATIVE callable (the pagerank_over_edges loop); the oracle unrolls
+# the fixed iteration count into materialized CTEs, the _pagerank_topk_sql
+# discipline applied to html_link_edges' crawled ∪ frontier node set.
+
+
+def _crawl_pr_sql() -> str:
+    om, al = repr(1.0 - G.ALPHA), repr(G.ALPHA)
+    nn = "(SELECT c FROM n)"
+    ctes = [
+        f"d AS MATERIALIZED ({DUCK_HTML_DECORATED})",
+        "edges AS MATERIALIZED (SELECT doc_id AS src, CAST(h AS BIGINT)"
+        " AS dst FROM (SELECT doc_id,"
+        " unnest(regexp_extract_all(html, 'href=\"/doc/(\\d+)\"', 1)) AS h"
+        " FROM d))",
+        "nodes AS MATERIALIZED (SELECT DISTINCT id FROM"
+        " (SELECT doc_id AS id FROM documents"
+        "  UNION ALL SELECT dst FROM edges))",
+        "n AS MATERIALIZED (SELECT count(*) AS c FROM nodes)",
+        "outdeg AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg"
+        " FROM edges GROUP BY src)",
+        f"r0 AS MATERIALIZED (SELECT id,"
+        f" CAST(1.0 AS DOUBLE) / {nn} AS m FROM nodes)",
+    ]
+    for it in range(1, EX.CRAWL_PR_ITERATIONS + 1):
+        p = it - 1
+        ctes.append(
+            f"msg{it} AS MATERIALIZED (SELECT e.dst AS id,"
+            f" sum(r.m / o.outdeg) AS c FROM r{p} r"
+            f" JOIN outdeg o ON o.id = r.id JOIN edges e ON e.src = r.id"
+            f" GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"rec{it} AS MATERIALIZED (SELECT nd.id,"
+            f" coalesce(m.c, CAST(0.0 AS DOUBLE)) AS m"
+            f" FROM nodes nd LEFT JOIN msg{it} m ON m.id = nd.id)"
+        )
+        ctes.append(
+            f"mis{it} AS MATERIALIZED (SELECT"
+            f" greatest(CAST(0.0 AS DOUBLE), 1.0 - sum(m)) AS x FROM rec{it})"
+        )
+        ctes.append(
+            f"r{it} AS MATERIALIZED (SELECT id,"
+            f" {al} / {nn} + {om} * (m + (SELECT x FROM mis{it}) / {nn}) AS m"
+            f" FROM rec{it})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT node_id, mass, is_crawled FROM (
+        SELECT r.id AS node_id, round(r.m, 6) AS mass,
+               (dd.doc_id IS NOT NULL) AS is_crawled,
+               row_number() OVER (ORDER BY round(r.m, 6) DESC, r.id) AS rn
+        FROM r{EX.CRAWL_PR_ITERATIONS} r
+        LEFT JOIN documents dd ON dd.doc_id = r.id)
+    WHERE rn <= {EX.CRAWL_PR_TOP_K}"""
+    )
+
+
+register("crawl_pagerank", EX.crawl_pagerank_topk, _crawl_pr_sql())
+
+# -- predicted-vs-labeled language confusion matrix (operators/textstats.py) -
+
+register(
+    "langid_confusion",
+    TS.langid_confusion,
+    f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    scored AS (SELECT doc_id, {_SCORES_SQL} FROM toks),
+    best AS (SELECT *, {_BEST_SQL} AS best FROM scored),
+    pred AS (SELECT doc_id, {_PRED_SQL} AS lang_pred FROM best),
+    cells AS (SELECT d.lang AS lang_true, p.lang_pred,
+                     CAST(count(*) AS BIGINT) AS n_docs
+              FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2),
+    tot AS (SELECT lang AS lang_true, CAST(count(*) AS BIGINT) AS row_total
+            FROM documents GROUP BY 1)
+    SELECT c.lang_true, c.lang_pred, c.n_docs,
+           CAST((c.n_docs * 1000000 + t.row_total // 2)
+                // greatest(t.row_total, 1) AS BIGINT) AS row_ppm
+    FROM cells c JOIN tot t USING (lang_true)
+    """,
+)
+
+# -- near-dup cluster size distribution (operators/dedup.py) -----------------
+# Served warm from the standing clusters_full asset; the oracle replays
+# the recursive-CTE CC closure.
+
+register(
+    "dedup_cluster_hist",
+    D.dedup_cluster_hist,
+    f"""
+    WITH RECURSIVE {DUCK_MINHASH_PAIR_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        WHERE jaccard >= {D.JACCARD_THRESHOLD}
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+        WHERE jaccard >= {D.JACCARD_THRESHOLD}),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    cl AS (SELECT src AS doc_id, min(dst) AS cluster_id
+           FROM reach GROUP BY src),
+    sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM cl GROUP BY cluster_id)
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+
+# -- next-generation cluster-map commit (operators/dedup.py) -----------------
+# ITERATIVE (CC over the new-new remainder); the commit step of the
+# standing-index lifecycle: old clusters + incremental assignments +
+# fresh new-new clusters in one partition of the corpus.
+
+register(
+    "dedup_index_commit",
+    D.dedup_index_commit,
+    f"""
+    WITH RECURSIVE {DUCK_MINHASH_PAIR_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        WHERE jaccard >= {D.JACCARD_THRESHOLD}
+          AND doc_a {_OLD} AND doc_b {_OLD}
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+        WHERE jaccard >= {D.JACCARD_THRESHOLD}
+          AND doc_a {_OLD} AND doc_b {_OLD}),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        WHERE doc_id {_OLD}
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    oldcl AS (
+        SELECT src AS doc_id, min(dst) AS cluster_id
+        FROM reach GROUP BY src),
+    newold AS (
+        SELECT CASE WHEN doc_a {_NEW} THEN doc_a ELSE doc_b END AS new_id,
+               CASE WHEN doc_a {_NEW} THEN doc_b ELSE doc_a END AS old_id,
+               jaccard
+        FROM pairs
+        WHERE jaccard >= {D.JACCARD_THRESHOLD}
+          AND (doc_a {_NEW}) <> (doc_b {_NEW})),
+    best AS (
+        SELECT new_id, old_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY new_id
+                     ORDER BY jaccard DESC, old_id ASC) AS rn
+          FROM newold) WHERE rn = 1),
+    nn AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE jaccard >= {D.JACCARD_THRESHOLD}
+          AND doc_a {_NEW} AND doc_b {_NEW}
+          AND doc_a NOT IN (SELECT new_id FROM best)
+          AND doc_b NOT IN (SELECT new_id FROM best)),
+    nedges AS (SELECT doc_a AS src, doc_b AS dst FROM nn
+               UNION ALL SELECT doc_b, doc_a FROM nn),
+    nreach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        WHERE doc_id {_NEW}
+          AND doc_id NOT IN (SELECT new_id FROM best)
+        UNION
+        SELECT r.src, e.dst FROM nreach r JOIN nedges e ON r.dst = e.src),
+    ncl AS (SELECT src AS doc_id, min(dst) AS cluster_id
+            FROM nreach GROUP BY src)
+    SELECT doc_id, cluster_id, 'old' AS origin FROM oldcl
+    UNION ALL
+    SELECT b.new_id AS doc_id, c.cluster_id, 'assigned' AS origin
+    FROM best b JOIN oldcl c ON c.doc_id = b.old_id
+    UNION ALL
+    SELECT doc_id, cluster_id, 'new' AS origin FROM ncl
+    """,
+)
+
+# -- capped-vocabulary BPE coverage card (operators/bpe.py) ------------------
+# ITERATIVE (runs the BPE trainer loop; bpe_merges exclusion rationale).
+
+register(
+    "bpe_vocab_coverage",
+    BP.bpe_vocab_coverage,
+    _bpe_with(BP.N_MERGES)
+    + f""",
+    tok AS (SELECT s AS token, CAST(sum(cnt) AS BIGINT) AS n
+            FROM (SELECT cnt, unnest(syms) AS s FROM bpe_w{BP.N_MERGES})
+            GROUP BY 1),
+    topv AS (SELECT token FROM tok ORDER BY n DESC, token
+             LIMIT {BP.BPE_VOCAB_CAP}),
+    sub AS (SELECT CAST(sum(n) AS BIGINT) AS total_subword_occ,
+                   CAST(coalesce(sum(CASE WHEN token IN
+                                     (SELECT token FROM topv) THEN n END), 0)
+                        AS BIGINT) AS covered_subword_occ
+            FROM tok),
+    tv AS (SELECT list(token) AS toklist FROM topv),
+    words AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_word_occ,
+                     CAST(coalesce(sum(CASE WHEN list_has_all(
+                                 tv.toklist, syms)
+                              THEN cnt END), 0) AS BIGINT)
+                         AS fully_covered_word_occ
+              FROM bpe_w{BP.N_MERGES}, tv)
+    SELECT CAST({BP.BPE_VOCAB_CAP} AS INT) AS vocab_cap,
+           sub.total_subword_occ, sub.covered_subword_occ,
+           CAST((sub.covered_subword_occ * 1000000
+                 + sub.total_subword_occ // 2)
+                // greatest(sub.total_subword_occ, 1) AS BIGINT)
+               AS coverage_ppm,
+           words.total_word_occ, words.fully_covered_word_occ,
+           CAST((words.fully_covered_word_occ * 1000000
+                 + words.total_word_occ // 2)
+                // greatest(words.total_word_occ, 1) AS BIGINT)
+               AS word_coverage_ppm
+    FROM sub, words
+    """,
+)
+
+# -- fixed-capacity shard manifest of the curated corpus (operators/curate.py)
+
+register(
+    "export_shards",
+    CU.export_shards,
+    f"""
+    WITH base AS ({{base}}),
+    sharded AS (SELECT doc_id, kept_tokens,
+                       CAST((cum_kept_tokens - kept_tokens)
+                            // {CU.SHARD_TOKENS} AS BIGINT) AS shard_id
+                FROM base)
+    SELECT shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(kept_tokens) AS BIGINT) AS shard_tokens,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM sharded GROUP BY shard_id
+    """.format(base=_registered_oracle("corpus_curate")),
+)
+
+# -- per-source LM-quality ranking card (operators/ccnet.py) -----------------
+
+register(
+    "source_perplexity_report",
+    CN.source_perplexity_report,
+    f"""
+    WITH b AS ({_CCNET_BUCKETS_SQL}),
+    j AS (SELECT b.doc_id, b.avg_nll, b.bucket, d.source
+          FROM b JOIN documents d USING (doc_id)),
+    agg AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               sum(CAST(floor(avg_nll * 1000000 + 0.5) AS BIGINT))
+                   AS sum_micro,
+               CAST(coalesce(sum(CASE WHEN bucket = 'head' THEN 1 END), 0)
+                    AS BIGINT) AS head_docs,
+               CAST(coalesce(sum(CASE WHEN bucket = 'middle' THEN 1 END), 0)
+                    AS BIGINT) AS middle_docs,
+               CAST(coalesce(sum(CASE WHEN bucket = 'tail' THEN 1 END), 0)
+                    AS BIGINT) AS tail_docs
+        FROM j GROUP BY source)
+    SELECT source, n_docs,
+           CAST((sum_micro + n_docs // 2) // n_docs AS BIGINT)
+               AS mean_nll_micro,
+           head_docs, middle_docs, tail_docs,
+           CAST((head_docs * 1000000 + n_docs // 2)
+                // greatest(n_docs, 1) AS BIGINT) AS head_ppm
+    FROM agg
+    """,
+)
+
+# -- streaming twin of the token-drift card (streaming/docs_stream.py) -------
+# ITERATIVE/stream-excluded; complete-mode output equals the batch card
+# row-for-row (tests/test_streaming_docs.py), so it registers against
+# the SAME oracle — a full value hash, not a rows-only check.
+
+register(
+    "stream_token_drift",
+    DSTR.q_stream_token_drift,
+    _registered_oracle("token_drift_report"),
+)
+
+# -- CCNet tercile × heuristic gate × Gopher gate cross-tab ------------------
+# (operators/docquality.py)
+
+_QSA_GATE = " AND ".join(CU.CURATE_GOPHER_RULES)
+
+register(
+    "quality_signal_agreement",
+    DQ.quality_signal_agreement,
+    f"""
+    WITH b AS ({_CCNET_BUCKETS_SQL}),
+    tq AS ({_TEXT_QUALITY_SQL}),
+    gof AS (SELECT doc_id, ({_QSA_GATE}) AS gopher_pass
+            FROM ({DUCK_GOPHER_FLAGS})),
+    j AS (SELECT b.bucket,
+                 tq.quality_score >= {CU.CURATE_MIN_QUALITY} AS quality_ok,
+                 gof.gopher_pass AS gopher_ok
+          FROM b JOIN tq USING (doc_id) JOIN gof USING (doc_id)),
+    cells AS (SELECT bucket, quality_ok, gopher_ok,
+                     CAST(count(*) AS BIGINT) AS n_docs
+              FROM j GROUP BY 1, 2, 3),
+    tot AS (SELECT bucket, CAST(count(*) AS BIGINT) AS row_total
+            FROM j GROUP BY 1)
+    SELECT c.bucket, c.quality_ok, c.gopher_ok, c.n_docs,
+           CAST((c.n_docs * 1000000 + t.row_total // 2)
+                // greatest(t.row_total, 1) AS BIGINT) AS bucket_ppm
+    FROM cells c JOIN tot t USING (bucket)
+    """,
+)
+
+# -- verify-threshold sensitivity curve (operators/dedup.py) -----------------
+# Centiles bucket on the micro-int rendering of the 6dp-rounded Jaccard
+# (floor(j*1e6+0.5) // 10000) on BOTH engines — the lsh_banding_recall
+# discipline, so an exact centile boundary like 0.850000 can never flip
+# a bucket on a last-ulp cross-engine double difference.
+
+register(
+    "jaccard_threshold_curve",
+    D.jaccard_threshold_curve,
+    f"""
+    WITH {DUCK_MINHASH_PAIR_CTES},
+    per AS (
+        SELECT CAST(least(CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT)
+                          // 10000, 100) AS INT) AS jaccard_pct,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY 1)
+    SELECT p.jaccard_pct, p.n_pairs,
+           CAST(sum(o.n_pairs) AS BIGINT) AS cum_pairs_at_or_above
+    FROM per p JOIN per o ON o.jaccard_pct >= p.jaccard_pct
+    GROUP BY p.jaccard_pct, p.n_pairs
+    """,
+)
+
+# -- measured candidate recall of the MinHash banding (operators/dedup.py) ---
+
+_LSH_RECALL_SPINE = ", ".join(str(t) for t in D.LSH_RECALL_THRESHOLDS)
+
+register(
+    "lsh_banding_recall",
+    D.lsh_banding_recall,
+    f"""
+    WITH {DUCK_MINHASH_PAIR_CTES},
+    ng_ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+    tp AS (
+        SELECT doc_a, doc_b,
+               CAST(floor(round(c / (na + nb - c), 6) * 1000000 + 0.5)
+                    AS BIGINT) AS j_micro
+        FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS na, b.n_sh AS nb, count(*) AS c
+            FROM ng_ex a JOIN ng_ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+        WHERE round(c / (na + nb - c), 6)
+              >= {min(D.LSH_RECALL_THRESHOLDS) / 100.0}),
+    marked AS (
+        SELECT tp.j_micro,
+               CASE WHEN cd.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM tp LEFT JOIN cand cd
+          ON cd.doc_a = tp.doc_a AND cd.doc_b = tp.doc_b),
+    spine AS (SELECT unnest([{_LSH_RECALL_SPINE}]) AS t_pct)
+    SELECT CAST(t_pct AS INT) AS t_pct,
+           CAST(count(*) AS BIGINT) AS n_true_pairs,
+           CAST(sum(hit) AS BIGINT) AS n_caught,
+           CAST((sum(hit) * 1000000 + count(*) // 2)
+                // greatest(count(*), 1) AS BIGINT) AS recall_ppm
+    FROM marked, spine
+    WHERE j_micro >= t_pct * 10000
+    GROUP BY t_pct
     """,
 )

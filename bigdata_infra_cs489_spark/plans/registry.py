@@ -33,7 +33,51 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 
 # The driver's correctness run covers the FIRST 50 entries of queries().
-# Round-9 rotation (new registrations + staleness refresh):
+# Round-10 rotation (executes the window pre-committed in round 9):
+#   slots 1-12   the full round-9-staged queue, registered this round
+#                and never driver-checked: the exact-vs-scoped embedding
+#                recall card, crawl PageRank, the langid confusion
+#                matrix, the cluster-size histogram, the dedup-index
+#                commit step, BPE vocab coverage, the shard manifest,
+#                the per-source perplexity ranking, the streaming
+#                token-drift twin, the quality-signal cross-tab, and the
+#                LSH tuning pair (threshold curve + banding recall).
+#                Each was value-verified in pytest while staged plus a
+#                12-query sf0.1 oracle run (staged_oracle_sf01_r9.log).
+#   slots 13-38  the 26 remaining r5-stale queries (incremental_curate
+#                .. weighted_sample_topn) at their lag-5 deadline —
+#                exactly the cohort the round-9 pre-commitment reserved
+#                these slots for.
+#   slots 39-50  SEMANTIC-CHANGE re-checks + the r6-cohort head:
+#                embedding_near_duplicates and semantic_dedup_keep_best
+#                re-enter because round 10 moved their registered
+#                threshold from the 0.9 operator default (zero pairs in
+#                the random fixtures at every SF — vacuously green) to
+#                REGISTERED_PAIR_THRESHOLD = 0.4 where the pair-finding
+#                path produces non-empty, oracle-matched output
+#                (round-9 verdict, What's wrong #1); both are r6-cohort
+#                members anyway. split_balance_report re-enters because
+#                the deviation_ppm divisor moved to milli-doc rescale
+#                (round-9 advisory: whole-doc flooring over-alarmed on
+#                tiny strata). The remaining 9 slots take the
+#                alphabetical head of the round-6 cohort (bigram_rel_freq
+#                .. inverted_index_df).
+#
+# ROUND-11 WINDOW, PRE-COMMITTED: after this rotation 39 r6-cohort
+# queries remain at lag 4 — they reach lag 5 at round 11 and MUST hold
+# slots, leaving 11 for round-10-staged registrations (keep the r10
+# staging queue ≤ 11; any remainder goes to the r7-cohort head). The r7
+# cohort (50 queries) reaches lag 5 at round 12 and will consume the
+# ENTIRE r12 window unless r11 pre-covers part of it: every r7-head
+# query taken in r11's spare slots frees one r12 slot for r11-staged
+# registrations. At the current 238-query registry the staleness bound
+# is max(4, ceil(238/50)) = 5; the registry is near rotation
+# saturation (238 of 250 coverable in 5 rounds), so net new
+# registrations beyond ~2-3 per round must be paid for by pre-covering
+# future cohorts in spare slots.
+#
+# Round-9 rotation (kept for provenance; new registrations + staleness
+# refresh):
 #   slots 1-15   the full round-8-staged queue (plans/staged.py as of
 #                round 8), registered this round and never
 #                driver-checked: CCNet perplexity terciles ×2, the
@@ -77,59 +121,60 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # and the r6 cohort only reaches lag 5 at round 11 — one full window
 # of slack.
 _DRIVER_WINDOW_FIRST = (
-    # -- slots 1-15: registered this round, never driver-checked ------
-    "ccnet_perplexity_buckets",
-    "ccnet_bucket_stats",
-    "source_mixture_plan",
+    # -- slots 1-12: registered this round, never driver-checked ------
+    "embedding_dedup_recall",
+    "crawl_pagerank",
+    "langid_confusion",
+    "dedup_cluster_hist",
+    "dedup_index_commit",
+    "bpe_vocab_coverage",
+    "export_shards",
+    "source_perplexity_report",
+    "stream_token_drift",
+    "quality_signal_agreement",
+    "jaccard_threshold_curve",
+    "lsh_banding_recall",
+    # -- slots 13-38: latest driver row round 5 (lag-5 deadline) -------
+    "incremental_curate",
+    "incremental_span_stats",
+    "incremental_spans",
+    "incremental_spans_fp",
+    "label_propagation_communities",
+    "media_features",
+    "nation_market_share",
+    "pagerank_topk",
+    "ppr_topk",
+    "promo_revenue_share",
+    "repeated_spans",
+    "repeated_spans_fp",
+    "session_cooccurrence",
+    "source_capped_sample",
+    "source_quality_percentiles",
+    "spam_calibration_bins",
+    "strip_spans",
+    "top_return_customers",
+    "top_suppliers_by_revenue",
+    "top_terms_per_lang",
+    "user_erasure_audit",
+    "user_rolling_anomalies",
+    "user_value_anomalies",
+    "user_value_deciles",
+    "video_frames",
+    "weighted_sample_topn",
+    # -- slots 39-41: round-10 semantic/value changes, re-checked ------
+    "embedding_near_duplicates",
+    "semantic_dedup_keep_best",
     "split_balance_report",
-    "link_indegree_hist",
-    "crawl_frontier",
-    "pq_distortion_stats",
-    "contamination_spans",
-    "cdc_chunk_stats",
-    "curation_funnel",
-    "media_content_dedup",
-    "near_dup_method_audit",
-    "token_drift_report",
-    "events_anomaly_days",
-    "bpe_encode_stats",
-    # -- slots 16-29: latest driver row round 4 (lag-5 deadline) -------
-    "spam_model_auc",
-    "spam_train",
-    "spam_train_shuffled",
-    "stream_partitioned_sink",
-    "stream_upsert_user_state",
-    "term_lookup",
-    "token_budget_pack",
-    "token_zipf_stats",
-    "user_churn_flags",
-    "user_decayed_value",
-    "user_feature_matrix",
-    "user_retention_cohorts",
-    "user_scd2_history",
-    "weekly_active_users",
-    # -- slots 30-50: latest driver row round 5 (alphabetical head) ----
-    "ab_test_zscore",
-    "bucketed_customer_orders",
-    "cluster_balanced_sample",
-    "conversion_attribution",
-    "corpus_curate",
-    "corpus_novelty",
-    "cross_source_overlap",
-    "daily_value_ewma",
-    "doc_chunks",
-    "doc_keywords",
-    "dup_span_stats",
-    "event_type_transitions",
-    "events_debounced",
-    "events_exact_median_global",
-    "events_seasonality",
-    "events_throttled",
-    "events_value_histogram",
-    "events_value_median_by_type",
-    "funnel_latency",
-    "heavy_key_report",
-    "incremental_agg_refresh",
+    # -- slots 42-50: round-6 cohort, alphabetical head ----------------
+    "bigram_rel_freq",
+    "bigram_stripes",
+    "bm25_retrieval",
+    "boolean_retrieval",
+    "chunk_embed_topk",
+    "cosine_topk",
+    "dedup_exact",
+    "hard_negative_pairs",
+    "inverted_index_df",
 )
 
 

@@ -15,14 +15,16 @@ Consumers:
   SQL (written alongside the operator in its family's test file or
   composed from catalog fragments).
 
-The round-8 queue (CCNet terciles ×2, source mixture plan, crawl-link
-histogram + frontier, PQ distortion, contamination spans, CDC chunks,
-split balance, curation funnel, media content dedup, near-dup method
-audit, token drift, anomaly days, bpe_encode_stats — 15 queries)
-registered in the round-9 rotation. Entries added below during round 9
-queue for the round-10 rotation; keep the queue ≤ 24 slots (the
-pre-committed r10 window in ``registry.py`` reserves 26 slots for the
-r5-stale cohort).
+The round-9 queue (the embedding recall card, crawl PageRank, langid
+confusion, cluster histogram, index commit, BPE vocab coverage, shard
+export, source perplexity, streaming token drift, quality-signal
+agreement, and the LSH tuning pair — 12 queries) registered in the
+round-10 rotation. Entries added below during round 10 queue for the
+round-11 rotation; keep the queue ≤ 11 slots (the pre-committed r11
+window in ``registry.py`` reserves 39 slots for the r6-stale cohort),
+and prefer a SMALLER queue — every spare r11 slot should pre-cover the
+r7-cohort head so the 50-query r7 deadline doesn't consume the entire
+r12 window.
 """
 
 from __future__ import annotations
@@ -36,32 +38,4 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def staged_queries() -> dict[str, QueryFn]:
     """name -> callable for every plan-auditable staged operator."""
-    from ..operators.bpe import bpe_vocab_coverage
-    from ..operators.ccnet import source_perplexity_report
-    from ..operators.curate import export_shards
-    from ..operators.dedup import (
-        dedup_cluster_hist,
-        dedup_index_commit,
-        jaccard_threshold_curve,
-        lsh_banding_recall,
-    )
-    from ..operators.docquality import quality_signal_agreement
-    from ..operators.extraction import crawl_pagerank_topk
-    from ..operators.similarity import embedding_dedup_recall
-    from ..operators.textstats import langid_confusion
-    from ..streaming.docs_stream import q_stream_token_drift
-
-    return {
-        "embedding_dedup_recall": embedding_dedup_recall,
-        "crawl_pagerank": crawl_pagerank_topk,
-        "langid_confusion": langid_confusion,
-        "dedup_cluster_hist": dedup_cluster_hist,
-        "dedup_index_commit": dedup_index_commit,
-        "bpe_vocab_coverage": bpe_vocab_coverage,
-        "export_shards": export_shards,
-        "source_perplexity_report": source_perplexity_report,
-        "stream_token_drift": q_stream_token_drift,
-        "quality_signal_agreement": quality_signal_agreement,
-        "jaccard_threshold_curve": jaccard_threshold_curve,
-        "lsh_banding_recall": lsh_banding_recall,
-    }
+    return {}

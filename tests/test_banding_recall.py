@@ -1,7 +1,7 @@
 """lsh_banding_recall (measured candidate recall of the MinHash banding
 per true-Jaccard threshold) vs an inline DuckDB oracle composed from
 the registered pair CTEs, plus monotonicity/ground-truth invariants
-(staged for round-10 registration per the window contract)."""
+(oracle single-sourced in plans/catalog.py since round-10 registration)."""
 
 from __future__ import annotations
 
@@ -14,38 +14,9 @@ from .oracle import assert_matches_oracle
 
 
 def _recall_sql() -> str:
-    from bigdata_infra_cs489_spark.plans.catalog import DUCK_MINHASH_PAIR_CTES
+    import __spark_entry__ as entrymod
 
-    low = min(LSH_RECALL_THRESHOLDS)
-    spine = ", ".join(str(t) for t in LSH_RECALL_THRESHOLDS)
-    return f"""
-    WITH {DUCK_MINHASH_PAIR_CTES},
-    ng_ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
-    tp AS (
-        SELECT doc_a, doc_b,
-               CAST(floor(round(c / (na + nb - c), 6) * 1000000 + 0.5)
-                    AS BIGINT) AS j_micro
-        FROM (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   a.n_sh AS na, b.n_sh AS nb, count(*) AS c
-            FROM ng_ex a JOIN ng_ex b ON a.s = b.s AND a.doc_id < b.doc_id
-            GROUP BY 1, 2, 3, 4)
-        WHERE round(c / (na + nb - c), 6) >= {low / 100.0}),
-    marked AS (
-        SELECT tp.j_micro,
-               CASE WHEN cd.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
-        FROM tp LEFT JOIN cand cd
-          ON cd.doc_a = tp.doc_a AND cd.doc_b = tp.doc_b),
-    spine AS (SELECT unnest([{spine}]) AS t_pct)
-    SELECT CAST(t_pct AS INT) AS t_pct,
-           CAST(count(*) AS BIGINT) AS n_true_pairs,
-           CAST(sum(hit) AS BIGINT) AS n_caught,
-           CAST((sum(hit) * 1000000 + count(*) // 2)
-                // greatest(count(*), 1) AS BIGINT) AS recall_ppm
-    FROM marked, spine
-    WHERE j_micro >= t_pct * 10000
-    GROUP BY t_pct
-    """
+    return entrymod.oracle_sql()["lsh_banding_recall"]
 
 
 def test_matches_oracle(spark, sf_correct):

@@ -11,30 +11,9 @@ from .oracle import assert_matches_oracle
 
 
 def _hist_sql() -> str:
-    from bigdata_infra_cs489_spark.operators import dedup as D
-    from bigdata_infra_cs489_spark.plans.catalog import DUCK_MINHASH_PAIR_CTES
+    import __spark_entry__ as entrymod
 
-    return f"""
-    WITH RECURSIVE {DUCK_MINHASH_PAIR_CTES},
-    edges AS (
-        SELECT doc_a AS src, doc_b AS dst FROM pairs
-        WHERE jaccard >= {D.JACCARD_THRESHOLD}
-        UNION ALL
-        SELECT doc_b, doc_a FROM pairs
-        WHERE jaccard >= {D.JACCARD_THRESHOLD}),
-    reach AS (
-        SELECT doc_id AS src, doc_id AS dst FROM documents
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-    cl AS (SELECT src AS doc_id, min(dst) AS cluster_id
-           FROM reach GROUP BY src),
-    sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
-              FROM cl GROUP BY cluster_id)
-    SELECT cluster_size,
-           CAST(count(*) AS BIGINT) AS n_clusters,
-           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
-    FROM sizes GROUP BY cluster_size
-    """
+    return entrymod.oracle_sql()["dedup_cluster_hist"]
 
 
 def test_matches_oracle(spark, sf_correct):

@@ -1,8 +1,8 @@
 """crawl_pagerank_topk (PageRank over the harvested crawl-link graph,
 crawled ∪ frontier nodes) vs an unrolled DuckDB oracle (the
 _pagerank_topk_sql discipline over html_link_edges' graph), plus mass
-conservation and frontier-structure invariants (staged for round-10
-registration per the window contract)."""
+conservation and frontier-structure invariants (oracle single-sourced in
+plans/catalog.py since round-10 registration)."""
 
 from __future__ import annotations
 
@@ -17,60 +17,9 @@ from .oracle import assert_matches_oracle
 
 
 def _crawl_pr_sql() -> str:
-    from bigdata_infra_cs489_spark.operators.graph import ALPHA
-    from bigdata_infra_cs489_spark.plans.catalog import DUCK_HTML_DECORATED
+    import __spark_entry__ as entrymod
 
-    om, al = repr(1.0 - ALPHA), repr(ALPHA)
-    nn = "(SELECT c FROM n)"
-    ctes = [
-        f"d AS MATERIALIZED ({DUCK_HTML_DECORATED})",
-        "edges AS MATERIALIZED (SELECT doc_id AS src, CAST(h AS BIGINT)"
-        " AS dst FROM (SELECT doc_id,"
-        " unnest(regexp_extract_all(html, 'href=\"/doc/(\\d+)\"', 1)) AS h"
-        " FROM d))",
-        "nodes AS MATERIALIZED (SELECT DISTINCT id FROM"
-        " (SELECT doc_id AS id FROM documents"
-        "  UNION ALL SELECT dst FROM edges))",
-        "n AS MATERIALIZED (SELECT count(*) AS c FROM nodes)",
-        "outdeg AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg"
-        " FROM edges GROUP BY src)",
-        f"r0 AS MATERIALIZED (SELECT id,"
-        f" CAST(1.0 AS DOUBLE) / {nn} AS m FROM nodes)",
-    ]
-    for it in range(1, CRAWL_PR_ITERATIONS + 1):
-        p = it - 1
-        ctes.append(
-            f"msg{it} AS MATERIALIZED (SELECT e.dst AS id,"
-            f" sum(r.m / o.outdeg) AS c FROM r{p} r"
-            f" JOIN outdeg o ON o.id = r.id JOIN edges e ON e.src = r.id"
-            f" GROUP BY e.dst)"
-        )
-        ctes.append(
-            f"rec{it} AS MATERIALIZED (SELECT nd.id,"
-            f" coalesce(m.c, CAST(0.0 AS DOUBLE)) AS m"
-            f" FROM nodes nd LEFT JOIN msg{it} m ON m.id = nd.id)"
-        )
-        ctes.append(
-            f"mis{it} AS MATERIALIZED (SELECT"
-            f" greatest(CAST(0.0 AS DOUBLE), 1.0 - sum(m)) AS x FROM rec{it})"
-        )
-        ctes.append(
-            f"r{it} AS MATERIALIZED (SELECT id,"
-            f" {al} / {nn} + {om} * (m + (SELECT x FROM mis{it}) / {nn}) AS m"
-            f" FROM rec{it})"
-        )
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"""
-    SELECT node_id, mass, is_crawled FROM (
-        SELECT r.id AS node_id, round(r.m, 6) AS mass,
-               (dd.doc_id IS NOT NULL) AS is_crawled,
-               row_number() OVER (ORDER BY round(r.m, 6) DESC, r.id) AS rn
-        FROM r{CRAWL_PR_ITERATIONS} r
-        LEFT JOIN documents dd ON dd.doc_id = r.id)
-    WHERE rn <= {CRAWL_PR_TOP_K}"""
-    )
+    return entrymod.oracle_sql()["crawl_pagerank"]
 
 
 def test_matches_oracle(spark, sf_correct):

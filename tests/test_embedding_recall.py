@@ -1,7 +1,7 @@
 """embedding_dedup_recall (exact-vs-scoped pair-set recall card for the
 round-9 scoped default of embedding_near_duplicates) vs an inline DuckDB
 oracle composed from the catalog scope fragments, plus set-algebra
-invariants (staged for round-10 registration per the window contract)."""
+invariants (oracle single-sourced in plans/catalog.py since round-10 registration)."""
 
 from __future__ import annotations
 
@@ -16,36 +16,9 @@ from .oracle import assert_matches_oracle
 
 
 def _recall_sql() -> str:
-    from bigdata_infra_cs489_spark.plans.catalog import (
-        _EMB_SCOPE_CTES,
-        DUCK_EMB,
-    )
+    import __spark_entry__ as entrymod
 
-    t = RECALL_AUDIT_THRESHOLD
-    return f"""
-    WITH e AS ({DUCK_EMB}),{_EMB_SCOPE_CTES},
-    ex AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-           FROM e a JOIN e b ON a.vec_id < b.vec_id
-           WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {t}),
-    sc AS (SELECT ex.vec_a, ex.vec_b FROM ex
-           JOIN best ba ON ba.vec_id = ex.vec_a
-           JOIN best bb ON bb.vec_id = ex.vec_b
-           WHERE ba.centroid_id = bb.centroid_id),
-    mis AS (SELECT ex.cosine FROM ex
-            LEFT JOIN sc ON sc.vec_a = ex.vec_a AND sc.vec_b = ex.vec_b
-            WHERE sc.vec_a IS NULL),
-    tot AS (SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact_pairs,
-                   CAST((SELECT count(*) FROM sc) AS BIGINT) AS n_scoped_pairs,
-                   CAST((SELECT count(*) FROM mis) AS BIGINT) AS missed_pairs,
-                   round(coalesce((SELECT max(cosine) FROM mis), 0.0), 6)
-                       AS max_missed_cosine)
-    SELECT n_exact_pairs, n_scoped_pairs, missed_pairs,
-           CAST((n_scoped_pairs * 1000000 + n_exact_pairs // 2)
-                // greatest(n_exact_pairs, 1) AS BIGINT) AS recall_ppm,
-           max_missed_cosine
-    FROM tot
-    """
+    return entrymod.oracle_sql()["embedding_dedup_recall"]
 
 
 def test_matches_oracle(spark, sf_correct):

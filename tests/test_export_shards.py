@@ -1,7 +1,7 @@
 """export_shards (fixed-capacity shard manifest of the curated corpus)
 vs a DuckDB oracle wrapping the registered corpus_curate twin, plus a
-pure-Python replay of the shard arithmetic (staged for round-10
-registration per the window contract)."""
+pure-Python replay of the shard arithmetic (oracle single-sourced in
+plans/catalog.py since round-10 registration)."""
 
 from __future__ import annotations
 
@@ -17,20 +17,7 @@ from .oracle import assert_matches_oracle
 def _shards_sql() -> str:
     import __spark_entry__ as entrymod
 
-    base = entrymod.oracle_sql()["corpus_curate"]
-    return f"""
-    WITH base AS ({base}),
-    sharded AS (SELECT doc_id, kept_tokens,
-                       CAST((cum_kept_tokens - kept_tokens)
-                            // {SHARD_TOKENS} AS BIGINT) AS shard_id
-                FROM base)
-    SELECT shard_id,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(kept_tokens) AS BIGINT) AS shard_tokens,
-           min(doc_id) AS min_doc,
-           max(doc_id) AS max_doc
-    FROM sharded GROUP BY shard_id
-    """
+    return entrymod.oracle_sql()["export_shards"]
 
 
 def test_matches_oracle(spark, sf_correct):

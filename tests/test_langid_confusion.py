@@ -14,28 +14,9 @@ from .oracle import assert_matches_oracle
 
 
 def _confusion_sql() -> str:
-    from bigdata_infra_cs489_spark.plans.catalog import (
-        _BEST_SQL,
-        _PRED_SQL,
-        _SCORES_SQL,
-        DUCK_TOKS,
-    )
+    import __spark_entry__ as entrymod
 
-    return f"""
-    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
-    scored AS (SELECT doc_id, {_SCORES_SQL} FROM toks),
-    best AS (SELECT *, {_BEST_SQL} AS best FROM scored),
-    pred AS (SELECT doc_id, {_PRED_SQL} AS lang_pred FROM best),
-    cells AS (SELECT d.lang AS lang_true, p.lang_pred,
-                     CAST(count(*) AS BIGINT) AS n_docs
-              FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2),
-    tot AS (SELECT lang AS lang_true, CAST(count(*) AS BIGINT) AS row_total
-            FROM documents GROUP BY 1)
-    SELECT c.lang_true, c.lang_pred, c.n_docs,
-           CAST((c.n_docs * 1000000 + t.row_total // 2)
-                // greatest(t.row_total, 1) AS BIGINT) AS row_ppm
-    FROM cells c JOIN tot t USING (lang_true)
-    """
+    return entrymod.oracle_sql()["langid_confusion"]
 
 
 def test_matches_oracle(spark, sf_correct):

@@ -94,8 +94,10 @@ def test_media_meta_parses_real_headers(spark, sf_smoke):
 
 def test_decode_strict_refuses_undecodable_containers(spark, sf_smoke):
     """strict mode must never present header-only results as a decode:
-    the synthetic PNG fixtures carry no IDAT (pixel decode impossible)
-    and JPEG has no stdlib entropy decoder — both raise."""
+    the synthetic PNG fixtures carry no IDAT and the synthetic JPEG
+    keyframes carry no SOS/entropy data (pixel decode impossible) —
+    both raise. Real encoded streams decode: tests/test_jpeg.py and the
+    PNG/WAV round-trips below."""
     from pyspark.sql import functions as F
 
     from bigdata_infra_cs489_spark.operators.multimodal import (
@@ -210,7 +212,10 @@ def test_resize_is_deterministic_fixed_size(spark, sf_smoke):
     assert all(r["n_bytes"] == 32 for r in a)
 
 
-def test_resize_strict_raises_for_jpeg(spark, sf_smoke):
+def test_resize_strict_raises_for_headeronly_jpeg(spark, sf_smoke):
+    """The synthetic MJPEG keyframes are SOI+SOF0 only (no scan data),
+    so the real baseline decoder refuses them — truncated stream, not
+    missing codec (real JPEGs resize: tests/test_jpeg.py)."""
     import pytest
     from pyspark.sql import functions as F
 

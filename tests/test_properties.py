@@ -380,3 +380,39 @@ def test_wav_codec_roundtrip_with_junk_chunks(ch, sr, frames, n_junk):
             spliced += b"\x00"
     spliced += b[12:]
     assert decode_wav(spliced) == (sr, ch, samples)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    data=st.data(),
+)
+def test_jpeg_codec_roundtrip_q100(w, h, data):
+    """encode_jpeg/decode_jpeg at quality 100 (all-ones quant tables)
+    recover any grayscale buffer to within the DCT rounding bound (2),
+    and the header geometry exactly — the codec is a real entropy
+    coder, not a header shim."""
+    import numpy as np
+
+    from bigdata_infra_cs489_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h,
+                max_size=w * h,
+            )
+        )
+    )
+    gw, gh, gc, out = decode_jpeg(encode_jpeg(w, h, px, 1, quality=100))
+    assert (gw, gh, gc) == (w, h, 1)
+    err = np.abs(
+        np.frombuffer(px, np.uint8).astype(int)
+        - np.frombuffer(out, np.uint8).astype(int)
+    )
+    assert err.max() <= 2

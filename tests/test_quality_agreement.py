@@ -1,7 +1,7 @@
 """quality_signal_agreement (CCNet tercile × heuristic gate × Gopher
 gate cross-tab) vs an inline DuckDB oracle composed from the registered
-fragments, plus conservation/consistency invariants (staged for
-round-10 registration per the window contract)."""
+fragments, plus conservation/consistency invariants (oracle
+single-sourced in plans/catalog.py since round-10 registration)."""
 
 from __future__ import annotations
 
@@ -13,36 +13,9 @@ from .oracle import assert_matches_oracle
 
 
 def _agreement_sql() -> str:
-    from bigdata_infra_cs489_spark.operators.curate import (
-        CURATE_GOPHER_RULES,
-        CURATE_MIN_QUALITY,
-    )
-    from bigdata_infra_cs489_spark.plans.catalog import (
-        _CCNET_BUCKETS_SQL,
-        _TEXT_QUALITY_SQL,
-        DUCK_GOPHER_FLAGS,
-    )
+    import __spark_entry__ as entrymod
 
-    gate = " AND ".join(CURATE_GOPHER_RULES)
-    return f"""
-    WITH b AS ({_CCNET_BUCKETS_SQL}),
-    tq AS ({_TEXT_QUALITY_SQL}),
-    gof AS (SELECT doc_id, ({gate}) AS gopher_pass
-            FROM ({DUCK_GOPHER_FLAGS})),
-    j AS (SELECT b.bucket,
-                 tq.quality_score >= {CURATE_MIN_QUALITY} AS quality_ok,
-                 gof.gopher_pass AS gopher_ok
-          FROM b JOIN tq USING (doc_id) JOIN gof USING (doc_id)),
-    cells AS (SELECT bucket, quality_ok, gopher_ok,
-                     CAST(count(*) AS BIGINT) AS n_docs
-              FROM j GROUP BY 1, 2, 3),
-    tot AS (SELECT bucket, CAST(count(*) AS BIGINT) AS row_total
-            FROM j GROUP BY 1)
-    SELECT c.bucket, c.quality_ok, c.gopher_ok, c.n_docs,
-           CAST((c.n_docs * 1000000 + t.row_total // 2)
-                // greatest(t.row_total, 1) AS BIGINT) AS bucket_ppm
-    FROM cells c JOIN tot t USING (bucket)
-    """
+    return entrymod.oracle_sql()["quality_signal_agreement"]
 
 
 def test_matches_oracle(spark, sf_correct):

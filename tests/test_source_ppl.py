@@ -1,7 +1,7 @@
 """source_perplexity_report (per-source LM-quality ranking card) vs an
 inline DuckDB oracle composed from the registered CCNet bucket SQL,
-plus consistency invariants against the bucket assignment (staged for
-round-10 registration per the window contract)."""
+plus consistency invariants against the bucket assignment (oracle
+single-sourced in plans/catalog.py since round-10 registration)."""
 
 from __future__ import annotations
 
@@ -14,32 +14,9 @@ from .oracle import assert_matches_oracle
 
 
 def _report_sql() -> str:
-    from bigdata_infra_cs489_spark.plans.catalog import _CCNET_BUCKETS_SQL
+    import __spark_entry__ as entrymod
 
-    return f"""
-    WITH b AS ({_CCNET_BUCKETS_SQL}),
-    j AS (SELECT b.doc_id, b.avg_nll, b.bucket, d.source
-          FROM b JOIN documents d USING (doc_id)),
-    agg AS (
-        SELECT source,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               sum(CAST(floor(avg_nll * 1000000 + 0.5) AS BIGINT))
-                   AS sum_micro,
-               CAST(coalesce(sum(CASE WHEN bucket = 'head' THEN 1 END), 0)
-                    AS BIGINT) AS head_docs,
-               CAST(coalesce(sum(CASE WHEN bucket = 'middle' THEN 1 END), 0)
-                    AS BIGINT) AS middle_docs,
-               CAST(coalesce(sum(CASE WHEN bucket = 'tail' THEN 1 END), 0)
-                    AS BIGINT) AS tail_docs
-        FROM j GROUP BY source)
-    SELECT source, n_docs,
-           CAST((sum_micro + n_docs // 2) // n_docs AS BIGINT)
-               AS mean_nll_micro,
-           head_docs, middle_docs, tail_docs,
-           CAST((head_docs * 1000000 + n_docs // 2)
-                // greatest(n_docs, 1) AS BIGINT) AS head_ppm
-    FROM agg
-    """
+    return entrymod.oracle_sql()["source_perplexity_report"]
 
 
 def test_matches_oracle(spark, sf_correct):

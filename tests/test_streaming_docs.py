@@ -80,8 +80,8 @@ def test_stream_token_drift_matches_batch_and_oracle(spark, sf_correct):
     """The streaming drift monitor's terminal card equals the batch
     operator row-for-row (the twin contract) AND hash-checks against
     the batch card's registered DuckDB oracle — the
-    stream_line_dedup/incremental shared-oracle discipline (staged for
-    round-10 registration)."""
+    stream_line_dedup/incremental shared-oracle discipline (registered
+    round 10, sharing token_drift_report's oracle verbatim)."""
     import __spark_entry__ as entrymod
 
     from bigdata_infra_cs489_spark.operators.dsir import token_drift_report

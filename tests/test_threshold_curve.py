@@ -1,7 +1,7 @@
 """jaccard_threshold_curve (verify-threshold sensitivity card over the
 banded LSH candidate set) vs an inline DuckDB oracle composed from the
 registered pair CTEs, plus consistency with minhash_near_duplicates
-(staged for round-10 registration per the window contract)."""
+(oracle single-sourced in plans/catalog.py since round-10 registration)."""
 
 from __future__ import annotations
 
@@ -14,19 +14,9 @@ from .oracle import assert_matches_oracle
 
 
 def _curve_sql() -> str:
-    from bigdata_infra_cs489_spark.plans.catalog import DUCK_MINHASH_PAIR_CTES
+    import __spark_entry__ as entrymod
 
-    return f"""
-    WITH {DUCK_MINHASH_PAIR_CTES},
-    per AS (
-        SELECT least(CAST(floor(jaccard * 100) AS INT), 100) AS jaccard_pct,
-               CAST(count(*) AS BIGINT) AS n_pairs
-        FROM pairs GROUP BY 1)
-    SELECT p.jaccard_pct, p.n_pairs,
-           CAST(sum(o.n_pairs) AS BIGINT) AS cum_pairs_at_or_above
-    FROM per p JOIN per o ON o.jaccard_pct >= p.jaccard_pct
-    GROUP BY p.jaccard_pct, p.n_pairs
-    """
+    return entrymod.oracle_sql()["jaccard_threshold_curve"]
 
 
 def test_matches_oracle(spark, sf_correct):

@@ -29,6 +29,7 @@ def test_leaf_module_selects_only_its_queries():
         "html_link_edges",
         "link_indegree_hist",
         "crawl_frontier",
+        "crawl_pagerank",
     }
     assert _selected("qualitymodel") == {
         "quality_model_weights",

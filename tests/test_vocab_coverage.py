@@ -1,7 +1,7 @@
 """bpe_vocab_coverage (capped-vocabulary coverage card, the UNK-fallback
 sizing decision) vs an inline DuckDB oracle composed from the registered
-_bpe_with merge replay, plus a pure-Python replay (staged for round-10
-registration per the window contract; ITERATIVE — runs the BPE trainer
+_bpe_with merge replay, plus a pure-Python replay (oracle single-sourced in
+plans/catalog.py since round-10 registration; ITERATIVE — runs the BPE trainer
 loop, the bpe_merges plan-audit exclusion rationale)."""
 
 from __future__ import annotations
@@ -17,42 +17,9 @@ from .oracle import assert_matches_oracle
 
 
 def _coverage_sql() -> str:
-    from bigdata_infra_cs489_spark.plans.catalog import _bpe_with
+    import __spark_entry__ as entrymod
 
-    n = N_MERGES
-    return (
-        _bpe_with(n)
-        + f""",
-    tok AS (SELECT s AS token, CAST(sum(cnt) AS BIGINT) AS n
-            FROM (SELECT cnt, unnest(syms) AS s FROM bpe_w{n}) GROUP BY 1),
-    topv AS (SELECT token FROM tok ORDER BY n DESC, token
-             LIMIT {BPE_VOCAB_CAP}),
-    sub AS (SELECT CAST(sum(n) AS BIGINT) AS total_subword_occ,
-                   CAST(coalesce(sum(CASE WHEN token IN
-                                     (SELECT token FROM topv) THEN n END), 0)
-                        AS BIGINT) AS covered_subword_occ
-            FROM tok),
-    tv AS (SELECT list(token) AS toklist FROM topv),
-    words AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_word_occ,
-                     CAST(coalesce(sum(CASE WHEN list_has_all(
-                                 tv.toklist, syms)
-                              THEN cnt END), 0) AS BIGINT)
-                         AS fully_covered_word_occ
-              FROM bpe_w{n}, tv)
-    SELECT CAST({BPE_VOCAB_CAP} AS INT) AS vocab_cap,
-           sub.total_subword_occ, sub.covered_subword_occ,
-           CAST((sub.covered_subword_occ * 1000000
-                 + sub.total_subword_occ // 2)
-                // greatest(sub.total_subword_occ, 1) AS BIGINT)
-               AS coverage_ppm,
-           words.total_word_occ, words.fully_covered_word_occ,
-           CAST((words.fully_covered_word_occ * 1000000
-                 + words.total_word_occ // 2)
-                // greatest(words.total_word_occ, 1) AS BIGINT)
-               AS word_coverage_ppm
-    FROM sub, words
-    """
-    )
+    return entrymod.oracle_sql()["bpe_vocab_coverage"]
 
 
 def test_matches_oracle(spark, sf_correct):

@@ -195,6 +195,58 @@ def changed_query_names(ref: str) -> list[str] | None:
     return [n for n, fn in qs.items() if _query_modules(fn) & affected]
 
 
+CACHE_DIR = os.path.join(REPO, ".oracle_cache")
+
+
+def _fixture_digest(sf_dir: str) -> str:
+    """Content key for a fixture directory: sorted (relpath, size,
+    mtime_ns) of every parquet file. The driver regenerates fixtures
+    in place, so identity-by-path is not enough."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for dirpath, _dirs, names in sorted(os.walk(sf_dir)):
+        for n in sorted(names):
+            if not n.endswith(".parquet"):
+                continue
+            p = os.path.join(dirpath, n)
+            st = os.stat(p)
+            rel = os.path.relpath(p, sf_dir)
+            h.update(f"{rel}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()[:16]
+
+
+def run_oracle_cached(con, name: str, sql: str, fixture_key: str):
+    """(duck_cols, duck_rows) for ``sql``, memoized on disk keyed by
+    (oracle text, fixture content). Round-9 verdict, What's wrong #3:
+    the recursive-CC standing-cluster replay costs ~10-25 s per
+    consuming query per sweep, and at 238 registered queries the
+    dual-SF round-end sweeps were heading past practical length. The
+    oracle text IS the semantics, so (sql, fixture) fully determines
+    the result set; any SQL or fixture change misses the cache and
+    re-runs DuckDB. Corrupt/unreadable cache entries re-run too."""
+    import hashlib
+    import pickle
+
+    key = hashlib.sha256(sql.encode()).hexdigest()[:24]
+    path = os.path.join(CACHE_DIR, f"{name}-{key}-{fixture_key}.pkl")
+    try:
+        with open(path, "rb") as f:
+            cols, rows = pickle.load(f)
+        return cols, rows, True
+    except (OSError, ValueError, EOFError, pickle.UnpicklingError):
+        pass
+    res = con.execute(sql)
+    cols = [d[0] for d in res.description]
+    rows = [tuple(r) for r in res.fetchall()]
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "wb") as f:
+        pickle.dump((cols, rows), f)
+    os.replace(tmp, path)
+    return cols, rows, False
+
+
 def sweep(sf_dir: str, only: list[str] | None = None) -> dict[str, dict]:
     spark = get_spark()
     qs = registry.queries()
@@ -202,6 +254,7 @@ def sweep(sf_dir: str, only: list[str] | None = None) -> dict[str, dict]:
     names = only or list(qs)
     results: dict[str, dict] = {}
     con = duck_connection(sf_dir)
+    fixture_key = _fixture_digest(sf_dir)
     for name in names:
         t0 = time.monotonic()
         rec: dict = {
@@ -231,9 +284,10 @@ def sweep(sf_dir: str, only: list[str] | None = None) -> dict[str, dict]:
                     print(f"{'FAIL':>9}  {name:<32} {rec['sec']:7.2f}s", flush=True)
                     print(f"           {rec['err']}", flush=True)
                     continue
-                res = con.execute(oracles[name])
-                duck_cols = [d[0] for d in res.description]
-                duck_rows = [tuple(r) for r in res.fetchall()]
+                duck_cols, duck_rows, cached = run_oracle_cached(
+                    con, name, oracles[name], fixture_key
+                )
+                rec["oracle_cached"] = cached
                 rec["oracle_rows"] = len(duck_rows)
                 rec["rows_match"] = len(spark_rows) == len(duck_rows)
                 rec["schema_match"] = sorted(spark_cols) == sorted(duck_cols)
