@@ -429,3 +429,100 @@ def export_shards(
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+def training_export(
+    spark: SparkSession,
+    sf_dir: str,
+    shard_tokens: int = SHARD_TOKENS,
+    seq_len: int | None = None,
+) -> DataFrame:
+    """(shard_id, n_docs, shard_tokens, train_docs, val_docs, test_docs,
+    train_tokens, val_tokens, test_tokens, span_tokens, first_seq_id,
+    n_seqs): the one-card TRAINING-RUN EXPORT — the release artifact a
+    training job consumes, composing the whole pipeline the way
+    corpus_curate composes the dedup family:
+
+    - shard layout (export_shards' arithmetic): docs land in the shard
+      where their span STARTS over the curated kept-token stream;
+    - split balance per shard (split_balance_report's concern): the
+      leakage-safe cluster-hashed split corpus_curate already carries,
+      reconciled per shard in docs AND tokens — train+val+test counts
+      telescope to n_docs and token sums to shard_tokens EXACTLY, so a
+      torn export can never pass the card;
+    - sequence layout (pack_manifest's concern, over the EXPORT stream):
+      span_tokens is the shard's capacity slice of the packed stream
+      (min((s+1)·cap, T) − s·cap; Σ span_tokens = Σ shard_tokens = T,
+      the exact global reconciliation), and first_seq_id/n_seqs are the
+      fixed-length training sequences starting inside the slice
+      (n_seqs = ceil(end/seq_len) − ceil(start/seq_len)) — the
+      boundary-attention manifest anchor.
+
+    Shape: corpus_curate supplies the exact running totals (distsort
+    prefix machinery, warm standing-cluster asset), so the whole card is
+    one integer projection + one partial-aggregated groupBy(shard_id) +
+    a broadcast 1-row total — no new ordering work, no window, integer
+    arithmetic end-to-end (the DuckDB twin is exact)."""
+    from .textstats import SEQ_LEN
+
+    if seq_len is None:
+        seq_len = SEQ_LEN
+    packed = corpus_curate(spark, sf_dir)
+    sharded = packed.select(
+        "doc_id",
+        "split",
+        "kept_tokens",
+        F.expr(
+            f"CAST((cum_kept_tokens - kept_tokens) DIV {shard_tokens}"
+            " AS BIGINT)"
+        ).alias("shard_id"),
+    )
+
+    def _split(s: str) -> F.Column:
+        return F.when(F.col("split") == s, F.lit(1)).otherwise(F.lit(0))
+
+    def _split_tok(s: str) -> F.Column:
+        return F.when(F.col("split") == s, F.col("kept_tokens")).otherwise(
+            F.lit(0)
+        )
+
+    agg = sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("kept_tokens").cast("bigint").alias("shard_tokens"),
+        F.sum(_split("train")).cast("bigint").alias("train_docs"),
+        F.sum(_split("val")).cast("bigint").alias("val_docs"),
+        F.sum(_split("test")).cast("bigint").alias("test_docs"),
+        F.sum(_split_tok("train")).cast("bigint").alias("train_tokens"),
+        F.sum(_split_tok("val")).cast("bigint").alias("val_tokens"),
+        F.sum(_split_tok("test")).cast("bigint").alias("test_tokens"),
+    )
+    total = packed.agg(
+        F.sum("kept_tokens").cast("bigint").alias("total_tokens")
+    )
+    out = agg.crossJoin(F.broadcast(total))
+    start = F.col("shard_id") * shard_tokens
+    end = F.least(
+        (F.col("shard_id") + F.lit(1)) * shard_tokens, F.col("total_tokens")
+    )
+    ceil_div = lambda x: F.expr(f"({x} + {seq_len - 1}) DIV {seq_len}")  # noqa: E731
+    return out.select(
+        "shard_id",
+        "n_docs",
+        "shard_tokens",
+        "train_docs",
+        "val_docs",
+        "test_docs",
+        "train_tokens",
+        "val_tokens",
+        "test_tokens",
+        (end - start).cast("bigint").alias("span_tokens"),
+        ceil_div(f"shard_id * {shard_tokens}").cast("bigint").alias(
+            "first_seq_id"
+        ),
+        (
+            ceil_div(
+                f"least((shard_id + 1) * {shard_tokens}, total_tokens)"
+            )
+            - ceil_div(f"shard_id * {shard_tokens}")
+        ).cast("bigint").alias("n_seqs"),
+    )

@@ -38,4 +38,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def staged_queries() -> dict[str, QueryFn]:
     """name -> callable for every plan-auditable staged operator."""
-    return {}
+    from ..operators.curate import training_export
+
+    return {
+        # the round-10 stretch (round-9 verdict #8): shard layout x
+        # split balance x sequence layout over the curated corpus in one
+        # exactly-reconciling release card; oracle + invariants in
+        # tests/test_training_export.py
+        "training_export": training_export,
+    }
