@@ -59,3 +59,25 @@ def test_closure_follows_function_local_imports():
 def test_spine_prefixes_cover_the_registration_glue():
     assert any(p.startswith(f"{PKG}/plans") for p in FULL_SWEEP_PREFIXES)
     assert f"{PKG}/session.py" in FULL_SWEEP_PREFIXES
+
+
+def test_oracle_cache_hits_and_invalidates(tmp_path, monkeypatch):
+    """run_oracle_cached returns identical results from disk on a repeat
+    call (cached=True) and re-runs on any SQL text change — the (sql,
+    fixture digest) key IS the semantics."""
+    import duckdb
+
+    from tools import verify_sweep as vs
+
+    monkeypatch.setattr(vs, "CACHE_DIR", str(tmp_path / "cache"))
+    con = duckdb.connect()
+    sql = "SELECT 1 AS a, 'x' AS b"
+    cols1, rows1, cached1 = vs.run_oracle_cached(con, "q", sql, "fix1")
+    assert (cols1, rows1, cached1) == (["a", "b"], [(1, "x")], False)
+    cols2, rows2, cached2 = vs.run_oracle_cached(con, "q", sql, "fix1")
+    assert (cols2, rows2, cached2) == (["a", "b"], [(1, "x")], True)
+    # SQL change -> miss; fixture change -> miss
+    _c, r3, cached3 = vs.run_oracle_cached(con, "q", sql + " ", "fix1")
+    assert cached3 is False and r3 == [(1, "x")]
+    _c, _r, cached4 = vs.run_oracle_cached(con, "q", sql, "fix2")
+    assert cached4 is False
