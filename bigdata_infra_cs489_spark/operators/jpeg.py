@@ -419,8 +419,20 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
     decode — marker walk, DQT/DHT parse, Huffman entropy decode,
     dequantize, IDCT, chroma upsample, YCbCr->RGB. Row-major uint8
     output. Progressive / arithmetic / 12-bit / CMYK raise
-    NotImplementedError; truncated or header-only streams (e.g. the
-    synthetic SOI+SOF0 fixtures) raise ValueError."""
+    NotImplementedError; truncated, header-only (e.g. the synthetic
+    SOI+SOF0 fixtures) or otherwise malformed streams always raise
+    ValueError — internal slicing/unpack errors on garbage bytes are
+    normalized to it so callers classify outcomes deterministically
+    (the media_strict_coverage contract)."""
+    import struct as _struct
+
+    try:
+        return _decode_jpeg(b)
+    except (IndexError, KeyError, _struct.error) as e:
+        raise ValueError(f"malformed JPEG stream: {e!r}") from e
+
+
+def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2

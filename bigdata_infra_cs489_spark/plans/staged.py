@@ -39,6 +39,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def staged_queries() -> dict[str, QueryFn]:
     """name -> callable for every plan-auditable staged operator."""
     from ..operators.curate import training_export
+    from ..operators.multimodal import media_strict_coverage
 
     return {
         # the round-10 stretch (round-9 verdict #8): shard layout x
@@ -46,4 +47,9 @@ def staged_queries() -> dict[str, QueryFn]:
         # exactly-reconciling release card; oracle + invariants in
         # tests/test_training_export.py
         "training_export": training_export,
+        # strict-mode decode coverage per modality, MEASURED by
+        # attempting the real PNG/WAV/JPEG decodes (round-9 verdict #6's
+        # coverage-card leg, on top of the shipped JPEG codec); oracle +
+        # all-statuses classification test in tests/test_multimodal.py
+        "media_strict_coverage": media_strict_coverage,
     }

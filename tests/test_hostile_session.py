@@ -61,6 +61,15 @@ HOSTILE_QUERIES = (
     "token_drift_report",
     "split_balance_report",
     "media_content_dedup",
+    # round-10 registrations: the LSH tuning pair exercises the
+    # micro-int Jaccard rendering and the banded candidate join under a
+    # foreign shuffle-partition count; the confusion matrix rides the
+    # stopword-score argmax; the recall card runs BOTH embedding pair
+    # stages (exact grid + scoped) in one plan
+    "jaccard_threshold_curve",
+    "lsh_banding_recall",
+    "langid_confusion",
+    "embedding_dedup_recall",
 )
 
 

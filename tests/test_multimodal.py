@@ -377,3 +377,77 @@ def test_resize_strict_wav_resamples_rate(spark):
     # nearest-frame pick: frame i of the output is source frame 2i
     for i in range(4):
         assert tuple(got[i * 2 : i * 2 + 2]) == frames[i * 8 // 4]
+
+
+def test_media_strict_coverage_matches_oracle(spark, sf_correct):
+    """The strict decode-coverage card (staged for the round-11
+    registration) vs the construction-rule oracle: only WAV payloads
+    are complete streams, so audio is 'decoded' and the header-only
+    PNG/JPEG containers are 'truncated-stream', with counts by
+    doc_id % 3."""
+    from bigdata_infra_cs489_spark.operators.multimodal import (
+        media_strict_coverage,
+    )
+
+    from .oracle import assert_matches_oracle
+
+    sql = """
+    WITH k AS (
+        SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+               CASE WHEN doc_id % 3 = 1 THEN 'decoded'
+                    ELSE 'truncated-stream' END AS status
+        FROM documents)
+    SELECT media_type, status, CAST(count(*) AS BIGINT) AS n_media,
+           CAST(1000000 AS BIGINT) AS share_ppm
+    FROM k GROUP BY media_type, status
+    """
+    assert_matches_oracle(
+        media_strict_coverage(spark, sf_correct), sql, sf_correct
+    )
+
+
+def test_media_strict_coverage_classifies_all_statuses(spark):
+    """The injectable core produces all three statuses on synthetic
+    media: a real encoded JPEG/PNG/WAV -> decoded; a progressive JPEG /
+    unknown container -> unsupported-codec; header-only streams ->
+    truncated-stream. share_ppm splits exactly within a modality."""
+    import struct
+
+    import numpy as np
+
+    from bigdata_infra_cs489_spark.operators.jpeg import encode_jpeg
+    from bigdata_infra_cs489_spark.operators.multimodal import (
+        encode_png,
+        encode_wav,
+        media_strict_coverage_core,
+    )
+
+    rng = np.random.default_rng(23)
+    real_jpg = encode_jpeg(8, 8, rng.integers(0, 256, 64, dtype=np.uint8).tobytes(), 1)
+    real_png = encode_png(4, 4, bytes(range(48)), 3)
+    real_wav = encode_wav(8000, 1, struct.pack("<4h", 1, -2, 3, -4))
+    progressive = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 11)
+                   + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    header_only = (b"\xff\xd8\xff\xc0" + struct.pack(">H", 11)
+                   + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+                   + b"\x12\x34")
+    unknown = b"GIF89a....."
+    rows = [
+        (bytearray(real_jpg), "video"),
+        (bytearray(progressive), "video"),
+        (bytearray(header_only), "video"),
+        (bytearray(unknown), "video"),
+        (bytearray(real_png), "image"),
+        (bytearray(real_wav), "audio"),
+    ]
+    df = spark.createDataFrame(rows, "media binary, mt string")
+    got = {
+        (r["media_type"], r["status"]): (r["n_media"], r["share_ppm"])
+        for r in media_strict_coverage_core(df).collect()
+    }
+    assert got[("video", "decoded")] == (1, 250000)
+    assert got[("video", "unsupported-codec")] == (2, 500000)
+    assert got[("video", "truncated-stream")] == (1, 250000)
+    assert got[("image", "decoded")] == (1, 1000000)
+    assert got[("audio", "decoded")] == (1, 1000000)
