@@ -247,45 +247,37 @@ def run_oracle_cached(con, name: str, sql: str, fixture_key: str):
     return cols, rows, False
 
 
-def sweep(sf_dir: str, only: list[str] | None = None) -> dict[str, dict]:
-    spark = get_spark()
-    qs = registry.queries()
-    oracles = registry.oracle_sql()
-    names = only or list(qs)
-    results: dict[str, dict] = {}
-    con = duck_connection(sf_dir)
-    fixture_key = _fixture_digest(sf_dir)
-    for name in names:
-        t0 = time.monotonic()
-        rec: dict = {
-            "rows_match": None,
-            "schema_match": None,
-            "hash_match": None,
-            "spark_rows": None,
-            "oracle_rows": None,
-            "err": None,
-        }
-        try:
-            sdf = qs[name](spark, sf_dir)
-            spark_cols = sdf.columns
-            spark_rows = [tuple(r) for r in sdf.collect()]
-            rec["spark_rows"] = len(spark_rows)
-            if name not in oracles:
-                rec["err"] = "no_oracle"
+def _check_one(
+    spark, sf_dir: str, name: str, fn, oracle: str | None,
+    con, fixture_key: str,
+) -> dict:
+    """One query's driver-replica check; returns the result record."""
+    t0 = time.monotonic()
+    rec: dict = {
+        "rows_match": None,
+        "schema_match": None,
+        "hash_match": None,
+        "spark_rows": None,
+        "oracle_rows": None,
+        "err": None,
+    }
+    try:
+        sdf = fn(spark, sf_dir)
+        spark_cols = sdf.columns
+        spark_rows = [tuple(r) for r in sdf.collect()]
+        rec["spark_rows"] = len(spark_rows)
+        if oracle is None:
+            rec["err"] = "no_oracle"
+        else:
+            fragile = fragile_duck_columns(con, oracle)
+            if fragile:
+                # would be driver-red even if values match locally:
+                # the driver's pandas canonicalizer mangles these types
+                rec["hash_match"] = False
+                rec["err"] = f"fragile_duck_types: {fragile}"
             else:
-                fragile = fragile_duck_columns(con, oracles[name])
-                if fragile:
-                    # would be driver-red even if values match locally:
-                    # the driver's pandas canonicalizer mangles these types
-                    rec["hash_match"] = False
-                    rec["err"] = f"fragile_duck_types: {fragile}"
-                    rec["sec"] = round(time.monotonic() - t0, 3)
-                    results[name] = rec
-                    print(f"{'FAIL':>9}  {name:<32} {rec['sec']:7.2f}s", flush=True)
-                    print(f"           {rec['err']}", flush=True)
-                    continue
                 duck_cols, duck_rows, cached = run_oracle_cached(
-                    con, name, oracles[name], fixture_key
+                    con, name, oracle, fixture_key
                 )
                 rec["oracle_cached"] = cached
                 rec["oracle_rows"] = len(duck_rows)
@@ -297,21 +289,69 @@ def sweep(sf_dir: str, only: list[str] | None = None) -> dict[str, dict]:
                 if not rec["hash_match"] and rec["rows_match"]:
                     mism = [(a, b) for a, b in zip(s, d) if a != b]
                     rec["err"] = f"value mismatch {len(mism)} rows: {mism[:1]}"
-        except Exception:
-            rec["err"] = traceback.format_exc(limit=3)
-        rec["sec"] = round(time.monotonic() - t0, 3)
-        results[name] = rec
-        ok = rec["hash_match"] or (
-            rec["err"] == "no_oracle" and (rec["spark_rows"] or 0) >= 0
+    except Exception:
+        rec["err"] = traceback.format_exc(limit=3)
+    rec["sec"] = round(time.monotonic() - t0, 3)
+    return rec
+
+
+def _report(name: str, rec: dict) -> None:
+    flag = "ok" if rec["hash_match"] else (
+        "rows-only" if rec["err"] == "no_oracle" else "FAIL"
+    )
+    print(f"{flag:>9}  {name:<32} {rec['sec']:7.2f}s", flush=True)
+    if flag == "FAIL":
+        print(f"           {str(rec['err'])[:500]}", flush=True)
+
+
+def sweep(
+    sf_dir: str, only: list[str] | None = None, jobs: int = 1
+) -> dict[str, dict]:
+    """Run the driver-replica check for every target query.
+
+    jobs > 1 fans the per-query checks over a thread pool (Spark's
+    scheduler interleaves the concurrent jobs on local[32]; each thread
+    gets its OWN DuckDB connection — connections are not thread-safe).
+    Default stays sequential: parallel mode is an opt-in wall-clock
+    lever for the round-end dual-SF sweeps, and per-query `sec` values
+    under it include scheduler contention, so never compare them
+    against sequential timings."""
+    spark = get_spark()
+    qs = registry.queries()
+    oracles = registry.oracle_sql()
+    names = only or list(qs)
+    fixture_key = _fixture_digest(sf_dir)
+    results: dict[str, dict] = {}
+    if jobs <= 1:
+        con = duck_connection(sf_dir)
+        for name in names:
+            rec = _check_one(
+                spark, sf_dir, name, qs[name], oracles.get(name), con,
+                fixture_key,
+            )
+            results[name] = rec
+            _report(name, rec)
+        con.close()
+        return results
+
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    local = threading.local()
+
+    def check(name: str) -> tuple[str, dict]:
+        if not hasattr(local, "con"):
+            local.con = duck_connection(sf_dir)
+        rec = _check_one(
+            spark, sf_dir, name, qs[name], oracles.get(name), local.con,
+            fixture_key,
         )
-        flag = "ok" if rec["hash_match"] else (
-            "rows-only" if rec["err"] == "no_oracle" else "FAIL"
-        )
-        print(f"{flag:>9}  {name:<32} {rec['sec']:7.2f}s", flush=True)
-        if flag == "FAIL":
-            print(f"           {str(rec['err'])[:500]}", flush=True)
-        _ = ok
-    con.close()
+        _report(name, rec)
+        return name, rec
+
+    with ThreadPoolExecutor(max_workers=jobs) as ex:
+        for name, rec in ex.map(check, names):
+            results[name] = rec
     return results
 
 
@@ -326,6 +366,13 @@ def main() -> int:
         metavar="REF",
         help="derive the target set from git diff against REF "
         "(default HEAD); spine changes fall back to a full sweep",
+    )
+    ap.add_argument(
+        "--jobs",
+        type=int,
+        default=1,
+        help="thread-pool width for the per-query checks (default 1 = "
+        "sequential; per-query timings under >1 include contention)",
     )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
@@ -342,7 +389,7 @@ def main() -> int:
                 f"{' '.join(sorted(derived))}"
             )
         args.names = derived or []
-    results = sweep(args.sf_dir, args.names or None)
+    results = sweep(args.sf_dir, args.names or None, jobs=args.jobs)
     # A targeted run MERGES into the standing file instead of clobbering
     # the full-registry record (a 1-query rerun once replaced the whole
     # 173-entry sweep); only a full run rewrites it.
