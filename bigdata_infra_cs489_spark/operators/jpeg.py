@@ -347,12 +347,14 @@ def _dqt_segment(tid: int, table: np.ndarray) -> bytes:
 
 def encode_jpeg(
     width: int, height: int, pixels: bytes, channels: int = 3,
-    quality: int = 90,
+    quality: int = 90, restart_interval: int = 0,
 ) -> bytes:
     """Baseline sequential JPEG: grayscale (1 channel) or 4:4:4 YCbCr
     (3 channels). ``pixels`` is row-major width*height*channels bytes.
     quality=100 uses all-ones quant tables (DCT rounding is then the
-    only loss, pixel error <= ~2)."""
+    only loss, pixel error <= ~2). restart_interval > 0 emits a DRI
+    segment and RSTn markers every N MCUs with DC-predictor resets —
+    the error-resilience structure real camera JPEGs carry."""
     if channels not in (1, 3):
         raise ValueError("encode_jpeg supports 1 or 3 channels")
     if len(pixels) != width * height * channels:
@@ -388,6 +390,8 @@ def encode_jpeg(
     if channels == 3:
         out += _dht_segment(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
         out += _dht_segment(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([channels])
     for ci in range(channels):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -398,13 +402,24 @@ def encode_jpeg(
     preds = [0] * channels
     blocks_y = planes[0].shape[0] // 8
     blocks_x = planes[0].shape[1] // 8
+    mcu = 0
+    rst = 0
     for by in range(blocks_y):
         for bx in range(blocks_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # byte-align (1-pad), emit RSTn, reset DC predictors
+                writer.flush()
+                out += writer.out
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                writer = _BitWriter()
+                preds = [0] * channels
             for ci in range(channels):  # 4:4:4 MCU = one block each
                 block = planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
                 preds[ci] = _encode_block(
                     writer, block, quants[ci], huff[ci][0], huff[ci][1], preds[ci]
                 )
+            mcu += 1
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI

@@ -205,3 +205,35 @@ def test_spark_strict_decode_and_resize_real_jpeg(spark):
     for doc_id, ch in [(0, 1), (1, 3)]:
         gw, gh, gc, _px = decode_jpeg(out[doc_id])
         assert (gw, gh, gc) == (8, 8, ch)
+
+
+def test_restart_marker_roundtrip():
+    """restart_interval emits DRI + byte-aligned RSTn markers with DC
+    predictor resets; the decoder's align/reset path recovers the image
+    to the same q100 bound, across interval sizes that do and don't
+    divide the MCU count (incl. >8 intervals to wrap RST7->RST0)."""
+    rng = np.random.default_rng(29)
+    w, h = 40, 32  # 5 x 4 = 20 MCUs
+    px = rng.integers(0, 256, size=h * w, dtype=np.uint8).tobytes()
+    for ri in (1, 2, 3, 7):
+        b = encode_jpeg(w, h, px, 1, quality=100, restart_interval=ri)
+        assert b"\xff\xdd" in b  # DRI present
+        n_rst = sum(b.count(bytes([0xFF, 0xD0 + i])) for i in range(8))
+        assert n_rst >= (20 - 1) // ri  # counts may collide with data
+        gw, gh, gc, out = decode_jpeg(b)
+        assert (gw, gh, gc) == (w, h, 1)
+        err = np.abs(
+            np.frombuffer(px, np.uint8).astype(int)
+            - np.frombuffer(out, np.uint8).astype(int)
+        )
+        assert err.max() <= 2, ri
+    # color 4:4:4 with restarts too
+    px3 = rng.integers(0, 256, size=h * w * 3, dtype=np.uint8).tobytes()
+    b = encode_jpeg(w, h, px3, 3, quality=100, restart_interval=4)
+    gw, gh, gc, out = decode_jpeg(b)
+    assert (gw, gh, gc) == (w, h, 3)
+    err = np.abs(
+        np.frombuffer(px3, np.uint8).astype(int)
+        - np.frombuffer(out, np.uint8).astype(int)
+    )
+    assert err.max() <= 6
