@@ -65,16 +65,18 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #
 # ROUND-11 WINDOW, PRE-COMMITTED: after this rotation 39 r6-cohort
 # queries remain at lag 4 — they reach lag 5 at round 11 and MUST hold
-# slots, leaving 11 for round-10-staged registrations (keep the r10
-# staging queue ≤ 11; any remainder goes to the r7-cohort head). The r7
-# cohort (50 queries) reaches lag 5 at round 12 and will consume the
-# ENTIRE r12 window unless r11 pre-covers part of it: every r7-head
-# query taken in r11's spare slots frees one r12 slot for r11-staged
-# registrations. At the current 238-query registry the staleness bound
-# is max(4, ceil(238/50)) = 5; the registry is near rotation
-# saturation (238 of 250 coverable in 5 rounds), so net new
-# registrations beyond ~2-3 per round must be paid for by pre-covering
-# future cohorts in spare slots.
+# slots. The round-10 staging queue CLOSED AT 2 (plans/staged.py:
+# training_export, media_strict_coverage — both sf0.1-oracle-MATCHed in
+# staged_oracle_sf01_r10.log), so the r11 window = the 39 r6-stale +
+# those 2 newly registered + the 9 alphabetically-first r7-cohort
+# queries. Pre-covering 9 of the r7 cohort is the point: the r7 cohort
+# (50 queries) reaches lag 5 at round 12 and would otherwise consume
+# the ENTIRE r12 window — with 9 pre-covered, r12 = 41 r7-stale + up to
+# 9 slots for round-11-staged registrations. At the resulting
+# 240-query registry the staleness bound stays max(4, ceil(240/50)) = 5; the
+# registry is near rotation saturation (240 of 250 coverable in 5
+# rounds), so net new registrations beyond ~2-3 per round must be paid
+# for by pre-covering future cohorts in spare slots.
 #
 # Round-9 rotation (kept for provenance; new registrations + staleness
 # refresh):
