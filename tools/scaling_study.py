@@ -55,6 +55,11 @@ def main() -> None:
     ap.add_argument("--json-out", default="/root/repo/SCALING_r10.json")
     args = ap.parse_args()
 
+    if not os.path.exists(os.path.join(SF_DIRS[-1][1], "documents.parquet")):
+        from tools import gen_sf1
+
+        gen_sf1.main()  # deterministic; .fixtures/ is gitignored
+
     from bigdata_infra_cs489_spark.operators.dedup import (
         dedup_index_path,
         ensure_dedup_index,
