@@ -1303,6 +1303,13 @@ def near_dup_method_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(m).alias("m"), "doc_a", "doc_b"
         )
         tagged = part if tagged is None else tagged.unionByName(part)
+    # the tagged pair set feeds THREE consumers (the per-method counts
+    # and both sides of the agreement self-join); without a pin Spark
+    # re-runs all four detector chains once per consumer. The pair set
+    # is 3 narrow columns — tiny relative to the chains that produce it
+    # at any corpus size — so a lazy localCheckpoint (the graph-loop
+    # lineage-truncation discipline) pays the chains once.
+    tagged = tagged.localCheckpoint(eager=False)
     # sizes come from the STATIC method list, not the tagged rows: a
     # detector whose pair set collapses to zero (the exact regression
     # this audit exists to flag) must still appear with n = 0, never
