@@ -336,15 +336,34 @@ def q_term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan to 1/N_BUCKETS of the files before the term filter runs — the
     BooleanRetrievalCompressed.java:106-128 seek, as partition pruning.
     The oracle recomputes the same postings directly, so hash parity
-    proves the sink+lookup path loses nothing."""
-    import os
-    import tempfile
+    proves the sink+lookup path loses nothing.
 
+    Since round 10 the index is a REAL standing asset: keyed on the
+    documents parquet's content (the dedup/vector index discipline —
+    fixture regeneration changes the key), built once behind a _SUCCESS
+    gate, and published atomically from a private temp directory. The
+    previous form rebuilt into a fixed temp path on EVERY call with a
+    direct overwrite — both a per-call rebuild the write-once story
+    says shouldn't happen and the concurrent-overwrite race the
+    round-10 parallel sweep exposed on the vector index."""
+    import os
+    import shutil
+    import uuid
+
+    from .dedup import _publish_subdir
+    from .vector_index import INDEX_ROOT
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_term_index_{sf_tag}"
+        INDEX_ROOT,
+        f"termidx_{sf_tag}_{st.st_size}_{st.st_mtime_ns}_b{N_BUCKETS}",
     )
-    write_bucketed_index(postings(spark, sf_dir), path)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        write_bucketed_index(postings(spark, sf_dir), tmp)
+        _publish_subdir(tmp, path)
+        shutil.rmtree(tmp, ignore_errors=True)
     out = lookup_term(spark, path, LOOKUP_TERMS[0])
     for t in LOOKUP_TERMS[1:]:
         out = out.unionByName(lookup_term(spark, path, t))

@@ -116,13 +116,31 @@ def write_vector_index(spark: SparkSession, sf_dir: str, path: str) -> None:
 
 def ensure_vector_index(spark: SparkSession, sf_dir: str) -> str:
     """Build the index iff this data generation doesn't have one yet.
-    The _SUCCESS-gated check makes a torn previous build rebuild."""
+    The _SUCCESS-gated check makes a torn previous build rebuild.
+
+    The build lands in a private temp directory and publishes per-subdir
+    through the shared atomic-rename helper — the round-10 parallel
+    sweep caught the previous direct ``mode("overwrite")`` into the
+    FINAL path racing against a concurrent prober (two callers both see
+    a missing _SUCCESS, both overwrite the same directory, and a reader
+    mid-scan gets a torn layout): the exact publish race the round-9
+    advisory flagged on the dedup index, which this module had too."""
+    import shutil
+    import uuid
+
+    from .dedup import _publish_subdir
+
     path = vector_index_path(sf_dir)
     if not all(
         os.path.exists(os.path.join(path, sub, "_SUCCESS"))
         for sub in ("ivf", "lsh")
     ):
-        write_vector_index(spark, sf_dir, path)
+        tmp = f"{path}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        write_vector_index(spark, sf_dir, tmp)
+        os.makedirs(path, exist_ok=True)
+        for sub in ("ivf", "lsh"):
+            _publish_subdir(os.path.join(tmp, sub), os.path.join(path, sub))
+        shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 

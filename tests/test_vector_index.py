@@ -117,3 +117,37 @@ def test_append_is_visible_to_probes_without_rebuild(spark, sf_smoke, index_path
         import shutil
 
         shutil.rmtree(index_path, ignore_errors=True)
+
+
+def test_concurrent_build_and_probe_race(spark, sf_smoke):
+    """The round-10 regression: with the standing index ABSENT, several
+    threads ensure+probe simultaneously. The old direct
+    mode('overwrite')-into-final-path build let two builders overwrite
+    each other under a live reader (flaky torn-layout failures in the
+    parallel sweep); the temp-build + atomic per-subdir publish must
+    give every thread the correct probe result and leave one complete
+    index behind."""
+    import shutil
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = VI.vector_index_path(sf_smoke)
+    shutil.rmtree(path, ignore_errors=True)
+    expected = {
+        r["vec_id"]
+        for r in S.lsh_topk(spark, sf_smoke).collect()
+    }
+
+    def probe(i):
+        if i % 2 == 0:
+            return {r["vec_id"] for r in VI.lsh_topk_indexed(spark, sf_smoke).collect()}
+        VI.ensure_vector_index(spark, sf_smoke)
+        return {r["vec_id"] for r in VI.lsh_topk_indexed(spark, sf_smoke).collect()}
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(probe, range(4)))
+    for got in results:
+        assert got == expected
+    assert all(
+        os.path.exists(os.path.join(path, sub, "_SUCCESS"))
+        for sub in ("ivf", "lsh")
+    )
