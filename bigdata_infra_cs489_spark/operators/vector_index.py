@@ -156,6 +156,14 @@ def append_to_vector_index(
     partition directories are re-listed per query. Compaction of
     accumulated small files is `table_ops.compact_parquet`'s job.
 
+    Concurrency note: appends are file-additive (existing files are
+    never touched), so a probe racing an append sees a consistent
+    PREFIX of the index — eventual-consistency ingest semantics, unlike
+    the all-or-nothing _SUCCESS-gated publish of the base build. A
+    deployment needing snapshot-isolated probes layers a table format
+    (manifest-committed file sets) on top; single-writer-many-reader is
+    the contract here.
+
     ``new_vectors``: (vec_id, embedding array<double>) rows."""
     from .similarity import (
         _centroid_rows,
