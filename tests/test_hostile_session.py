@@ -99,3 +99,31 @@ def test_loud_failure_message_names_the_conf():
 
     src = inspect.getsource(tables.load)
     assert "nanosAsLong" in src and "raise RuntimeError" in src
+
+
+def test_staged_queue_parity_under_hostile_session(hostile, sf_smoke):
+    """The staged queue holds the same foreign-session bar as the
+    registry BEFORE registration: training_export's integer shard/
+    split/sequence arithmetic and media_strict_coverage's decode
+    classification must match their oracles under the non-UTC,
+    AQE-off, shuffle=7 session."""
+    from bigdata_infra_cs489_spark.plans.staged import staged_queries
+
+    from .test_training_export import _export_sql
+
+    oracles = {
+        "training_export": _export_sql(),
+        "media_strict_coverage": """
+            WITH k AS (
+                SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                            WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+                       CASE WHEN doc_id % 3 = 1 THEN 'decoded'
+                            ELSE 'truncated-stream' END AS status
+                FROM documents)
+            SELECT media_type, status, CAST(count(*) AS BIGINT) AS n_media,
+                   CAST(1000000 AS BIGINT) AS share_ppm
+            FROM k GROUP BY media_type, status
+        """,
+    }
+    for name, fn in staged_queries().items():
+        assert_matches_oracle(fn(hostile, sf_smoke), oracles[name], sf_smoke)
