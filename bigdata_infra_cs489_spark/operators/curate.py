@@ -499,6 +499,40 @@ def training_export(
     total = packed.agg(
         F.sum("kept_tokens").cast("bigint").alias("total_tokens")
     )
+    # Full shard spine 0..ceil(T/cap)-1 (round-11 advisory): a doc with
+    # kept_tokens > cap spans shards no doc STARTS in; without spine
+    # rows those shards vanish and Σ span_tokens = T silently breaks —
+    # the exact reconciliation the card exists to enforce. The spine is
+    # one sequence() over the broadcast 1-row total (n_shards rows —
+    # shards are release-artifact-sized, so the array stays tiny even
+    # at 100 TB), left-joining the doc aggregate with zero fills.
+    n_shards = F.expr(
+        f"CAST((total_tokens + {shard_tokens - 1}) DIV {shard_tokens}"
+        " AS BIGINT)"
+    )
+    spine = (
+        total.select(
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), n_shards - F.lit(1))
+            ).alias("shard_id"),
+            n_shards.alias("n_shards"),
+        )
+        # sequence(0, -1) yields [0, -1] when T = 0; the bound filter
+        # keeps the empty corpus producing an empty spine
+        .where((F.col("shard_id") >= 0) & (F.col("shard_id") < F.col("n_shards")))
+        .select("shard_id")
+    )
+    zero = F.lit(0).cast("bigint")
+    agg = spine.join(F.broadcast(agg), "shard_id", "left").select(
+        "shard_id",
+        *[
+            F.coalesce(F.col(c), zero).alias(c)
+            for c in (
+                "n_docs", "shard_tokens", "train_docs", "val_docs",
+                "test_docs", "train_tokens", "val_tokens", "test_tokens",
+            )
+        ],
+    )
     out = agg.crossJoin(F.broadcast(total))
     start = F.col("shard_id") * shard_tokens
     end = F.least(

@@ -456,12 +456,22 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
     huff_ac: dict[int, dict] = {}
     frame = None  # (height, width, [(cid, h, v, tq)])
     restart_interval = 0
-    while pos + 4 <= len(b):
+    while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"marker expected at offset {pos}")
+        # Spec-legal 0xFF fill bytes may pad any marker (T.81 B.1.1.2):
+        # consume the run so the byte after the LAST 0xFF is the marker.
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
         marker = b[pos + 1]
         if marker == 0xD9:  # EOI before SOS
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone (length-less) markers.
+            pos += 2
+            continue
+        if pos + 4 > len(b):
+            break  # falls through to the no-SOS ValueError
         seg_len = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
         body = b[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:  # DQT (possibly several tables per segment)

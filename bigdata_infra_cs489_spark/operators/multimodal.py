@@ -306,7 +306,22 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
     chunk walk, concatenated-IDAT zlib inflate, scanline de-filtering.
     Supports 8-bit depth, color types 0/2/6, no interlace; anything else
     (palette, 16-bit, Adam7, missing IDAT — e.g. the synthetic
-    header-only fixtures) raises, keeping strict mode honest."""
+    header-only fixtures) raises, keeping strict mode honest.
+    Truncated/garbage streams always raise ValueError — zlib/struct/
+    slicing errors (a mid-IDAT cut inflates to zlib.error, a short IHDR
+    unpacks to struct.error) are normalized the same way decode_jpeg
+    normalizes them, so callers classify outcomes deterministically
+    (the media_strict_coverage contract)."""
+    import struct
+    import zlib
+
+    try:
+        return _decode_png(b)
+    except (zlib.error, struct.error, IndexError) as e:
+        raise ValueError(f"malformed PNG stream: {e!r}") from e
+
+
+def _decode_png(b: bytes) -> tuple[int, int, int, bytes]:
     import struct
     import zlib
 
@@ -367,7 +382,19 @@ def decode_wav(b: bytes) -> tuple[int, int, list[int]]:
     """(sample_rate, channels, samples): a real PCM-16 WAV decode with a
     proper RIFF chunk WALK (fmt/data located by tag + size, arbitrary
     chunk order / extra chunks tolerated). Non-PCM or non-16-bit audio
-    raises NotImplementedError — the honest strict boundary."""
+    raises NotImplementedError — the honest strict boundary. Truncated
+    streams (e.g. a short fmt chunk body) always raise ValueError:
+    struct/slicing errors are normalized like decode_jpeg/decode_png so
+    callers classify outcomes deterministically."""
+    import struct
+
+    try:
+        return _decode_wav(b)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed WAV stream: {e!r}") from e
+
+
+def _decode_wav(b: bytes) -> tuple[int, int, list[int]]:
     import struct
 
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -411,8 +438,18 @@ def parse_media_header(b: bytes) -> tuple[int | None, int | None, int | None]:
         return None, None, struct.unpack("<H", b[22:24])[0]
     if b[:2] == b"\xff\xd8":
         pos = 2
-        while pos + 4 <= len(b) and b[pos] == 0xFF:
-            marker, seg_len = b[pos + 1], struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+        while pos + 2 <= len(b) and b[pos] == 0xFF:
+            # consume 0xFF fill padding; handle standalone TEM/RSTn
+            # (length-less) — same walk discipline as jpeg.py's decoder
+            while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+                pos += 1
+            marker = b[pos + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if pos + 4 > len(b):
+                break
+            seg_len = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
             if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0..SOF3
                 h, w = struct.unpack(">HH", b[pos + 5 : pos + 9])
                 return w, h, b[pos + 9]

@@ -6342,3 +6342,98 @@ register(
     GROUP BY t_pct
     """,
 )
+
+# -- the one-card training-run export (operators/curate.py) ------------------
+# Registered in the round-11 rotation from the round-10 staging queue
+# (value-verified + sf0.1-oracle-MATCHed while staged; see
+# tests/test_training_export.py for the reconciliation invariants and
+# the pure-Python replay). The shard spine (round-11 advisory) makes
+# the exact reconciliation Σ span_tokens = Σ shard_tokens = T hold even
+# when a single doc out-sizes the shard capacity: shards no doc STARTS
+# in emit explicit zero-doc rows on BOTH engines.
+
+register(
+    "training_export",
+    CU.training_export,
+    f"""
+    WITH base AS ({{base}}),
+    tot AS (SELECT CAST(sum(kept_tokens) AS BIGINT) AS total_tokens
+            FROM base),
+    sh AS (SELECT doc_id, split, kept_tokens,
+                  CAST((cum_kept_tokens - kept_tokens)
+                       // {CU.SHARD_TOKENS} AS BIGINT) AS shard_id
+           FROM base),
+    agg AS (
+        SELECT shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(kept_tokens) AS BIGINT) AS shard_tokens,
+               CAST(coalesce(sum(CASE WHEN split = 'train' THEN 1 END), 0)
+                    AS BIGINT) AS train_docs,
+               CAST(coalesce(sum(CASE WHEN split = 'val' THEN 1 END), 0)
+                    AS BIGINT) AS val_docs,
+               CAST(coalesce(sum(CASE WHEN split = 'test' THEN 1 END), 0)
+                    AS BIGINT) AS test_docs,
+               CAST(coalesce(sum(CASE WHEN split = 'train'
+                                      THEN kept_tokens END), 0)
+                    AS BIGINT) AS train_tokens,
+               CAST(coalesce(sum(CASE WHEN split = 'val'
+                                      THEN kept_tokens END), 0)
+                    AS BIGINT) AS val_tokens,
+               CAST(coalesce(sum(CASE WHEN split = 'test'
+                                      THEN kept_tokens END), 0)
+                    AS BIGINT) AS test_tokens
+        FROM sh GROUP BY shard_id),
+    spine AS (SELECT unnest(range(0,
+                  CAST((t.total_tokens + {CU.SHARD_TOKENS - 1})
+                       // {CU.SHARD_TOKENS} AS BIGINT))) AS shard_id
+              FROM tot t),
+    filled AS (
+        SELECT s.shard_id,
+               coalesce(a.n_docs, 0) AS n_docs,
+               coalesce(a.shard_tokens, 0) AS shard_tokens,
+               coalesce(a.train_docs, 0) AS train_docs,
+               coalesce(a.val_docs, 0) AS val_docs,
+               coalesce(a.test_docs, 0) AS test_docs,
+               coalesce(a.train_tokens, 0) AS train_tokens,
+               coalesce(a.val_tokens, 0) AS val_tokens,
+               coalesce(a.test_tokens, 0) AS test_tokens
+        FROM spine s LEFT JOIN agg a USING (shard_id))
+    SELECT a.shard_id, a.n_docs, a.shard_tokens,
+           a.train_docs, a.val_docs, a.test_docs,
+           a.train_tokens, a.val_tokens, a.test_tokens,
+           CAST(least((a.shard_id + 1) * {CU.SHARD_TOKENS}, t.total_tokens)
+                - a.shard_id * {CU.SHARD_TOKENS} AS BIGINT) AS span_tokens,
+           CAST((a.shard_id * {CU.SHARD_TOKENS} + {TS.SEQ_LEN - 1})
+                // {TS.SEQ_LEN} AS BIGINT) AS first_seq_id,
+           CAST((least((a.shard_id + 1) * {CU.SHARD_TOKENS}, t.total_tokens)
+                 + {TS.SEQ_LEN - 1}) // {TS.SEQ_LEN}
+                - (a.shard_id * {CU.SHARD_TOKENS} + {TS.SEQ_LEN - 1})
+                  // {TS.SEQ_LEN} AS BIGINT) AS n_seqs
+    FROM filled a, tot t
+    """.format(base=_registered_oracle("corpus_curate")),
+)
+
+# -- strict-mode decode coverage per modality (operators/multimodal.py) ------
+# Registered in the round-11 rotation from the round-10 staging queue.
+# The oracle derives the expected classification from the fixture
+# construction rule (doc_id % 3 picks the container; only the WAV
+# payloads are complete streams), so any classifier or codec drift
+# breaks the hash; the all-statuses split (decoded / truncated-stream /
+# unsupported-codec) is pinned by the injectable core in
+# tests/test_multimodal.py.
+
+register(
+    "media_strict_coverage",
+    MM.media_strict_coverage,
+    """
+    WITH k AS (
+        SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+               CASE WHEN doc_id % 3 = 1 THEN 'decoded'
+                    ELSE 'truncated-stream' END AS status
+        FROM documents)
+    SELECT media_type, status, CAST(count(*) AS BIGINT) AS n_media,
+           CAST(1000000 AS BIGINT) AS share_ppm
+    FROM k GROUP BY media_type, status
+    """,
+)

@@ -180,6 +180,25 @@ def test_appn_and_com_segments_skipped():
     assert err.max() <= 2
 
 
+def test_fill_bytes_and_standalone_markers_skipped():
+    """T.81 B.1.1.2: any marker may be padded by 0xFF fill bytes, and
+    TEM (0x01) is standalone (length-less). A spec-legal stream using
+    both must still decode, not be skipped by garbage offsets
+    (round-11 advisory)."""
+    px = bytes(range(64))
+    b = encode_jpeg(8, 8, px, 1, quality=100)
+    # pad the first post-SOI marker with a fill-byte run and splice a
+    # standalone TEM marker between header segments
+    spliced = b[:2] + b"\xff\xff\xff" + b"\xff\x01" + b"\xff\xff" + b[2:]
+    gw, gh, gc, out = decode_jpeg(spliced)
+    assert (gw, gh, gc) == (8, 8, 1)
+    err = np.abs(
+        np.frombuffer(px, np.uint8).astype(int)
+        - np.frombuffer(out, np.uint8).astype(int)
+    )
+    assert err.max() <= 2
+
+
 def test_spark_strict_decode_and_resize_real_jpeg(spark):
     """The mapInPandas strict stages decode and resize REAL baseline
     JPEGs end-to-end: dims come from the entropy-decoded pixel buffer,

@@ -433,13 +433,22 @@ def test_media_strict_coverage_classifies_all_statuses(spark):
                    + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
                    + b"\x12\x34")
     unknown = b"GIF89a....."
+    # mid-stream truncations that used to escape as zlib.error /
+    # struct.error before the decode normalization (round-11 advisory):
+    # a PNG cut inside the IDAT body and a WAV cut inside the fmt body
+    # must classify as truncated-stream, not crash the Spark stage.
+    idat_off = real_png.index(b"IDAT")
+    truncated_png = real_png[: idat_off + 7]
+    truncated_wav = real_wav[:20]
     rows = [
         (bytearray(real_jpg), "video"),
         (bytearray(progressive), "video"),
         (bytearray(header_only), "video"),
         (bytearray(unknown), "video"),
         (bytearray(real_png), "image"),
+        (bytearray(truncated_png), "image"),
         (bytearray(real_wav), "audio"),
+        (bytearray(truncated_wav), "audio"),
     ]
     df = spark.createDataFrame(rows, "media binary, mt string")
     got = {
@@ -449,5 +458,7 @@ def test_media_strict_coverage_classifies_all_statuses(spark):
     assert got[("video", "decoded")] == (1, 250000)
     assert got[("video", "unsupported-codec")] == (2, 500000)
     assert got[("video", "truncated-stream")] == (1, 250000)
-    assert got[("image", "decoded")] == (1, 1000000)
-    assert got[("audio", "decoded")] == (1, 1000000)
+    assert got[("image", "decoded")] == (1, 500000)
+    assert got[("image", "truncated-stream")] == (1, 500000)
+    assert got[("audio", "decoded")] == (1, 500000)
+    assert got[("audio", "truncated-stream")] == (1, 500000)

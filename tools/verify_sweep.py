@@ -196,6 +196,8 @@ def changed_query_names(ref: str) -> list[str] | None:
 
 
 CACHE_DIR = os.path.join(REPO, ".oracle_cache")
+# Bump when the cached payload layout or comparison semantics change.
+CACHE_SCHEMA_VERSION = 1
 
 
 def _fixture_digest(sf_dir: str) -> str:
@@ -222,13 +224,21 @@ def run_oracle_cached(con, name: str, sql: str, fixture_key: str):
     the recursive-CC standing-cluster replay costs ~10-25 s per
     consuming query per sweep, and at 238 registered queries the
     dual-SF round-end sweeps were heading past practical length. The
-    oracle text IS the semantics, so (sql, fixture) fully determines
-    the result set; any SQL or fixture change misses the cache and
-    re-runs DuckDB. Corrupt/unreadable cache entries re-run too."""
+    oracle text IS the semantics, so (sql, fixture, engine) fully
+    determines the result set; any SQL or fixture change misses the
+    cache and re-runs DuckDB. The DuckDB version and a harness schema
+    constant are folded into the key (round-11 advisory) so an engine
+    upgrade that changes result values/types — exactly the cross-engine
+    drift this harness exists to catch — can never serve stale rows.
+    Corrupt/unreadable cache entries re-run too."""
     import hashlib
     import pickle
 
-    key = hashlib.sha256(sql.encode()).hexdigest()[:24]
+    import duckdb
+
+    key = hashlib.sha256(
+        f"{sql}|duckdb={duckdb.__version__}|schema={CACHE_SCHEMA_VERSION}".encode()
+    ).hexdigest()[:24]
     path = os.path.join(CACHE_DIR, f"{name}-{key}-{fixture_key}.pkl")
     try:
         with open(path, "rb") as f:
