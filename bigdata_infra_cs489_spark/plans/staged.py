@@ -15,16 +15,15 @@ Consumers:
   SQL (written alongside the operator in its family's test file or
   composed from catalog fragments).
 
-The round-9 queue (the embedding recall card, crawl PageRank, langid
-confusion, cluster histogram, index commit, BPE vocab coverage, shard
-export, source perplexity, streaming token drift, quality-signal
-agreement, and the LSH tuning pair — 12 queries) registered in the
-round-10 rotation. Entries added below during round 10 queue for the
-round-11 rotation; keep the queue ≤ 11 slots (the pre-committed r11
-window in ``registry.py`` reserves 39 slots for the r6-stale cohort),
-and prefer a SMALLER queue — every spare r11 slot should pre-cover the
-r7-cohort head so the 50-query r7 deadline doesn't consume the entire
-r12 window.
+The round-10 queue (training_export, media_strict_coverage) registered
+in catalog.py during round 11 and holds slots 1-2 of the round-12
+driver window — the queue is EMPTY again, per the protocol: a query
+lives either here (staged, pytest-oracled) or in catalog.py
+(registered), never both. Entries added during round 12 queue for the
+round-13 rotation; the forward schedule in ``registry.py`` leaves ~9
+spare r13 slots (41 are reserved for the r7-stale cohort), so keep the
+queue ≤ 9 and prefer SMALLER — spare slots should pre-cover the
+r8-cohort head.
 """
 
 from __future__ import annotations
@@ -38,18 +37,4 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def staged_queries() -> dict[str, QueryFn]:
     """name -> callable for every plan-auditable staged operator."""
-    from ..operators.curate import training_export
-    from ..operators.multimodal import media_strict_coverage
-
-    return {
-        # the round-10 stretch (round-9 verdict #8): shard layout x
-        # split balance x sequence layout over the curated corpus in one
-        # exactly-reconciling release card; oracle + invariants in
-        # tests/test_training_export.py
-        "training_export": training_export,
-        # strict-mode decode coverage per modality, MEASURED by
-        # attempting the real PNG/WAV/JPEG decodes (round-9 verdict #6's
-        # coverage-card leg, on top of the shipped JPEG codec); oracle +
-        # all-statuses classification test in tests/test_multimodal.py
-        "media_strict_coverage": media_strict_coverage,
-    }
+    return {}
