@@ -463,11 +463,26 @@ def training_export(
     one integer projection + one partial-aggregated groupBy(shard_id) +
     a broadcast 1-row total — no new ordering work, no window, integer
     arithmetic end-to-end (the DuckDB twin is exact)."""
+    return training_export_core(
+        corpus_curate(spark, sf_dir), shard_tokens=shard_tokens, seq_len=seq_len
+    )
+
+
+def training_export_core(
+    packed: DataFrame,
+    shard_tokens: int = SHARD_TOKENS,
+    seq_len: int | None = None,
+) -> DataFrame:
+    """training_export's plan over an injectable packed corpus (any
+    DataFrame carrying doc_id, split, kept_tokens, cum_kept_tokens) —
+    the unit-test seam that lets the spine zero-fill paths (a doc
+    out-sizing the shard capacity; a zero-kept-token doc starting
+    exactly at the total) be pinned on crafted frames the real curated
+    fixtures don't produce."""
     from .textstats import SEQ_LEN
 
     if seq_len is None:
         seq_len = SEQ_LEN
-    packed = corpus_curate(spark, sf_dir)
     sharded = packed.select(
         "doc_id",
         "split",
@@ -499,27 +514,41 @@ def training_export(
     total = packed.agg(
         F.sum("kept_tokens").cast("bigint").alias("total_tokens")
     )
-    # Full shard spine 0..ceil(T/cap)-1 (round-11 advisory): a doc with
+    # Full shard spine 0..last (round-11 advisory): a doc with
     # kept_tokens > cap spans shards no doc STARTS in; without spine
     # rows those shards vanish and Σ span_tokens = T silently breaks —
     # the exact reconciliation the card exists to enforce. The spine is
     # one sequence() over the broadcast 1-row total (n_shards rows —
     # shards are release-artifact-sized, so the array stays tiny even
     # at 100 TB), left-joining the doc aggregate with zero fills.
+    # last = max(ceil(T/cap)-1, max assigned shard_id) — round-12
+    # advisory: a ZERO-kept-token doc whose span starts exactly at T
+    # (T an exact multiple of cap) is assigned shard_id = T DIV cap =
+    # n_shards; a spine cut at n_shards-1 would silently drop that doc
+    # from the manifest. Extending the spine keeps it as an explicit
+    # zero-span trailing shard (span_tokens = 0, n_seqs = 0), so doc
+    # accounting AND the Σ span_tokens = T reconciliation both hold.
     n_shards = F.expr(
         f"CAST((total_tokens + {shard_tokens - 1}) DIV {shard_tokens}"
         " AS BIGINT)"
     )
+    max_shard = agg.agg(
+        F.coalesce(F.max("shard_id"), F.lit(-1)).cast("bigint").alias("max_shard")
+    )
     spine = (
-        total.select(
+        total.crossJoin(F.broadcast(max_shard))
+        .select(
             F.explode(
-                F.sequence(F.lit(0).cast("bigint"), n_shards - F.lit(1))
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    F.greatest(n_shards - F.lit(1), F.col("max_shard")),
+                )
             ).alias("shard_id"),
-            n_shards.alias("n_shards"),
+            F.greatest(n_shards - F.lit(1), F.col("max_shard")).alias("last_shard"),
         )
-        # sequence(0, -1) yields [0, -1] when T = 0; the bound filter
-        # keeps the empty corpus producing an empty spine
-        .where((F.col("shard_id") >= 0) & (F.col("shard_id") < F.col("n_shards")))
+        # sequence(0, -1) yields [0, -1] when the corpus is empty; the
+        # bound filter keeps the empty corpus producing an empty spine
+        .where((F.col("shard_id") >= 0) & (F.col("shard_id") <= F.col("last_shard")))
         .select("shard_id")
     )
     zero = F.lit(0).cast("bigint")

@@ -428,7 +428,20 @@ def parse_media_header(b: bytes) -> tuple[int | None, int | None, int | None]:
     the color type), JPEG SOF0 located by an actual marker WALK (skipping
     segments by their length fields, not a fixed offset), WAV fmt chunk
     (no spatial dims; channels from the fmt chunk). Fields the format
-    doesn't carry are None; unknown magic raises ValueError."""
+    doesn't carry are None; unknown magic raises ValueError. Truncated
+    headers always raise ValueError too — struct/slicing errors are
+    normalized exactly like decode_jpeg/decode_png/decode_wav so a
+    malformed stream can never escape as an unclassified IndexError
+    (a header area ending in a 0xFF fill run used to do exactly that)."""
+    import struct
+
+    try:
+        return _parse_media_header(b)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed media header: {e!r}") from e
+
+
+def _parse_media_header(b: bytes) -> tuple[int | None, int | None, int | None]:
     import struct
 
     if b[:8] == _PNG_SIG:
@@ -443,6 +456,8 @@ def parse_media_header(b: bytes) -> tuple[int | None, int | None, int | None]:
             # (length-less) — same walk discipline as jpeg.py's decoder
             while pos + 1 < len(b) and b[pos + 1] == 0xFF:
                 pos += 1
+            if pos + 1 >= len(b):
+                break  # header area ends inside a 0xFF fill run
             marker = b[pos + 1]
             if marker == 0x01 or 0xD0 <= marker <= 0xD7:
                 pos += 2

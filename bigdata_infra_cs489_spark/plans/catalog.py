@@ -6383,10 +6383,13 @@ register(
                                       THEN kept_tokens END), 0)
                     AS BIGINT) AS test_tokens
         FROM sh GROUP BY shard_id),
+    mx AS (SELECT CAST(coalesce(max(shard_id) + 1, 0) AS BIGINT) AS m
+           FROM agg),
     spine AS (SELECT unnest(range(0,
-                  CAST((t.total_tokens + {CU.SHARD_TOKENS - 1})
-                       // {CU.SHARD_TOKENS} AS BIGINT))) AS shard_id
-              FROM tot t),
+                  greatest(CAST((t.total_tokens + {CU.SHARD_TOKENS - 1})
+                                // {CU.SHARD_TOKENS} AS BIGINT),
+                           x.m))) AS shard_id
+              FROM tot t, mx x),
     filled AS (
         SELECT s.shard_id,
                coalesce(a.n_docs, 0) AS n_docs,

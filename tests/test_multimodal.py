@@ -462,3 +462,25 @@ def test_media_strict_coverage_classifies_all_statuses(spark):
     assert got[("image", "truncated-stream")] == (1, 500000)
     assert got[("audio", "decoded")] == (1, 500000)
     assert got[("audio", "truncated-stream")] == (1, 500000)
+
+
+def test_parse_media_header_fill_run_tail_is_valueerror():
+    """A JPEG whose header area ends inside a 0xFF fill run (round-12
+    advisory): the fill-consume walk used to step to the last byte and
+    index past the end — a raw IndexError escaping decode_media
+    (strict=False). The contract is ValueError for any malformed
+    header, same normalization as decode_jpeg/decode_png/decode_wav."""
+    import pytest
+
+    from bigdata_infra_cs489_spark.operators.multimodal import parse_media_header
+
+    for tail in (b"", b"\xff", b"\xff\xff", b"\xff\xff\xff"):
+        with pytest.raises(ValueError):
+            parse_media_header(b"\xff\xd8\xff\xff" + tail)
+    # truncated PNG/WAV header areas normalize the same way
+    from bigdata_infra_cs489_spark.operators.multimodal import _PNG_SIG
+
+    with pytest.raises(ValueError):
+        parse_media_header(bytes(_PNG_SIG) + b"\x00\x00")
+    with pytest.raises(ValueError):
+        parse_media_header(b"RIFF\x04\x00\x00\x00WAVEfmt")

@@ -1,8 +1,9 @@
 """training_export (the one-card training-run export: shard layout x
-split balance x sequence layout over the curated corpus) vs an inline
-DuckDB oracle wrapping the registered corpus_curate twin, plus exact
-reconciliation invariants and a pure-Python replay (staged for the
-round-11 registration per the window contract)."""
+split balance x sequence layout over the curated corpus) vs the
+REGISTERED DuckDB oracle (single-sourced from catalog.py — a round-11
+advisory found an inline copy here silently diverging from the
+registered spine), plus exact reconciliation invariants, a pure-Python
+replay, and crafted-frame pins for the spine zero-fill paths."""
 
 from __future__ import annotations
 
@@ -11,6 +12,7 @@ from bigdata_infra_cs489_spark.operators.curate import (
     corpus_curate,
     export_shards,
     training_export,
+    training_export_core,
 )
 from bigdata_infra_cs489_spark.operators.textstats import SEQ_LEN
 
@@ -20,49 +22,7 @@ from .oracle import assert_matches_oracle
 def _export_sql() -> str:
     import __spark_entry__ as entrymod
 
-    base = entrymod.oracle_sql()["corpus_curate"]
-    cap, seq = SHARD_TOKENS, SEQ_LEN
-    return f"""
-    WITH base AS ({base}),
-    tot AS (SELECT CAST(sum(kept_tokens) AS BIGINT) AS total_tokens
-            FROM base),
-    sh AS (SELECT doc_id, split, kept_tokens,
-                  CAST((cum_kept_tokens - kept_tokens) // {cap} AS BIGINT)
-                      AS shard_id
-           FROM base),
-    agg AS (
-        SELECT shard_id,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(kept_tokens) AS BIGINT) AS shard_tokens,
-               CAST(coalesce(sum(CASE WHEN split = 'train' THEN 1 END), 0)
-                    AS BIGINT) AS train_docs,
-               CAST(coalesce(sum(CASE WHEN split = 'val' THEN 1 END), 0)
-                    AS BIGINT) AS val_docs,
-               CAST(coalesce(sum(CASE WHEN split = 'test' THEN 1 END), 0)
-                    AS BIGINT) AS test_docs,
-               CAST(coalesce(sum(CASE WHEN split = 'train'
-                                      THEN kept_tokens END), 0)
-                    AS BIGINT) AS train_tokens,
-               CAST(coalesce(sum(CASE WHEN split = 'val'
-                                      THEN kept_tokens END), 0)
-                    AS BIGINT) AS val_tokens,
-               CAST(coalesce(sum(CASE WHEN split = 'test'
-                                      THEN kept_tokens END), 0)
-                    AS BIGINT) AS test_tokens
-        FROM sh GROUP BY shard_id)
-    SELECT a.shard_id, a.n_docs, a.shard_tokens,
-           a.train_docs, a.val_docs, a.test_docs,
-           a.train_tokens, a.val_tokens, a.test_tokens,
-           CAST(least((a.shard_id + 1) * {cap}, t.total_tokens)
-                - a.shard_id * {cap} AS BIGINT) AS span_tokens,
-           CAST((a.shard_id * {cap} + {seq - 1}) // {seq} AS BIGINT)
-               AS first_seq_id,
-           CAST((least((a.shard_id + 1) * {cap}, t.total_tokens)
-                 + {seq - 1}) // {seq}
-                - (a.shard_id * {cap} + {seq - 1}) // {seq} AS BIGINT)
-               AS n_seqs
-    FROM agg a, tot t
-    """
+    return entrymod.oracle_sql()["training_export"]
 
 
 def test_matches_oracle(spark, sf_correct):
@@ -100,10 +60,106 @@ def test_reconciles_exactly(spark, sf_correct):
         total + SEQ_LEN - 1
     ) // SEQ_LEN
     shards = {r["shard_id"]: r for r in export_shards(spark, sf_correct).collect()}
-    assert set(shards) == set(rows)
+    # export_shards carries no spine, so its rows are a SUBSET of the
+    # card's; any card-only row must be a spine zero-fill
+    assert set(shards) <= set(rows)
     for sid, s in shards.items():
         assert rows[sid]["n_docs"] == s["n_docs"]
         assert rows[sid]["shard_tokens"] == s["shard_tokens"]
+    for sid in set(rows) - set(shards):
+        assert rows[sid]["n_docs"] == 0 and rows[sid]["shard_tokens"] == 0
     # every split must actually appear somewhere or the balance leg is
     # vacuous on the fixture
     assert sum(r["val_docs"] + r["test_docs"] for r in rows.values()) > 0
+
+
+def _packed_frame(spark, docs):
+    """(doc_id, split, kept_tokens) triples -> a packed-corpus frame in
+    the given order with exact running totals, the core's input shape."""
+    rows, cum = [], 0
+    for doc_id, split, kept in docs:
+        cum += kept
+        rows.append((doc_id, split, kept, cum))
+    return spark.createDataFrame(
+        rows, "doc_id bigint, split string, kept_tokens bigint,"
+        " cum_kept_tokens bigint"
+    )
+
+
+def _replay(docs, cap, seq):
+    """Pure-Python training_export replay: shard assignment, split
+    balance, spine zero-fill, capacity spans, sequence layout."""
+    total, cum, agg = sum(k for _, _, k in docs), 0, {}
+    for _doc_id, split, kept in docs:
+        sid = cum // cap
+        cum += kept
+        a = agg.setdefault(sid, dict.fromkeys(
+            ("n_docs", "shard_tokens", "train_docs", "val_docs", "test_docs",
+             "train_tokens", "val_tokens", "test_tokens"), 0))
+        a["n_docs"] += 1
+        a["shard_tokens"] += kept
+        a[f"{split}_docs"] += 1
+        a[f"{split}_tokens"] += kept
+    n_shards = (total + cap - 1) // cap
+    last = max(n_shards - 1, max(agg, default=-1))
+    out = {}
+    for sid in range(last + 1):
+        a = agg.get(sid) or dict.fromkeys(
+            ("n_docs", "shard_tokens", "train_docs", "val_docs", "test_docs",
+             "train_tokens", "val_tokens", "test_tokens"), 0)
+        start, end = sid * cap, min((sid + 1) * cap, total)
+        out[sid] = dict(
+            a,
+            span_tokens=end - start,
+            first_seq_id=(start + seq - 1) // seq,
+            n_seqs=(end + seq - 1) // seq - (start + seq - 1) // seq,
+        )
+    return out
+
+
+def _core_rows(spark, docs, cap, seq):
+    got = training_export_core(
+        _packed_frame(spark, docs), shard_tokens=cap, seq_len=seq
+    ).collect()
+    return {r["shard_id"]: {k: r[k] for k in r.asDict() if k != "shard_id"}
+            for r in got}
+
+
+def test_core_zero_fills_spanned_shards(spark):
+    """Round-11 advisory: a doc whose kept_tokens exceed the shard
+    capacity spans shards no doc starts in — the card must emit those
+    as explicit zero-doc rows (and Σ span_tokens must still telescope
+    to the exact total), on the Spark plan and the replay alike."""
+    docs = [(1, "train", 500), (2, "val", 5500), (3, "test", 700)]
+    cap, seq = 2000, 300
+    rows = _core_rows(spark, docs, cap, seq)
+    assert rows == _replay(docs, cap, seq)
+    assert set(rows) == {0, 1, 2, 3}  # total 6700 -> 4 shards
+    assert rows[1]["n_docs"] == 0 and rows[2]["n_docs"] == 0
+    assert rows[1]["span_tokens"] == cap and rows[2]["span_tokens"] == cap
+    assert sum(r["span_tokens"] for r in rows.values()) == 6700
+    assert sum(r["shard_tokens"] for r in rows.values()) == 6700
+
+
+def test_core_keeps_trailing_zero_token_doc(spark):
+    """Round-12 advisory: a zero-kept-token doc whose span starts
+    exactly at the total (total an exact multiple of the capacity) is
+    assigned shard_id = n_shards; the spine must extend to keep it as
+    an explicit zero-span trailing shard instead of silently dropping
+    the doc from the manifest."""
+    docs = [(1, "train", 2000), (2, "val", 2000), (3, "test", 0)]
+    cap, seq = 2000, 300
+    rows = _core_rows(spark, docs, cap, seq)
+    assert rows == _replay(docs, cap, seq)
+    assert set(rows) == {0, 1, 2}
+    assert rows[2] == dict(
+        n_docs=1, shard_tokens=0, train_docs=0, val_docs=0, test_docs=1,
+        train_tokens=0, val_tokens=0, test_tokens=0,
+        span_tokens=0, first_seq_id=(4000 + seq - 1) // seq, n_seqs=0,
+    )
+    assert sum(r["n_docs"] for r in rows.values()) == 3
+    assert sum(r["span_tokens"] for r in rows.values()) == 4000
+
+
+def test_core_empty_corpus_is_empty_card(spark):
+    assert _core_rows(spark, [], 2000, 300) == {}
