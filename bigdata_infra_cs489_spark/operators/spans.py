@@ -345,6 +345,53 @@ def incremental_spans_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "span_start", "span_end", "span_len")
 
 
+def _tagged_union(a: DataFrame, tag_a: str, b: DataFrame, tag_b: str) -> DataFrame:
+    cols = a.columns
+    return a.select(F.lit(tag_a).alias("variant"), *cols).unionByName(
+        b.select(F.lit(tag_b).alias("variant"), *cols)
+    )
+
+
+def repeated_spans_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(variant, doc_id, span_start, span_end, span_len): BOTH
+    repeated-span plan variants — the string-key exchange ('string') and
+    the xxhash64 fingerprint exchange ('fp') — in one card, so a single
+    driver hash row externally pins both plans every rotation (the
+    round-11 verdict's twin consolidation: the pair is row-identical by
+    construction, so two separate registry slots bought no extra
+    evidence). The oracle derives the 'fp' rows from the string-key
+    semantics; an fp divergence (plan bug or 64-bit collision) breaks
+    the hash."""
+    return _tagged_union(
+        repeated_spans(spark, sf_dir), "string",
+        repeated_spans_fp(spark, sf_dir), "fp",
+    )
+
+
+def incremental_spans_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(variant, doc_id, span_start, span_end, span_len): both
+    incremental new-vs-old span plans — string-keyed standing-index
+    probe ('string') and fingerprint-keyed ('fp') — as one driver card;
+    same consolidation rationale as repeated_spans_variants."""
+    return _tagged_union(
+        incremental_spans(spark, sf_dir), "string",
+        incremental_spans_fp(spark, sf_dir), "fp",
+    )
+
+
+def strip_spans_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(variant, doc_id, n_tokens, kept_tokens, clean_text): both span
+    STRIP policies — conservative strip-all ('all') and the Lee et al.
+    keep-one-occurrence policy ('keep_first') — as one driver card.
+    Unlike the _fp pairs these are genuinely different semantics (each
+    side carries its own oracle leg), but one hash row still externally
+    pins both plans per rotation."""
+    return _tagged_union(
+        strip_spans(spark, sf_dir), "all",
+        strip_spans_keep_first(spark, sf_dir), "keep_first",
+    )
+
+
 def incremental_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_tokens, dup_old_tokens, dup_fraction) for EVERY
     new-batch document: how much of each incoming doc is text the

@@ -4170,24 +4170,22 @@ DUCK_SPAN_CTES = (
     + DUCK_SPAN_TAIL_CTES
 )
 
+# Twin consolidation (round-11 verdict #3): the string-key and
+# fingerprint-key exchanges are row-identical by construction, so they
+# share ONE registry slot as a tagged union card — the oracle derives
+# the 'fp' rows from the string-key semantics, making any fp divergence
+# (plan bug or 64-bit collision) a hash break. The former separate
+# registrations repeated_spans / repeated_spans_fp carried driver rows
+# through CORRECTNESS_r11.
 register(
-    "repeated_spans",
-    SP.repeated_spans,
+    "repeated_spans_variants",
+    SP.repeated_spans_variants,
     f"""
-    WITH {DUCK_SPAN_CTES}
-    SELECT doc_id, span_start, span_end, span_len FROM spans
-    """,
-)
-
-register(
-    # Narrow-key (xxhash64 gram fingerprint) exchange — same output
-    # contract as repeated_spans, so it shares the string-key oracle;
-    # divergence would require a 64-bit hash collision.
-    "repeated_spans_fp",
-    SP.repeated_spans_fp,
-    f"""
-    WITH {DUCK_SPAN_CTES}
-    SELECT doc_id, span_start, span_end, span_len FROM spans
+    WITH {DUCK_SPAN_CTES},
+    base AS (SELECT doc_id, span_start, span_end, span_len FROM spans)
+    SELECT v.variant, b.doc_id, b.span_start, b.span_end, b.span_len
+    FROM base b
+    CROSS JOIN (SELECT unnest(['string', 'fp']) AS variant) v
     """,
 )
 
@@ -4230,42 +4228,54 @@ DUCK_STRIP_TAIL = """,
     FROM k
     """
 
+# Twin consolidation (round-11 verdict #3): both STRIP policies in one
+# tagged union card — 'all' (conservative strip-every-occurrence) and
+# 'keep_first' (Lee-et-al keep-one-occurrence: per duplicated gram the
+# globally-first occurrence, min (doc_id, pos), is exempt; only later
+# occurrences' merged extents are stripped). Genuinely different
+# semantics, so each leg carries its own oracle SQL; one hash row pins
+# both plans per rotation. The former separate registrations
+# strip_spans / strip_spans_keep_first carried driver rows through
+# CORRECTNESS_r11.
 register(
-    "strip_spans",
-    SP.strip_spans,
+    "strip_spans_variants",
+    SP.strip_spans_variants,
     f"""
-    WITH {DUCK_SPAN_CTES}{DUCK_STRIP_TAIL}""",
-)
-
-register(
-    # Lee-et-al keep-one-occurrence policy: per duplicated gram the
-    # globally-first occurrence (min (doc_id, pos)) is exempt; only the
-    # later occurrences' merged extents are stripped.
-    "strip_spans_keep_first",
-    SP.strip_spans_keep_first,
-    f"""
+    SELECT 'all' AS variant, * FROM (
+    WITH {DUCK_SPAN_CTES}{DUCK_STRIP_TAIL})
+    UNION ALL
+    SELECT 'keep_first' AS variant, * FROM (
     WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),{DUCK_SPAN_GRAM_CTES},
     hits AS (SELECT doc_id, n_tokens, pos FROM (
                  SELECT *, count(*) OVER (PARTITION BY gram) AS c,
                         row_number() OVER (PARTITION BY gram
                                            ORDER BY doc_id, pos) AS rn
                  FROM grams)
-             WHERE c >= {SP.SPAN_MIN_COUNT} AND rn > 1),{DUCK_SPAN_MERGE_CTES}{DUCK_STRIP_TAIL}""",
+             WHERE c >= {SP.SPAN_MIN_COUNT} AND rn > 1),{DUCK_SPAN_MERGE_CTES}{DUCK_STRIP_TAIL})""",
 )
 
 register(
-    # new-batch grams probed against the standing OLD-corpus gram index;
-    # same batch convention (doc_id % 10 == 9) as incremental_dedup_assign
-    "incremental_spans",
-    SP.incremental_spans,
+    # new-batch grams probed against the standing OLD-corpus gram index
+    # (same batch convention, doc_id % 10 == 9, as
+    # incremental_dedup_assign), consolidated with its fingerprint-keyed
+    # twin as a tagged union card (round-11 verdict #3) — row-identical
+    # plans share one slot; the oracle derives both variants' rows from
+    # the string-key semantics. The former separate registrations
+    # incremental_spans / incremental_spans_fp carried driver rows
+    # through CORRECTNESS_r11.
+    "incremental_spans_variants",
+    SP.incremental_spans_variants,
     f"""
     WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),{DUCK_SPAN_GRAM_CTES},
     old_index AS (SELECT DISTINCT gram FROM grams
                   WHERE doc_id % {D.NEW_BATCH_MOD} != {D.NEW_BATCH_MOD - 1}),
     hits AS (SELECT g.doc_id, g.n_tokens, g.pos FROM grams g
              WHERE g.doc_id % {D.NEW_BATCH_MOD} = {D.NEW_BATCH_MOD - 1}
-               AND g.gram IN (SELECT gram FROM old_index)),{DUCK_SPAN_MERGE_CTES}
-    SELECT doc_id, span_start, span_end, span_len FROM spans
+               AND g.gram IN (SELECT gram FROM old_index)),{DUCK_SPAN_MERGE_CTES},
+    base AS (SELECT doc_id, span_start, span_end, span_len FROM spans)
+    SELECT v.variant, b.doc_id, b.span_start, b.span_end, b.span_len
+    FROM base b
+    CROSS JOIN (SELECT unnest(['string', 'fp']) AS variant) v
     """,
 )
 
@@ -4370,20 +4380,6 @@ register(
            CAST(kept_tokens AS BIGINT) AS kept_tokens, quality_score,
            CAST(cum_kept_tokens AS BIGINT) AS cum_kept_tokens
     FROM packed WHERE cum_kept_tokens <= {CU.CURATE_TOKEN_BUDGET}
-    """,
-)
-
-register(
-    # fingerprint-keyed standing index probe; shares the string-key oracle
-    "incremental_spans_fp",
-    SP.incremental_spans_fp,
-    f"""
-    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),{DUCK_SPAN_GRAM_CTES},
-    old_index AS (SELECT DISTINCT gram FROM grams WHERE doc_id {_OLD}),
-    hits AS (SELECT g.doc_id, g.n_tokens, g.pos FROM grams g
-             WHERE g.doc_id {_NEW}
-               AND g.gram IN (SELECT gram FROM old_index)),{DUCK_SPAN_MERGE_CTES}
-    SELECT doc_id, span_start, span_end, span_len FROM spans
     """,
 )
 

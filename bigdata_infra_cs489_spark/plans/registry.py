@@ -43,27 +43,31 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #   slots 1-2    training_export and media_strict_coverage — registered
 #                in round 11 (catalog.py) with zero driver rows ever;
 #                first so even a truncated driver run covers them.
-#   slots 3-41   the 39 r6-cohort queries whose latest driver row is
-#                CORRECTNESS_r06 (lag 6 — past the bound-5 deadline;
-#                exact list = the round-11 contract-test failure output),
+#   slots 3-40   the 38 remaining r6-cohort queries whose latest driver
+#                row is CORRECTNESS_r06 (lag 6 — past the bound-5
+#                deadline; the 39th, strip_spans_keep_first, was
+#                consolidated into strip_spans_variants below),
 #                alphabetical: inverted_index_postings .. wordcount.
-#   slots 42-50  the 9 alphabetically-first r7-cohort queries
-#                (bigram_lm_perplexity .. doc_fingerprints), pre-covering
+#   slots 41-43  the twin-consolidation union cards
+#                (repeated/incremental/strip _spans_variants), new
+#                registrations subsuming 6 deregistered twins.
+#   slots 44-50  the 7 alphabetically-first r7-cohort queries
+#                (bigram_lm_perplexity .. dataset_split), pre-covering
 #                the 50-query r7 cohort whose deadline (extended by the
 #                missed round — see tests/test_registry_contract.py::
 #                _MISSED_ROTATIONS) is now round 13.
 #
-# FORWARD SCHEDULE, PRE-COMMITTED (satisfiability through r15 at the
-# current registry size; the missed round consumed all slack, so each
-# window below is forced up to its spare slots):
-#   r13 window = 41 remaining r7-stale + 9 r8-cohort head
-#   r14 window = 41 remaining r8-stale + 9 r9-cohort head
-#   r15 window = 40 remaining r9-stale + 10 spare (r11-cohort head)
-#   r16 window = r11 cohort (50, deadline r16) minus r15 pre-covers
+# FORWARD SCHEDULE, PRE-COMMITTED (satisfiability through r16 at the
+# post-consolidation registry size of 237; the missed round consumed
+# all slack, so each window below is forced up to its spare slots):
+#   r13 window = 43 remaining r7-stale + 7 spare (r8-cohort head)
+#   r14 window = 43 remaining r8-stale + 7 spare (r9-cohort head)
+#   r15 window = 42 remaining r9-stale + 8 spare (r11-cohort head)
+#   r16 window = r11 cohort (45 post-consolidation, deadline r16) minus
+#                r15 pre-covers (8) = 37 forced + 13 spare
 # Max lag stays ≤ bound (5, +1 for cohorts spanning the missed round
 # 11) for every cohort through r16 iff net new registrations stay ≤ the
-# spare slots above — i.e. ~0-3/round until r15. Twin consolidation
-# (round-11 verdict #3) frees slots against this.
+# spare slots above — i.e. ~0-3/round until r15.
 #
 # Round-10 rotation (executes the window pre-committed in round 9):
 #   slots 1-12   the full round-9-staged queue, registered this round
@@ -194,11 +198,19 @@ _DRIVER_WINDOW_FIRST = (
     "simhash_fingerprints",
     "simhash_near_duplicates",
     "spam_training_set",
-    "strip_spans_keep_first",
     "text_quality",
     "tfidf_scores",
     "wordcount",
-    # -- slots 42-50: r7-cohort alphabetical head (deadline r13) --------
+    # -- slots 41-43: twin-consolidation union cards (round-11 verdict
+    # #3), registered round 12 and never driver-checked; they subsume
+    # the deregistered repeated_spans/_fp, incremental_spans/_fp,
+    # strip_spans/_keep_first (the last was r6-stale — its slot moves
+    # here). One hash row now externally pins both plan variants of
+    # each pair per rotation, retiring 3 registry slots for good.
+    "repeated_spans_variants",
+    "incremental_spans_variants",
+    "strip_spans_variants",
+    # -- slots 44-50: r7-cohort alphabetical head (deadline r13) --------
     "bigram_lm_perplexity",
     "boilerplate_fraction",
     "boilerplate_ngrams",
@@ -206,8 +218,6 @@ _DRIVER_WINDOW_FIRST = (
     "contamination_flags",
     "customers_without_orders",
     "dataset_split",
-    "degree_distribution",
-    "doc_fingerprints",
 )
 
 

@@ -41,7 +41,7 @@ HOSTILE_QUERIES = (
     # and the composed curation pipelines (touch dedup+spans+quality+
     # split+distsort in one plan); temperature rates pin the driver-side
     # float finish under a foreign session
-    "repeated_spans",
+    "repeated_spans_variants",
     "pq_topk",
     "corpus_curate",
     "incremental_curate",

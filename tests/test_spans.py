@@ -10,19 +10,21 @@ from collections import Counter
 import pyarrow.parquet as pq
 import pytest
 
+from bigdata_infra_cs489_spark.operators import spans as SP
 from bigdata_infra_cs489_spark.operators.spans import SPAN_K, SPAN_MIN_COUNT
 
 from .oracle import assert_matches_oracle
 
 NAMES = [
-    "repeated_spans",
+    # the twin pairs are registered as tagged union cards since the
+    # round-12 consolidation (one driver slot pins both plan variants);
+    # the individual operators remain exported and are exercised below
+    # against the pure-Python reimplementations
+    "repeated_spans_variants",
     "dup_span_stats",
     "corpus_novelty",
-    "repeated_spans_fp",
-    "incremental_spans",
-    "incremental_spans_fp",
-    "strip_spans",
-    "strip_spans_keep_first",
+    "incremental_spans_variants",
+    "strip_spans_variants",
 ]
 
 
@@ -75,7 +77,7 @@ def test_against_python_reimplementation(spark, sf_smoke):
     }
     got = {
         tuple(r)
-        for r in entrymod.queries()["repeated_spans"](spark, sf_smoke).collect()
+        for r in SP.repeated_spans(spark, sf_smoke).collect()
     }
     assert got == expected
     # sanity: the fixture corpus actually contains duplicated spans
@@ -85,17 +87,19 @@ def test_against_python_reimplementation(spark, sf_smoke):
 def test_fp_variant_equals_string_variant(spark, sf_correct):
     """The narrow-key (xxhash64 gram fingerprint) exchange must produce
     the identical span set: a divergence requires a 64-bit collision
-    between two distinct grams actually present in the corpus."""
+    between two distinct grams actually present in the corpus. Checked
+    through the registered union cards, whose whole point is that the
+    two variants ride one driver hash row."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    string_rows = {tuple(r) for r in qs["repeated_spans"](spark, sf_correct).collect()}
-    fp_rows = {tuple(r) for r in qs["repeated_spans_fp"](spark, sf_correct).collect()}
-    assert fp_rows == string_rows
-    assert len(string_rows) > 0
-    inc_s = {tuple(r) for r in qs["incremental_spans"](spark, sf_correct).collect()}
-    inc_f = {tuple(r) for r in qs["incremental_spans_fp"](spark, sf_correct).collect()}
-    assert inc_f == inc_s
+    for card in ("repeated_spans_variants", "incremental_spans_variants"):
+        by_var = {}
+        for r in qs[card](spark, sf_correct).collect():
+            by_var.setdefault(r.variant, set()).add(tuple(r)[1:])
+        assert set(by_var) == {"string", "fp"}
+        assert by_var["fp"] == by_var["string"]
+    assert len(by_var["string"]) > 0
 
 
 def test_stats_invariants(spark, sf_smoke):
@@ -136,12 +140,11 @@ def test_incremental_spans_python_reimpl_and_containment(spark, sf_smoke):
             else:
                 merged.append([p, p + SPAN_K - 1])
         expected |= {(d, s, e, e - s + 1) for s, e in merged}
-    qs = entrymod.queries()
-    got = {tuple(r) for r in qs["incremental_spans"](spark, sf_smoke).collect()}
+    got = {tuple(r) for r in SP.incremental_spans(spark, sf_smoke).collect()}
     assert got == expected
     assert len(got) > 0  # fixture corpus has cross-batch duplication
     corpus_spans: dict[int, list[tuple[int, int]]] = {}
-    for r in qs["repeated_spans"](spark, sf_smoke).collect():
+    for r in SP.repeated_spans(spark, sf_smoke).collect():
         corpus_spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
     for d, s, e, _ in got:
         assert any(cs <= s and e <= ce for cs, ce in corpus_spans.get(d, []))
@@ -155,7 +158,7 @@ def test_strip_matches_span_stats(spark, sf_smoke):
 
     qs = entrymod.queries()
     stats = {r.doc_id: r for r in qs["dup_span_stats"](spark, sf_smoke).collect()}
-    stripped = qs["strip_spans"](spark, sf_smoke).collect()
+    stripped = SP.strip_spans(spark, sf_smoke).collect()
     assert len(stripped) == len(stats)
     for r in stripped:
         s = stats[r.doc_id]
@@ -260,15 +263,15 @@ def test_keep_first_policy_invariants_and_python_reimpl(spark, sf_smoke):
         ]
         expected[d] = (len(toks[d]), len(kept), " ".join(kept))
 
-    qs = entrymod.queries()
     got = {
         r.doc_id: (r.n_tokens, r.kept_tokens, r.clean_text)
-        for r in qs["strip_spans_keep_first"](spark, sf_smoke).collect()
+        for r in SP.strip_spans_keep_first(spark, sf_smoke).collect()
     }
     assert got == expected
 
     strip_all = {
-        r.doc_id: r.kept_tokens for r in qs["strip_spans"](spark, sf_smoke).collect()
+        r.doc_id: r.kept_tokens
+        for r in SP.strip_spans(spark, sf_smoke).collect()
     }
     assert all(got[d][1] >= strip_all[d] for d in got)
     # the policies genuinely differ on the fixture (some span survives)
