@@ -484,3 +484,65 @@ def test_parse_media_header_fill_run_tail_is_valueerror():
         parse_media_header(bytes(_PNG_SIG) + b"\x00\x00")
     with pytest.raises(ValueError):
         parse_media_header(b"RIFF\x04\x00\x00\x00WAVEfmt")
+
+
+# --- media_roundtrip_coverage (staged for the round-13 registration) ---------
+
+
+def _roundtrip_sql() -> str:
+    from bigdata_infra_cs489_spark.operators.multimodal import MEDIA_RT_STRIDE
+
+    return f"""
+    WITH k AS (
+        SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+               CASE CAST((doc_id // 3) % 3 AS INT) WHEN 0 THEN 'decoded'
+                    WHEN 1 THEN 'truncated-stream'
+                    ELSE 'unsupported-codec' END AS status
+        FROM documents WHERE doc_id % {MEDIA_RT_STRIDE} = 0),
+    per AS (SELECT media_type, status, CAST(count(*) AS BIGINT) AS n_media
+            FROM k GROUP BY media_type, status),
+    tot AS (SELECT media_type, CAST(count(*) AS BIGINT) AS n_total
+            FROM k GROUP BY media_type)
+    SELECT p.media_type, p.status, p.n_media,
+           CAST((p.n_media * 1000000 + t.n_total // 2)
+                // greatest(t.n_total, 1) AS BIGINT) AS share_ppm
+    FROM per p JOIN tot t USING (media_type)
+    """
+
+
+def test_media_roundtrip_matches_oracle(spark, sf_correct):
+    """The oracle derives every status from the doc_id construction
+    rules alone, so the Spark side's REAL encode->decode round trips
+    (entropy-coded JPEG, zlib PNG, PCM WAV) must land each payload in
+    exactly the predicted class — any codec or error-class drift breaks
+    the value hash."""
+    from bigdata_infra_cs489_spark.operators.multimodal import (
+        media_roundtrip_coverage,
+    )
+
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        media_roundtrip_coverage(spark, sf_correct), _roundtrip_sql(), sf_correct
+    )
+
+
+def test_media_roundtrip_has_decoded_rows_per_modality(spark, sf_correct):
+    """The card's reason to exist (round-10/11 verdicts): non-vacuous
+    'decoded' evidence for image AND audio AND video, i.e. the full
+    sample-level decoders actually succeed on complete engine-encoded
+    streams — plus the other two legs present so the card never goes
+    vacuously green."""
+    from bigdata_infra_cs489_spark.operators.multimodal import (
+        media_roundtrip_coverage,
+    )
+
+    rows = media_roundtrip_coverage(spark, sf_correct).collect()
+    got = {(r.media_type, r.status): r.n_media for r in rows}
+    for mt in ("image", "audio", "video"):
+        assert got.get((mt, "decoded"), 0) > 0, f"no decoded rows for {mt}"
+        assert got.get((mt, "truncated-stream"), 0) > 0
+        assert got.get((mt, "unsupported-codec"), 0) > 0
+    for r in rows:
+        assert 0 < r.share_ppm <= 1000000
