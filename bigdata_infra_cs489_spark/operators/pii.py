@@ -126,31 +126,48 @@ def pii_counts(docs: DataFrame) -> DataFrame:
     return out.withColumn("n_total", total.cast("bigint")).where(F.col("n_total") > 0)
 
 
-def redact_pii(docs: DataFrame) -> DataFrame:
-    """(doc_id, clean_text, n_redactions): text with every PII hit
-    replaced by its typed placeholder, for documents that changed.
-    Replacement chain is a single codegen'd expression tree.
-
-    n_redactions counts ACTUAL substitutions, not pattern hits on the
-    original text: each category's count is taken on the text with all
-    EARLIER categories already replaced (the same staged text its own
+def _staged_chain() -> tuple[Column, Column]:
+    """(clean_text, n_redactions) column pair of the staged replacement
+    chain: each category's count is taken on the text with all EARLIER
+    categories already replaced (the same staged text its own
     regexp_replace sees), so a hit consumed by an earlier replacement —
     an SSN-shaped digit run inside an email local part, say — is neither
     separately counted nor double-replaced (round-7 ADVICE follow-up).
-    The stages share one expression tree, so Catalyst still evaluates a
-    single projection."""
+    The stages share one expression tree, so Catalyst evaluates a single
+    projection."""
     staged = F.col("text")
     n_red = None
     for _, pat, ph in PII_PATTERNS:
         c = F.regexp_count(staged, F.lit(pat))
         n_red = c if n_red is None else n_red + c
         staged = F.regexp_replace(staged, pat, ph)
-    clean = staged
+    return staged, n_red.cast("bigint")
+
+
+def redaction_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_redactions) for EVERY document (0 when clean) — the
+    staged substitution count redact_pii computes, WITHOUT its
+    changed-docs filter. The unfiltered projection is the prunable form:
+    corpus_curate_v2 semi-joins its export-sized packed subset into this
+    before the regex stage runs; with redact_pii the trailing
+    where(n_redactions > 0) would be pushed below that join by Catalyst,
+    dragging the whole regex chain back over the full corpus (measured:
+    11.3 s of v2's 21.9 s at sf1 was exactly this)."""
+    _, n_red = _staged_chain()
+    return docs.select("doc_id", n_red.alias("n_redactions"))
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """(doc_id, clean_text, n_redactions): text with every PII hit
+    replaced by its typed placeholder, for documents that changed.
+    Replacement chain is a single codegen'd expression tree; see
+    _staged_chain for the substitution-count semantics."""
+    clean, n_red = _staged_chain()
     return (
         docs.select(
             "doc_id",
             clean.alias("clean_text"),
-            n_red.cast("bigint").alias("n_redactions"),
+            n_red.alias("n_redactions"),
         )
         .where(F.col("n_redactions") > 0)
     )

@@ -46,13 +46,30 @@ QUERIES = [
     "embedding_near_duplicates",
     "semantic_dedup_keep_best",
     "minhash_near_duplicates",
+    "stream_line_dedup",
 ]
+
+# round-12 extension (round-11 verdict #6): the streaming/temporal and
+# relational headliners, eligible wherever their table exists in the SF
+# dir (gen_sf1 now writes events + lineitem too)
+TABLE_QUERIES = {
+    "events.parquet": [
+        "user_rolling_anomalies",
+        "events_exact_median_global",
+        "events_sliding_counts",
+        "user_funnel",
+    ],
+    "lineitem.parquet": [
+        "q1_count_shipped",
+        "q6_pricing_summary",
+    ],
+}
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="/root/repo/SCALING_r10.md")
-    ap.add_argument("--json-out", default="/root/repo/SCALING_r10.json")
+    ap.add_argument("--out", default="/root/repo/SCALING_r12.md")
+    ap.add_argument("--json-out", default="/root/repo/SCALING_r12.json")
     args = ap.parse_args()
 
     if not os.path.exists(os.path.join(SF_DIRS[-1][1], "documents.parquet")):
@@ -96,7 +113,11 @@ def main() -> None:
         standing_full_clusters(spark, d).count()
         record("index build (cold)", sf, time.time() - t0)
         spark.catalog.clearCache()
-        for name in QUERIES:
+        eligible = list(QUERIES)
+        for table, names in sorted(TABLE_QUERIES.items()):
+            if os.path.exists(os.path.join(d, table)):
+                eligible += names
+        for name in eligible:
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
@@ -109,14 +130,16 @@ def main() -> None:
         json.dump(results, f, indent=1)
 
     lines = [
-        "# SCALING_r10 — 1000× study (sf0.001 → sf1) of the headline "
-        "dedup/curate/similarity claims",
+        "# SCALING_r12 — 1000× study (sf0.001 → sf1): dedup/curate/"
+        "similarity plus the streaming/temporal and relational headliners",
         "",
         "Spark-only wall clock, min-of-2 collects per cell (bench.py "
         "sampling discipline), one warm local[32] session. sf1 is the "
         "repo-generated 50k-doc / 20k-vector slice "
         "(tools/gen_sf1.py, statistics matched to the driver's sf0.1 "
-        "fixture; documents+embeddings only). 'index build (cold)' is "
+        "fixture; documents+embeddings+events+lineitem since round 12, "
+        "1M events over the same 30-day window / 6M lineitem rows). "
+        "'index build (cold)' is "
         "the once-per-generation standing-asset bootstrap (bands + "
         "shingles + incremental clusters + the full CC cluster map); "
         "all probe rows below it ride the warm asset.",
@@ -124,7 +147,12 @@ def main() -> None:
         "| query | sf0.001 | sf0.01 | sf0.1 | sf1 | sf1/sf0.001 |",
         "|---|---|---|---|---|---|",
     ]
-    for name in ["index build (cold)"] + QUERIES:
+    all_names = (
+        ["index build (cold)"]
+        + QUERIES
+        + [n for _, ns in sorted(TABLE_QUERIES.items()) for n in ns]
+    )
+    for name in all_names:
         r = results[name]
         ratio = r["sf1"] / r["sf0.001"] if r.get("sf0.001") else float("nan")
         lines.append(
