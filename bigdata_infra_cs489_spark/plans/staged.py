@@ -37,6 +37,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def staged_queries() -> dict[str, QueryFn]:
     """name -> callable for every plan-auditable staged operator."""
+    from ..operators.curate import incremental_training_export
     from ..operators.multimodal import media_roundtrip_coverage
 
     return {
@@ -46,4 +47,9 @@ def staged_queries() -> dict[str, QueryFn]:
         # the real decoders; oracle + all-legs test in
         # tests/test_multimodal.py
         "media_roundtrip_coverage": media_roundtrip_coverage,
+        # the round-10 verdict's #8 stretch (carried to round-11 #8):
+        # append-only delta shards of the training export, exactly
+        # reconciled against the full card; oracle + append invariants
+        # in tests/test_incremental_export.py
+        "incremental_training_export": incremental_training_export,
     }

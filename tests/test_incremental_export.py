@@ -1,0 +1,181 @@
+"""incremental_training_export (append-only delta shards of the
+training-run export) vs an inline DuckDB oracle composed from the
+REGISTERED corpus_curate / incremental_curate twins, plus the exact
+append-reconciliation invariants (staged for the round-13 registration
+per the window contract)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bigdata_infra_cs489_spark.operators.curate import (
+    SHARD_TOKENS,
+    corpus_curate,
+    incremental_curate,
+    incremental_training_export,
+    training_export_core,
+)
+from bigdata_infra_cs489_spark.operators.dedup import NEW_BATCH_MOD
+from bigdata_infra_cs489_spark.operators.distsort import with_running_totals
+from bigdata_infra_cs489_spark.operators.textstats import SEQ_LEN
+
+from .oracle import assert_matches_oracle
+
+
+def _delta_sql() -> str:
+    import __spark_entry__ as entrymod
+
+    os_ = entrymod.oracle_sql()
+    cap, seq, mod = SHARD_TOKENS, SEQ_LEN, NEW_BATCH_MOD
+    win = ("sum(kept_tokens) OVER (ORDER BY quality_score DESC, doc_id"
+           " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    return f"""
+    WITH cc AS ({os_["corpus_curate"]}),
+    old_packed AS (
+        SELECT doc_id, split, kept_tokens, quality_score,
+               {win} AS cum_kept_tokens
+        FROM cc WHERE doc_id % {mod} != {mod - 1}),
+    inc AS ({os_["incremental_curate"]}),
+    kept_new AS (
+        SELECT doc_id, split, n_tokens - dup_old_tokens AS kept_tokens,
+               quality_score
+        FROM inc WHERE verdict = 'kept'),
+    tot_old AS (SELECT CAST(coalesce(sum(kept_tokens), 0) AS BIGINT) AS t_old
+                FROM old_packed),
+    new_packed AS (
+        SELECT doc_id, split, kept_tokens, {win} AS cum_new FROM kept_new),
+    stream AS (
+        SELECT doc_id, kept_tokens,
+               CAST(cum_kept_tokens AS BIGINT) AS cum, 0 AS is_new
+        FROM old_packed
+        UNION ALL
+        SELECT n.doc_id, n.kept_tokens,
+               CAST(n.cum_new + t.t_old AS BIGINT), 1
+        FROM new_packed n, tot_old t),
+    tot AS (SELECT CAST(coalesce(sum(kept_tokens), 0) AS BIGINT)
+                AS total_tokens FROM stream),
+    sh AS (SELECT doc_id, kept_tokens, is_new,
+                  CAST((cum - kept_tokens) // {cap} AS BIGINT) AS shard_id
+           FROM stream),
+    agg AS (SELECT shard_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(kept_tokens) AS BIGINT) AS shard_tokens,
+                   CAST(coalesce(sum(CASE WHEN is_new = 1 THEN 1 END), 0)
+                        AS BIGINT) AS new_docs,
+                   CAST(coalesce(sum(CASE WHEN is_new = 1
+                                          THEN kept_tokens END), 0)
+                        AS BIGINT) AS new_tokens
+            FROM sh GROUP BY shard_id),
+    mx AS (SELECT CAST(coalesce(max(shard_id) + 1, 0) AS BIGINT) AS m
+           FROM agg),
+    spine AS (SELECT unnest(range(0,
+                  greatest(CAST((t.total_tokens + {cap - 1}) // {cap}
+                                AS BIGINT), x.m))) AS shard_id
+              FROM tot t, mx x),
+    filled AS (SELECT s.shard_id,
+                      coalesce(a.n_docs, 0) AS n_docs,
+                      coalesce(a.shard_tokens, 0) AS shard_tokens,
+                      coalesce(a.new_docs, 0) AS new_docs,
+                      coalesce(a.new_tokens, 0) AS new_tokens
+               FROM spine s LEFT JOIN agg a USING (shard_id))
+    SELECT f.shard_id, f.n_docs, f.shard_tokens, f.new_docs, f.new_tokens,
+           CAST(least((f.shard_id + 1) * {cap}, t.total_tokens)
+                - f.shard_id * {cap} AS BIGINT) AS span_tokens,
+           CAST((f.shard_id * {cap} + {seq - 1}) // {seq} AS BIGINT)
+               AS first_seq_id,
+           CAST((least((f.shard_id + 1) * {cap}, t.total_tokens)
+                 + {seq - 1}) // {seq}
+                - (f.shard_id * {cap} + {seq - 1}) // {seq} AS BIGINT)
+               AS n_seqs
+    FROM filled f, tot t, tot_old o
+    WHERE f.shard_id >= o.t_old // {cap}
+    """
+
+
+def test_matches_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        incremental_training_export(spark, sf_correct), _delta_sql(), sf_correct
+    )
+
+
+def _build_streams(spark, sf_dir):
+    """(old_stream, append_stream, t_old, kept_new_rows) rebuilt from the
+    public operator pieces, mirroring incremental_training_export."""
+    is_old = (F.col("doc_id") % NEW_BATCH_MOD) != (NEW_BATCH_MOD - 1)
+    old_packed = with_running_totals(
+        corpus_curate(spark, sf_dir)
+        .where(is_old)
+        .select("doc_id", "split", "kept_tokens", "quality_score"),
+        [F.desc("quality_score"), F.asc("doc_id")],
+        {"cum_kept_tokens": "kept_tokens"},
+    )
+    kept_new = (
+        incremental_curate(spark, sf_dir)
+        .where(F.col("verdict") == "kept")
+        .select(
+            "doc_id",
+            "split",
+            (F.col("n_tokens") - F.col("dup_old_tokens")).alias("kept_tokens"),
+            "quality_score",
+        )
+    )
+    old_rows = old_packed.collect()
+    new_rows = sorted(
+        kept_new.collect(), key=lambda r: (-r.quality_score, r.doc_id)
+    )
+    t_old = sum(r.kept_tokens for r in old_rows)
+    return old_packed, old_rows, new_rows, t_old
+
+
+def test_append_reconciliation(spark, sf_correct):
+    """The card's contract: (a) the delta equals the full append-stream
+    export's tail row-for-row; (b) every shard strictly before the
+    boundary is identical to the STANDING export (appending never
+    rewrites published shards); (c) new_docs/new_tokens telescope to the
+    increment exactly."""
+    old_packed, old_rows, new_rows, t_old = _build_streams(spark, sf_correct)
+    delta = {r.shard_id: r for r in
+             incremental_training_export(spark, sf_correct).collect()}
+    boundary = t_old // SHARD_TOKENS
+    assert delta and min(delta) == boundary
+
+    # (c) increment telescopes exactly, and the increment is non-trivial
+    assert sum(r.new_docs for r in delta.values()) == len(new_rows) > 0
+    assert (
+        sum(r.new_tokens for r in delta.values())
+        == sum(r.kept_tokens for r in new_rows)
+    )
+
+    # (a) full append-stream export tail == delta (shared columns)
+    cum = t_old
+    stream_rows = [(r.doc_id, r.split, r.kept_tokens, r.cum_kept_tokens)
+                   for r in old_rows]
+    for r in new_rows:
+        cum += r.kept_tokens
+        stream_rows.append((r.doc_id, r.split, r.kept_tokens, cum))
+    stream = spark.createDataFrame(
+        stream_rows,
+        "doc_id bigint, split string, kept_tokens bigint,"
+        " cum_kept_tokens bigint",
+    )
+    full = {r.shard_id: r for r in training_export_core(stream).collect()}
+    for sid, d in delta.items():
+        f = full[sid]
+        for c in ("n_docs", "shard_tokens", "span_tokens",
+                  "first_seq_id", "n_seqs"):
+            assert d[c] == f[c], (sid, c)
+
+    # (b) standing prefix untouched: the standing-only export agrees with
+    # the full export on every shard strictly before the boundary
+    standing = {r.shard_id: r for r in
+                training_export_core(old_packed).collect()}
+    for sid in range(boundary):
+        for c in ("n_docs", "shard_tokens", "first_seq_id"):
+            assert standing[sid][c] == full[sid][c], (sid, c)
+    # the boundary shard gains exactly the new docs that start in it
+    b = delta[boundary]
+    if boundary in standing:
+        assert b.n_docs == standing[boundary].n_docs + b.new_docs
+        assert (
+            b.shard_tokens == standing[boundary].shard_tokens + b.new_tokens
+        )
