@@ -103,27 +103,22 @@ def test_loud_failure_message_names_the_conf():
 
 def test_staged_queue_parity_under_hostile_session(hostile, sf_smoke):
     """The staged queue holds the same foreign-session bar as the
-    registry BEFORE registration: training_export's integer shard/
-    split/sequence arithmetic and media_strict_coverage's decode
-    classification must match their oracles under the non-UTC,
-    AQE-off, shuffle=7 session."""
+    registry BEFORE registration: the round-12 queue's real
+    encode->decode classification (media_roundtrip_coverage) and
+    append-delta shard arithmetic (incremental_training_export) must
+    match their oracles under the non-UTC, AQE-off, shuffle=7 session.
+    The oracle SQL is imported from each card's own test module so this
+    never drifts from the queue's single source."""
     from bigdata_infra_cs489_spark.plans.staged import staged_queries
 
-    from .test_training_export import _export_sql
+    from .test_incremental_export import _delta_sql
+    from .test_multimodal import _roundtrip_sql
 
     oracles = {
-        "training_export": _export_sql(),
-        "media_strict_coverage": """
-            WITH k AS (
-                SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-                            WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-                       CASE WHEN doc_id % 3 = 1 THEN 'decoded'
-                            ELSE 'truncated-stream' END AS status
-                FROM documents)
-            SELECT media_type, status, CAST(count(*) AS BIGINT) AS n_media,
-                   CAST(1000000 AS BIGINT) AS share_ppm
-            FROM k GROUP BY media_type, status
-        """,
+        "media_roundtrip_coverage": _roundtrip_sql(),
+        "incremental_training_export": _delta_sql(),
     }
-    for name, fn in staged_queries().items():
+    qs = staged_queries()
+    assert set(qs) == set(oracles)  # a queue edit must update this map
+    for name, fn in qs.items():
         assert_matches_oracle(fn(hostile, sf_smoke), oracles[name], sf_smoke)
