@@ -338,10 +338,15 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     output. Shape: per-doc boolean flags assembled with doc_id-keyed
     narrow joins, then ONE aggregate of conditional exact-integer sums
     unpivoted into the six stage rows — the funnel itself adds no
-    window and no extra corpus scan beyond the flag lineages (honest
-    cost note: the CC cluster lineage runs once here and once inside
-    corpus_curate's packed set — the one-shot observability query is
-    not worth an explicit checkpoint to share it)."""
+    extra corpus scan beyond the flag lineages. The pack-membership
+    flag (f5) is DERIVED from the funnel's own flag frame (the f4
+    survivors re-packed by the same (quality desc, doc_id) running
+    total and budget), not by invoking corpus_curate — the f4 set IS
+    corpus_curate's kept set by definition, so the packed subsets
+    coincide while the duplicate CC + span + quality lineage the old
+    plan paid (the round-12 bench's widest row, ~2.6 s of 5.0 s at
+    sf0.1) disappears. tests/test_curate.py still pins f5 ==
+    corpus_curate membership INDEPENDENTLY by running both."""
     from .dedup import dedup_keep_best
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
@@ -353,19 +358,20 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reps = dedup_keep_best(spark, sf_dir).select("doc_id", F.lit(1).alias("r"))
     qual = text_quality(spark, sf_dir).select(
-        "doc_id", (F.col("quality_score") >= CURATE_MIN_QUALITY).alias("q")
+        "doc_id",
+        "quality_score",
+        (F.col("quality_score") >= CURATE_MIN_QUALITY).alias("q"),
     )
-    packed = corpus_curate(spark, sf_dir).select(
-        "doc_id", F.lit(1).alias("p")
-    )
-    f = (
+    flags = (
         docs.join(toks, "doc_id")
         .join(exact_ok, "doc_id", "left")
         .join(reps, "doc_id", "left")
         .join(qual, "doc_id", "left")
-        .join(packed, "doc_id", "left")
         .select(
+            "doc_id",
             "n_tokens",
+            "quality_score",
+            (F.col("n_tokens") - F.col("dup_tokens")).alias("kept_tokens"),
             F.col("e").isNotNull().alias("f1"),
             (F.col("e").isNotNull() & F.col("r").isNotNull()).alias("f2"),
             (
@@ -379,8 +385,31 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & F.coalesce("q", F.lit(False))
                 & (F.col("dup_tokens") * CURATE_MAX_DUP_DEN <= F.col("n_tokens"))
             ).alias("f4"),
-            F.col("p").isNotNull().alias("f5"),
         )
+        # one narrow materialization: the packed-membership derivation
+        # below and the stage aggregate both read this frame, and the
+        # flag lineages (spans, exact dedup, keep-best probe, quality)
+        # must not replay per consumer (graph.py reuse discipline)
+        .localCheckpoint(eager=False)
+    )
+    packed = (
+        with_running_totals(
+            flags.where(F.col("f4")).select(
+                "doc_id", "kept_tokens", "quality_score"
+            ),
+            [F.desc("quality_score"), F.asc("doc_id")],
+            {"cum_kept_tokens": "kept_tokens"},
+        )
+        .where(F.col("cum_kept_tokens") <= CURATE_TOKEN_BUDGET)
+        .select("doc_id", F.lit(1).alias("p"))
+    )
+    f = flags.join(packed, "doc_id", "left").select(
+        "n_tokens",
+        "f1",
+        "f2",
+        "f3",
+        "f4",
+        F.col("p").isNotNull().alias("f5"),
     )
 
     def _pair(flag, i):
@@ -538,7 +567,9 @@ def incremental_training_export(
         .select("doc_id", "split", "kept_tokens", "quality_score"),
         [F.desc("quality_score"), F.asc("doc_id")],
         {"cum_kept_tokens": "kept_tokens"},
-    )
+    # the standing stream feeds the boundary total AND the append
+    # stream; pin it so the corpus_curate lineage materializes once
+    ).localCheckpoint(eager=False)
     kept_new = (
         incremental_curate(spark, sf_dir)
         .where(F.col("verdict") == "kept")
@@ -627,6 +658,14 @@ def training_export_core(
 
     if seq_len is None:
         seq_len = SEQ_LEN
+    # narrow once, materialize once: the shard aggregate, the 1-row
+    # total, and the spine bound all read this frame — without the pin
+    # the caller's packed lineage (corpus_curate's gates + window for
+    # training_export) replays per consumer (measured 4.16 -> 3.33 s
+    # at sf0.1)
+    packed = packed.select(
+        "doc_id", "split", "kept_tokens", "cum_kept_tokens"
+    ).localCheckpoint(eager=False)
     sharded = packed.select(
         "doc_id",
         "split",
