@@ -179,3 +179,34 @@ def test_append_reconciliation(spark, sf_correct):
         assert (
             b.shard_tokens == standing[boundary].shard_tokens + b.new_tokens
         )
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+    _doc_lists = st.lists(
+        st.tuples(
+            st.sampled_from(["train", "val", "test"]),
+            st.integers(min_value=0, max_value=7000),
+        ),
+        min_size=0,
+        max_size=12,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(docs=_doc_lists, cap=st.sampled_from([1000, 2000, 2048]))
+    def test_export_core_matches_replay_property(spark, docs, cap):
+        """training_export_core == the pure-Python replay on arbitrary
+        packed streams: adversarial kept_tokens mixes (zeros, docs
+        bigger than the capacity, exact-multiple totals) hit every
+        spine path the crafted unit cases pin individually."""
+        from .test_training_export import _core_rows, _replay
+
+        rows = [(i + 1, split, kept) for i, (split, kept) in enumerate(docs)]
+        assert _core_rows(spark, rows, cap, 300) == _replay(rows, cap, 300)
