@@ -214,6 +214,11 @@ def quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = gopher_quality_flags(spark, sf_dir).select(
         "doc_id", gate.alias("gopher_ok")
     )
+    # NOTE (round 12, measured): do NOT localCheckpoint this frame —
+    # both consumers aggregate the same JVM shuffle output and AQE's
+    # ReusedExchange already runs the lineage once (3.52 s vs 4.39 s
+    # with an explicit pin at sf0.1). The pin only pays when reuse
+    # can't engage (Python stages, window/distsort outputs).
     j = b.join(q, "doc_id").join(g, "doc_id")
     cells = j.groupBy("bucket", "quality_ok", "gopher_ok").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")

@@ -885,9 +885,12 @@ def media_strict_coverage_core(m: DataFrame) -> DataFrame:
                 types.append(mt)
             yield pd.DataFrame({"media_type": types, "status": statuses})
 
+    # the classify stage feeds both the per-status counts and the
+    # per-modality totals; pin it so the Arrow decode-attempt scan runs
+    # once, not once per consumer
     classified = m.mapInPandas(
         classify, schema="media_type string, status string"
-    )
+    ).localCheckpoint(eager=False)
     per = classified.groupBy("media_type", "status").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_media")
     )
