@@ -61,6 +61,36 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # post-consolidation registry size of 237; the missed round consumed
 # all slack, so each window below is forced up to its spare slots):
 #   r13 window = 43 remaining r7-stale + 7 spare (r8-cohort head)
+#
+# R13 WINDOW, EXACT MEMBERSHIP (pre-computed at r12 close so the
+# rotation is a mechanical paste — the round-11 failure mode was an
+# abstract plan that never got executed; this one is concrete):
+#   slots 1-2   the round-12 staged queue on registration:
+#               media_roundtrip_coverage, incremental_training_export
+#   slots 3-45  the 43 r7-stale (latest row CORRECTNESS_r07),
+#               alphabetical: degree_distribution, doc_fingerprints,
+#               dsir_scores, dsir_topk, error_click_window_counts,
+#               events_apply_changes, events_asof_last_click,
+#               events_cube_counts, events_distinct_users,
+#               events_gap_filled_counts, events_hash_sample,
+#               events_rollup_counts, events_sketch_check,
+#               events_sliding_counts, events_snapshot_diff,
+#               events_tumbling_counts, events_value_percentiles,
+#               gopher_pass_rates, gopher_quality_flags,
+#               ivf_topk_indexed, lang_mixture_sample, media_meta,
+#               order_quartiles, pii_redact, pii_stats,
+#               profile_lineitem, quality_stratified_sample,
+#               repetition_stats, stream_dedup, stream_enriched,
+#               stream_error_click_join, stream_running_counts,
+#               stream_session_windows, stream_sliding_counts,
+#               stream_tumbling_counts, tbl_scan_nation, token_counts,
+#               top_users_by_type, triangle_count, user_event_gaps,
+#               user_funnel, user_rolling_value, user_type_pivot
+#   slots 46-50 the 5 alphabetically-first r8-cohort queries:
+#               bloom_prefilter_check, bpe_merges, bpe_token_counts,
+#               cms_heavy_hitters, contamination_near
+# (If round 13 stages MORE new queries before its rotation, they must
+# displace r8-head pre-covers, never r7-stale slots.)
 #   r14 window = 43 remaining r8-stale + 7 spare (r9-cohort head)
 #   r15 window = 42 remaining r9-stale + 8 spare (r11-cohort head)
 #   r16 window = r11 cohort (45 post-consolidation, deadline r16) minus
