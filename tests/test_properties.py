@@ -416,3 +416,140 @@ def test_jpeg_codec_roundtrip_q100(w, h, data):
         - np.frombuffer(out, np.uint8).astype(int)
     )
     assert err.max() <= 2
+
+
+# --- PPJoin prefix-filter losslessness ---------------------------------------
+
+_PPJ_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+
+@st.composite
+def _near_dup_corpora(draw):
+    """Token-list corpora with planted derivations: random base docs
+    plus copies perturbed by one insert/delete — the regime where exact
+    Jaccard >= 0.5 pairs actually exist, so the losslessness claim is
+    exercised on non-empty outputs (uniform random docs almost never
+    collide at t = 0.5)."""
+    n_base = draw(st.integers(min_value=2, max_value=4))
+    docs = [
+        draw(st.lists(st.sampled_from(_PPJ_WORDS), min_size=0, max_size=10))
+        for _ in range(n_base)
+    ]
+    for _ in range(draw(st.integers(min_value=1, max_value=5))):
+        src = list(docs[draw(st.integers(min_value=0, max_value=len(docs) - 1))])
+        op = draw(st.integers(min_value=0, max_value=2))
+        if op == 0 and src:
+            src.pop(draw(st.integers(min_value=0, max_value=len(src) - 1)))
+        elif op == 1:
+            src.insert(
+                draw(st.integers(min_value=0, max_value=len(src))),
+                draw(st.sampled_from(_PPJ_WORDS)),
+            )
+        # op == 2: verbatim copy (jaccard exactly 1.0)
+        docs.append(src)
+    return docs
+
+
+def _py_shingle_set(toks: list[str]) -> set[str]:
+    """operators/dedup.py::_shingle_expr in pure Python: distinct word
+    3-grams; docs shorter than 3 tokens contribute the whole token
+    string (the empty doc's set is {''})."""
+    if len(toks) >= 3:
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    return {" ".join(toks)}
+
+
+@settings(max_examples=12, deadline=None)
+@given(corpora=_near_dup_corpora())
+def test_prefix_join_matches_python_bruteforce(spark, corpora):
+    """PPJoin prefix+length filtering (jaccard_prefix_pairs) is LOSSLESS
+    against a pure-Python all-pairs exact-Jaccard brute force at t=0.5 —
+    the pigeonhole claim itself, pinned on arbitrary corpora with
+    planted near-duplicates (including empty docs, verbatim copies, and
+    sub-3-token docs) — and the naive count-join twin
+    (ngram_jaccard_pairs) emits the identical pair set."""
+    from fractions import Fraction
+
+    from bigdata_infra_cs489_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(corpora)],
+        "doc_id bigint, text string",
+    )
+    sets = [_py_shingle_set(toks) for toks in corpora]
+    expected = {}
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if Fraction(inter, union) >= Fraction(1, 2):
+                expected[(a, b)] = inter / union
+
+    got_prefix = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_prefix_pairs(docs).collect()
+    }
+    got_naive = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs).collect()
+    }
+    assert set(got_prefix) == set(expected)
+    assert set(got_naive) == set(expected)
+    for k, v in expected.items():
+        assert abs(got_prefix[k] - v) < 1e-6
+        assert abs(got_naive[k] - v) < 1e-6
+
+
+# --- SimHash fingerprint replay ----------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    corpora=st.lists(
+        st.lists(st.sampled_from(_PPJ_WORDS), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_simhash_matches_python(spark, corpora):
+    """simhash_fingerprints (tf-weighted per-bit votes over h8(token),
+    sign -> 32-bit fingerprint) equals a plain-Python replay on
+    arbitrary token corpora. Docs with zero tokens carry no fingerprint
+    (the explode drops them) — asserted too."""
+    import hashlib
+    from collections import Counter
+
+    from bigdata_infra_cs489_spark.operators.dedup import (
+        SIMHASH_BITS,
+        simhash_fingerprints,
+    )
+
+    def py_h8(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def py_simhash(toks: list[str]) -> int:
+        tf = Counter(toks)
+        fp = 0
+        for j in range(SIMHASH_BITS):
+            v = sum(
+                c * (((py_h8(t) >> j) & 1) * 2 - 1) for t, c in tf.items()
+            )
+            if v > 0:
+                fp |= 1 << j
+        return fp
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(corpora)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(docs).collect()
+    }
+    expected = {
+        i: py_simhash(toks) for i, toks in enumerate(corpora) if toks
+    }
+    assert got == expected

@@ -8,6 +8,13 @@ sf0.001 -> sf0.1). This fixture extends the measured spread to 1000x.
 Round-11 verdict #6 extends it beyond the text families: events
 (streaming/temporal lineages) and lineitem (the relational q1-q7
 family) so those 1000x claims are measured, not plan-shape-argued.
+Round 12 (continuation) completes the relational star: orders /
+customer / supplier / part at 10x sf0.1 (keys consistent with the
+sf1 lineitem already generated: l_orderkey < 1.5M, l_partkey < 200k,
+l_suppkey < 10k), plus nation/region copied VERBATIM from sf0.1
+(fixed-size dimensions, identical at every SF by construction) — so
+the join-heavy q2-q5/q7 family and the customer/supplier extensions
+get measured 1000x rows instead of plan-shape argument.
 
 The generator is NOT the driver's (that one is private to the driver);
 it is a fresh deterministic synthesizer matched to the MEASURED
@@ -210,6 +217,164 @@ def gen_lineitem(rng: np.random.Generator) -> "object":
     )
 
 
+N_ORDERS = 1_500_000  # sf0.1 has 150,000; matches lineitem's l_orderkey range
+N_CUSTOMER = 150_000  # sf0.1 has 15,000
+N_SUPPLIER = 10_000  # sf0.1 has 1,000; matches l_suppkey range
+N_PART = 200_000  # sf0.1 has 20,000; matches l_partkey range
+N_NATIONS = 25
+
+
+def gen_orders(rng: np.random.Generator) -> "object":
+    """orders matched to the driver fixture's measured statistics:
+    o_orderkey contiguous 0..N-1 (sf0.1: 150k rows, all distinct),
+    o_custkey uniform over the customer key space, status uniform
+    F/O/P, totalprice ~U(1000, 500000) 2dp (sf0.1: min 1001.91 / avg
+    250156 / max 499993), orderdate uniform midnight-stamped days over
+    1995-01-01..2001-08-01, priority uniform over the 5 TPC-H strings."""
+    import pyarrow as pa
+
+    n = N_ORDERS
+    start = np.datetime64("1995-01-01")
+    days = int((np.datetime64("2001-08-01") - start) / np.timedelta64(1, "D"))
+    status = np.array(["F", "O", "P"])
+    prio = np.array(
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    )
+    return pa.table(
+        {
+            "o_orderkey": pa.array(range(n), pa.int64()),
+            "o_custkey": pa.array(
+                rng.integers(0, N_CUSTOMER, size=n), pa.int64()
+            ),
+            "o_orderstatus": pa.array(
+                status[rng.integers(0, 3, size=n)], pa.string()
+            ),
+            "o_totalprice": pa.array(
+                np.round(rng.uniform(1000.0, 500_000.0, size=n), 2),
+                pa.float64(),
+            ),
+            "o_orderdate": pa.array(
+                start + rng.integers(0, days + 1, size=n).astype(
+                    "timedelta64[D]"
+                ),
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(
+                prio[rng.integers(0, 5, size=n)], pa.string()
+            ),
+        }
+    )
+
+
+def gen_customer(rng: np.random.Generator) -> "object":
+    """customer: c_custkey contiguous, c_name 'Customer#%09d',
+    c_nationkey uniform int32 0..24, c_acctbal ~U(-1000, 10000) 2dp
+    (sf0.1: min -999.85 / avg 4547 / max 9999.8), mktsegment uniform
+    over the 5 TPC-H segments."""
+    import pyarrow as pa
+
+    n = N_CUSTOMER
+    seg = np.array(
+        ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    )
+    return pa.table(
+        {
+            "c_custkey": pa.array(range(n), pa.int64()),
+            "c_name": pa.array(
+                [f"Customer#{i:09d}" for i in range(n)], pa.string()
+            ),
+            "c_nationkey": pa.array(
+                rng.integers(0, N_NATIONS, size=n).astype(np.int32), pa.int32()
+            ),
+            "c_acctbal": pa.array(
+                np.round(rng.uniform(-1000.0, 10_000.0, size=n), 2),
+                pa.float64(),
+            ),
+            "c_mktsegment": pa.array(
+                seg[rng.integers(0, 5, size=n)], pa.string()
+            ),
+        }
+    )
+
+
+def gen_supplier(rng: np.random.Generator) -> "object":
+    """supplier: s_suppkey contiguous, s_name 'Supplier#%09d',
+    s_nationkey uniform int32 0..24, s_acctbal ~U(-1000, 10000) 2dp."""
+    import pyarrow as pa
+
+    n = N_SUPPLIER
+    return pa.table(
+        {
+            "s_suppkey": pa.array(range(n), pa.int64()),
+            "s_name": pa.array(
+                [f"Supplier#{i:09d}" for i in range(n)], pa.string()
+            ),
+            "s_nationkey": pa.array(
+                rng.integers(0, N_NATIONS, size=n).astype(np.int32), pa.int32()
+            ),
+            "s_acctbal": pa.array(
+                np.round(rng.uniform(-1000.0, 10_000.0, size=n), 2),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def gen_part(rng: np.random.Generator) -> "object":
+    """part: p_partkey contiguous, p_name 'adj noun' uniform over the
+    sf0.1 8x8 vocabulary (64 distinct names), p_brand uniform
+    Brand#1..25, p_type uniform over the 6 sf0.1 types, p_size 1..50,
+    p_retailprice ~U(900, 1000) 2dp."""
+    import pyarrow as pa
+
+    n = N_PART
+    adjs = np.array(
+        ["blue", "cold", "hot", "large", "new", "old", "red", "small"]
+    )
+    nouns = np.array(
+        ["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"]
+    )
+    types = np.array(
+        ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+    )
+    names = [
+        f"{adjs[a]} {nouns[b]}"
+        for a, b in zip(
+            rng.integers(0, 8, size=n), rng.integers(0, 8, size=n)
+        )
+    ]
+    return pa.table(
+        {
+            "p_partkey": pa.array(range(n), pa.int64()),
+            "p_name": pa.array(names, pa.string()),
+            "p_brand": pa.array(
+                [f"Brand#{int(i)}" for i in rng.integers(1, 26, size=n)],
+                pa.string(),
+            ),
+            "p_type": pa.array(types[rng.integers(0, 6, size=n)], pa.string()),
+            "p_size": pa.array(
+                rng.integers(1, 51, size=n).astype(np.int32), pa.int32()
+            ),
+            "p_retailprice": pa.array(
+                np.round(rng.uniform(900.0, 1000.0, size=n), 2), pa.float64()
+            ),
+        }
+    )
+
+
+def _copy_dim(table: str):
+    """nation/region are fixed-size dimensions, identical at every SF
+    (verified across sf0.001/0.01/0.1) — copy sf0.1 verbatim so sf1
+    joins see the exact same dimension rows."""
+
+    def gen(_rng: np.random.Generator) -> "object":
+        import pyarrow.parquet as pq
+
+        return pq.read_table(f"/root/testdata/sf0.1/{table}.parquet")
+
+    return gen
+
+
 def main() -> None:
     import pyarrow.parquet as pq
 
@@ -221,6 +386,12 @@ def main() -> None:
         ("embeddings.parquet", gen_embeddings, SEED + 1),
         ("events.parquet", gen_events, SEED + 2),
         ("lineitem.parquet", gen_lineitem, SEED + 3),
+        ("orders.parquet", gen_orders, SEED + 4),
+        ("customer.parquet", gen_customer, SEED + 5),
+        ("supplier.parquet", gen_supplier, SEED + 6),
+        ("part.parquet", gen_part, SEED + 7),
+        ("nation.parquet", _copy_dim("nation"), SEED + 8),
+        ("region.parquet", _copy_dim("region"), SEED + 9),
     ]
     wrote = []
     for fname, gen, seed in tables:

@@ -65,11 +65,67 @@ TABLE_QUERIES = {
     ],
 }
 
+# round-12 continuation: the JOIN-heavy relational family — eligible
+# only where EVERY table it reads exists (gen_sf1 now writes the full
+# star: orders/customer/supplier/part + verbatim nation/region), which
+# completes the reference q1-q7 workload at the 1000x spread
+JOIN_QUERIES: dict[str, list[str]] = {
+    "q2_orders_semijoin_topk": ["orders.parquet", "lineitem.parquet"],
+    "q3_lineitem_part_supplier": [
+        "lineitem.parquet",
+        "part.parquet",
+        "supplier.parquet",
+    ],
+    "q4_shipments_by_nation": [
+        "lineitem.parquet",
+        "orders.parquet",
+        "customer.parquet",
+        "nation.parquet",
+    ],
+    "q5_monthly_shipments_two_nations": [
+        "lineitem.parquet",
+        "orders.parquet",
+        "customer.parquet",
+        "nation.parquet",
+    ],
+    "q7_top_revenue_orders": [
+        "lineitem.parquet",
+        "orders.parquet",
+        "customer.parquet",
+    ],
+    "top_suppliers_by_revenue": [
+        "lineitem.parquet",
+        "supplier.parquet",
+        "nation.parquet",
+    ],
+    "top_return_customers": [
+        "lineitem.parquet",
+        "orders.parquet",
+        "customer.parquet",
+        "nation.parquet",
+    ],
+    "customer_rfm": [
+        "orders.parquet",
+        "customer.parquet",
+        "nation.parquet",
+    ],
+    "customers_without_orders": ["customer.parquet", "orders.parquet"],
+    "promo_revenue_share": ["lineitem.parquet", "part.parquet"],
+}
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/root/repo/SCALING_r12.md")
     ap.add_argument("--json-out", default="/root/repo/SCALING_r12.json")
+    ap.add_argument(
+        "--family",
+        choices=["all", "join"],
+        default="all",
+        help="'join' runs ONLY the JOIN_QUERIES relational family and "
+        "APPENDS a section to --out (existing prose untouched), merging "
+        "cells into --json-out",
+    )
     args = ap.parse_args()
 
     if not os.path.exists(os.path.join(SF_DIRS[-1][1], "documents.parquet")):
@@ -103,20 +159,27 @@ def main() -> None:
         print(f"{name:<28} {sf:<8} {sec:7.2f}s", flush=True)
 
     for sf, d in SF_DIRS:
-        # cold standing-index build: remove any prior asset for this
-        # generation, then time bootstrap (bands+shingles+clusters and
-        # the clusters_full asset the curate family probes)
-        path = dedup_index_path(d)
-        shutil.rmtree(path, ignore_errors=True)
-        t0 = time.time()
-        ensure_dedup_index(spark, d)
-        standing_full_clusters(spark, d).count()
-        record("index build (cold)", sf, time.time() - t0)
-        spark.catalog.clearCache()
-        eligible = list(QUERIES)
-        for table, names in sorted(TABLE_QUERIES.items()):
-            if os.path.exists(os.path.join(d, table)):
-                eligible += names
+        if args.family == "join":
+            eligible = [
+                name
+                for name, tables in JOIN_QUERIES.items()
+                if all(os.path.exists(os.path.join(d, t)) for t in tables)
+            ]
+        else:
+            # cold standing-index build: remove any prior asset for this
+            # generation, then time bootstrap (bands+shingles+clusters and
+            # the clusters_full asset the curate family probes)
+            path = dedup_index_path(d)
+            shutil.rmtree(path, ignore_errors=True)
+            t0 = time.time()
+            ensure_dedup_index(spark, d)
+            standing_full_clusters(spark, d).count()
+            record("index build (cold)", sf, time.time() - t0)
+            spark.catalog.clearCache()
+            eligible = list(QUERIES)
+            for table, names in sorted(TABLE_QUERIES.items()):
+                if os.path.exists(os.path.join(d, table)):
+                    eligible += names
         for name in eligible:
             best = float("inf")
             for _ in range(2):
@@ -125,6 +188,44 @@ def main() -> None:
                 best = min(best, time.time() - t0)
                 spark.catalog.clearCache()
             record(name, sf, best)
+
+    if args.family == "join":
+        merged: dict[str, dict[str, float]] = {}
+        if os.path.exists(args.json_out):
+            with open(args.json_out) as f:
+                merged = json.load(f)
+        merged.update(results)
+        with open(args.json_out, "w") as f:
+            json.dump(merged, f, indent=1)
+        lines = [
+            "",
+            "## Relational join family at 1000× (round-12 continuation; "
+            "full star at sf1: orders/customer/supplier/part + verbatim "
+            "nation/region — tools/gen_sf1.py)",
+            "",
+            "Same protocol: min-of-2 collects per cell, warm local[32] "
+            "session, Spark-only wall clock.",
+            "",
+            "| query | sf0.001 | sf0.01 | sf0.1 | sf1 | sf1/sf0.001 |",
+            "|---|---|---|---|---|---|",
+        ]
+        for name in JOIN_QUERIES:
+            r = results.get(name, {})
+            if not r:
+                continue
+            ratio = (
+                r["sf1"] / r["sf0.001"]
+                if r.get("sf0.001")
+                else float("nan")
+            )
+            lines.append(
+                f"| {name} | {r.get('sf0.001', '')} | {r.get('sf0.01', '')} "
+                f"| {r.get('sf0.1', '')} | {r.get('sf1', '')} | {ratio:.2f}× |"
+            )
+        with open(args.out, "a") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"\nappended join-family section to {args.out}")
+        return
 
     with open(args.json_out, "w") as f:
         json.dump(results, f, indent=1)
