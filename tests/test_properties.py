@@ -553,3 +553,66 @@ def test_simhash_matches_python(spark, corpora):
         i: py_simhash(toks) for i, toks in enumerate(corpora) if toks
     }
     assert got == expected
+
+
+# --- MinHash signature replay --------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    corpora=st.lists(
+        st.lists(st.sampled_from(_PPJ_WORDS), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_minhash_signatures_match_python(spark, corpora):
+    """minhash_signatures (K universal-hash draws over one h8 per
+    shingle, min per draw) and the signature_bands ':'-joined band keys
+    equal a plain-Python replay on arbitrary corpora — the determinism
+    LSH banding, incremental assignment, and the estimate-error card
+    all rest on."""
+    import hashlib
+
+    from bigdata_infra_cs489_spark.operators.dedup import (
+        MINHASH_PRIME,
+        NUM_BANDS,
+        NUM_HASHES,
+        minhash_params,
+        minhash_signatures,
+        signature_bands,
+    )
+
+    def py_h8(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    params = minhash_params(NUM_HASHES)
+
+    def py_sig(toks: list[str]) -> list[int]:
+        xs = [py_h8(s) for s in _py_shingle_set(toks)]
+        return [min((a * x + b) % MINHASH_PRIME for x in xs) for a, b in params]
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(corpora)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signatures(docs).collect()
+    }
+    expected = {i: py_sig(toks) for i, toks in enumerate(corpora)}
+    assert got == expected
+
+    rows = NUM_HASHES // NUM_BANDS
+    got_bands = {
+        (r["doc_id"], r["band"]): r["band_key"]
+        for r in signature_bands(docs).collect()
+    }
+    expected_bands = {
+        (i, b): ":".join(
+            str(v) for v in sig[b * rows : (b + 1) * rows]
+        )
+        for i, sig in expected.items()
+        for b in range(NUM_BANDS)
+    }
+    assert got_bands == expected_bands
