@@ -1485,3 +1485,162 @@ def pq_distortion_stats(
             "max_sqdist_micro",
         )
     )
+
+
+# --- margin-based bitext mining ----------------------------------------------
+#
+# The parallel-corpus mining step of a multilingual LLM pipeline
+# (Artetxe & Schwenk 2019's ratio-margin criterion, the shape behind
+# CCMatrix/NLLB-style bitext harvesting): score source-language anchors
+# against every candidate document of each other language, and keep
+# MUTUAL top-k pairs ranked by how far their similarity stands above
+# each side's own neighborhood average — raw cosine alone mis-ranks
+# hubs, which is exactly what the margin denominator corrects.
+# No reference counterpart (north-star extension family).
+
+BITEXT_N_ANCHORS = 64  # fixed-size source-side panel (salted-hash pick)
+BITEXT_K = 4  # top-k per direction; margin averages this neighborhood
+BITEXT_ANCHOR_SALT = "bitext-anchor-v1"
+BITEXT_SRC_LANG = "en"
+
+
+def _int_embed(text_col: Column) -> Column:
+    """_hash_embed's components in exact INTEGER micro-space:
+    iv[j] = h8(text || salt || j) % 1000 - 500 (bigint in [-500, 499]).
+    Dots and norms over iv are exact int64 arithmetic (16 terms, each
+    |term| <= 250000), so every downstream score is one identical IEEE
+    op away from shared integers on BOTH engines — the cross-engine
+    hash can never ride a float fold order, unlike a double-space
+    cosine whose summation order is engine-private."""
+    from ..functions.hashing import h8
+
+    return F.array(
+        *[
+            (
+                h8(F.concat(text_col, F.lit(f"{RAG_EMBED_SALT}{j}"))) % 1000
+                - 500
+            ).cast("bigint")
+            for j in range(RAG_EMBED_DIM)
+        ]
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, en_id, xx_id, cosine, margin): mined translation-pair
+    candidates — for a fixed salted-hash panel of BITEXT_N_ANCHORS
+    source-language documents, the pairs (anchor, target-language doc)
+    that are in EACH OTHER's top-BITEXT_K by cosine within their
+    language pair, scored by the ratio margin
+    cos(x,y) / ((knn_mean(x) + knn_mean(y)) / 2).
+
+    Determinism discipline: the cosine is ranked and reported in
+    integer micro-units c_u = floor(cos * 1e6 + 0.5) derived from exact
+    integer dots/norms (see _int_embed), k-NN means stay as exact
+    (sum, count) integer pairs, and the margin is one double division
+    of integers finished with the same floor-micro pattern — every
+    cross-engine value is a chain of identical IEEE ops over shared
+    integers, so DuckDB replays it bit-for-bit (no decimal-repr
+    rounding anywhere).
+
+    Scale shape: the anchor panel is model-sized (TakeOrderedAndProject,
+    same discipline as _anchor_neighbor_scores), so the pair stage is a
+    broadcast nested-loop of N_anchors x corpus — capped fan-out at any
+    corpus size, map-side only. Both top-k windows partition on bounded
+    keys (per-anchor-per-lang candidate lists; per-target panel-sized
+    lists). Full-corpus-anchor mining routes through the IVF/LSH
+    candidate paths above, exactly like the kNN family."""
+    docs = load(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "lang", _int_embed(F.col("text")).alias("iv")
+    )
+    return bitext_margin_pairs_core(docs)
+
+
+def bitext_margin_pairs_core(
+    docs: DataFrame,
+    n_anchors: int = BITEXT_N_ANCHORS,
+    k: int = BITEXT_K,
+    src_lang: str = BITEXT_SRC_LANG,
+) -> DataFrame:
+    """bitext_margin_pairs over an explicit (doc_id, lang, iv) frame —
+    the crafted-fixture-injectable core."""
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import h8
+
+    with_norm = docs.withColumn("inorm", _int_dot("iv", "iv")).where(
+        F.col("inorm") > 0
+    )
+    ark = h8(
+        F.concat(F.col("doc_id").cast("string"), F.lit(BITEXT_ANCHOR_SALT))
+    )
+    anchors = (
+        with_norm.where(F.col("lang") == src_lang)
+        .select(
+            F.col("doc_id").alias("en_id"),
+            F.col("iv").alias("aiv"),
+            F.col("inorm").alias("anorm"),
+            ark.alias("ark"),
+        )
+        .orderBy(F.asc("ark"), F.asc("en_id"))
+        .limit(n_anchors)
+        .drop("ark")
+    )
+    tgt = with_norm.where(F.col("lang") != src_lang)
+    cos = _int_dot("aiv", "iv") / F.sqrt(
+        (F.col("anorm") * F.col("inorm")).cast("double")
+    )
+    pairs = tgt.crossJoin(F.broadcast(anchors)).select(
+        "lang",
+        "en_id",
+        F.col("doc_id").alias("xx_id"),
+        F.floor(cos * F.lit(1e6) + F.lit(0.5)).cast("bigint").alias("c_u"),
+    )
+    w_x = Window.partitionBy("en_id", "lang").orderBy(
+        F.desc("c_u"), F.asc("xx_id")
+    )
+    w_y = Window.partitionBy("xx_id").orderBy(F.desc("c_u"), F.asc("en_id"))
+    ranked = pairs.withColumn("rn_x", F.row_number().over(w_x)).withColumn(
+        "rn_y", F.row_number().over(w_y)
+    )
+    mu_x = (
+        ranked.where(F.col("rn_x") <= k)
+        .groupBy("en_id", "lang")
+        .agg(
+            F.sum("c_u").alias("sx"),
+            F.count(F.lit(1)).cast("bigint").alias("kx"),
+        )
+    )
+    mu_y = (
+        ranked.where(F.col("rn_y") <= k)
+        .groupBy("xx_id")
+        .agg(
+            F.sum("c_u").alias("sy"),
+            F.count(F.lit(1)).cast("bigint").alias("ky"),
+        )
+    )
+    mutual = ranked.where((F.col("rn_x") <= k) & (F.col("rn_y") <= k)).select(
+        "lang", "en_id", "xx_id", "c_u"
+    )
+    cand = mutual.join(F.broadcast(mu_x), ["en_id", "lang"])
+    scored = mu_y.join(F.broadcast(cand), "xx_id")
+    den = F.col("sx") * F.col("ky") + F.col("sy") * F.col("kx")
+    num = F.lit(2) * F.col("c_u") * F.col("kx") * F.col("ky")
+    margin_micro = F.floor(num / den * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    return (
+        scored.where(den != 0)
+        .select(
+            "lang",
+            "en_id",
+            "xx_id",
+            (F.col("c_u") / F.lit(1000000.0)).alias("cosine"),
+            (margin_micro / F.lit(1000000.0)).alias("margin"),
+        )
+    )

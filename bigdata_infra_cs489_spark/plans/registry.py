@@ -65,9 +65,12 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # R13 WINDOW, EXACT MEMBERSHIP (pre-computed at r12 close so the
 # rotation is a mechanical paste — the round-11 failure mode was an
 # abstract plan that never got executed; this one is concrete):
-#   slots 1-2   the round-12 staged queue on registration:
-#               media_roundtrip_coverage, incremental_training_export
-#   slots 3-45  the 43 r7-stale (latest row CORRECTNESS_r07),
+#   slots 1-3   the round-12 staged queue on registration:
+#               media_roundtrip_coverage, incremental_training_export,
+#               bitext_margin_pairs (staged late in round 12; takes the
+#               slot of the displaced r8-head pre-cover
+#               contamination_near, per the displacement rule below)
+#   slots 4-46  the 43 r7-stale (latest row CORRECTNESS_r07),
 #               alphabetical: degree_distribution, doc_fingerprints,
 #               dsir_scores, dsir_topk, error_click_window_counts,
 #               events_apply_changes, events_asof_last_click,
@@ -86,12 +89,14 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #               stream_tumbling_counts, tbl_scan_nation, token_counts,
 #               top_users_by_type, triangle_count, user_event_gaps,
 #               user_funnel, user_rolling_value, user_type_pivot
-#   slots 46-50 the 5 alphabetically-first r8-cohort queries:
+#   slots 47-50 the 4 alphabetically-first r8-cohort queries:
 #               bloom_prefilter_check, bpe_merges, bpe_token_counts,
-#               cms_heavy_hitters, contamination_near
+#               cms_heavy_hitters (contamination_near displaced to the
+#               r14 window by the third staged card)
 # (If round 13 stages MORE new queries before its rotation, they must
 # displace r8-head pre-covers, never r7-stale slots.)
-#   r14 window = 43 remaining r8-stale + 7 spare (r9-cohort head)
+#   r14 window = 44 remaining r8-stale (43 + the displaced
+#                contamination_near) + 6 spare (r9-cohort head)
 #   r15 window = 42 remaining r9-stale + 8 spare (r11-cohort head)
 #   r16 window = r11 cohort (45 post-consolidation, deadline r16) minus
 #                r15 pre-covers (8) = 37 forced + 13 spare

@@ -39,6 +39,7 @@ def staged_queries() -> dict[str, QueryFn]:
     """name -> callable for every plan-auditable staged operator."""
     from ..operators.curate import incremental_training_export
     from ..operators.multimodal import media_roundtrip_coverage
+    from ..operators.similarity import bitext_margin_pairs
 
     return {
         # the round-11 verdict's #5 (carried from round 10 #2): full
@@ -52,4 +53,10 @@ def staged_queries() -> dict[str, QueryFn]:
         # reconciled against the full card; oracle + append invariants
         # in tests/test_incremental_export.py
         "incremental_training_export": incremental_training_export,
+        # round-12 continuation: margin-based bitext mining (Artetxe &
+        # Schwenk ratio margin over the deterministic hash embedding,
+        # mutual top-k per language pair, fixed salted anchor panel) —
+        # the parallel-corpus harvesting step of a multilingual LLM
+        # pipeline; oracle + python replay in tests/test_bitext.py
+        "bitext_margin_pairs": bitext_margin_pairs,
     }

@@ -111,12 +111,14 @@ def test_staged_queue_parity_under_hostile_session(hostile, sf_smoke):
     never drifts from the queue's single source."""
     from bigdata_infra_cs489_spark.plans.staged import staged_queries
 
+    from .test_bitext import bitext_oracle_sql
     from .test_incremental_export import _delta_sql
     from .test_multimodal import _roundtrip_sql
 
     oracles = {
         "media_roundtrip_coverage": _roundtrip_sql(),
         "incremental_training_export": _delta_sql(),
+        "bitext_margin_pairs": bitext_oracle_sql(),
     }
     qs = staged_queries()
     assert set(qs) == set(oracles)  # a queue edit must update this map
