@@ -616,3 +616,89 @@ def test_minhash_signatures_match_python(spark, corpora):
         for b in range(NUM_BANDS)
     }
     assert got_bands == expected_bands
+
+
+# --- CDC chunking: replay + edit locality -------------------------------------
+
+
+def _py_cdc(toks: list[str]) -> list[tuple[str, int]]:
+    """operators/dedup.py::cdc_chunks in pure Python: boundary AFTER
+    every token whose h8 is 0 mod CDC_MOD; zero-length tail segment
+    (when the last token is itself a boundary) dropped."""
+    import hashlib
+
+    from bigdata_infra_cs489_spark.operators.dedup import CDC_MOD
+
+    def h8(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    bs = [i for i, t in enumerate(toks, 1) if h8(t) % CDC_MOD == 0]
+    starts = [1] + [p + 1 for p in bs]
+    ends = bs + [len(toks)]
+    return [
+        (" ".join(toks[s - 1 : e]), e - s + 1)
+        for s, e in zip(starts, ends)
+        if e >= s
+    ]
+
+
+@settings(max_examples=12, deadline=None)
+@given(data=st.data())
+def test_cdc_chunks_match_python_and_cuts_are_edit_local(spark, data):
+    """cdc_chunks equals the plain-Python replay on arbitrary token
+    streams, and the content-defined cut rule is EDIT-LOCAL — after a
+    single-token insertion, the chunking of the stream beyond the first
+    surviving boundary is bit-identical (the docstring's 'inserting one
+    token near the front shifts at most one chunk' claim, exercised at
+    every insertion point hypothesis finds)."""
+    from bigdata_infra_cs489_spark.operators.dedup import cdc_chunks
+
+    # pure-letter words only: the shared tokenizer strips digits, which
+    # would desync the raw-token python replay from the Spark text path
+    words = [a + b for a in "abcdefgh" for b in "wxyz"]
+    toks = data.draw(
+        st.lists(st.sampled_from(words), min_size=1, max_size=40)
+    )
+    ins_pos = data.draw(st.integers(min_value=0, max_value=len(toks)))
+    ins_tok = data.draw(st.sampled_from(words))
+    edited = toks[:ins_pos] + [ins_tok] + toks[ins_pos:]
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(toks)), (1, " ".join(edited))],
+        "doc_id bigint, text string",
+    )
+    rows = cdc_chunks(docs).collect()
+    got = {
+        d: [
+            (r["chunk"], r["chunk_len"])
+            for r in sorted(
+                (r for r in rows if r["doc_id"] == d),
+                key=lambda r: r["chunk_no"],
+            )
+        ]
+        for d in (0, 1)
+    }
+    assert got[0] == _py_cdc(toks)
+    assert got[1] == _py_cdc(edited)
+
+    # edit locality: chunking restarts at every boundary (the cut rule
+    # is memoryless), so the suffix past the first boundary at/after
+    # the insertion point is chunked identically in both versions
+    import hashlib
+
+    from bigdata_infra_cs489_spark.operators.dedup import CDC_MOD
+
+    def h8(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def suffix_after_first_boundary(ts: list[str], cut: int):
+        bs = [i for i, t in enumerate(ts, 1) if h8(t) % CDC_MOD == 0]
+        later = [b for b in bs if b >= cut]
+        if not later:
+            return None
+        return _py_cdc(ts[later[0] :])
+
+    a = suffix_after_first_boundary(toks, ins_pos + 1)
+    b = suffix_after_first_boundary(edited, ins_pos + 2)
+    if a is not None:
+        assert a == b
