@@ -267,28 +267,51 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerator and shared denominator in ONE aggregate pass.
 
     Scale shape: part broadcasts (dimension), lineitem keeps its scan
-    partitioning, one hash aggregate on the derived month key. Revenue
-    terms round to cents before the percentage ratio."""
+    partitioning, one hash aggregate on the derived month key.
+
+    Accounting discipline: revenue accumulates as EXACT integer
+    ten-thousandths of a dollar (price is 2dp-valued, discount a whole
+    percent, so cents x (100 - disc%) is exact int64) and cents come
+    from integer (+50) DIV 100 — a float sum rounded 2dp flipped a cent
+    on one sf1 month when the two engines' summation orders straddled a
+    .005 boundary (found by the round-12 sf1 oracle sweep); the integer
+    path cannot. At ~1e18 rows per month the int64 sum would route
+    through decimal — far beyond 100 TB months."""
     from ..sources.tables import load
 
+    rev_dm = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100).cast("long")
+        - F.round(F.col("l_discount") * 100).cast("long")
+    )
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey",
         F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        rev_dm.alias("rev_dm"),
     )
     part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    is_promo = (F.col("p_type") == PROMO_TYPE).cast("int")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "ship_month",
+        "rev_dm",
+        (F.col("p_type") == PROMO_TYPE).cast("long").alias("is_promo"),
+    )
     agg = j.groupBy("ship_month").agg(
-        F.round(F.sum(F.col("rev") * is_promo), 2).alias("promo_revenue"),
-        F.round(F.sum("rev"), 2).alias("total_revenue"),
+        F.expr("CAST((sum(rev_dm * is_promo) + 50) DIV 100 AS BIGINT)").alias(
+            "promo_cents"
+        ),
+        F.expr("CAST((sum(rev_dm) + 50) DIV 100 AS BIGINT)").alias(
+            "total_cents"
+        ),
+    )
+    share = (
+        F.lit(100.0) * F.col("promo_cents") / F.col("total_cents")
     )
     return agg.select(
         "ship_month",
-        "promo_revenue",
-        "total_revenue",
-        F.round(
-            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 4
+        (F.col("promo_cents") / F.lit(100.0)).alias("promo_revenue"),
+        (F.col("total_cents") / F.lit(100.0)).alias("total_revenue"),
+        (
+            F.floor(share * F.lit(1e4) + F.lit(0.5)).cast("bigint")
+            / F.lit(10000.0)
         ).alias("promo_share_pct"),
     )
 

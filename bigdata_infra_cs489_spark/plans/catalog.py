@@ -1800,15 +1800,24 @@ register(
     "events_tumbling_counts",
     lambda spark, sf: E.tumbling_counts(spark, sf),
     f"""
-    SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / {E.TUMBLE_SEC})
-                * {E.TUMBLE_SEC} * 1000000 AS BIGINT)),
-            '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type,
-           count(*) AS n_events,
-           round(sum(value), 2) AS sum_value,
-           round(avg(value), 4) AS avg_value
-    FROM events
-    GROUP BY window_start, event_type
+    -- exact-cents accounting (events.py::value_cents): avg of a plain
+    -- double sum rounded 4dp flipped on 52 sf1 windows (r12 sweep)
+    WITH w AS (
+      SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / {E.TUMBLE_SEC})
+                 * {E.TUMBLE_SEC} * 1000000 AS BIGINT)),
+             '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events),
+    a AS (SELECT window_start, event_type,
+                 count(*) AS n_events,
+                 CAST(sum(vc) AS BIGINT) AS sum_vc
+          FROM w GROUP BY window_start, event_type)
+    SELECT window_start, event_type, n_events,
+           sum_vc / 100.0 AS sum_value,
+           CAST(floor(sum_vc * 100.0 / n_events + 0.5) AS BIGINT) / 10000.0
+               AS avg_value
+    FROM a
     """,
 )
 
@@ -2659,15 +2668,23 @@ register(
     "stream_tumbling_counts",
     STR.q_stream_tumbling_counts,
     f"""
-    SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / {E.TUMBLE_SEC})
-                * {E.TUMBLE_SEC} * 1000000 AS BIGINT)),
-            '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type,
-           count(*) AS n_events,
-           round(sum(value), 2) AS sum_value,
-           round(avg(value), 4) AS avg_value
-    FROM events
-    GROUP BY window_start, event_type
+    -- exact-cents accounting, in lockstep with the batch twin's oracle
+    WITH w AS (
+      SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / {E.TUMBLE_SEC})
+                 * {E.TUMBLE_SEC} * 1000000 AS BIGINT)),
+             '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events),
+    a AS (SELECT window_start, event_type,
+                 count(*) AS n_events,
+                 CAST(sum(vc) AS BIGINT) AS sum_vc
+          FROM w GROUP BY window_start, event_type)
+    SELECT window_start, event_type, n_events,
+           sum_vc / 100.0 AS sum_value,
+           CAST(floor(sum_vc * 100.0 / n_events + 0.5) AS BIGINT) / 10000.0
+               AS avg_value
+    FROM a
     """,
 )
 
@@ -3733,21 +3750,28 @@ register(
     R.promo_revenue_share,
     f"""
     WITH j AS (
+      -- exact integer ten-thousandth-dollar accounting (price 2dp x
+      -- whole-percent discount), mirroring the Spark side: a float sum
+      -- rounded 2dp flipped a cent on one sf1 month (round-12 sweep)
       SELECT strftime(CAST(l.l_shipdate AS DATE), '%Y-%m') AS ship_month,
-             l.l_extendedprice * (1 - l.l_discount) AS rev,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_dm,
              p.p_type
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     ),
     a AS (
       SELECT ship_month,
-             round(sum(CASE WHEN p_type = '{R.PROMO_TYPE}'
-                            THEN rev ELSE 0 END), 2) AS promo_revenue,
-             round(sum(rev), 2) AS total_revenue
+             CAST((sum(CASE WHEN p_type = '{R.PROMO_TYPE}'
+                            THEN rev_dm ELSE 0 END) + 50) // 100 AS BIGINT)
+                 AS promo_cents,
+             CAST((sum(rev_dm) + 50) // 100 AS BIGINT) AS total_cents
       FROM j GROUP BY ship_month
     )
-    SELECT ship_month, promo_revenue, total_revenue,
-           round(100.0 * promo_revenue / total_revenue, 4)
-               AS promo_share_pct
+    SELECT ship_month,
+           promo_cents / 100.0 AS promo_revenue,
+           total_cents / 100.0 AS total_revenue,
+           CAST(floor(100.0 * promo_cents / total_cents * 10000 + 0.5)
+                AS BIGINT) / 10000.0 AS promo_share_pct
     FROM a
     """,
 )

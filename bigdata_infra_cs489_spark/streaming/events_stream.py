@@ -93,13 +93,17 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming 5-minute tumbling windows per event_type (same output
     columns as the batch operator)."""
+    from ..operators.events import exact_value_stats, value_cents
+
     ev = stream_events(spark, sf_dir).withWatermark("ts", WATERMARK)
+    sum_value, avg_value = exact_value_stats(
+        F.col("sum_vc"), F.col("n_events")
+    )
     return (
         ev.groupBy(F.window("ts", f"{TUMBLE_SEC} seconds"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.sum(value_cents()).alias("sum_vc"),
         )
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
@@ -107,8 +111,8 @@ def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "event_type",
             "n_events",
-            "sum_value",
-            "avg_value",
+            sum_value,
+            avg_value,
         )
     )
 
