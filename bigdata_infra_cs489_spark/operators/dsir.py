@@ -131,10 +131,18 @@ def dsir_doc_scores(target: DataFrame, raw: DataFrame) -> DataFrame:
             "doc_id",
             F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
             F.coalesce("score_micro", F.lit(0)).cast("bigint").alias("score_micro"),
-            F.round(
-                F.coalesce("score_micro", F.lit(0))
-                / (F.greatest(F.coalesce("n_tokens", F.lit(0)), F.lit(1)) * _MICRO),
-                6,
+            # floor-micro, NOT round(x, 6): score_micro/n_tokens is an
+            # integer ratio, so EXACT .5-micro ties are common (7 docs
+            # at sf1, e.g. -218876/56 = -3908.5) and Spark/DuckDB break
+            # decimal ties differently; floor(x + 0.5) is one identical
+            # IEEE op on both engines (round-12 sf1 oracle sweep)
+            (
+                F.floor(
+                    F.coalesce("score_micro", F.lit(0))
+                    / F.greatest(F.coalesce("n_tokens", F.lit(0)), F.lit(1))
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / F.lit(float(_MICRO))
             ).alias("avg_logratio"),
         )
     )

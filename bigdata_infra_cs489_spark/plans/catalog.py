@@ -4761,9 +4761,11 @@ DUCK_DSIR_SCORES = f"""
     SELECT d.doc_id,
            CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
            CAST(coalesce(sc.score_micro, 0) AS BIGINT) AS score_micro,
-           round(coalesce(sc.score_micro, 0)
-                 / (greatest(coalesce(sc.n_tokens, 0), 1) * 1000000.0), 6)
-               AS avg_logratio
+           -- floor-micro, not round(x, 6): integer-ratio .5-micro ties
+           -- are common and the engines break decimal ties differently
+           CAST(floor(coalesce(sc.score_micro, 0)
+                      / greatest(coalesce(sc.n_tokens, 0), 1) + 0.5)
+                AS BIGINT) / 1000000.0 AS avg_logratio
     FROM (SELECT doc_id FROM documents
           WHERE doc_id % {DS.DSIR_TARGET_MOD} != 0) d
     LEFT JOIN sc USING (doc_id)
