@@ -94,10 +94,20 @@ def attach_media(docs: DataFrame) -> DataFrame:
     multimodal column layout. The payload is repeat(md5(text)); the header
     is a real PNG / WAV / JPEG header with the doc's dimensions / audio
     params encoded per spec, built as one codegen'd hex-string concat and
-    unhexed once."""
+    unhexed once.
+
+    The JPEG branch's payload is made 0xFF-FREE (hex 'f' nibbles
+    translated to 'e') so the filler can never form an accidental
+    marker: at 16k sf1 video rows, 3 md5 payloads contained FF Cx
+    sequences that the (correct) strict marker walk classified as
+    progressive/unsupported, silently diverging from the doc_id-rule
+    oracle of media_strict_coverage (round-12 sf1 sweep). PNG chunk
+    walks and WAV frame parses carry no byte-pattern ambiguity, so
+    those branches keep the raw digest filler."""
     doc_id = F.col("doc_id")
     repeats = (doc_id % 4 + 1).cast("int")
     payload_hex = F.repeat(F.md5("text"), repeats)
+    payload_hex_ffree = F.translate(payload_hex, "f", "e")
     datalen = (F.lit(16) * repeats).cast("int")
     w, h = _media_width(doc_id), _media_height(doc_id)
     ch, sr = _media_channels(doc_id), _media_sample_rate(doc_id)
@@ -137,7 +147,10 @@ def attach_media(docs: DataFrame) -> DataFrame:
         .when(doc_id % 3 == 1, wav_hex)
         .otherwise(jpeg_hex)
     )
-    media = F.unhex(F.concat(header_hex, payload_hex))
+    body_hex = F.when(doc_id % 3 == 2, payload_hex_ffree).otherwise(
+        payload_hex
+    )
+    media = F.unhex(F.concat(header_hex, body_hex))
     return docs.select(
         "doc_id",
         media.alias("media"),

@@ -2030,7 +2030,12 @@ _MEDIA_HEX_SQL = """
                    'FFD8' || 'FFC0' || '000B' || '08'
                    || printf('%04X', hh) || printf('%04X', w)
                    || '01' || '011100'
-               END || payload AS media_hex
+               END ||
+               -- JPEG filler is 0xFF-free by construction (see
+               -- attach_media): translate in lockstep with Spark
+               CASE WHEN doc_id % 3 = 2
+                    THEN translate(payload, 'f', 'e') ELSE payload
+               END AS media_hex
         FROM params)
     SELECT doc_id, hex(unhex(media_hex)) AS h FROM built
 """
@@ -5739,7 +5744,11 @@ register(
         SELECT doc_id,
                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                     WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-               md5(upper(repeat(md5(text), CAST(doc_id % 4 + 1 AS INT))))
+               md5(upper(CASE WHEN doc_id % 3 = 2
+                              THEN translate(repeat(md5(text),
+                                   CAST(doc_id % 4 + 1 AS INT)), 'f', 'e')
+                              ELSE repeat(md5(text),
+                                   CAST(doc_id % 4 + 1 AS INT)) END))
                    AS dig
         FROM documents),
     canon AS (

@@ -41,11 +41,16 @@ def _expected_media(doc_id: int, text: str) -> bytes:
             + b"data"
             + struct.pack("<I", dl)
         )
-    else:  # JPEG SOI + SOF0
+    else:  # JPEG SOI + SOF0; filler is 0xFF-free by construction (the
+        # hex 'f'->'e' translate — see attach_media's docstring)
         hdr = (
             bytes.fromhex("FFD8FFC0000B08")
             + struct.pack(">HH", hh, w)
             + bytes.fromhex("01011100")
+        )
+        payload = bytes.fromhex(
+            (hashlib.md5(text.encode()).hexdigest() * (doc_id % 4 + 1))
+            .replace("f", "e")
         )
     return hdr + payload
 
