@@ -57,6 +57,18 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #                missed round — see tests/test_registry_contract.py::
 #                _MISSED_ROTATIONS) is now round 13.
 #
+# ROUND-13 CARRIED WORK ITEM (from the round-12 sf1 oracle campaign,
+# SWEEP_SF1_r12.md): migrate the remaining round(int/int, N) finishes
+# to the floor-micro pattern (floor(x * 10^N + 0.5) / 10^N — identical
+# IEEE ops on both engines, no decimal-repr tie-breaks). The campaign
+# PROVED the tie class real (dsir avg_logratio, 7 exact .5-micro ties
+# at sf1) and fixed every query that actually diverged; the remaining
+# integer-ratio roundings are tie-free on current fixtures but not
+# tie-free by construction. Migration is hash-safe (values identical
+# except at exact ties, where engines currently DISAGREE), but it
+# touches many oracles at once, so it belongs at a rotation boundary
+# with a full dual-SF + sf1 re-sweep, not at a round close.
+#
 # FORWARD SCHEDULE, PRE-COMMITTED (satisfiability through r16 at the
 # post-consolidation registry size of 237; the missed round consumed
 # all slack, so each window below is forced up to its spare slots):
