@@ -6471,3 +6471,192 @@ register(
     FROM k GROUP BY media_type, status
     """,
 )
+
+# ============================================================================
+# Round-13 registrations: the round-12 staged queue (plans/staged.py as
+# of round 12), lifted here with their oracle SQL single-sourced (the
+# staged test files now point at __spark_entry__.oracle_sql()).
+# ============================================================================
+
+# -- encode->decode round-trip coverage per modality (operators/multimodal.py)
+# The non-vacuous decode-evidence card (round-10 verdict #2, carried to
+# round-11 #5): engine-ENCODED synthetic payloads (entropy-coded JPEG,
+# zlib PNG, PCM WAV) run back through the real strict decoders, so each
+# modality reports a non-zero 'decoded' row alongside the constructed
+# truncated-stream / unsupported-codec classes. The oracle derives every
+# status from the doc_id construction rules alone — any codec or
+# error-class drift breaks the value hash. Sampling stride keeps the
+# Python encode stage a bounded fraction of the corpus at every SF.
+
+register(
+    "media_roundtrip_coverage",
+    MM.media_roundtrip_coverage,
+    f"""
+    WITH k AS (
+        SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+               CASE CAST((doc_id // 3) % 3 AS INT) WHEN 0 THEN 'decoded'
+                    WHEN 1 THEN 'truncated-stream'
+                    ELSE 'unsupported-codec' END AS status
+        FROM documents WHERE doc_id % {MM.MEDIA_RT_STRIDE} = 0),
+    per AS (SELECT media_type, status, CAST(count(*) AS BIGINT) AS n_media
+            FROM k GROUP BY media_type, status),
+    tot AS (SELECT media_type, CAST(count(*) AS BIGINT) AS n_total
+            FROM k GROUP BY media_type)
+    SELECT p.media_type, p.status, p.n_media,
+           CAST((p.n_media * 1000000 + t.n_total // 2)
+                // greatest(t.n_total, 1) AS BIGINT) AS share_ppm
+    FROM per p JOIN tot t USING (media_type)
+    """,
+)
+
+# -- append-only delta shards of the training export (operators/curate.py) ---
+# The incremental twin of training_export (round-10 verdict #8 stretch,
+# carried through round 12): old-batch docs keep their packed positions,
+# the incremental-curate survivors append after the old total, and only
+# shards the delta touches (shard_id >= t_old // cap) are emitted —
+# exactly reconciled against the full card by
+# tests/test_incremental_export.py. Composed verbatim from the
+# REGISTERED corpus_curate / incremental_curate oracles.
+
+
+def _delta_export_oracle() -> str:
+    cap, seq, mod = CU.SHARD_TOKENS, TS.SEQ_LEN, D.NEW_BATCH_MOD
+    win = ("sum(kept_tokens) OVER (ORDER BY quality_score DESC, doc_id"
+           " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    return f"""
+    WITH cc AS ({_registered_oracle("corpus_curate")}),
+    old_packed AS (
+        SELECT doc_id, split, kept_tokens, quality_score,
+               {win} AS cum_kept_tokens
+        FROM cc WHERE doc_id % {mod} != {mod - 1}),
+    inc AS ({_registered_oracle("incremental_curate")}),
+    kept_new AS (
+        SELECT doc_id, split, n_tokens - dup_old_tokens AS kept_tokens,
+               quality_score
+        FROM inc WHERE verdict = 'kept'),
+    tot_old AS (SELECT CAST(coalesce(sum(kept_tokens), 0) AS BIGINT) AS t_old
+                FROM old_packed),
+    new_packed AS (
+        SELECT doc_id, split, kept_tokens, {win} AS cum_new FROM kept_new),
+    stream AS (
+        SELECT doc_id, kept_tokens,
+               CAST(cum_kept_tokens AS BIGINT) AS cum, 0 AS is_new
+        FROM old_packed
+        UNION ALL
+        SELECT n.doc_id, n.kept_tokens,
+               CAST(n.cum_new + t.t_old AS BIGINT), 1
+        FROM new_packed n, tot_old t),
+    tot AS (SELECT CAST(coalesce(sum(kept_tokens), 0) AS BIGINT)
+                AS total_tokens FROM stream),
+    sh AS (SELECT doc_id, kept_tokens, is_new,
+                  CAST((cum - kept_tokens) // {cap} AS BIGINT) AS shard_id
+           FROM stream),
+    agg AS (SELECT shard_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(kept_tokens) AS BIGINT) AS shard_tokens,
+                   CAST(coalesce(sum(CASE WHEN is_new = 1 THEN 1 END), 0)
+                        AS BIGINT) AS new_docs,
+                   CAST(coalesce(sum(CASE WHEN is_new = 1
+                                          THEN kept_tokens END), 0)
+                        AS BIGINT) AS new_tokens
+            FROM sh GROUP BY shard_id),
+    mx AS (SELECT CAST(coalesce(max(shard_id) + 1, 0) AS BIGINT) AS m
+           FROM agg),
+    spine AS (SELECT unnest(range(0,
+                  greatest(CAST((t.total_tokens + {cap - 1}) // {cap}
+                                AS BIGINT), x.m))) AS shard_id
+              FROM tot t, mx x),
+    filled AS (SELECT s.shard_id,
+                      coalesce(a.n_docs, 0) AS n_docs,
+                      coalesce(a.shard_tokens, 0) AS shard_tokens,
+                      coalesce(a.new_docs, 0) AS new_docs,
+                      coalesce(a.new_tokens, 0) AS new_tokens
+               FROM spine s LEFT JOIN agg a USING (shard_id))
+    SELECT f.shard_id, f.n_docs, f.shard_tokens, f.new_docs, f.new_tokens,
+           CAST(least((f.shard_id + 1) * {cap}, t.total_tokens)
+                - f.shard_id * {cap} AS BIGINT) AS span_tokens,
+           CAST((f.shard_id * {cap} + {seq - 1}) // {seq} AS BIGINT)
+               AS first_seq_id,
+           CAST((least((f.shard_id + 1) * {cap}, t.total_tokens)
+                 + {seq - 1}) // {seq}
+                - (f.shard_id * {cap} + {seq - 1}) // {seq} AS BIGINT)
+               AS n_seqs
+    FROM filled f, tot t, tot_old o
+    WHERE f.shard_id >= o.t_old // {cap}
+    """
+
+
+register(
+    "incremental_training_export",
+    CU.incremental_training_export,
+    _delta_export_oracle(),
+)
+
+# -- margin-based bitext mining (operators/similarity.py) --------------------
+# The parallel-corpus harvesting step of a multilingual LLM pipeline
+# (Artetxe & Schwenk ratio-margin, public method): for a fixed
+# salted-hash panel of BITEXT_N_ANCHORS source-lang docs, find
+# target-lang docs that are in each other's top-BITEXT_K by cosine over
+# the deterministic integer hash embedding, scored by the margin over
+# the mean of both neighborhoods. Integer dots/norms and the
+# floor-micro finish make the twin value-exact by construction; python
+# replay + mutual-bound invariants in tests/test_bitext.py.
+
+
+def _bitext_oracle() -> str:
+    h_embed = DUCK_H8.format(
+        x=f"text || '{S.RAG_EMBED_SALT}' || CAST(j AS VARCHAR)"
+    )
+    h_anchor = DUCK_H8.format(
+        x=f"CAST(doc_id AS VARCHAR) || '{S.BITEXT_ANCHOR_SALT}'"
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             list_transform(range(0, {S.RAG_EMBED_DIM}),
+                 j -> CAST({h_embed} % 1000 - 500 AS BIGINT)) AS iv
+      FROM documents),
+    n AS (SELECT doc_id, lang, iv,
+                 CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT)
+                     AS inorm
+          FROM d),
+    g AS (SELECT * FROM n WHERE inorm > 0),
+    a AS (SELECT doc_id AS en_id, iv AS aiv, inorm AS anorm FROM g
+          WHERE lang = '{S.BITEXT_SRC_LANG}'
+          ORDER BY {h_anchor}, doc_id
+          LIMIT {S.BITEXT_N_ANCHORS}),
+    p AS (SELECT t.lang, a.en_id, t.doc_id AS xx_id,
+                 CAST(floor(
+                     CAST(list_sum(list_transform(
+                         range(1, {S.RAG_EMBED_DIM} + 1),
+                         i -> a.aiv[i] * t.iv[i])) AS BIGINT)
+                     / sqrt(CAST(a.anorm * t.inorm AS DOUBLE))
+                     * 1000000 + 0.5) AS BIGINT) AS c_u
+          FROM g t, a WHERE t.lang <> '{S.BITEXT_SRC_LANG}'),
+    rx AS (SELECT *, row_number() OVER (PARTITION BY en_id, lang
+               ORDER BY c_u DESC, xx_id) AS rn_x FROM p),
+    r2 AS (SELECT *, row_number() OVER (PARTITION BY xx_id
+               ORDER BY c_u DESC, en_id) AS rn_y FROM rx),
+    mx AS (SELECT en_id, lang, CAST(sum(c_u) AS BIGINT) AS sx,
+                  CAST(count(*) AS BIGINT) AS kx
+           FROM r2 WHERE rn_x <= {S.BITEXT_K} GROUP BY en_id, lang),
+    my AS (SELECT xx_id, CAST(sum(c_u) AS BIGINT) AS sy,
+                  CAST(count(*) AS BIGINT) AS ky
+           FROM r2 WHERE rn_y <= {S.BITEXT_K} GROUP BY xx_id),
+    m AS (SELECT lang, en_id, xx_id, c_u FROM r2
+          WHERE rn_x <= {S.BITEXT_K} AND rn_y <= {S.BITEXT_K})
+    SELECT m.lang, m.en_id, m.xx_id,
+           m.c_u / 1000000.0 AS cosine,
+           CAST(floor(2 * m.c_u * kx * ky / (sx * ky + sy * kx)
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS margin
+    FROM m JOIN mx USING (en_id, lang) JOIN my USING (xx_id)
+    WHERE sx * ky + sy * kx <> 0
+    """
+
+
+register(
+    "bitext_margin_pairs",
+    S.bitext_margin_pairs,
+    _bitext_oracle(),
+)

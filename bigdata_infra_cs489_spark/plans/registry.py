@@ -70,13 +70,18 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # with a full dual-SF + sf1 re-sweep, not at a round close.
 #
 # FORWARD SCHEDULE, PRE-COMMITTED (satisfiability through r16 at the
-# post-consolidation registry size of 237; the missed round consumed
-# all slack, so each window below is forced up to its spare slots):
+# post-consolidation registry size of 237 — 240 after the three r13
+# registrations, bound unchanged at max(4, ceil(240/50)) = 5; the
+# missed round consumed all slack, so each window below is forced up
+# to its spare slots):
 #   r13 window = 43 remaining r7-stale + 7 spare (r8-cohort head)
 #
 # R13 WINDOW, EXACT MEMBERSHIP (pre-computed at r12 close so the
 # rotation is a mechanical paste — the round-11 failure mode was an
-# abstract plan that never got executed; this one is concrete):
+# abstract plan that never got executed; this one is concrete).
+# EXECUTED VERBATIM as the first round-13 commit: the three staged
+# cards registered in catalog.py (queue emptied), _DRIVER_WINDOW_FIRST
+# below holds exactly these 50 slots:
 #   slots 1-3   the round-12 staged queue on registration:
 #               media_roundtrip_coverage, incremental_training_export,
 #               bitext_margin_pairs (staged late in round 12; takes the
@@ -206,65 +211,63 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # and the r6 cohort only reaches lag 5 at round 11 — one full window
 # of slack.
 _DRIVER_WINDOW_FIRST = (
-    # -- slots 1-2: registered round 11, never driver-checked ----------
-    "training_export",
-    "media_strict_coverage",
-    # -- slots 3-41: latest driver row round 6 (past lag-5 deadline) ----
-    "inverted_index_postings",
-    "ivf_assignments",
-    "ivf_centroid_norms",
-    "ivf_topk",
-    "knn_label_accuracy",
-    "lang_temperature_rates",
-    "lang_temperature_sample",
-    "language_id",
-    "lsh_codes",
-    "lsh_topk",
-    "minhash_near_duplicates",
-    "minhash_signatures",
-    "near_duplicate_clusters",
-    "ngram_jaccard_pairs",
-    "phrase_retrieval",
-    "pmi_pairs",
-    "pmi_stripes",
-    "pmi_word_line_counts",
-    "positional_postings",
-    "ppr_graph_edges",
-    "ppr_graph_stats",
-    "ppr_mass_conservation",
-    "prefix_count",
-    "q1_count_shipped",
-    "q2_orders_semijoin_topk",
-    "q3_lineitem_part_supplier",
-    "q4_shipments_by_nation",
-    "q5_monthly_shipments_two_nations",
-    "q6_pricing_summary",
-    "q7_top_revenue_orders",
-    "ranked_retrieval",
-    "semantic_search",
-    "simhash_fingerprints",
-    "simhash_near_duplicates",
-    "spam_training_set",
-    "text_quality",
-    "tfidf_scores",
-    "wordcount",
-    # -- slots 41-43: twin-consolidation union cards (round-11 verdict
-    # #3), registered round 12 and never driver-checked; they subsume
-    # the deregistered repeated_spans/_fp, incremental_spans/_fp,
-    # strip_spans/_keep_first (the last was r6-stale — its slot moves
-    # here). One hash row now externally pins both plan variants of
-    # each pair per rotation, retiring 3 registry slots for good.
-    "repeated_spans_variants",
-    "incremental_spans_variants",
-    "strip_spans_variants",
-    # -- slots 44-50: r7-cohort alphabetical head (deadline r13) --------
-    "bigram_lm_perplexity",
-    "boilerplate_fraction",
-    "boilerplate_ngrams",
-    "clean_corpus",
-    "contamination_flags",
-    "customers_without_orders",
-    "dataset_split",
+    # ROUND-13 WINDOW — the exact membership pre-committed at r12 close
+    # (see the forward schedule above); executed as the first r13 commit.
+    # -- slots 1-3: the round-12 staged queue, registered this round ----
+    # (takes the slot of the displaced r8-head pre-cover
+    # contamination_near, which moves to the r14 window)
+    "media_roundtrip_coverage",
+    "incremental_training_export",
+    "bitext_margin_pairs",
+    # -- slots 4-46: latest driver row round 7 (deadline r13) -----------
+    "degree_distribution",
+    "doc_fingerprints",
+    "dsir_scores",
+    "dsir_topk",
+    "error_click_window_counts",
+    "events_apply_changes",
+    "events_asof_last_click",
+    "events_cube_counts",
+    "events_distinct_users",
+    "events_gap_filled_counts",
+    "events_hash_sample",
+    "events_rollup_counts",
+    "events_sketch_check",
+    "events_sliding_counts",
+    "events_snapshot_diff",
+    "events_tumbling_counts",
+    "events_value_percentiles",
+    "gopher_pass_rates",
+    "gopher_quality_flags",
+    "ivf_topk_indexed",
+    "lang_mixture_sample",
+    "media_meta",
+    "order_quartiles",
+    "pii_redact",
+    "pii_stats",
+    "profile_lineitem",
+    "quality_stratified_sample",
+    "repetition_stats",
+    "stream_dedup",
+    "stream_enriched",
+    "stream_error_click_join",
+    "stream_running_counts",
+    "stream_session_windows",
+    "stream_sliding_counts",
+    "stream_tumbling_counts",
+    "tbl_scan_nation",
+    "token_counts",
+    "top_users_by_type",
+    "triangle_count",
+    "user_event_gaps",
+    "user_funnel",
+    "user_rolling_value",
+    "user_type_pivot",
+    # -- slots 47-50: r8-cohort alphabetical head (deadline r14) --------
+    "bloom_prefilter_check",
+    "bpe_merges",
+    "bpe_token_counts",
+    "cms_heavy_hitters",
 )
 
 

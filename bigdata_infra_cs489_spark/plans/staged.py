@@ -15,15 +15,16 @@ Consumers:
   SQL (written alongside the operator in its family's test file or
   composed from catalog fragments).
 
-The round-10 queue (training_export, media_strict_coverage) registered
-in catalog.py during round 11 and holds slots 1-2 of the round-12
-driver window — the queue is EMPTY again, per the protocol: a query
-lives either here (staged, pytest-oracled) or in catalog.py
-(registered), never both. Entries added during round 12 queue for the
-round-13 rotation; the forward schedule in ``registry.py`` leaves ~9
-spare r13 slots (41 are reserved for the r7-stale cohort), so keep the
-queue ≤ 9 and prefer SMALLER — spare slots should pre-cover the
-r8-cohort head.
+The round-12 queue (media_roundtrip_coverage,
+incremental_training_export, bitext_margin_pairs) registered in
+catalog.py during the round-13 rotation and holds slots 1-3 of the
+round-13 driver window — the queue is EMPTY again, per the protocol: a
+query lives either here (staged, pytest-oracled) or in catalog.py
+(registered), never both. Entries added during round 13 queue for the
+round-14 rotation; the forward schedule in ``registry.py`` leaves ~6
+spare r14 slots (44 are reserved for the r8-stale cohort incl. the
+displaced contamination_near), so keep the queue ≤ 6 and prefer
+SMALLER — spare slots should pre-cover the r9-cohort head.
 """
 
 from __future__ import annotations
@@ -37,26 +38,4 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def staged_queries() -> dict[str, QueryFn]:
     """name -> callable for every plan-auditable staged operator."""
-    from ..operators.curate import incremental_training_export
-    from ..operators.multimodal import media_roundtrip_coverage
-    from ..operators.similarity import bitext_margin_pairs
-
-    return {
-        # the round-11 verdict's #5 (carried from round 10 #2): full
-        # JPEG/PNG/WAV decode paths with non-zero 'decoded' evidence per
-        # modality — engine-encoded synthetic payloads classified by
-        # the real decoders; oracle + all-legs test in
-        # tests/test_multimodal.py
-        "media_roundtrip_coverage": media_roundtrip_coverage,
-        # the round-10 verdict's #8 stretch (carried to round-11 #8):
-        # append-only delta shards of the training export, exactly
-        # reconciled against the full card; oracle + append invariants
-        # in tests/test_incremental_export.py
-        "incremental_training_export": incremental_training_export,
-        # round-12 continuation: margin-based bitext mining (Artetxe &
-        # Schwenk ratio margin over the deterministic hash embedding,
-        # mutual top-k per language pair, fixed salted anchor panel) —
-        # the parallel-corpus harvesting step of a multilingual LLM
-        # pipeline; oracle + python replay in tests/test_bitext.py
-        "bitext_margin_pairs": bitext_margin_pairs,
-    }
+    return {}

@@ -14,67 +14,11 @@ from .oracle import assert_matches_oracle
 
 
 def bitext_oracle_sql() -> str:
-    """The DuckDB twin, value-exact by construction: integer embedding
-    components, integer dots/norms, and the floor-micro finish replay
-    the Spark chain op-for-op (catalog-ready for the r13 rotation)."""
-    from bigdata_infra_cs489_spark.functions.hashing import DUCK_H8
-    from bigdata_infra_cs489_spark.operators.similarity import (
-        BITEXT_ANCHOR_SALT,
-        BITEXT_K,
-        BITEXT_N_ANCHORS,
-        BITEXT_SRC_LANG,
-        RAG_EMBED_DIM,
-        RAG_EMBED_SALT,
-    )
+    """Registered in the round-13 rotation — single-sourced from the
+    catalog so this test and the driver check the identical twin."""
+    import __spark_entry__ as entrymod
 
-    h_embed = DUCK_H8.format(
-        x=f"text || '{RAG_EMBED_SALT}' || CAST(j AS VARCHAR)"
-    )
-    h_anchor = DUCK_H8.format(
-        x=f"CAST(doc_id AS VARCHAR) || '{BITEXT_ANCHOR_SALT}'"
-    )
-    return f"""
-    WITH d AS (
-      SELECT doc_id, lang,
-             list_transform(range(0, {RAG_EMBED_DIM}),
-                 j -> CAST({h_embed} % 1000 - 500 AS BIGINT)) AS iv
-      FROM documents),
-    n AS (SELECT doc_id, lang, iv,
-                 CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT)
-                     AS inorm
-          FROM d),
-    g AS (SELECT * FROM n WHERE inorm > 0),
-    a AS (SELECT doc_id AS en_id, iv AS aiv, inorm AS anorm FROM g
-          WHERE lang = '{BITEXT_SRC_LANG}'
-          ORDER BY {h_anchor}, doc_id
-          LIMIT {BITEXT_N_ANCHORS}),
-    p AS (SELECT t.lang, a.en_id, t.doc_id AS xx_id,
-                 CAST(floor(
-                     CAST(list_sum(list_transform(
-                         range(1, {RAG_EMBED_DIM} + 1),
-                         i -> a.aiv[i] * t.iv[i])) AS BIGINT)
-                     / sqrt(CAST(a.anorm * t.inorm AS DOUBLE))
-                     * 1000000 + 0.5) AS BIGINT) AS c_u
-          FROM g t, a WHERE t.lang <> '{BITEXT_SRC_LANG}'),
-    rx AS (SELECT *, row_number() OVER (PARTITION BY en_id, lang
-               ORDER BY c_u DESC, xx_id) AS rn_x FROM p),
-    r2 AS (SELECT *, row_number() OVER (PARTITION BY xx_id
-               ORDER BY c_u DESC, en_id) AS rn_y FROM rx),
-    mx AS (SELECT en_id, lang, CAST(sum(c_u) AS BIGINT) AS sx,
-                  CAST(count(*) AS BIGINT) AS kx
-           FROM r2 WHERE rn_x <= {BITEXT_K} GROUP BY en_id, lang),
-    my AS (SELECT xx_id, CAST(sum(c_u) AS BIGINT) AS sy,
-                  CAST(count(*) AS BIGINT) AS ky
-           FROM r2 WHERE rn_y <= {BITEXT_K} GROUP BY xx_id),
-    m AS (SELECT lang, en_id, xx_id, c_u FROM r2
-          WHERE rn_x <= {BITEXT_K} AND rn_y <= {BITEXT_K})
-    SELECT m.lang, m.en_id, m.xx_id,
-           m.c_u / 1000000.0 AS cosine,
-           CAST(floor(2 * m.c_u * kx * ky / (sx * ky + sy * kx)
-                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS margin
-    FROM m JOIN mx USING (en_id, lang) JOIN my USING (xx_id)
-    WHERE sx * ky + sy * kx <> 0
-    """
+    return entrymod.oracle_sql()["bitext_margin_pairs"]
 
 
 def test_bitext_matches_oracle(spark, sf_correct):

@@ -1,8 +1,8 @@
 """incremental_training_export (append-only delta shards of the
 training-run export) vs an inline DuckDB oracle composed from the
 REGISTERED corpus_curate / incremental_curate twins, plus the exact
-append-reconciliation invariants (staged for the round-13 registration
-per the window contract)."""
+append-reconciliation invariants (registered in the round-13
+rotation; oracle single-sourced from the catalog)."""
 
 from __future__ import annotations
 
@@ -17,79 +17,15 @@ from bigdata_infra_cs489_spark.operators.curate import (
 )
 from bigdata_infra_cs489_spark.operators.dedup import NEW_BATCH_MOD
 from bigdata_infra_cs489_spark.operators.distsort import with_running_totals
-from bigdata_infra_cs489_spark.operators.textstats import SEQ_LEN
-
 from .oracle import assert_matches_oracle
 
 
 def _delta_sql() -> str:
+    """Registered in the round-13 rotation — single-sourced from the
+    catalog so this test and the driver check the identical twin."""
     import __spark_entry__ as entrymod
 
-    os_ = entrymod.oracle_sql()
-    cap, seq, mod = SHARD_TOKENS, SEQ_LEN, NEW_BATCH_MOD
-    win = ("sum(kept_tokens) OVER (ORDER BY quality_score DESC, doc_id"
-           " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
-    return f"""
-    WITH cc AS ({os_["corpus_curate"]}),
-    old_packed AS (
-        SELECT doc_id, split, kept_tokens, quality_score,
-               {win} AS cum_kept_tokens
-        FROM cc WHERE doc_id % {mod} != {mod - 1}),
-    inc AS ({os_["incremental_curate"]}),
-    kept_new AS (
-        SELECT doc_id, split, n_tokens - dup_old_tokens AS kept_tokens,
-               quality_score
-        FROM inc WHERE verdict = 'kept'),
-    tot_old AS (SELECT CAST(coalesce(sum(kept_tokens), 0) AS BIGINT) AS t_old
-                FROM old_packed),
-    new_packed AS (
-        SELECT doc_id, split, kept_tokens, {win} AS cum_new FROM kept_new),
-    stream AS (
-        SELECT doc_id, kept_tokens,
-               CAST(cum_kept_tokens AS BIGINT) AS cum, 0 AS is_new
-        FROM old_packed
-        UNION ALL
-        SELECT n.doc_id, n.kept_tokens,
-               CAST(n.cum_new + t.t_old AS BIGINT), 1
-        FROM new_packed n, tot_old t),
-    tot AS (SELECT CAST(coalesce(sum(kept_tokens), 0) AS BIGINT)
-                AS total_tokens FROM stream),
-    sh AS (SELECT doc_id, kept_tokens, is_new,
-                  CAST((cum - kept_tokens) // {cap} AS BIGINT) AS shard_id
-           FROM stream),
-    agg AS (SELECT shard_id,
-                   CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(kept_tokens) AS BIGINT) AS shard_tokens,
-                   CAST(coalesce(sum(CASE WHEN is_new = 1 THEN 1 END), 0)
-                        AS BIGINT) AS new_docs,
-                   CAST(coalesce(sum(CASE WHEN is_new = 1
-                                          THEN kept_tokens END), 0)
-                        AS BIGINT) AS new_tokens
-            FROM sh GROUP BY shard_id),
-    mx AS (SELECT CAST(coalesce(max(shard_id) + 1, 0) AS BIGINT) AS m
-           FROM agg),
-    spine AS (SELECT unnest(range(0,
-                  greatest(CAST((t.total_tokens + {cap - 1}) // {cap}
-                                AS BIGINT), x.m))) AS shard_id
-              FROM tot t, mx x),
-    filled AS (SELECT s.shard_id,
-                      coalesce(a.n_docs, 0) AS n_docs,
-                      coalesce(a.shard_tokens, 0) AS shard_tokens,
-                      coalesce(a.new_docs, 0) AS new_docs,
-                      coalesce(a.new_tokens, 0) AS new_tokens
-               FROM spine s LEFT JOIN agg a USING (shard_id))
-    SELECT f.shard_id, f.n_docs, f.shard_tokens, f.new_docs, f.new_tokens,
-           CAST(least((f.shard_id + 1) * {cap}, t.total_tokens)
-                - f.shard_id * {cap} AS BIGINT) AS span_tokens,
-           CAST((f.shard_id * {cap} + {seq - 1}) // {seq} AS BIGINT)
-               AS first_seq_id,
-           CAST((least((f.shard_id + 1) * {cap}, t.total_tokens)
-                 + {seq - 1}) // {seq}
-                - (f.shard_id * {cap} + {seq - 1}) // {seq} AS BIGINT)
-               AS n_seqs
-    FROM filled f, tot t, tot_old o
-    WHERE f.shard_id >= o.t_old // {cap}
-    """
+    return entrymod.oracle_sql()["incremental_training_export"]
 
 
 def test_matches_oracle(spark, sf_correct):

@@ -491,29 +491,15 @@ def test_parse_media_header_fill_run_tail_is_valueerror():
         parse_media_header(b"RIFF\x04\x00\x00\x00WAVEfmt")
 
 
-# --- media_roundtrip_coverage (staged for the round-13 registration) ---------
+# --- media_roundtrip_coverage (registered in the round-13 rotation) ----------
 
 
 def _roundtrip_sql() -> str:
-    from bigdata_infra_cs489_spark.operators.multimodal import MEDIA_RT_STRIDE
+    """Registered in the round-13 rotation — single-sourced from the
+    catalog so this test and the driver check the identical twin."""
+    import __spark_entry__ as entrymod
 
-    return f"""
-    WITH k AS (
-        SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-                    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-               CASE CAST((doc_id // 3) % 3 AS INT) WHEN 0 THEN 'decoded'
-                    WHEN 1 THEN 'truncated-stream'
-                    ELSE 'unsupported-codec' END AS status
-        FROM documents WHERE doc_id % {MEDIA_RT_STRIDE} = 0),
-    per AS (SELECT media_type, status, CAST(count(*) AS BIGINT) AS n_media
-            FROM k GROUP BY media_type, status),
-    tot AS (SELECT media_type, CAST(count(*) AS BIGINT) AS n_total
-            FROM k GROUP BY media_type)
-    SELECT p.media_type, p.status, p.n_media,
-           CAST((p.n_media * 1000000 + t.n_total // 2)
-                // greatest(t.n_total, 1) AS BIGINT) AS share_ppm
-    FROM per p JOIN tot t USING (media_type)
-    """
+    return entrymod.oracle_sql()["media_roundtrip_coverage"]
 
 
 def test_media_roundtrip_matches_oracle(spark, sf_correct):
