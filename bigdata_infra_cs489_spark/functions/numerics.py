@@ -52,3 +52,19 @@ def sum_log_probs(values: Column) -> Column:
         .when(m == F.lit(NEG_INF), F.lit(NEG_INF))
         .otherwise(m + F.log(shifted_sum))
     )
+
+
+def floor_round(x: Column, scale: int) -> Column:
+    """Tie-stable fixed-point finish: floor(x * 10^scale + 0.5) / 10^scale.
+
+    Replaces engine-native round(x, scale) in every oracle-facing finish
+    whose argument is an EXACT integer (or half-integer) ratio: such
+    ratios land exactly on .5-at-scale boundaries (7 real docs at sf1 in
+    the round-12 campaign, e.g. -218876/56 = -3908.5 micro), where Spark
+    and DuckDB round() break decimal ties differently. This form is the
+    same two IEEE-754 ops (multiply, add) plus floor on BOTH engines, so
+    the result is bit-identical by construction; the convention at exact
+    ties is round-half-UP (toward +inf), mirrored in the DuckDB twins via
+    plans/catalog.py::_floor_round_sql."""
+    s = F.lit(float(10**scale))
+    return F.floor(x * s + F.lit(0.5)) / s

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numerics import floor_round
 from ..functions.text import tokenize
 from ..sources.tables import load
 
@@ -205,7 +206,9 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            # floor_round, not F.round: intersect/union is an exact
+            # integer ratio (the round-12-proven tie class)
+            floor_round(
                 F.size(F.array_intersect("sh_a", "sh_b"))
                 / F.size(F.array_union("sh_a", "sh_b")),
                 6,
@@ -245,8 +248,8 @@ def ngram_jaccard_pairs(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     )
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
     return common.select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
-    ).where(F.round(jac, 6) >= min_jaccard)
+        "doc_a", "doc_b", floor_round(jac, 6).alias("jaccard")
+    ).where(floor_round(jac, 6) >= min_jaccard)
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -481,7 +484,7 @@ def boilerplate_fraction(
             "doc_id",
             "n_shingles",
             "n_boiler",
-            F.round(F.col("n_boiler") / F.col("n_shingles"), 6).alias(
+            floor_round(F.col("n_boiler") / F.col("n_shingles"), 6).alias(
                 "boiler_frac"
             ),
         )
@@ -572,7 +575,7 @@ def edit_distance_pairs(
             "doc_a",
             "doc_b",
             dist.alias("edit_dist"),
-            F.round(sim, 6).alias("edit_sim"),
+            floor_round(sim, 6).alias("edit_sim"),
         )
         .where(F.col("edit_sim") >= min_sim)
     )
@@ -857,7 +860,7 @@ def incremental_dedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "new_id",
             "old_id",
-            F.round(
+            floor_round(
                 F.size(F.array_intersect("sh_n", "sh_o"))
                 / F.size(F.array_union("sh_n", "sh_o")),
                 6,
@@ -970,7 +973,9 @@ def jaccard_prefix_pairs(docs: DataFrame) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            # floor_round, not F.round: intersect/union is an exact
+            # integer ratio (the round-12-proven tie class)
+            floor_round(
                 F.size(F.array_intersect("sh_a", "sh_b"))
                 / F.size(F.array_union("sh_a", "sh_b")),
                 6,
@@ -1068,7 +1073,7 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.lit(float(NUM_HASHES))
-    err = F.abs(F.round(agree, 6) - F.col("jaccard"))
+    err = F.abs(floor_round(agree, 6) - F.col("jaccard"))
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -1123,7 +1128,7 @@ def contamination_near_flags(
     sh_e = shingles(eval_docs).select(
         F.col("doc_id").alias("eval_id"), F.col("shingles").alias("sh_e")
     )
-    jac = F.round(
+    jac = floor_round(
         F.size(F.array_intersect("shingles", "sh_e"))
         / F.size(F.array_union("shingles", "sh_e")),
         6,

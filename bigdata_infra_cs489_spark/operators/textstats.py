@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numerics import floor_round
 from ..functions.text import tokenize
 from ..sources.tables import load
 
@@ -62,7 +63,7 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id",
         pred.alias("lang_pred"),
-        F.round(best_score, 6).alias("lang_score"),
+        floor_round(best_score, 6).alias("lang_score"),
     )
 
 
@@ -89,10 +90,13 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        F.round(avg_tok, 6).alias("avg_token_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        # floor-round, not F.round: all four are exact integer ratios, so
+        # .5-micro ties are reachable and engine round() tie-breaks
+        # diverge (see functions/numerics.py::floor_round)
+        floor_round(avg_tok, 6).alias("avg_token_len"),
+        floor_round(stop_ratio, 6).alias("stopword_ratio"),
+        floor_round(punct_ratio, 6).alias("punct_ratio"),
+        floor_round(score, 6).alias("quality_score"),
     )
 
 
@@ -159,7 +163,7 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "is_canonical",
         n_tokens.alias("n_tokens"),
-        F.round(quality, 6).alias("quality_score"),
+        floor_round(quality, 6).alias("quality_score"),
         *[
             (
                 _stopword_hits(F.col("toks"), words)
@@ -187,7 +191,7 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "quality_score",
-            F.round(best_score, 6).alias("lang_score"),
+            floor_round(best_score, 6).alias("lang_score"),
         )
     )
 
@@ -259,13 +263,13 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.coalesce(F.col("n_tok"), F.lit(0)).cast("bigint").alias("n_tokens"),
-            F.round(
+            floor_round(
                 F.coalesce(F.col("n_distinct") / F.col("n_tok"), F.lit(0.0)), 6
             ).alias("distinct_token_ratio"),
-            F.round(
+            floor_round(
                 F.coalesce(F.col("max_tok") / F.col("n_tok"), F.lit(0.0)), 6
             ).alias("top_token_frac"),
-            F.round(
+            floor_round(
                 F.coalesce(F.col("max_bg") / F.col("n_bg"), F.lit(0.0)), 6
             ).alias("top_bigram_frac"),
         )

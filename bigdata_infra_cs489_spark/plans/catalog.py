@@ -22,6 +22,19 @@ DUCK_TOKS = (
     "t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$)', '', 'g')), t -> len(t) > 0)"
 )
 
+
+def _fr(expr: str, scale: int = 6) -> str:
+    """Tie-stable fixed-point finish, DuckDB side — the twin of
+    functions/numerics.py::floor_round. Used instead of round(x, N)
+    wherever the argument is an EXACT integer (or half-integer) ratio:
+    those land exactly on .5-at-scale boundaries, where Spark and DuckDB
+    round() break decimal ties differently (round-12 sf1 campaign, DSIR:
+    7 real tie docs). floor(x*10^N + 0.5)/10^N is the same IEEE-754 op
+    sequence on both engines — bit-identical by construction, half-UP at
+    exact ties."""
+    s = 10**scale
+    return f"floor(({expr}) * {s} + 0.5) / {s}"
+
 # --- assignment5 relational core (SURVEY §2.2-2.7, reference Q1..Q7) -------
 
 register(
@@ -1015,8 +1028,8 @@ DUCK_MINHASH_PAIR_CTES = f"""{DUCK_SHINGLES},
         WHERE a.doc_id < b.doc_id),
     pairs AS (
         SELECT doc_a, doc_b,
-               round(len(list_intersect(sa.sh, sb.sh)) /
-                     len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+               floor((len(list_intersect(sa.sh, sb.sh)) /
+                     len(list_distinct(list_concat(sa.sh, sb.sh)))) * 1000000 + 0.5) / 1000000 AS jaccard
         FROM cand
         JOIN sh sa ON sa.doc_id = doc_a
         JOIN sh sb ON sb.doc_id = doc_b)"""
@@ -1063,9 +1076,9 @@ register(
                a.n_sh AS na, b.n_sh AS nb, count(*) AS c
         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY doc_a, doc_b, na, nb)
-    SELECT doc_a, doc_b, round(c / (na + nb - c), 6) AS jaccard
+    SELECT doc_a, doc_b, floor((c / (na + nb - c)) * 1000000 + 0.5) / 1000000 AS jaccard
     FROM common
-    WHERE round(c / (na + nb - c), 6) >= 0.5
+    WHERE floor((c / (na + nb - c)) * 1000000 + 0.5) / 1000000 >= 0.5
     """,
 )
 
@@ -1655,7 +1668,7 @@ register(
            {_SCORES_SQL}
         FROM toks),
     best AS (SELECT *, {_BEST_SQL} AS best FROM scored)
-    SELECT doc_id, {_PRED_SQL} AS lang_pred, round(best, 6) AS lang_score
+    SELECT doc_id, {_PRED_SQL} AS lang_pred, floor((best) * 1000000 + 0.5) / 1000000 AS lang_score
     FROM best
     """,
 )
@@ -1672,13 +1685,15 @@ _TEXT_QUALITY_SQL = f"""
                len(list_filter(toks, t -> list_contains({_EN_SQL}, t))) AS stop_hits
         FROM t)
     SELECT doc_id, n_chars, n_tokens,
-           round(CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END, 6)
+           -- _fr form, not round(x, 6): all four are exact integer
+           -- ratios (tie class, see _fr above)
+           floor((CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END) * 1000000 + 0.5) / 1000000 
                AS avg_token_len,
-           round(stop_hits / greatest(n_tokens, 1), 6) AS stopword_ratio,
-           round((n_chars - ls) / greatest(n_chars, 1), 6) AS punct_ratio,
-           round(greatest(0.0, least(1.0,
+           floor((stop_hits / greatest(n_tokens, 1)) * 1000000 + 0.5) / 1000000 AS stopword_ratio,
+           floor(((n_chars - ls) / greatest(n_chars, 1)) * 1000000 + 0.5) / 1000000 AS punct_ratio,
+           floor((greatest(0.0, least(1.0,
                0.5 + stop_hits / greatest(n_tokens, 1)
-                   - (n_chars - ls) / greatest(n_chars, 1) * 5)), 6) AS quality_score
+                   - (n_chars - ls) / greatest(n_chars, 1) * 5))) * 1000000 + 0.5) / 1000000 AS quality_score
     FROM m
 """
 
@@ -1783,9 +1798,9 @@ register(
              FROM bc GROUP BY doc_id)
     SELECT d.doc_id,
            CAST(coalesce(n_tok, 0) AS BIGINT) AS n_tokens,
-           round(coalesce(n_distinct / n_tok, 0), 6) AS distinct_token_ratio,
-           round(coalesce(max_tok / n_tok, 0), 6) AS top_token_frac,
-           round(coalesce(max_bg / n_bg, 0), 6) AS top_bigram_frac
+           floor((coalesce(n_distinct / n_tok, 0)) * 1000000 + 0.5) / 1000000 AS distinct_token_ratio,
+           floor((coalesce(max_tok / n_tok, 0)) * 1000000 + 0.5) / 1000000 AS top_token_frac,
+           floor((coalesce(max_bg / n_bg, 0)) * 1000000 + 0.5) / 1000000 AS top_bigram_frac
     FROM documents d
     LEFT JOIN tagg USING (doc_id)
     LEFT JOIN bagg ON bagg.doc_id = d.doc_id
@@ -2547,7 +2562,7 @@ register(
            {_SCORES_SQL}
         FROM t),
     lang AS (
-        SELECT doc_id, round(best, 6) AS lang_score
+        SELECT doc_id, floor((best) * 1000000 + 0.5) / 1000000 AS lang_score
         FROM (SELECT *, {_BEST_SQL} AS best FROM scored)
         WHERE {_PRED_SQL} = '{TS.CLEAN_LANG}'),
     m AS (
@@ -2559,13 +2574,13 @@ register(
         FROM t),
     qual AS (
         SELECT doc_id, n_tokens,
-               round(greatest(0.0, least(1.0,
+               floor((greatest(0.0, least(1.0,
                    0.5 + stop_hits / greatest(n_tokens, 1)
-                       - (n_chars - ls) / greatest(n_chars, 1) * 5)), 6) AS quality_score
+                       - (n_chars - ls) / greatest(n_chars, 1) * 5))) * 1000000 + 0.5) / 1000000 AS quality_score
         FROM m
-        WHERE round(greatest(0.0, least(1.0,
+        WHERE floor((greatest(0.0, least(1.0,
                   0.5 + stop_hits / greatest(n_tokens, 1)
-                      - (n_chars - ls) / greatest(n_chars, 1) * 5)), 6)
+                      - (n_chars - ls) / greatest(n_chars, 1) * 5))) * 1000000 + 0.5) / 1000000
               >= {TS.CLEAN_MIN_QUALITY}
           AND n_tokens BETWEEN {TS.CLEAN_MIN_TOKENS} AND {TS.CLEAN_MAX_TOKENS}
     )
@@ -2623,7 +2638,7 @@ register(
              FROM ex JOIN b USING (s) GROUP BY doc_id)
     SELECT p.doc_id, p.n_shingles,
            coalesce(h.n_boiler, 0) AS n_boiler,
-           round(CAST(coalesce(h.n_boiler, 0) AS DOUBLE) / p.n_shingles, 6)
+           floor((CAST(coalesce(h.n_boiler, 0) AS DOUBLE) / p.n_shingles) * 1000000 + 0.5) / 1000000
                AS boiler_frac
     FROM per_doc p LEFT JOIN hits h USING (doc_id)
     """,
@@ -2965,13 +2980,13 @@ register(
     WITH {DUCK_MINHASH_PAIR_CTES}
     SELECT doc_a, doc_b,
            levenshtein(da.text, db.text) AS edit_dist,
-           round(1.0 - levenshtein(da.text, db.text)
-                 / greatest(len(da.text), len(db.text), 1), 6) AS edit_sim
+           floor((1.0 - levenshtein(da.text, db.text)
+                 / greatest(len(da.text), len(db.text), 1)) * 1000000 + 0.5) / 1000000 AS edit_sim
     FROM cand
     JOIN documents da ON da.doc_id = doc_a
     JOIN documents db ON db.doc_id = doc_b
-    WHERE round(1.0 - levenshtein(da.text, db.text)
-          / greatest(len(da.text), len(db.text), 1), 6) >= {D.EDIT_SIM_MIN}
+    WHERE floor((1.0 - levenshtein(da.text, db.text)
+          / greatest(len(da.text), len(db.text), 1)) * 1000000 + 0.5) / 1000000 >= {D.EDIT_SIM_MIN}
     """,
 )
 
@@ -3965,9 +3980,9 @@ register(
                a.n_sh AS na, b.n_sh AS nb, count(*) AS c
         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY doc_a, doc_b, na, nb)
-    SELECT doc_a, doc_b, round(c / (na + nb - c), 6) AS jaccard
+    SELECT doc_a, doc_b, floor((c / (na + nb - c)) * 1000000 + 0.5) / 1000000 AS jaccard
     FROM common
-    WHERE round(c / (na + nb - c), 6) >= {D.PPJOIN_T_NUM / D.PPJOIN_T_DEN}
+    WHERE floor((c / (na + nb - c)) * 1000000 + 0.5) / 1000000 >= {D.PPJOIN_T_NUM / D.PPJOIN_T_DEN}
     """,
 )
 
@@ -4106,9 +4121,9 @@ register(
     ),
     est AS (
       SELECT v.jaccard,
-             round(len(list_filter(range(1, {D.NUM_HASHES} + 1),
+             floor((len(list_filter(range(1, {D.NUM_HASHES} + 1),
                        i -> sa.sig[i] = sb.sig[i]))
-                   / {D.NUM_HASHES}.0, 6) AS agree
+                   / {D.NUM_HASHES}.0) * 1000000 + 0.5) / 1000000 AS agree
       FROM verified v
       JOIN sigs sa ON sa.doc_id = v.doc_a
       JOIN sigs sb ON sb.doc_id = v.doc_b
@@ -4961,8 +4976,8 @@ register(
           AND e.doc_id < {D.CONTAM_EVAL_MAX_ID}),
     ver AS (
         SELECT cand.doc_id, cand.eval_id,
-               round(len(list_intersect(sa.sh, sb.sh)) /
-                     len(list_distinct(list_concat(sa.sh, sb.sh))), 6)
+               floor((len(list_intersect(sa.sh, sb.sh)) /
+                     len(list_distinct(list_concat(sa.sh, sb.sh)))) * 1000000 + 0.5) / 1000000
                    AS jaccard
         FROM cand
         JOIN sh sa ON sa.doc_id = cand.doc_id
@@ -5777,7 +5792,7 @@ register(
                    a.n_sh AS na, b.n_sh AS nb, count(*) AS c
             FROM ng_ex a JOIN ng_ex b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2, 3, 4)
-        WHERE round(c / (na + nb - c), 6) >= 0.5),
+        WHERE floor((c / (na + nb - c)) * 1000000 + 0.5) / 1000000 >= 0.5),
     tf AS (SELECT doc_id, tok, count(*) AS tf
            FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
            GROUP BY doc_id, tok),
@@ -5800,8 +5815,8 @@ register(
         SELECT doc_a, doc_b FROM cand
         JOIN documents da ON da.doc_id = doc_a
         JOIN documents db ON db.doc_id = doc_b
-        WHERE round(1.0 - levenshtein(da.text, db.text)
-              / greatest(len(da.text), len(db.text), 1), 6)
+        WHERE floor((1.0 - levenshtein(da.text, db.text)
+              / greatest(len(da.text), len(db.text), 1)) * 1000000 + 0.5) / 1000000
               >= {D.EDIT_SIM_MIN}),
     tagged AS (
         SELECT 'minhash' AS m, doc_a, doc_b FROM mh
@@ -6348,14 +6363,14 @@ register(
     ng_ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
     tp AS (
         SELECT doc_a, doc_b,
-               CAST(floor(round(c / (na + nb - c), 6) * 1000000 + 0.5)
+               CAST(floor((floor((c / (na + nb - c)) * 1000000 + 0.5) / 1000000) * 1000000 + 0.5)
                     AS BIGINT) AS j_micro
         FROM (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    a.n_sh AS na, b.n_sh AS nb, count(*) AS c
             FROM ng_ex a JOIN ng_ex b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2, 3, 4)
-        WHERE round(c / (na + nb - c), 6)
+        WHERE floor((c / (na + nb - c)) * 1000000 + 0.5) / 1000000
               >= {min(D.LSH_RECALL_THRESHOLDS) / 100.0}),
     marked AS (
         SELECT tp.j_micro,
