@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numerics import floor_round
+
 from ..sources.tables import load
 
 
@@ -223,9 +225,9 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct(F.md5("text")).alias("n_unique_texts"),
         F.sum("n_tokens").alias("n_tokens"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-        F.round(
+        floor_round(F.avg("n_chars"), 4).alias("avg_chars"),
+        floor_round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        floor_round(
             F.avg((F.col("n_tokens") < 10).cast("double")), 6
         ).alias("short_doc_frac"),
     )
@@ -474,7 +476,7 @@ def source_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("n_src") - F.lit(1)).cast("double"),
     ).otherwise(F.lit(0.0))
     return rn.join(F.broadcast(per_src), "source").select(
-        "doc_id", "source", "n_chars", F.round(pct, 6).alias("pct_rank")
+        "doc_id", "source", "n_chars", floor_round(pct, 6).alias("pct_rank")
     )
 
 
@@ -571,7 +573,7 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type",
         "to_type",
         "n",
-        F.round(F.col("n") / F.col("tot"), 6).alias("prob"),
+        floor_round(F.col("n") / F.col("tot"), 6).alias("prob"),
     )
 
 

@@ -285,3 +285,51 @@ def bpe_vocab_coverage(
             ).alias("word_coverage_ppm"),
         )
     )
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_docs, n_words, n_subwords, n_chars, fertility_micro,
+    chars_per_subword_micro, subwords_per_doc_micro): per-LANGUAGE
+    tokenizer fertility and compression rate for the learned BPE — the
+    cross-language comparison card a multilingual pipeline reads before
+    fixing a tokenizer (high-fertility languages burn the token budget
+    fastest — the standard subwords-per-word audit from the multilingual
+    tokenizer literature). Aggregates bpe_encode_stats' per-doc
+    exact counters by documents.lang; every rate is exact integer
+    (+d/2) DIV d micro arithmetic — integer-tie-free by construction on
+    both engines, no float finish at all.
+
+    Scale shape: one doc_id equi-join of the compact per-doc counter
+    frame (4 int64 columns) against the (doc_id, lang) projection, then
+    a partial-aggregated groupBy on ~#languages keys. The heavy stages
+    (word explode, segmentation join) are bpe_encode_stats' own,
+    unchanged; this card adds one narrow shuffle."""
+    stats = bpe_encode_stats(spark, sf_dir).select(
+        "doc_id", "n_words", "n_subwords", "n_chars"
+    )
+    langs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        langs.join(stats, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_subwords").cast("bigint").alias("n_subwords"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "CAST((n_subwords * 1000000L + n_words div 2)"
+                " div greatest(n_words, 1L) AS BIGINT)"
+            ).alias("fertility_micro"),
+            F.expr(
+                "CAST((n_chars * 1000000L + n_subwords div 2)"
+                " div greatest(n_subwords, 1L) AS BIGINT)"
+            ).alias("chars_per_subword_micro"),
+            F.expr(
+                "CAST((n_subwords * 1000000L + n_docs div 2)"
+                " div greatest(n_docs, 1L) AS BIGINT)"
+            ).alias("subwords_per_doc_micro"),
+        )
+    )

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numerics import floor_round
+
 from ..functions.text import TOKEN_SPLIT_RE
 from ..sources.tables import load
 
@@ -75,7 +77,7 @@ def gopher_metrics(docs: DataFrame) -> DataFrame:
     nw = F.col("n_words")
     flags = base.select(
         "*",
-        F.round(F.col("word_chars") / F.greatest(nw, F.lit(1)), 6).alias(
+        floor_round(F.col("word_chars") / F.greatest(nw, F.lit(1)), 6).alias(
             "mean_word_len"
         ),
         nw.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS).alias("flag_word_count"),

@@ -135,7 +135,12 @@ def dsir_doc_scores(target: DataFrame, raw: DataFrame) -> DataFrame:
             # integer ratio, so EXACT .5-micro ties are common (7 docs
             # at sf1, e.g. -218876/56 = -3908.5) and Spark/DuckDB break
             # decimal ties differently; floor(x + 0.5) is one identical
-            # IEEE op on both engines (round-12 sf1 oracle sweep)
+            # IEEE op on both engines (round-12 sf1 oracle sweep).
+            # Convention note (round-13 advisory): floor(x + 0.5) is
+            # round-half-UP toward +inf, so negative exact ties go UP
+            # (-3908.5 -> -3908) — deliberate, mirrored in the DuckDB
+            # twin and now the repo-wide floor_round standard
+            # (functions/numerics.py)
             (
                 F.floor(
                     F.coalesce("score_micro", F.lit(0))

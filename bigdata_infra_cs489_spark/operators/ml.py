@@ -36,6 +36,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numerics import floor_round
+
 from ..functions.text import tokenize
 from ..sources.tables import load
 
@@ -265,8 +267,10 @@ def ranking_auc(scored: DataFrame, label_col: str = "label", score_col: str = "s
     return agg.select(
         "n_pos",
         "n_neg",
-        F.round(auc, 6).alias("auc"),
-        F.round((1 - auc) * 100, 4).alias("roca_pct"),
+        # floor_round: rank sums are exact half-integers over integer
+        # denominators — the .5-at-scale tie class
+        floor_round(auc, 6).alias("auc"),
+        floor_round((1 - auc) * 100, 4).alias("roca_pct"),
     )
 
 
@@ -324,6 +328,6 @@ def spam_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg("p"), 4).alias("avg_pred_prob"),
-            F.round(F.avg("y"), 4).alias("spam_rate"),
+            floor_round(F.avg("y"), 4).alias("spam_rate"),
         )
     )

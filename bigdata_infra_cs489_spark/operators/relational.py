@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numerics import floor_round
+
 from ..functions.text import date_str, month_str, shipdate_matches
 from ..sources.tables import load
 
@@ -169,7 +171,9 @@ def q6(spark: SparkSession, sf_dir: str, date: str = Q6_DATE) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            # floor_round: quantities are integral, so avg is an exact
+            # integer ratio (the tie class); prices/discounts are not
+            floor_round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -275,8 +279,12 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from integer (+50) DIV 100 — a float sum rounded 2dp flipped a cent
     on one sf1 month when the two engines' summation orders straddled a
     .005 boundary (found by the round-12 sf1 oracle sweep); the integer
-    path cannot. At ~1e18 rows per month the int64 sum would route
-    through decimal — far beyond 100 TB months."""
+    path cannot. Overflow bound: rev_dm is up to ~1e9 per row, so the
+    int64 sum saturates near ~9e9 rows PER MONTH — and the engines do
+    NOT fail alike there (Spark sum(BIGINT) stays BIGINT and wraps, or
+    throws under ANSI; DuckDB promotes to HUGEINT), so a deployment
+    expecting >1e10-row months must add an explicit decimal cast on
+    both sides first (round-13 advisory correction)."""
     from ..sources.tables import load
 
     rev_dm = F.round(F.col("l_extendedprice") * 100).cast("long") * (

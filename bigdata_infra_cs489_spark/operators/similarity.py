@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numerics import floor_round
+
 from ..sources.tables import load
 
 QUERY_VEC_ID = 0
@@ -1245,7 +1247,7 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("label") == F.col("a_label")).cast("bigint")).alias(
             "n_correct"
         ),
-        F.round(
+        floor_round(
             F.sum((F.col("label") == F.col("a_label")).cast("bigint"))
             / F.count(F.lit(1)),
             6,
@@ -1428,7 +1430,7 @@ def rp_recall_topk(
             F.lit(k).cast("int").alias("k"),
             F.lit(shortlist).cast("int").alias("shortlist"),
             "n_overlap",
-            F.round(F.col("n_overlap") / k, 6).alias("recall"),
+            floor_round(F.col("n_overlap") / k, 6).alias("recall"),
         )
     )
 

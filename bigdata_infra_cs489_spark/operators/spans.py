@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numerics import floor_round
+
 from ..functions.text import tokenize
 from ..sources.tables import load
 
@@ -173,7 +175,7 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
-        F.round(
+        floor_round(
             F.coalesce("dup_tokens", F.lit(0))
             / F.greatest(F.col("n_tokens"), F.lit(1)),
             6,
@@ -415,7 +417,7 @@ def incremental_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         F.coalesce("dup_old_tokens", F.lit(0)).cast("bigint").alias("dup_old_tokens"),
-        F.round(
+        floor_round(
             F.coalesce("dup_old_tokens", F.lit(0))
             / F.greatest(F.col("n_tokens"), F.lit(1)),
             6,
@@ -452,7 +454,7 @@ def corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "distinct_grams",
             "novel_grams",
-            F.round(F.col("novel_grams") / F.col("distinct_grams"), 6).alias(
+            floor_round(F.col("novel_grams") / F.col("distinct_grams"), 6).alias(
                 "novelty_rate"
             ),
         )

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numerics import floor_round
+
 from ..functions.text import tokenize
 from ..sources.tables import load
 
@@ -169,7 +171,7 @@ def bigram_relative_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = counts.withColumn("marginal", F.sum("cnt").over(w)).select(
         F.col("left").alias("left_token"),
         F.col("right").alias("right_token"),
-        F.round(F.col("cnt") / F.col("marginal"), 6).alias("rel_freq"),
+        floor_round(F.col("cnt") / F.col("marginal"), 6).alias("rel_freq"),
     )
     marginals = (
         counts.groupBy("left")

@@ -115,7 +115,7 @@ register(
            round(sum(l_extendedprice), 2) AS sum_base_price,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
+           floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
            round(avg(l_extendedprice), 4) AS avg_price,
            round(avg(l_discount), 4) AS avg_disc,
            count(*) AS count_order
@@ -180,7 +180,7 @@ register(
     ),
     counts AS (SELECT lt, rt, count(*) AS cnt FROM bg GROUP BY lt, rt)
     SELECT lt AS left_token, rt AS right_token,
-           round(cnt / sum(cnt) OVER (PARTITION BY lt), 6) AS rel_freq
+           floor((cnt / sum(cnt) OVER (PARTITION BY lt)) * 1000000 + 0.5) / 1000000 AS rel_freq
     FROM counts
     UNION ALL
     SELECT lt, '*', round(CAST(sum(cnt) AS DOUBLE), 6)
@@ -943,12 +943,12 @@ register(
       FROM auc_r
     )
     SELECT n_pos, n_neg,
-           round(CASE WHEN n_pos * n_neg > 0
+           floor((CASE WHEN n_pos * n_neg > 0
                  THEN (prs - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
-                 END, 6) AS auc,
-           round((1 - CASE WHEN n_pos * n_neg > 0
+                 END) * 1000000 + 0.5) / 1000000 AS auc,
+           floor(((1 - CASE WHEN n_pos * n_neg > 0
                  THEN (prs - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
-                 END) * 100, 4) AS roca_pct
+                 END) * 100) * 10000 + 0.5) / 10000 AS roca_pct
     FROM auc_a
     """,
 )
@@ -1882,7 +1882,7 @@ register(
     SELECT event_type,
            count(*) AS n_events,
            CAST(sum(json_extract_string(props, '$.k')::INT) AS BIGINT) AS sum_k,
-           round(avg(json_extract_string(props, '$.k')::INT), 4) AS avg_k,
+           floor((avg(json_extract_string(props, '$.k')::INT)) * 10000 + 0.5) / 10000 AS avg_k,
            min(json_extract_string(props, '$.k')::INT) AS min_k,
            max(json_extract_string(props, '$.k')::INT) AS max_k
     FROM events GROUP BY event_type
@@ -2381,10 +2381,10 @@ _TEMP_RATES_SQL = f"""
           FROM tw),
     r AS (SELECT lang, total_tokens,
                  CASE WHEN total_tokens = 0 THEN 0.0
-                      ELSE round(total_tokens / CAST(g.grand AS DOUBLE), 6)
+                      ELSE floor((total_tokens / CAST(g.grand AS DOUBLE)) * 1000000 + 0.5) / 1000000
                  END AS p_raw,
                  CASE WHEN total_tokens = 0 THEN 0.0
-                      ELSE round(wi / CAST(g.s AS DOUBLE), 6)
+                      ELSE floor((wi / CAST(g.s AS DOUBLE)) * 1000000 + 0.5) / 1000000
                  END AS p_temp
           FROM tw, g),
     w AS (SELECT *, CASE WHEN p_raw = 0 THEN 0.0 ELSE p_temp / p_raw END AS wgt
@@ -2392,7 +2392,8 @@ _TEMP_RATES_SQL = f"""
     mx AS (SELECT max(wgt) AS mw FROM w)
     SELECT lang, total_tokens, p_raw, p_temp,
            CAST(CASE WHEN mx.mw = 0 THEN 0
-                ELSE round(1000000 * wgt / mx.mw) END AS BIGINT) AS keep_ppm
+                ELSE floor(1000000 * wgt / mx.mw + 0.5) END AS BIGINT)
+               AS keep_ppm
     FROM w, mx
 """
 
@@ -3076,9 +3077,9 @@ register(
            count(DISTINCT lang) AS n_langs,
            count(DISTINCT md5(text)) AS n_unique_texts,
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-           round(avg(n_chars), 4) AS avg_chars,
-           round(avg(n_tokens), 4) AS avg_tokens,
-           round(avg(CASE WHEN n_tokens < 10 THEN 1.0 ELSE 0.0 END), 6)
+           floor((avg(n_chars)) * 10000 + 0.5) / 10000 AS avg_chars,
+           floor((avg(n_tokens)) * 10000 + 0.5) / 10000 AS avg_tokens,
+           floor((avg(CASE WHEN n_tokens < 10 THEN 1.0 ELSE 0.0 END)) * 1000000 + 0.5) / 1000000
                AS short_doc_frac
     FROM t
     """,
@@ -3220,8 +3221,8 @@ register(
            {S.KNN_K} AS k,
            CAST(sum(CASE WHEN label = a_label THEN 1 ELSE 0 END) AS BIGINT)
                AS n_correct,
-           round(sum(CASE WHEN label = a_label THEN 1 ELSE 0 END)
-                 / CAST(count(*) AS DOUBLE), 6) AS accuracy
+           floor((sum(CASE WHEN label = a_label THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS accuracy
     FROM pred
     """,
 )
@@ -3374,8 +3375,8 @@ register(
     AN.source_quality_percentiles,
     """
     SELECT doc_id, source, CAST(len(text) AS INT) AS n_chars,
-           round(percent_rank() OVER (PARTITION BY source
-                 ORDER BY len(text), doc_id), 6) AS pct_rank
+           floor((percent_rank() OVER (PARTITION BY source
+                 ORDER BY len(text), doc_id)) * 1000000 + 0.5) / 1000000 AS pct_rank
     FROM documents
     """,
 )
@@ -3496,7 +3497,7 @@ register(
       FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
     ),
     tot AS (SELECT from_type, sum(n) AS tot FROM trans GROUP BY 1)
-    SELECT t.from_type, t.to_type, t.n, round(t.n / tt.tot, 6) AS prob
+    SELECT t.from_type, t.to_type, t.n, floor((t.n / tt.tot) * 1000000 + 0.5) / 1000000 AS prob
     FROM trans t JOIN tot tt USING (from_type)
     """,
 )
@@ -3591,8 +3592,8 @@ register(
       GROUP BY 1, 2)
     SELECT p.type_a, p.type_b, p.n_sessions,
            p.n_sessions * 1000000 // t.n_total AS support_ppm,
-           round((p.n_sessions * t.n_total)
-                 / (CAST(sa.sup AS DOUBLE) * sb.sup), 4) AS lift
+           floor(((p.n_sessions * t.n_total)
+                 / (CAST(sa.sup AS DOUBLE) * sb.sup)) * 10000 + 0.5) / 10000 AS lift
     FROM pairs p
     JOIN singles sa ON sa.event_type = p.type_a
     JOIN singles sb ON sb.event_type = p.type_b, tot t
@@ -3716,7 +3717,7 @@ register(
     )
     SELECT bin, count(*) AS n_docs,
            round(avg(p), 4) AS avg_pred_prob,
-           round(avg(y), 4) AS spam_rate
+           floor((avg(y)) * 10000 + 0.5) / 10000 AS spam_rate
     FROM calib GROUP BY bin
     """,
 )
@@ -4244,7 +4245,7 @@ register(
                 FROM documents)
     SELECT a.doc_id, a.n_tokens,
            coalesce(c.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
-           round(coalesce(c.dup_tokens, 0) / greatest(a.n_tokens, 1), 6)
+           floor((coalesce(c.dup_tokens, 0) / greatest(a.n_tokens, 1)) * 1000000 + 0.5) / 1000000
                AS dup_fraction
     FROM alltoks a LEFT JOIN cov c USING (doc_id)
     """,
@@ -4341,8 +4342,8 @@ register(
            CAST(count(*) AS BIGINT) AS distinct_grams,
            CAST(sum(CASE WHEN first_bucket = bucket THEN 1 ELSE 0 END)
                 AS BIGINT) AS novel_grams,
-           round(sum(CASE WHEN first_bucket = bucket THEN 1 ELSE 0 END)
-                 / count(*), 6) AS novelty_rate
+           floor((sum(CASE WHEN first_bucket = bucket THEN 1 ELSE 0 END)
+                 / count(*)) * 1000000 + 0.5) / 1000000 AS novelty_rate
     FROM pb JOIN fb USING (gram)
     GROUP BY bucket
     """,
@@ -4442,7 +4443,7 @@ register(
                 FROM toks WHERE doc_id {_NEW})
     SELECT a.doc_id, a.n_tokens,
            coalesce(c.dup_old_tokens, CAST(0 AS BIGINT)) AS dup_old_tokens,
-           round(coalesce(c.dup_old_tokens, 0) / greatest(a.n_tokens, 1), 6)
+           floor((coalesce(c.dup_old_tokens, 0) / greatest(a.n_tokens, 1)) * 1000000 + 0.5) / 1000000
                AS dup_fraction
     FROM newtoks a LEFT JOIN cov c USING (doc_id)
     """,
@@ -4689,7 +4690,7 @@ DUCK_GOPHER_FLAGS = f"""
       FROM w)
     SELECT doc_id, n_words, word_chars, n_alpha_words, n_stopword_hits,
            n_lines, n_bullet_lines, n_ellipsis_lines, n_symbols,
-           round(word_chars / greatest(n_words, 1), 6) AS mean_word_len,
+           floor((word_chars / greatest(n_words, 1)) * 1000000 + 0.5) / 1000000 AS mean_word_len,
            n_words BETWEEN {DQ.GOPHER_MIN_WORDS} AND {DQ.GOPHER_MAX_WORDS}
                AS flag_word_count,
            (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
@@ -5175,7 +5176,7 @@ register(
     SELECT CAST({S.TOP_K} AS INT) AS k,
            CAST({S.RP_SHORTLIST} AS INT) AS shortlist,
            CAST(count(*) AS BIGINT) AS n_overlap,
-           round(count(*) / {S.TOP_K}, 6) AS recall
+           floor((count(*) / {S.TOP_K}) * 1000000 + 0.5) / 1000000 AS recall
     FROM rp_short JOIN exact_top USING (vec_id)
     """,
 )
@@ -5435,11 +5436,11 @@ register(
     shares AS (
         SELECT w.source, w.n_docs, w.total_tokens,
                CASE WHEN w.total_tokens > 0
-                    THEN round(CAST(w.total_tokens AS DOUBLE)
-                               / CAST(tot.grand AS DOUBLE), 6)
+                    THEN floor((CAST(w.total_tokens AS DOUBLE)
+                               / CAST(tot.grand AS DOUBLE)) * 1000000 + 0.5) / 1000000
                     ELSE 0.0 END AS p_raw,
                CASE WHEN w.total_tokens > 0
-                    THEN round(CAST(w.wi AS DOUBLE) / CAST(tot.s AS DOUBLE), 6)
+                    THEN floor((CAST(w.wi AS DOUBLE) / CAST(tot.s AS DOUBLE)) * 1000000 + 0.5) / 1000000
                     ELSE 0.0 END AS p_temp
         FROM w, tot)
     SELECT source, n_docs, total_tokens, p_raw, p_temp,

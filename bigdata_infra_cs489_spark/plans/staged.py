@@ -18,13 +18,14 @@ Consumers:
 The round-12 queue (media_roundtrip_coverage,
 incremental_training_export, bitext_margin_pairs) registered in
 catalog.py during the round-13 rotation and holds slots 1-3 of the
-round-13 driver window — the queue is EMPTY again, per the protocol: a
-query lives either here (staged, pytest-oracled) or in catalog.py
-(registered), never both. Entries added during round 13 queue for the
-round-14 rotation; the forward schedule in ``registry.py`` leaves ~6
-spare r14 slots (44 are reserved for the r8-stale cohort incl. the
-displaced contamination_near), so keep the queue ≤ 6 and prefer
-SMALLER — spare slots should pre-cover the r9-cohort head.
+round-13 driver window, per the protocol: a query lives either here
+(staged, pytest-oracled) or in catalog.py (registered), never both.
+Entries added during round 13 queue for the round-14 rotation; the
+forward schedule in ``registry.py`` leaves ~6 spare r14 slots (44 are
+reserved for the r8-stale cohort incl. the displaced
+contamination_near), so keep the queue ≤ 6 and prefer SMALLER — spare
+slots should pre-cover the r9-cohort head. The round-13 queue closed
+at 1 (tokenizer_fertility).
 """
 
 from __future__ import annotations
@@ -38,4 +39,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def staged_queries() -> dict[str, QueryFn]:
     """name -> callable for every plan-auditable staged operator."""
-    return {}
+    from ..operators.bpe import tokenizer_fertility
+
+    return {
+        # round-13 staging (round-12 verdict #5's preferred shape: ONE
+        # high-value LLM-pipeline card, queue well under the ~6 spare
+        # r14 slots): per-language BPE fertility / compression-rate
+        # aggregate over the bpe_encode_stats per-doc counters — the
+        # cross-language tokenizer-selection audit; exact integer micro
+        # rates, no float finish; oracle composed from the registered
+        # bpe_encode_stats twin in tests/test_tokenizer_fertility.py
+        "tokenizer_fertility": tokenizer_fertility,
+    }

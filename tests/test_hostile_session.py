@@ -108,22 +108,22 @@ def test_loud_failure_message_names_the_conf():
     assert "nanosAsLong" in src and "raise RuntimeError" in src
 
 
-def test_staged_queue_empty_after_r13_rotation():
-    """The round-13 rotation lifted the whole round-12 queue into the
-    catalog (registry slots 1-3), so the queue must be EMPTY — a query
-    lives either in plans/staged.py (staged, pytest-oracled) or in
-    catalog.py (registered), never both and never lost. When staging
-    resumes, restore the parity pattern this test replaced: run every
-    queue entry against its test-module oracle under the hostile
-    session (see git history, test_staged_queue_parity_under_hostile_
-    session)."""
+def test_staged_queue_parity_under_hostile_session(hostile, sf_smoke):
+    """The staged queue holds the same foreign-session bar as the
+    registry BEFORE registration (the r13 rotation lifted the whole r12
+    queue into catalog slots 1-3; the r13 queue re-opened with
+    tokenizer_fertility): every queue entry must match its oracle under
+    the non-UTC, AQE-off, shuffle=7 session. Oracle SQL is imported
+    from each card's own test module so this never drifts from the
+    queue's single source."""
     from bigdata_infra_cs489_spark.plans.staged import staged_queries
 
-    import __spark_entry__ as entrymod
+    from .test_tokenizer_fertility import fertility_oracle_sql
 
+    oracles = {
+        "tokenizer_fertility": fertility_oracle_sql(),
+    }
     qs = staged_queries()
-    assert qs == {}
-    registered = entrymod.queries()
-    for name in ("media_roundtrip_coverage", "incremental_training_export",
-                 "bitext_margin_pairs"):
-        assert name in registered
+    assert set(qs) == set(oracles)  # a queue edit must update this map
+    for name, fn in qs.items():
+        assert_matches_oracle(fn(hostile, sf_smoke), oracles[name], sf_smoke)

@@ -213,9 +213,12 @@ def main() -> None:
             r = results.get(name, {})
             if not r:
                 continue
+            # guard BOTH endpoints: a join query eligible at sf0.001
+            # but not at sf1 (missing table) must render nan, not crash
+            # after all timing runs complete (round-13 advisory)
             ratio = (
                 r["sf1"] / r["sf0.001"]
-                if r.get("sf0.001")
+                if r.get("sf0.001") and r.get("sf1")
                 else float("nan")
             )
             lines.append(
@@ -255,7 +258,11 @@ def main() -> None:
     )
     for name in all_names:
         r = results[name]
-        ratio = r["sf1"] / r["sf0.001"] if r.get("sf0.001") else float("nan")
+        ratio = (
+            r["sf1"] / r["sf0.001"]
+            if r.get("sf0.001") and r.get("sf1")
+            else float("nan")
+        )
         lines.append(
             f"| {name} | {r.get('sf0.001', '')} | {r.get('sf0.01', '')} "
             f"| {r.get('sf0.1', '')} | {r.get('sf1', '')} | {ratio:.2f}× |"
