@@ -238,24 +238,36 @@ def incremental_line_dedup(
     is_new = (F.col("doc_id") % NEW_BATCH_MOD) == (NEW_BATCH_MOD - 1)
     standing = lines.where(~is_new).select(*probe_keys).distinct()
     new_lines = lines.where(is_new)
-    kept = new_lines.join(standing, probe_keys, "left_anti")
-    per_doc = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("kept_lines"),
+    # single new-side pass (round-13 slope fix, SCALING_r12's worst row):
+    # a LEFT join against the standing key set with a hit marker lets
+    # ONE doc-keyed aggregate produce n_lines, kept_lines, AND the
+    # kept-only clean_text — the previous shape exploded the corpus
+    # three times (standing, kept-anti-join, totals) and aggregated the
+    # new side twice. The standing distinct stays a partial-aggregated
+    # groupBy (skew-safe), never a per-line window.
+    hit = standing.withColumn("dup_hit", F.lit(1))
+    marked = new_lines.join(hit, probe_keys, "left")
+    is_kept = F.col("dup_hit").isNull()
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.coalesce(F.sum(is_kept.cast("long")), F.lit(0))
+        .cast("bigint")
+        .alias("kept_lines"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(is_kept, F.struct("line_no", "line"))
+                    )
+                ),
                 lambda s: s["line"],
             ),
             sep,
         ).alias("clean_text"),
     )
-    totals = new_lines.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_lines")
-    )
     return (
         docs.where(is_new)
         .select("doc_id")
-        .join(totals, "doc_id", "left")
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
