@@ -86,6 +86,25 @@ def main() -> None:
             }
         )
     )
+    # the driver's capture is tail-only and has recorded "parsed": null
+    # since r10 — the full per-query line above is ~7 KB and loses its
+    # head under truncation. Emit a SHORT totals-only line LAST so any
+    # tail window still contains one complete, parseable JSON record.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "samples": 2,
+                "wall": wall,
+                "sf": sf,
+                "n_queries": len(timings),
+                "note": "totals-only tail record; per-query in prior line",
+            }
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

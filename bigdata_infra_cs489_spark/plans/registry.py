@@ -57,17 +57,15 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #                missed round — see tests/test_registry_contract.py::
 #                _MISSED_ROTATIONS) is now round 13.
 #
-# ROUND-13 CARRIED WORK ITEM (from the round-12 sf1 oracle campaign,
-# SWEEP_SF1_r12.md): migrate the remaining round(int/int, N) finishes
-# to the floor-micro pattern (floor(x * 10^N + 0.5) / 10^N — identical
-# IEEE ops on both engines, no decimal-repr tie-breaks). The campaign
-# PROVED the tie class real (dsir avg_logratio, 7 exact .5-micro ties
-# at sf1) and fixed every query that actually diverged; the remaining
-# integer-ratio roundings are tie-free on current fixtures but not
-# tie-free by construction. Migration is hash-safe (values identical
-# except at exact ties, where engines currently DISAGREE), but it
-# touches many oracles at once, so it belongs at a rotation boundary
-# with a full dual-SF + sf1 re-sweep, not at a round close.
+# ROUND-13 CARRIED WORK ITEM — EXECUTED (round 13, at the rotation
+# boundary as planned): every integer-ratio round(x, N) finish migrated
+# to the floor-micro pattern on BOTH engines (catalog.py::_fr,
+# functions/numerics.py::floor_round); full-registry sweeps hash-green
+# after each wave; tests/test_round_finish_policy.py mechanizes the
+# policy (remaining round() uses must match a sanctioned
+# inexact-argument category). The banded-pair sf1 exclusion closed the
+# same round via staged oracle materialization
+# (tools/sf1_pair_oracle.py, SWEEP_SF1_PAIRS.md — 19/19 hash-green).
 #
 # FORWARD SCHEDULE, PRE-COMMITTED (satisfiability through r16 at the
 # post-consolidation registry size of 237 — 240 after the three r13
@@ -112,8 +110,42 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #               r14 window by the third staged card)
 # (If round 13 stages MORE new queries before its rotation, they must
 # displace r8-head pre-covers, never r7-stale slots.)
-#   r14 window = 44 remaining r8-stale (43 + the displaced
-#                contamination_near) + 6 spare (r9-cohort head)
+#   r14 window = 46 remaining r8-stale + tokenizer_fertility + 3 spare
+#                (r9-cohort head) — EXACT MEMBERSHIP pre-computed at r13
+#                close (the count is 46, not the 44 the r12 schedule
+#                estimated: the r8 cohort measured 50, minus the 4
+#                r13-window pre-covers):
+#     slot 1      tokenizer_fertility (the round-13 staged queue on
+#                 registration — plans/staged.py, oracle in
+#                 tests/test_tokenizer_fertility.py composed from the
+#                 registered bpe_encode_stats twin)
+#     slots 2-47  the 46 r8-stale (latest row CORRECTNESS_r08, after
+#                 the four r13 pre-covers land their rows),
+#                 alphabetical: contamination_near, corpus_curate_v2,
+#                 corpus_report, customer_rfm, dedup_keep_best,
+#                 dsir_resample, dup_line_stats,
+#                 editdist_near_duplicates, embedding_drift,
+#                 events_json_stats, events_quality_gate,
+#                 events_sessionize, html_extract, html_link_edges,
+#                 incremental_dedup_assign, incremental_line_dedup,
+#                 ivf_topk_trained, ivf_train_centroids, ivfpq_topk,
+#                 ivfpq_topk_indexed, jaccard_prefix_join,
+#                 jsonl_roundtrip_events, k_anonymity_report,
+#                 lang_mixture_rates, leakage_safe_split,
+#                 line_dedup_corpus, lsh_topk_indexed,
+#                 minhash_estimate_error, orc_roundtrip_customer,
+#                 pack_manifest, partitioned_day_scan, pq_codes,
+#                 pq_topk, quality_model_report, quality_model_scores,
+#                 quality_model_weights, rp_projected, rp_recall_topk,
+#                 schema_evolution_events, sequence_pack,
+#                 source_dedup_rates, source_lang_entropy, spam_apply,
+#                 spam_ensemble_average, spam_ensemble_vote,
+#                 stream_line_dedup
+#     slots 48-50 the 3 alphabetically-first r9-cohort queries:
+#                 ab_test_zscore, bpe_encode_stats,
+#                 bucketed_customer_orders
+#   (If round 14 stages MORE new queries before its rotation, they must
+#   displace r9-head pre-covers, never r8-stale slots.)
 #   r15 window = 42 remaining r9-stale + 8 spare (r11-cohort head)
 #   r16 window = r11 cohort (45 post-consolidation, deadline r16) minus
 #                r15 pre-covers (8) = 37 forced + 13 spare
