@@ -303,6 +303,75 @@ _DRIVER_WINDOW_FIRST = (
 )
 
 
+# THE PRE-COMMITTED R14 WINDOW AS DATA (round-13 close). Round 11 proved
+# a rotation plan that lives only in prose can silently not happen; the
+# r13 rotation was safe because its membership was a paste-able comment.
+# This goes one step further: the next window is a TUPLE the contract
+# suite validates on every run (names resolve against registered+staged,
+# exactly 50 unique slots, and every query whose staleness deadline is
+# the next-next round holds a slot — see tests/test_registry_contract.py
+# ::test_next_window_plan_is_satisfiable). The r14 rotation then simply
+# assigns: _DRIVER_WINDOW_FIRST = _NEXT_WINDOW_PLAN (after lifting the
+# staged queue into catalog.py).
+_NEXT_WINDOW_PLAN = (
+    # slot 1: the round-13 staged queue on registration
+    "tokenizer_fertility",
+    # slots 2-47: the 46 r8-stale (latest row CORRECTNESS_r08 once the
+    # four r13 pre-covers land their rows), alphabetical
+    "contamination_near",
+    "corpus_curate_v2",
+    "corpus_report",
+    "customer_rfm",
+    "dedup_keep_best",
+    "dsir_resample",
+    "dup_line_stats",
+    "editdist_near_duplicates",
+    "embedding_drift",
+    "events_json_stats",
+    "events_quality_gate",
+    "events_sessionize",
+    "html_extract",
+    "html_link_edges",
+    "incremental_dedup_assign",
+    "incremental_line_dedup",
+    "ivf_topk_trained",
+    "ivf_train_centroids",
+    "ivfpq_topk",
+    "ivfpq_topk_indexed",
+    "jaccard_prefix_join",
+    "jsonl_roundtrip_events",
+    "k_anonymity_report",
+    "lang_mixture_rates",
+    "leakage_safe_split",
+    "line_dedup_corpus",
+    "lsh_topk_indexed",
+    "minhash_estimate_error",
+    "orc_roundtrip_customer",
+    "pack_manifest",
+    "partitioned_day_scan",
+    "pq_codes",
+    "pq_topk",
+    "quality_model_report",
+    "quality_model_scores",
+    "quality_model_weights",
+    "rp_projected",
+    "rp_recall_topk",
+    "schema_evolution_events",
+    "sequence_pack",
+    "source_dedup_rates",
+    "source_lang_entropy",
+    "spam_apply",
+    "spam_ensemble_average",
+    "spam_ensemble_vote",
+    "stream_line_dedup",
+    # slots 48-50: r9-cohort alphabetical head (pre-cover; any r14
+    # staging displaces THESE, never the r8-stale slots)
+    "ab_test_zscore",
+    "bpe_encode_stats",
+    "bucketed_customer_orders",
+)
+
+
 def _window_order(names: list[str]) -> list[str]:
     windowed = set(_DRIVER_WINDOW_FIRST)
     front = [n for n in _DRIVER_WINDOW_FIRST if n in names]

@@ -108,3 +108,64 @@ def test_stale_driver_rows_rotate_oldest_first():
         f" (bound {lag_bound} for {n_registered} queries,"
         f" missed rotations {sorted(_MISSED_ROTATIONS)}): {stale}"
     )
+
+
+def test_next_window_plan_is_satisfiable():
+    """The PRE-COMMITTED next-round window (registry._NEXT_WINDOW_PLAN)
+    must be executable as a mechanical paste when the next rotation
+    lands: exactly 50 unique slots; every name resolves against the
+    registered queries or the staged queue; and — simulating the
+    upcoming driver round giving rows to the CURRENT window — every
+    registered query whose staleness deadline is the next-next round
+    holds a slot. Mechanizes the pre-commitment discipline that the
+    round-11 missed rotation proved necessary (a plan that lives only
+    in prose can silently not happen)."""
+    import json
+    import math
+    import re
+    from pathlib import Path
+
+    from bigdata_infra_cs489_spark.plans.staged import staged_queries
+
+    plan = registry._NEXT_WINDOW_PLAN
+    assert len(plan) == 50
+    assert len(set(plan)) == 50
+
+    qs = registry.queries()
+    staged = staged_queries()
+    unresolved = [n for n in plan if n not in qs and n not in staged]
+    assert unresolved == [], f"plan names neither registered nor staged: {unresolved}"
+    missing_staged = [n for n in staged if n not in plan]
+    assert missing_staged == [], (
+        f"staged queries must hold next-window slots on registration: {missing_staged}"
+    )
+
+    root = Path(__file__).resolve().parent.parent
+    latest: dict[str, int] = {}
+    newest = 0
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", p.name).group(1))
+        newest = max(newest, rnd)
+        for name in json.loads(p.read_text()):
+            latest[name] = max(latest.get(name, 0), rnd)
+    # simulate the upcoming driver round covering the CURRENT window
+    upcoming = newest + 1
+    for name in registry._DRIVER_WINDOW_FIRST:
+        latest[name] = max(latest.get(name, 0), upcoming)
+    n_registered = len(qs) + len(staged)  # post-rotation registry size
+    lag_bound = max(4, math.ceil(n_registered / 50))
+
+    def deadline(r: int) -> int:
+        d = r + lag_bound
+        d += sum(1 for m in _MISSED_ROTATIONS if r < m <= d)
+        return d
+
+    forced = [
+        n
+        for n, r in latest.items()
+        if n in qs and deadline(r) <= upcoming + 1 and n not in plan
+    ]
+    assert forced == [], (
+        f"queries at their deadline in round {upcoming + 1} missing from "
+        f"_NEXT_WINDOW_PLAN: {forced}"
+    )
