@@ -509,3 +509,87 @@ def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div greatest(n_tokens, 1L) AS BIGINT)"
         ).alias("contam_ppm"),
     )
+
+
+# --- repeat spectrum: all-scale exact-substring repetition ------------------
+
+# widths 1, 2, 4, ..., 2^(REPEAT_LEVELS-1); 256 tokens comfortably spans
+# the longest verbatim boilerplate the span family (fixed SPAN_K) can
+# only see at one granularity
+REPEAT_LEVELS = 9
+
+
+def repeat_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(width, total_positions, distinct_contexts, repeated_positions,
+    repeated_ppm): for each window width 1, 2, 4, ..., 256 tokens, how
+    much of the corpus's position mass sits inside a window whose exact
+    token content occurs at least twice corpus-wide — the repeat
+    SPECTRUM the fixed-k span family (SPAN_K grams) samples at a single
+    scale. This is the suffix-array question ("what repeats, at every
+    length?") asked the Spark-native way: Rabin-Karp doubling. A
+    width-2w window id is md5(id_w(p) || ':' || id_w(p + w)) — each
+    doubling is ONE (doc_id, pos+w) equi-join plus a hash, never a
+    global sort (suffix-array construction needs log n total-order
+    sorts; equality-only context ids need none). All-hex ids make the
+    ':' concatenation unambiguous; windows never cross document
+    boundaries. Counts are exact integers on both engines; the Python
+    replay in tests/test_repeat_spectrum.py additionally verifies the
+    md5 chain against true token-tuple counting (no collisions at
+    fixture scale, and none expected anywhere: 128-bit ids).
+
+    Scale shape: level L costs one increment-width equi-join of the
+    (doc_id, pos, id) relation with itself (co-partitioned on doc_id —
+    a cluster deployment bucket-partitions by doc_id and every doubling
+    join is shuffle-free) plus one partial-aggregated groupBy(id);
+    positions shrink monotonically as widths exceed document lengths.
+    Per-level frames pin with a lazy localCheckpoint so level stats
+    never re-derive the whole chain (the near_dup_method_audit
+    precedent)."""
+    from ..functions.text import tokenize
+    from ..sources.tables import load
+
+    docs = load(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", tokenize("text").alias("toks")
+    )
+    cur = docs.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    ).select("doc_id", "pos", F.md5("tok").alias("id"))
+    levels = []
+    width = 1
+    for lvl in range(REPEAT_LEVELS):
+        cur = cur.localCheckpoint(eager=False)
+        grp = cur.groupBy("id").agg(F.count(F.lit(1)).alias("c"))
+        levels.append(
+            grp.agg(
+                F.lit(width).cast("bigint").alias("width"),
+                F.coalesce(F.sum("c"), F.lit(0))
+                .cast("bigint")
+                .alias("total_positions"),
+                F.count(F.lit(1)).cast("bigint").alias("distinct_contexts"),
+                F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0))
+                .cast("bigint")
+                .alias("repeated_positions"),
+            )
+        )
+        if lvl + 1 < REPEAT_LEVELS:
+            right = cur.select(
+                "doc_id",
+                (F.col("pos") - width).alias("pos"),
+                F.col("id").alias("id_r"),
+            )
+            cur = cur.join(right, ["doc_id", "pos"]).select(
+                "doc_id",
+                "pos",
+                F.md5(F.concat_ws(":", "id", "id_r")).alias("id"),
+            )
+            width *= 2
+    out = levels[0]
+    for fr in levels[1:]:
+        out = out.unionByName(fr)
+    return out.select(
+        "*",
+        F.expr(
+            "CAST((repeated_positions * 1000000L + total_positions div 2)"
+            " div greatest(total_positions, 1L) AS BIGINT)"
+        ).alias("repeated_ppm"),
+    ).orderBy("width")

@@ -110,15 +110,15 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #               r14 window by the third staged card)
 # (If round 13 stages MORE new queries before its rotation, they must
 # displace r8-head pre-covers, never r7-stale slots.)
-#   r14 window = 46 remaining r8-stale + tokenizer_fertility + 3 spare
-#                (r9-cohort head) — EXACT MEMBERSHIP pre-computed at r13
-#                close (the count is 46, not the 44 the r12 schedule
-#                estimated: the r8 cohort measured 50, minus the 4
-#                r13-window pre-covers):
-#     slot 1      tokenizer_fertility (the round-13 staged queue on
-#                 registration — plans/staged.py, oracle in
-#                 tests/test_tokenizer_fertility.py composed from the
-#                 registered bpe_encode_stats twin)
+#   r14 window = 46 remaining r8-stale + the 2-card r13 staged queue +
+#                2 spare (r9-cohort head) — EXACT MEMBERSHIP pre-computed
+#                at r13 close as DATA (_NEXT_WINDOW_PLAN below; the count
+#                is 46, not the 44 the r12 schedule estimated: the r8
+#                cohort measured 50, minus the 4 r13-window pre-covers):
+#     slots 1-2   tokenizer_fertility + repeat_spectrum (the round-13
+#                 staged queue on registration — plans/staged.py,
+#                 oracles in tests/test_tokenizer_fertility.py and
+#                 tests/test_repeat_spectrum.py)
 #     slots 2-47  the 46 r8-stale (latest row CORRECTNESS_r08, after
 #                 the four r13 pre-covers land their rows),
 #                 alphabetical: contamination_near, corpus_curate_v2,
@@ -141,9 +141,8 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #                 source_dedup_rates, source_lang_entropy, spam_apply,
 #                 spam_ensemble_average, spam_ensemble_vote,
 #                 stream_line_dedup
-#     slots 48-50 the 3 alphabetically-first r9-cohort queries:
-#                 ab_test_zscore, bpe_encode_stats,
-#                 bucketed_customer_orders
+#     slots 49-50 the 2 alphabetically-first r9-cohort queries:
+#                 ab_test_zscore, bpe_encode_stats
 #   (If round 14 stages MORE new queries before its rotation, they must
 #   displace r9-head pre-covers, never r8-stale slots.)
 #   r15 window = 42 remaining r9-stale + 8 spare (r11-cohort head)
@@ -314,8 +313,10 @@ _DRIVER_WINDOW_FIRST = (
 # assigns: _DRIVER_WINDOW_FIRST = _NEXT_WINDOW_PLAN (after lifting the
 # staged queue into catalog.py).
 _NEXT_WINDOW_PLAN = (
-    # slot 1: the round-13 staged queue on registration
+    # slots 1-2: the round-13 staged queue on registration (the second
+    # displaces an r9-head pre-cover per the displacement rule)
     "tokenizer_fertility",
+    "repeat_spectrum",
     # slots 2-47: the 46 r8-stale (latest row CORRECTNESS_r08 once the
     # four r13 pre-covers land their rows), alphabetical
     "contamination_near",
@@ -364,11 +365,11 @@ _NEXT_WINDOW_PLAN = (
     "spam_ensemble_average",
     "spam_ensemble_vote",
     "stream_line_dedup",
-    # slots 48-50: r9-cohort alphabetical head (pre-cover; any r14
-    # staging displaces THESE, never the r8-stale slots)
+    # slots 49-50: r9-cohort alphabetical head (pre-cover; any r14
+    # staging displaces THESE, never the r8-stale slots —
+    # bucketed_customer_orders displaced by repeat_spectrum)
     "ab_test_zscore",
     "bpe_encode_stats",
-    "bucketed_customer_orders",
 )
 
 

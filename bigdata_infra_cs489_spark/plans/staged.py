@@ -25,7 +25,7 @@ forward schedule in ``registry.py`` leaves ~6 spare r14 slots (44 are
 reserved for the r8-stale cohort incl. the displaced
 contamination_near), so keep the queue ≤ 6 and prefer SMALLER — spare
 slots should pre-cover the r9-cohort head. The round-13 queue closed
-at 1 (tokenizer_fertility).
+at 2 (tokenizer_fertility, repeat_spectrum).
 """
 
 from __future__ import annotations
@@ -40,6 +40,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def staged_queries() -> dict[str, QueryFn]:
     """name -> callable for every plan-auditable staged operator."""
     from ..operators.bpe import tokenizer_fertility
+    from ..operators.spans import repeat_spectrum
 
     return {
         # round-13 staging (round-12 verdict #5's preferred shape: ONE
@@ -50,4 +51,11 @@ def staged_queries() -> dict[str, QueryFn]:
         # rates, no float finish; oracle composed from the registered
         # bpe_encode_stats twin in tests/test_tokenizer_fertility.py
         "tokenizer_fertility": tokenizer_fertility,
+        # the round-12 verdict's OTHER named candidate (#5): the
+        # suffix-array-style complement to the fixed-k span family —
+        # all-scale exact-substring repetition via Rabin-Karp doubling
+        # (one equi-join per width doubling, no global sorts); exact
+        # integer counts, md5-chain oracle + TRUE tuple-counting replay
+        # in tests/test_repeat_spectrum.py
+        "repeat_spectrum": repeat_spectrum,
     }

@@ -118,10 +118,12 @@ def test_staged_queue_parity_under_hostile_session(hostile, sf_smoke):
     queue's single source."""
     from bigdata_infra_cs489_spark.plans.staged import staged_queries
 
+    from .test_repeat_spectrum import repeat_spectrum_oracle_sql
     from .test_tokenizer_fertility import fertility_oracle_sql
 
     oracles = {
         "tokenizer_fertility": fertility_oracle_sql(),
+        "repeat_spectrum": repeat_spectrum_oracle_sql(),
     }
     qs = staged_queries()
     assert set(qs) == set(oracles)  # a queue edit must update this map
