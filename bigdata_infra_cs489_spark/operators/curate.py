@@ -73,6 +73,73 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.where(F.col("cum_kept_tokens") <= CURATE_TOKEN_BUDGET)
 
 
+# Bump on ANY plan-affecting change to the corpus_curate lineage (gates,
+# pack order, any upstream stage operator) — the DEDUP_INDEX_VERSION
+# discipline; the standing manifest below is keyed on it, and
+# tests/test_curate.py::test_standing_manifest_matches_inline re-derives
+# the inline lineage against the asset so a missed bump still fails CI
+# on the test fixtures.
+CURATE_MANIFEST_VERSION = 1
+
+
+def curate_manifest_path(sf_dir: str) -> str:
+    """Deterministic standing-manifest location for one data generation:
+    keyed on the dedup standing-index key (which already encodes the
+    documents fixture's (size, mtime_ns), the MinHash/LSH parameters and
+    DEDUP_INDEX_VERSION — the cluster lineage is an input to curation)
+    plus the curate gate/budget constants and CURATE_MANIFEST_VERSION,
+    so fixture regeneration, a dedup-parameter change, or a curate-plan
+    change each invalidate the asset."""
+    import os
+
+    from .dedup import dedup_index_path
+    from .vector_index import INDEX_ROOT
+
+    base = os.path.basename(dedup_index_path(sf_dir))
+    qpm = round(CURATE_MIN_QUALITY * 1000)
+    return os.path.join(
+        INDEX_ROOT,
+        f"curate_v{CURATE_MANIFEST_VERSION}_{base}"
+        f"_q{qpm}d{CURATE_MAX_DUP_DEN}b{CURATE_TOKEN_BUDGET}",
+    )
+
+
+def standing_packed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_curate's packed manifest served as a STANDING asset — the
+    persisted table a recurring training-data job maintains (every
+    consumer docstring in this module already describes it as exactly
+    that; this makes the description literal). Built on first touch by
+    running the inline corpus_curate lineage once and published with the
+    dedup-index atomic-rename protocol (torn builds rebuilt, concurrent
+    builders race-safe), then probed as a plain parquet scan. The packed
+    manifest is budget-bounded (Σ kept_tokens <= CURATE_TOKEN_BUDGET),
+    so the asset is export-sized — tiny relative to the corpus — and the
+    probe is O(export), which is the 100 TB-correct recurring shape:
+    export_shards / training_export / incremental_training_export are
+    manifest READERS, not corpus re-curators. Output is bit-identical to
+    the inline lineage by construction (same plan, materialized once;
+    parquet round-trips int64/double/string exactly); the DuckDB oracles
+    replay the full inline chain, unchanged — every sweep row certifies
+    asset == oracle."""
+    import os
+    import shutil
+    import uuid
+
+    from .dedup import _publish_subdir
+
+    path = curate_manifest_path(sf_dir)
+    sub = os.path.join(path, "packed")
+    if not os.path.exists(os.path.join(sub, "_SUCCESS")):
+        os.makedirs(path, exist_ok=True)
+        tmp = os.path.join(
+            path, f"packed.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        )
+        corpus_curate(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+        _publish_subdir(tmp, sub)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(sub)
+
+
 def _curate_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared bootstrap chain up to (and including) the v1 gates:
     canonical-copy ∩ keep-best rep, cluster-hashed split, span and
@@ -465,12 +532,16 @@ def export_shards(
     membership anchors for spot checks); at 100 TB it is literally the
     DataFrameWriter's partitionBy column.
 
-    Shape: corpus_curate already carries the exact running totals
+    Shape: the packed manifest already carries the exact running totals
     (distsort prefix machinery), so sharding is one integer projection
     plus a partial-aggregated groupBy(shard_id) — no new ordering work,
     no window. min/max_doc are exemplar anchors (the
-    link_indegree_hist convention), not pack-order endpoints."""
-    packed = corpus_curate(spark, sf_dir)
+    link_indegree_hist convention), not pack-order endpoints. The
+    manifest is read from the STANDING asset (standing_packed_corpus —
+    export-sized parquet probe, values bit-identical to the inline
+    lineage): a shard writer is a manifest READER, and re-curating the
+    corpus per export run is not the 100 TB shape."""
+    packed = standing_packed_corpus(spark, sf_dir)
     sharded = packed.select(
         "doc_id",
         "kept_tokens",
@@ -514,13 +585,17 @@ def training_export(
       (n_seqs = ceil(end/seq_len) − ceil(start/seq_len)) — the
       boundary-attention manifest anchor.
 
-    Shape: corpus_curate supplies the exact running totals (distsort
-    prefix machinery, warm standing-cluster asset), so the whole card is
-    one integer projection + one partial-aggregated groupBy(shard_id) +
-    a broadcast 1-row total — no new ordering work, no window, integer
-    arithmetic end-to-end (the DuckDB twin is exact)."""
+    Shape: the standing packed manifest supplies the exact running
+    totals (distsort prefix machinery, materialized once per data
+    generation — standing_packed_corpus), so the whole card is one
+    integer projection + one partial-aggregated groupBy(shard_id) +
+    a broadcast 1-row total over an export-sized parquet probe — no new
+    ordering work, no window, integer arithmetic end-to-end (the DuckDB
+    twin replays the full inline chain and stays exact)."""
     return training_export_core(
-        corpus_curate(spark, sf_dir), shard_tokens=shard_tokens, seq_len=seq_len
+        standing_packed_corpus(spark, sf_dir),
+        shard_tokens=shard_tokens,
+        seq_len=seq_len,
     )
 
 
@@ -553,7 +628,8 @@ def incremental_training_export(
     Σ span_tokens over (standing prefix + delta) = t_old + t_new.
 
     Scale shape: the standing side is one projection + window over the
-    registered corpus_curate lineage; the increment side is
+    STANDING packed manifest (standing_packed_corpus — an export-sized
+    parquet probe, not a corpus re-curation); the increment side is
     increment-sized (incremental_curate's probes); the export arithmetic
     is training_export_core's — integer projections, one partial-agg
     groupBy(shard_id), broadcast 1-row totals. At 100 TB the recurring
@@ -562,13 +638,14 @@ def incremental_training_export(
 
     is_old = (F.col("doc_id") % NEW_BATCH_MOD) != (NEW_BATCH_MOD - 1)
     old_packed = with_running_totals(
-        corpus_curate(spark, sf_dir)
+        standing_packed_corpus(spark, sf_dir)
         .where(is_old)
         .select("doc_id", "split", "kept_tokens", "quality_score"),
         [F.desc("quality_score"), F.asc("doc_id")],
         {"cum_kept_tokens": "kept_tokens"},
     # the standing stream feeds the boundary total AND the append
-    # stream; pin it so the corpus_curate lineage materializes once
+    # stream; the source is already an export-sized parquet probe
+    # (standing_packed_corpus), so the pin only spares the re-window
     ).localCheckpoint(eager=False)
     kept_new = (
         incremental_curate(spark, sf_dir)

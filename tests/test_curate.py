@@ -165,3 +165,62 @@ def test_flagship_rides_standing_cluster_asset(spark, sf_smoke):
         assert any("clusters_full" in f for f in files), (
             f"{name} does not probe the asset: {files}"
         )
+
+
+def test_standing_manifest_matches_inline(spark, sf_correct):
+    """The standing packed manifest must be BIT-identical to the inline
+    corpus_curate lineage — exact equality on every column including the
+    double quality_score (parquet round-trips IEEE doubles exactly), so
+    a missed CURATE_MANIFEST_VERSION bump after a plan-affecting change
+    fails here even before any oracle row does."""
+    from bigdata_infra_cs489_spark.operators.curate import (
+        corpus_curate,
+        standing_packed_corpus,
+    )
+
+    cols = [
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "split",
+        "n_tokens",
+        "dup_tokens",
+        "kept_tokens",
+        "quality_score",
+        "cum_kept_tokens",
+    ]
+    inline = sorted(
+        tuple(r[c] for c in cols)
+        for r in corpus_curate(spark, sf_correct).collect()
+    )
+    asset = sorted(
+        tuple(r[c] for c in cols)
+        for r in standing_packed_corpus(spark, sf_correct).collect()
+    )
+    assert len(inline) > 0
+    assert asset == inline
+
+
+def test_export_consumers_ride_standing_manifest(spark, sf_smoke):
+    """Once the manifest asset exists, the export-family consumers must
+    PROBE it (a curate_v* parquet scan), pinning the warm path so a
+    refactor can't silently regress to re-curating the corpus per
+    export query. export_shards carries no lineage-truncating
+    checkpoint, so its inputFiles() sees the actual scan set."""
+    import os
+
+    from bigdata_infra_cs489_spark.operators.curate import (
+        curate_manifest_path,
+        export_shards,
+        standing_packed_corpus,
+    )
+
+    standing_packed_corpus(spark, sf_smoke).count()  # ensure built
+    sub = os.path.join(curate_manifest_path(sf_smoke), "packed")
+    assert os.path.exists(os.path.join(sub, "_SUCCESS"))
+    files = export_shards(spark, sf_smoke).inputFiles()
+    assert any("curate_v" in f for f in files), (
+        f"export_shards does not probe the manifest: {files}"
+    )
+    # and the corpus documents table is NOT among its scans any more
+    assert not any("documents.parquet" in f for f in files)
