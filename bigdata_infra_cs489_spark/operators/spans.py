@@ -304,16 +304,88 @@ def incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE left-semi equi-join of the increment's grams against
     the standing distinct-gram index (cost ∝ increment size + matched
     index partitions, keys uniform by construction), then the per-doc
-    interval merge over the tiny hit subset. On a real deployment the old
-    gram set is the persisted table (stored as xxhash64 fingerprints —
-    swap the join key exactly as repeated_spans_fp does); here it
-    rebuilds from the fixture so the DuckDB oracle is self-contained.
+    interval merge over the tiny hit subset. The old gram set IS the
+    persisted table (standing_old_grams — built once per data
+    generation, probed as a parquet scan; the fingerprint twin swaps
+    the join key exactly as repeated_spans_fp does); the DuckDB oracle
+    replays the inline chain and stays self-contained.
     Note the semantic difference from repeated_spans: only NEW-vs-OLD
     duplication counts — content repeated within the new batch alone is
     left for the batch's own intra-run pass."""
     return _merge_intervals(_incremental_hits(spark, sf_dir)).select(
         "doc_id", "span_start", "span_end", "span_len"
     )
+
+
+# Bump on ANY change that alters the standing gram set (tokenizer,
+# SPAN_K, the old/new batch convention) — the DEDUP_INDEX_VERSION
+# discipline; tests/test_spans.py::test_standing_gram_index_matches_inline
+# re-derives the inline distinct against the asset so a missed bump
+# still fails CI on the test fixtures.
+SPAN_INDEX_VERSION = 1
+
+
+def span_index_path(sf_dir: str) -> str:
+    """Deterministic standing gram-index location for one data
+    generation, keyed on the documents parquet's (size, mtime_ns) plus
+    the parameters that shape the gram set (SPAN_K, the new-batch
+    modulus) and SPAN_INDEX_VERSION — the dedup_index_path discipline:
+    fixture regeneration or a parameter change can never serve a stale
+    index."""
+    import os
+
+    from .dedup import NEW_BATCH_MOD
+    from .vector_index import INDEX_ROOT
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    sig = f"{st.st_size}_{st.st_mtime_ns}"
+    label = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        INDEX_ROOT,
+        f"spanidx_v{SPAN_INDEX_VERSION}_{label}_{sig}"
+        f"_k{SPAN_K}m{NEW_BATCH_MOD}",
+    )
+
+
+def standing_old_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STANDING corpus's distinct k-gram set served as a persisted
+    asset — the maintained table every incremental_spans docstring in
+    this module describes. Built on first touch (one explode + distinct
+    over the old corpus, the cost a deployment pays once per corpus
+    generation) and published with the dedup-index atomic protocol,
+    then probed as a plain parquet scan by every increment query. Gram
+    STRINGS are stored so the string-keyed oracle twin stays exact; the
+    fingerprint probe derives xxhash64 from the stored strings (an
+    index-sized projection — at 100 TB the persisted table would store
+    the 8-byte fingerprints directly, as repeated_spans_fp's contract
+    notes). Output is bit-identical to the inline distinct by
+    construction; the DuckDB oracles replay the inline chain,
+    unchanged."""
+    import os
+    import shutil
+    import uuid
+
+    from .dedup import NEW_BATCH_MOD, _publish_subdir
+
+    path = span_index_path(sf_dir)
+    sub = os.path.join(path, "grams_old")
+    if not os.path.exists(os.path.join(sub, "_SUCCESS")):
+        os.makedirs(path, exist_ok=True)
+        tmp = os.path.join(
+            path, f"grams_old.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        )
+        is_new = (F.col("doc_id") % NEW_BATCH_MOD) == (NEW_BATCH_MOD - 1)
+        (
+            _grams(spark, sf_dir)
+            .where(~is_new)
+            .select("gram")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        _publish_subdir(tmp, sub)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(sub)
 
 
 def _incremental_hits(
@@ -323,17 +395,23 @@ def _incremental_hits(
     the standing old-corpus distinct-gram index. narrow_key=True probes
     by xxhash64 fingerprint — the shape of the PERSISTED index at scale
     (8-byte keys instead of k-token strings, both in storage and on the
-    semi-join exchange)."""
+    semi-join exchange).
+
+    The old side reads the STANDING asset (standing_old_grams), so the
+    per-increment job explodes ONLY the new batch — increment-sized
+    work against a persisted index, the recurring shape every consumer
+    docstring promises (previously the old corpus was re-exploded and
+    re-distinct-ed inline per query)."""
     from .dedup import NEW_BATCH_MOD
 
-    g = _grams(spark, sf_dir)
+    is_new = (F.col("doc_id") % NEW_BATCH_MOD) == (NEW_BATCH_MOD - 1)
+    g = _grams(spark, sf_dir).where(is_new)
+    old_index = standing_old_grams(spark, sf_dir)
     if narrow_key:
         g = g.select("doc_id", "n_tokens", "pos", F.xxhash64("gram").alias("gram"))
-    is_new = (F.col("doc_id") % NEW_BATCH_MOD) == (NEW_BATCH_MOD - 1)
-    old_index = g.where(~is_new).select("gram").distinct()
+        old_index = old_index.select(F.xxhash64("gram").alias("gram"))
     return (
-        g.where(is_new)
-        .join(old_index, "gram", "leftsemi")
+        g.join(old_index, "gram", "leftsemi")
         .select("doc_id", "n_tokens", "pos")
     )
 

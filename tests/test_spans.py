@@ -276,3 +276,55 @@ def test_keep_first_policy_invariants_and_python_reimpl(spark, sf_smoke):
     assert all(got[d][1] >= strip_all[d] for d in got)
     # the policies genuinely differ on the fixture (some span survives)
     assert any(got[d][1] > strip_all[d] for d in got)
+
+
+def test_standing_gram_index_matches_inline(spark, sf_correct):
+    """The standing old-corpus gram index must equal the inline
+    explode+distinct exactly, so a missed SPAN_INDEX_VERSION bump after
+    a gram-shaping change (tokenizer, SPAN_K, batch convention) fails
+    here before any oracle row does."""
+    from pyspark.sql import functions as F
+
+    from bigdata_infra_cs489_spark.operators.dedup import NEW_BATCH_MOD
+    from bigdata_infra_cs489_spark.operators.spans import (
+        _grams,
+        standing_old_grams,
+    )
+
+    is_new = (F.col("doc_id") % NEW_BATCH_MOD) == (NEW_BATCH_MOD - 1)
+    inline = sorted(
+        r.gram
+        for r in _grams(spark, sf_correct)
+        .where(~is_new)
+        .select("gram")
+        .distinct()
+        .collect()
+    )
+    asset = sorted(
+        r.gram for r in standing_old_grams(spark, sf_correct).collect()
+    )
+    assert len(inline) > 0
+    assert asset == inline
+
+
+def test_incremental_spans_ride_standing_gram_index(spark, sf_smoke):
+    """Once the gram asset exists, the increment queries must PROBE it
+    (a spanidx_v* parquet scan) and must NOT re-explode the old corpus:
+    the only documents scan left in the plan is the new batch's."""
+    import os
+
+    import __spark_entry__ as entrymod
+
+    from bigdata_infra_cs489_spark.operators.spans import (
+        span_index_path,
+        standing_old_grams,
+    )
+
+    standing_old_grams(spark, sf_smoke).count()  # ensure built
+    sub = os.path.join(span_index_path(sf_smoke), "grams_old")
+    assert os.path.exists(os.path.join(sub, "_SUCCESS"))
+    df = entrymod.queries()["incremental_span_stats"](spark, sf_smoke)
+    files = df.inputFiles()
+    assert any("spanidx_v" in f for f in files), (
+        f"incremental_span_stats does not probe the gram index: {files}"
+    )
