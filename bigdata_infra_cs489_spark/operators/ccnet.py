@@ -39,16 +39,29 @@ CCNET_N_BUCKETS = 3
 CCNET_BUCKET_NAMES = ("head", "middle", "tail")
 
 
+def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, avg_nll, lang): the scoreable docs with their
+    language — the pre-ranking frame. The per-doc LM scores come from
+    the STANDING perplexity metadata table (standing_lm_scores —
+    trained + scored once per data generation, probed as a parquet
+    scan); the registered bigram_lm_perplexity card remains the inline
+    bootstrap of that table. Split out so the probe pin
+    (tests/test_ccnet.py) can inspect inputFiles() below the distsort
+    checkpoint that truncates the bucket card's lineage."""
+    from .text_analytics import standing_lm_scores
+
+    ppl = standing_lm_scores(spark, sf_dir)
+    langs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return ppl.join(langs, "doc_id")
+
+
 def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, n_bigrams, avg_nll, bucket): every scoreable
     document with its within-language perplexity tercile — head is the
     lowest-perplexity (most fluent) third."""
     from .distsort import with_running_totals
-    from .text_analytics import bigram_lm_perplexity
 
-    ppl = bigram_lm_perplexity(spark, sf_dir)
-    langs = load(spark, sf_dir, "documents").select("doc_id", "lang")
-    scored = ppl.join(langs, "doc_id")
+    scored = _scored_docs(spark, sf_dir)
     order = [F.asc("lang"), F.asc("avg_nll"), F.asc("doc_id")]
     rn = with_running_totals(scored, order, sums={}, row_col="grn")
     per_lang = rn.groupBy("lang").agg(

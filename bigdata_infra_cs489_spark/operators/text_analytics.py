@@ -335,6 +335,65 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bump on ANY change to the LM or its scoring (tokenizer, smoothing,
+# the avg_nll rounding) — the DEDUP_INDEX_VERSION discipline;
+# tests/test_ccnet.py::test_standing_lm_scores_match_inline re-derives
+# the inline lineage against the asset so a missed bump still fails CI
+# on the test fixtures.
+LM_SCORES_VERSION = 1
+
+
+def lm_scores_path(sf_dir: str) -> str:
+    """Deterministic standing LM-score-table location for one data
+    generation, keyed on the documents parquet's (size, mtime_ns), the
+    smoothing mass and LM_SCORES_VERSION — fixture regeneration or a
+    model change can never serve stale scores."""
+    import os
+
+    from .vector_index import INDEX_ROOT
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    sig = f"{st.st_size}_{st.st_mtime_ns}"
+    label = os.path.basename(os.path.normpath(sf_dir))
+    kpm = round(LM_K * 1000)
+    return os.path.join(
+        INDEX_ROOT,
+        f"lmscores_v{LM_SCORES_VERSION}_{label}_{sig}_k{kpm}",
+    )
+
+
+def standing_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bigram_lm_perplexity's per-doc score table (doc_id, n_bigrams,
+    avg_nll) served as a STANDING asset — the maintained perplexity
+    metadata column a CCNet-style pipeline ships with its corpus, built
+    once per data generation (one LM train + score pass) and probed as
+    a parquet scan by every downstream quality card
+    (ccnet_perplexity_buckets and the tercile/source/agreement cards on
+    top of it). The registered bigram_lm_perplexity card stays the
+    inline bootstrap — the same builder-vs-consumer split as
+    standing_full_clusters / standing_packed_corpus. Values are
+    bit-identical (avg_nll is rounded 6dp before persisting; parquet
+    round-trips the double exactly); the DuckDB oracles replay the
+    inline chain, unchanged."""
+    import os
+    import shutil
+    import uuid
+
+    from .dedup import _publish_subdir
+
+    path = lm_scores_path(sf_dir)
+    sub = os.path.join(path, "scores")
+    if not os.path.exists(os.path.join(sub, "_SUCCESS")):
+        os.makedirs(path, exist_ok=True)
+        tmp = os.path.join(
+            path, f"scores.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        )
+        bigram_lm_perplexity(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+        _publish_subdir(tmp, sub)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(sub)
+
+
 TOP_TERMS_K = 10
 
 

@@ -75,3 +75,50 @@ def test_stats_consistent_with_buckets(spark, sf_smoke):
         assert r["min_nll"] <= r["max_nll"]
         assert r["n_docs"] >= 1
     _ = b
+
+
+def test_standing_lm_scores_match_inline(spark, sf_correct):
+    """The standing LM score table must equal the inline train+score
+    lineage exactly (avg_nll is rounded 6dp before persisting; parquet
+    round-trips the double bit-exactly), so a missed LM_SCORES_VERSION
+    bump after a model-affecting change fails here before any oracle
+    row does."""
+    from bigdata_infra_cs489_spark.operators.text_analytics import (
+        bigram_lm_perplexity,
+        standing_lm_scores,
+    )
+
+    cols = ["doc_id", "n_bigrams", "avg_nll"]
+    inline = sorted(
+        tuple(r[c] for c in cols)
+        for r in bigram_lm_perplexity(spark, sf_correct).collect()
+    )
+    asset = sorted(
+        tuple(r[c] for c in cols)
+        for r in standing_lm_scores(spark, sf_correct).collect()
+    )
+    assert len(inline) > 0
+    assert asset == inline
+
+
+def test_ccnet_buckets_ride_standing_lm_scores(spark, sf_smoke):
+    """Once the score asset exists, the bucket card must PROBE it (a
+    lmscores_v* parquet scan) rather than re-training the LM per query.
+    The bucket card's own lineage is truncated by the distsort
+    checkpoint (the corpus_curate probe-pin caveat), so the pin
+    inspects the pre-ranking frame _scored_docs."""
+    import os
+
+    from bigdata_infra_cs489_spark.operators.ccnet import _scored_docs
+    from bigdata_infra_cs489_spark.operators.text_analytics import (
+        lm_scores_path,
+        standing_lm_scores,
+    )
+
+    standing_lm_scores(spark, sf_smoke).count()  # ensure built
+    sub = os.path.join(lm_scores_path(sf_smoke), "scores")
+    assert os.path.exists(os.path.join(sub, "_SUCCESS"))
+    files = _scored_docs(spark, sf_smoke).inputFiles()
+    assert any("lmscores_v" in f for f in files), (
+        f"ccnet buckets do not probe the score table: {files}"
+    )
