@@ -97,3 +97,49 @@ def test_merge_loop_cap_enforced(spark, sf_smoke):
 
     with _pytest.raises(ValueError, match="MAX_DRIVER_MERGES"):
         train_bpe(spark, sf_smoke, n_merges=MAX_DRIVER_MERGES + 1)
+
+
+def test_standing_bpe_vocab_matches_inline(spark, sf_correct):
+    """The standing segmented vocabulary must equal the inline train_bpe
+    output exactly (words, counts, symbol arrays), so a missed
+    BPE_VOCAB_VERSION bump after a trainer-affecting change fails here
+    before any oracle row does."""
+    from bigdata_infra_cs489_spark.operators.bpe import (
+        standing_bpe_vocab,
+        train_bpe,
+    )
+
+    _, vocab = train_bpe(spark, sf_correct)
+    inline = sorted(
+        (r["word"], int(r["cnt"]), tuple(r["syms"]))
+        for r in vocab.collect()
+    )
+    asset = sorted(
+        (r["word"], int(r["cnt"]), tuple(r["syms"]))
+        for r in standing_bpe_vocab(spark, sf_correct).collect()
+    )
+    assert len(inline) > 0
+    assert asset == inline
+
+
+def test_encode_cards_ride_standing_vocab(spark, sf_smoke):
+    """Once the vocab asset exists, the encode/coverage cards must PROBE
+    it (a bpevocab_v* parquet scan) rather than re-running the 8-merge
+    training loop per query."""
+    import os
+
+    import __spark_entry__ as entrymod
+
+    from bigdata_infra_cs489_spark.operators.bpe import (
+        bpe_vocab_path,
+        standing_bpe_vocab,
+    )
+
+    standing_bpe_vocab(spark, sf_smoke).count()  # ensure built
+    sub = os.path.join(bpe_vocab_path(sf_smoke), "vocab")
+    assert os.path.exists(os.path.join(sub, "_SUCCESS"))
+    df = entrymod.queries()["bpe_encode_stats"](spark, sf_smoke)
+    files = df.inputFiles()
+    assert any("bpevocab_v" in f for f in files), (
+        f"bpe_encode_stats does not probe the vocab asset: {files}"
+    )
