@@ -224,3 +224,53 @@ def test_export_consumers_ride_standing_manifest(spark, sf_smoke):
     )
     # and the corpus documents table is NOT among its scans any more
     assert not any("documents.parquet" in f for f in files)
+
+
+def test_concurrent_manifest_build_and_probe_race(spark, sf_smoke):
+    """The vector-index round-10 regression scenario applied to the new
+    standing assets: with the curate manifest, span gram index, LM score
+    table and BPE vocab all ABSENT, several threads ensure+probe each
+    simultaneously. The temp-build + atomic per-subdir publish must give
+    every thread the correct probe result and leave one complete asset
+    behind."""
+    import shutil
+    from concurrent.futures import ThreadPoolExecutor
+
+    from bigdata_infra_cs489_spark.operators.bpe import (
+        bpe_vocab_path,
+        standing_bpe_vocab,
+    )
+    from bigdata_infra_cs489_spark.operators.curate import (
+        curate_manifest_path,
+        standing_packed_corpus,
+    )
+    from bigdata_infra_cs489_spark.operators.spans import (
+        span_index_path,
+        standing_old_grams,
+    )
+    from bigdata_infra_cs489_spark.operators.text_analytics import (
+        lm_scores_path,
+        standing_lm_scores,
+    )
+
+    assets = [
+        (curate_manifest_path(sf_smoke), "packed", standing_packed_corpus),
+        (span_index_path(sf_smoke), "grams_old", standing_old_grams),
+        (lm_scores_path(sf_smoke), "scores", standing_lm_scores),
+        (bpe_vocab_path(sf_smoke), "vocab", standing_bpe_vocab),
+    ]
+    import os
+
+    for path, _sub, fn in assets:
+        shutil.rmtree(path, ignore_errors=True)
+        expected = fn(spark, sf_smoke).count()
+        shutil.rmtree(path, ignore_errors=True)
+
+        def probe(_i, fn=fn):
+            return fn(spark, sf_smoke).count()
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            results = list(ex.map(probe, range(4)))
+        assert all(r == expected for r in results), (path, results, expected)
+    for path, sub, _fn in assets:
+        assert os.path.exists(os.path.join(path, sub, "_SUCCESS"))
