@@ -162,9 +162,14 @@ def dsir_select_topk(
     via TakeOrderedAndProject; the in-top-k rank is then attached with
     the bounded N^2 broadcast self-join (the weighted_sample_topn
     pattern — no partition-less window)."""
-    scores = dsir_doc_scores(target, raw).select(
-        "doc_id", "n_tokens", "avg_logratio"
-    )
+    return _select_topk_from_scores(dsir_doc_scores(target, raw), k)
+
+
+def _select_topk_from_scores(scores: DataFrame, k: int = DSIR_TOP_K) -> DataFrame:
+    """dsir_select_topk's selection over an explicit score frame — the
+    seam that lets the registered wrapper serve the scores from the
+    standing table while tests inject crafted frames."""
+    scores = scores.select("doc_id", "n_tokens", "avg_logratio")
     top = scores.orderBy(F.desc("avg_logratio"), F.asc("doc_id")).limit(k)
     other = top.select(
         F.col("doc_id").alias("o_id"), F.col("avg_logratio").alias("o_s")
@@ -197,10 +202,68 @@ def dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_doc_scores(target, raw)
 
 
+# Bump on ANY change to the scoring lineage (tokenizer, bucket count,
+# the target/raw split, the ratio arithmetic) — the DEDUP_INDEX_VERSION
+# discipline; tests/test_dsir.py::test_standing_dsir_scores_match_inline
+# re-derives the inline lineage against the asset so a missed bump
+# still fails CI on the test fixtures.
+DSIR_SCORES_VERSION = 1
+
+
+def dsir_scores_path(sf_dir: str) -> str:
+    """Deterministic standing score-table location for one data
+    generation, keyed on the documents parquet's (size, mtime_ns), the
+    bucket count, the target modulus and DSIR_SCORES_VERSION."""
+    import os
+
+    from .vector_index import INDEX_ROOT
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    sig = f"{st.st_size}_{st.st_mtime_ns}"
+    label = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        INDEX_ROOT,
+        f"dsirscores_v{DSIR_SCORES_VERSION}_{label}_{sig}"
+        f"_b{DSIR_BUCKETS}t{DSIR_TARGET_MOD}",
+    )
+
+
+def standing_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc DSIR importance-weight table (doc_id, n_tokens,
+    score_micro, avg_logratio) served as a STANDING asset — the
+    maintained per-doc weight column a data-mixing pipeline attaches to
+    its corpus once per target definition and every selection/resample
+    job reads (Xie et al. 2023 compute weights once, then draw). Built
+    on first touch by the inline dsir_scores lineage, published with the
+    dedup-index atomic protocol, probed as a parquet scan by the
+    selection and resampling cards; the registered dsir_scores card
+    stays the inline bootstrap. Values bit-identical (exact int64
+    score_micro/n_tokens; avg_logratio is the floor-micro double, which
+    parquet round-trips exactly); the DuckDB oracles replay the inline
+    chain, unchanged."""
+    import os
+    import shutil
+    import uuid
+
+    from .dedup import _publish_subdir
+
+    path = dsir_scores_path(sf_dir)
+    sub = os.path.join(path, "scores")
+    if not os.path.exists(os.path.join(sub, "_SUCCESS")):
+        os.makedirs(path, exist_ok=True)
+        tmp = os.path.join(
+            path, f"scores.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        )
+        dsir_scores(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+        _publish_subdir(tmp, sub)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(sub)
+
+
 def dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered-query-shaped entry for the selection step."""
-    target, raw = _split_target_raw(spark, sf_dir)
-    return dsir_select_topk(target, raw)
+    """Registered-query-shaped entry for the selection step — reads the
+    standing weight table (standing_dsir_scores)."""
+    return _select_topk_from_scores(standing_dsir_scores(spark, sf_dir))
 
 
 # --- importance RESAMPLING (the paper's actual selection rule) -------------
@@ -231,7 +294,15 @@ def dsir_resample_topk(
       TakeOrderedAndProject, bounded driver state at any corpus size;
       the in-sample rank is attached with the bounded k^2 broadcast
       self-join (no partition-less window)."""
-    scores = dsir_doc_scores(target, raw)
+    return _resample_from_scores(dsir_doc_scores(target, raw), k)
+
+
+def _resample_from_scores(
+    scores: DataFrame, k: int = DSIR_RESAMPLE_K
+) -> DataFrame:
+    """dsir_resample_topk's draw over an explicit score frame — the
+    seam that lets the registered wrapper serve the scores from the
+    standing table while tests inject crafted frames."""
     u = (
         h8(F.concat(F.col("doc_id").cast("string"), F.lit(DSIR_GUMBEL_SALT)))
         % _MICRO
@@ -259,9 +330,9 @@ def dsir_resample_topk(
 
 
 def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered-query-shaped entry for the resampling step."""
-    target, raw = _split_target_raw(spark, sf_dir)
-    return dsir_resample_topk(target, raw)
+    """Registered-query-shaped entry for the resampling step — reads the
+    standing weight table (standing_dsir_scores)."""
+    return _resample_from_scores(standing_dsir_scores(spark, sf_dir))
 
 
 # --- corpus drift monitoring (the data-mixing shelf's QA gate) --------------

@@ -202,3 +202,50 @@ def test_resample_against_python(spark, sf_smoke):
     assert all(r.doc_id % DSIR_TARGET_MOD != 0 for r in got)
     for r in got:
         assert abs(r.gumbel_key - keys[r.doc_id]) < 1e-9, r.doc_id
+
+
+def test_standing_dsir_scores_match_inline(spark, sf_correct):
+    """The standing weight table must equal the inline scoring lineage
+    exactly (int64 score_micro/n_tokens; floor-micro avg_logratio), so a
+    missed DSIR_SCORES_VERSION bump after a scoring-affecting change
+    fails here before any oracle row does."""
+    from bigdata_infra_cs489_spark.operators.dsir import (
+        dsir_scores,
+        standing_dsir_scores,
+    )
+
+    cols = ["doc_id", "n_tokens", "score_micro", "avg_logratio"]
+    inline = sorted(
+        tuple(r[c] for c in cols)
+        for r in dsir_scores(spark, sf_correct).collect()
+    )
+    asset = sorted(
+        tuple(r[c] for c in cols)
+        for r in standing_dsir_scores(spark, sf_correct).collect()
+    )
+    assert len(inline) > 0
+    assert asset == inline
+
+
+def test_dsir_selection_rides_standing_scores(spark, sf_smoke):
+    """Once the weight table exists, the selection/resample cards must
+    PROBE it (a dsirscores_v* parquet scan) rather than re-scoring the
+    corpus per query."""
+    import os
+
+    import __spark_entry__ as entrymod
+
+    from bigdata_infra_cs489_spark.operators.dsir import (
+        dsir_scores_path,
+        standing_dsir_scores,
+    )
+
+    standing_dsir_scores(spark, sf_smoke).count()  # ensure built
+    sub = os.path.join(dsir_scores_path(sf_smoke), "scores")
+    assert os.path.exists(os.path.join(sub, "_SUCCESS"))
+    for name in ("dsir_topk", "dsir_resample"):
+        files = entrymod.queries()[name](spark, sf_smoke).inputFiles()
+        assert any("dsirscores_v" in f for f in files), (
+            f"{name} does not probe the weight table: {files}"
+        )
+        assert not any("documents.parquet" in f for f in files), name
