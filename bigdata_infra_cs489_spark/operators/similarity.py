@@ -439,6 +439,71 @@ def kmeans_centroids(
     return spark.createDataFrame(centroids, "centroid_id int, cvec array<double>")
 
 
+# Bump on ANY change to the trainer (init rule, iteration semantics, the
+# normalization) — the DEDUP_INDEX_VERSION discipline;
+# tests/test_similarity.py::test_standing_kmeans_matches_inline
+# re-derives the inline training against the asset so a missed bump
+# still fails CI on the test fixtures.
+KMEANS_MODEL_VERSION = 1
+
+
+def kmeans_model_path(
+    sf_dir: str, n_centroids: int, iterations: int
+) -> str:
+    """Deterministic standing trained-quantizer location for one data
+    generation, keyed on the embeddings parquet's (size, mtime_ns), the
+    centroid count, the iteration count and KMEANS_MODEL_VERSION."""
+    import os
+
+    from .vector_index import INDEX_ROOT
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    sig = f"{st.st_size}_{st.st_mtime_ns}"
+    label = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        INDEX_ROOT,
+        f"kmeansmodel_v{KMEANS_MODEL_VERSION}_{label}_{sig}"
+        f"_c{n_centroids}i{iterations}",
+    )
+
+
+def standing_kmeans_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = N_CENTROIDS,
+    iterations: int = 3,
+) -> DataFrame:
+    """The trained coarse quantizer (centroid_id, cvec) served as a
+    STANDING asset — the model-registry entry a production vector index
+    trains once and every probe/build job reads. Built on first touch by
+    the inline kmeans_centroids loop (the honest training price, paid
+    once per data generation) and published with the dedup-index atomic
+    protocol, then probed as a parquet scan by the trained-IVF
+    consumers; the registered ivf_train_centroids card stays the inline
+    trainer. Values are bit-identical (the centroid doubles are computed
+    driver-side and parquet round-trips them exactly); the DuckDB
+    oracles replay the unrolled-k-means chain, unchanged."""
+    import os
+    import shutil
+    import uuid
+
+    from .dedup import _publish_subdir
+
+    path = kmeans_model_path(sf_dir, n_centroids, iterations)
+    sub = os.path.join(path, "centroids")
+    if not os.path.exists(os.path.join(sub, "_SUCCESS")):
+        os.makedirs(path, exist_ok=True)
+        tmp = os.path.join(
+            path, f"centroids.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        )
+        kmeans_centroids(
+            spark, sf_dir, n_centroids, iterations
+        ).write.mode("overwrite").parquet(tmp)
+        _publish_subdir(tmp, sub)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(sub)
+
+
 N_HYPERPLANES = 16
 LSH_BAND_BITS = 4
 LSH_N_BANDS = N_HYPERPLANES // LSH_BAND_BITS
@@ -1130,15 +1195,17 @@ def ivf_topk_trained(
     train -> index -> query lifecycle of a production vector index (the
     static ivf_topk uses the deterministic first-C centroids instead).
 
-    The trained centroid table is model-sized (C x dim doubles) and
-    already lives on the driver at the end of training, so assignment is
+    The trained centroid table is model-sized (C x dim doubles), read
+    from the STANDING trained-quantizer asset (standing_kmeans_centroids
+    — trained once per data generation; the registered
+    ivf_train_centroids card is the inline trainer), so assignment is
     the same zero-shuffle literal-argmax scan the static IVF uses
     (_nearest_centroid_col); the probe touches ~nprobe/C of the corpus
     and exact-ranks inside. The trained family hash-checks against the
     unrolled-k-means SQL oracle; recall vs brute force is additionally
     pinned in tests.
     """
-    cent = kmeans_centroids(spark, sf_dir, n_centroids, iterations)
+    cent = standing_kmeans_centroids(spark, sf_dir, n_centroids, iterations)
     cents = sorted(
         ((int(r["centroid_id"]), list(r["cvec"])) for r in cent.collect()),
         key=lambda t: t[0],

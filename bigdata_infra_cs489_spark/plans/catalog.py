@@ -1410,10 +1410,13 @@ register(
 # Spherical k-means invariant, PPR-mass-conservation-style: every trained
 # centroid is unit-normalized (init = normalized vectors; each Lloyd update
 # renormalizes; empty clusters keep the previous unit vector), so the full
-# iterative trainer hash-checks against a constant table of C ones.
+# iterative trainer hash-checks against a constant table of C ones. Reads
+# the STANDING trained-quantizer asset (ivf_train_centroids above stays
+# the inline trainer) — the invariant it certifies is a property of the
+# persisted model table a deployment would audit.
 register(
     "ivf_centroid_norms",
-    lambda spark, sf: S.kmeans_centroids(spark, sf).select(
+    lambda spark, sf: S.standing_kmeans_centroids(spark, sf).select(
         "centroid_id",
         F.round(
             F.sqrt(

@@ -426,3 +426,51 @@ def test_semantic_dedup_scoped_pairs_are_within_centroid(spark, sf_correct):
     # every exact pair the scoped stage skipped straddles centroids
     for a, b in exact - scoped:
         assert asg[a] != asg[b]
+
+
+def test_standing_kmeans_matches_inline(spark, sf_correct):
+    """The standing trained quantizer must equal the inline k-means
+    output exactly (the centroid doubles are driver-computed and parquet
+    round-trips them bit-exactly), so a missed KMEANS_MODEL_VERSION bump
+    after a trainer-affecting change fails here before any oracle row
+    does."""
+    from bigdata_infra_cs489_spark.operators.similarity import (
+        kmeans_centroids,
+        standing_kmeans_centroids,
+    )
+
+    inline = sorted(
+        (int(r["centroid_id"]), tuple(r["cvec"]))
+        for r in kmeans_centroids(spark, sf_correct).collect()
+    )
+    asset = sorted(
+        (int(r["centroid_id"]), tuple(r["cvec"]))
+        for r in standing_kmeans_centroids(spark, sf_correct).collect()
+    )
+    assert len(inline) > 0
+    assert asset == inline
+
+
+def test_trained_ivf_rides_standing_model(spark, sf_smoke):
+    """Once the trained-quantizer asset exists, the norms card must
+    PROBE it (a kmeansmodel_v* parquet scan); ivf_topk_trained reads the
+    same asset eagerly at plan-build time (its centroid literals), so
+    the on-disk _SUCCESS gate plus the asset==inline test pin that
+    path."""
+    import os
+
+    import __spark_entry__ as entrymod
+
+    from bigdata_infra_cs489_spark.operators.similarity import (
+        kmeans_model_path,
+        standing_kmeans_centroids,
+    )
+    from bigdata_infra_cs489_spark.operators.similarity import N_CENTROIDS
+
+    standing_kmeans_centroids(spark, sf_smoke).count()  # ensure built
+    sub = os.path.join(kmeans_model_path(sf_smoke, N_CENTROIDS, 3), "centroids")
+    assert os.path.exists(os.path.join(sub, "_SUCCESS"))
+    files = entrymod.queries()["ivf_centroid_norms"](spark, sf_smoke).inputFiles()
+    assert any("kmeansmodel_v" in f for f in files), (
+        f"ivf_centroid_norms does not probe the model table: {files}"
+    )
