@@ -344,7 +344,15 @@ def incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = incremental_span_stats(spark, sf_dir).select(
         "doc_id", "n_tokens", "dup_old_tokens"
     )
-    qual = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    # quality is a per-row metric: score ONLY the increment (the
+    # corpus-wide text_quality joined to new doc_ids scanned and
+    # tokenized 10x the rows this leg needs — the one stage here that
+    # was not increment-sized)
+    from .textstats import quality_metrics
+
+    qual = quality_metrics(docs.where(is_new)).select(
+        "doc_id", "quality_score"
+    )
     bucket = (
         h8(F.concat(F.col("cluster_id").cast("string"), F.lit(CLUSTER_SPLIT_SALT)))
         % 100

@@ -70,7 +70,15 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality metrics + a clipped linear quality score:
     length, token stats, stopword ratio, punctuation ratio."""
-    docs = _docs(spark, sf_dir)
+    return quality_metrics(_docs(spark, sf_dir))
+
+
+def quality_metrics(docs: DataFrame) -> DataFrame:
+    """text_quality over an explicit (doc_id, text) frame — the seam
+    that lets increment-sized callers (incremental_curate's quality
+    leg) score ONLY their batch instead of the whole corpus. Per-row
+    metrics, so restricting the input frame cannot change any row's
+    values."""
     toks = docs.select("doc_id", "text", tokenize("text").alias("toks"))
     n_chars = F.length("text")
     n_tokens = F.size("toks")
