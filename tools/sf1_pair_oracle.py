@@ -183,8 +183,18 @@ def main() -> int:
         fails += flag == "FAIL"
         print(f"{flag:>6}  {name:<28} {rec['sec']:8.2f}s  {rec}", flush=True)
 
-    with open("/root/repo/SWEEP_SF1_PAIRS.json", "w") as f:
-        json.dump(results, f, indent=1)
+    # MERGE over the existing record (the verify_sweep convention):
+    # a targeted invocation must not drop the other families' rows
+    out = "/root/repo/SWEEP_SF1_PAIRS.json"
+    merged = {}
+    try:
+        with open(out) as f:
+            merged = json.load(f)
+    except (OSError, ValueError):
+        pass
+    merged.update(results)
+    with open(out, "w") as f:
+        json.dump(merged, f, indent=1)
     print(f"done: {len(targets) - fails}/{len(targets)} hash-green")
     return 1 if fails else 0
 
