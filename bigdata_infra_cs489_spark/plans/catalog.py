@@ -6679,3 +6679,89 @@ register(
     S.bitext_margin_pairs,
     _bitext_oracle(),
 )
+
+# ============================================================================
+# Round-14 registrations: the round-13 staged queue (plans/staged.py as of
+# round 13), lifted here at the r14 rotation with oracle SQL single-sourced
+# (the staged test files now point at __spark_entry__.oracle_sql()).
+# ============================================================================
+
+# -- per-language tokenizer fertility / compression card (operators/bpe.py) --
+# The cross-language tokenizer-selection audit: aggregates the REGISTERED
+# bpe_encode_stats per-doc counters by documents.lang with exact integer
+# micro rates (floor-half-up over BIGINT sums — no float finish anywhere).
+# Oracle composed from the registered per-doc twin so the two cards can
+# never drift; reconciliation pinned in tests/test_tokenizer_fertility.py.
+
+register(
+    "tokenizer_fertility",
+    BP.tokenizer_fertility,
+    f"""
+    WITH es AS ({_registered_oracle("bpe_encode_stats")}),
+    per AS (
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(es.n_words) AS BIGINT) AS n_words,
+               CAST(sum(es.n_subwords) AS BIGINT) AS n_subwords,
+               CAST(sum(es.n_chars) AS BIGINT) AS n_chars
+        FROM es JOIN documents d USING (doc_id)
+        GROUP BY d.lang)
+    SELECT lang, n_docs, n_words, n_subwords, n_chars,
+           CAST((n_subwords * 1000000 + n_words // 2)
+                // greatest(n_words, 1) AS BIGINT) AS fertility_micro,
+           CAST((n_chars * 1000000 + n_subwords // 2)
+                // greatest(n_subwords, 1) AS BIGINT)
+               AS chars_per_subword_micro,
+           CAST((n_subwords * 1000000 + n_docs // 2)
+                // greatest(n_docs, 1) AS BIGINT) AS subwords_per_doc_micro
+    FROM per
+    """,
+)
+
+# -- all-scale exact-substring repetition spectrum (operators/spans.py) ------
+# Rabin-Karp width doubling: one equi-join per doubling level (width w
+# context id = md5(id_w/2[pos] || ':' || id_w/2[pos+w/2])), never a global
+# sort and never an explode beyond width 1. The DuckDB oracle replays the
+# identical md5 chain; tests/test_repeat_spectrum.py additionally pins the
+# chain against TRUE token-tuple counting (zero-collision certificate at
+# fixture scale) and a hand-checkable crafted corpus.
+
+
+def _repeat_spectrum_oracle() -> str:
+    ctes = [
+        f"toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents)",
+        "t0 AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,"
+        " md5(unnest(toks)) AS id FROM toks)",
+    ]
+    width = 1
+    for lvl in range(1, SP.REPEAT_LEVELS):
+        ctes.append(
+            f"t{lvl} AS (SELECT a.doc_id, a.pos,"
+            f" md5(a.id || ':' || b.id) AS id"
+            f" FROM t{lvl - 1} a JOIN t{lvl - 1} b"
+            f" ON b.doc_id = a.doc_id AND b.pos = a.pos + {width})"
+        )
+        width *= 2
+    stats = []
+    width = 1
+    for lvl in range(SP.REPEAT_LEVELS):
+        stats.append(f"""
+    SELECT CAST({width} AS BIGINT) AS width,
+           CAST(coalesce(sum(c), 0) AS BIGINT) AS total_positions,
+           CAST(count(*) AS BIGINT) AS distinct_contexts,
+           CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+               AS repeated_positions,
+           CAST((coalesce(sum(CASE WHEN c > 1 THEN c END), 0) * 1000000
+                 + coalesce(sum(c), 0) // 2)
+                // greatest(coalesce(sum(c), 0), 1) AS BIGINT)
+               AS repeated_ppm
+    FROM (SELECT id, count(*) AS c FROM t{lvl} GROUP BY id)""")
+        width *= 2
+    return "WITH " + ",\n    ".join(ctes) + "\n" + "\n    UNION ALL".join(stats)
+
+
+register(
+    "repeat_spectrum",
+    SP.repeat_spectrum,
+    _repeat_spectrum_oracle(),
+)

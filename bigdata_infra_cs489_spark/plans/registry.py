@@ -143,14 +143,18 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #                 stream_line_dedup
 #     slots 49-50 the 2 alphabetically-first r9-cohort queries:
 #                 ab_test_zscore, bpe_encode_stats
-#   (If round 14 stages MORE new queries before its rotation, they must
-#   displace r9-head pre-covers, never r8-stale slots.)
-#   r15 window = 42 remaining r9-stale + 8 spare (r11-cohort head)
+#   (Round 14 EXECUTED this window verbatim as its first commit —
+#   _DRIVER_WINDOW_FIRST below — with both staged cards registered.)
+#   r15 window = 47 remaining r9-stale + 3 spare (r11-cohort head) —
+#                EXACT MEMBERSHIP pre-computed at r14 close as DATA
+#                (_NEXT_WINDOW_PLAN below; the count is 47, not the 42
+#                the r13 schedule estimated: the r9 cohort measured 49,
+#                minus the 2 r14-window pre-covers)
 #   r16 window = r11 cohort (45 post-consolidation, deadline r16) minus
-#                r15 pre-covers (8) = 37 forced + 13 spare
+#                r15 pre-covers (3) = 42 forced + 8 spare
 # Max lag stays ≤ bound (5, +1 for cohorts spanning the missed round
 # 11) for every cohort through r16 iff net new registrations stay ≤ the
-# spare slots above — i.e. ~0-3/round until r15.
+# spare slots above — i.e. ≤3 in r14, ≤8 in r15.
 #
 # Round-10 rotation (executes the window pre-committed in round 9):
 #   slots 1-12   the full round-9-staged queue, registered this round
@@ -242,83 +246,13 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # and the r6 cohort only reaches lag 5 at round 11 — one full window
 # of slack.
 _DRIVER_WINDOW_FIRST = (
-    # ROUND-13 WINDOW — the exact membership pre-committed at r12 close
-    # (see the forward schedule above); executed as the first r13 commit.
-    # -- slots 1-3: the round-12 staged queue, registered this round ----
-    # (takes the slot of the displaced r8-head pre-cover
-    # contamination_near, which moves to the r14 window)
-    "media_roundtrip_coverage",
-    "incremental_training_export",
-    "bitext_margin_pairs",
-    # -- slots 4-46: latest driver row round 7 (deadline r13) -----------
-    "degree_distribution",
-    "doc_fingerprints",
-    "dsir_scores",
-    "dsir_topk",
-    "error_click_window_counts",
-    "events_apply_changes",
-    "events_asof_last_click",
-    "events_cube_counts",
-    "events_distinct_users",
-    "events_gap_filled_counts",
-    "events_hash_sample",
-    "events_rollup_counts",
-    "events_sketch_check",
-    "events_sliding_counts",
-    "events_snapshot_diff",
-    "events_tumbling_counts",
-    "events_value_percentiles",
-    "gopher_pass_rates",
-    "gopher_quality_flags",
-    "ivf_topk_indexed",
-    "lang_mixture_sample",
-    "media_meta",
-    "order_quartiles",
-    "pii_redact",
-    "pii_stats",
-    "profile_lineitem",
-    "quality_stratified_sample",
-    "repetition_stats",
-    "stream_dedup",
-    "stream_enriched",
-    "stream_error_click_join",
-    "stream_running_counts",
-    "stream_session_windows",
-    "stream_sliding_counts",
-    "stream_tumbling_counts",
-    "tbl_scan_nation",
-    "token_counts",
-    "top_users_by_type",
-    "triangle_count",
-    "user_event_gaps",
-    "user_funnel",
-    "user_rolling_value",
-    "user_type_pivot",
-    # -- slots 47-50: r8-cohort alphabetical head (deadline r14) --------
-    "bloom_prefilter_check",
-    "bpe_merges",
-    "bpe_token_counts",
-    "cms_heavy_hitters",
-)
-
-
-# THE PRE-COMMITTED R14 WINDOW AS DATA (round-13 close). Round 11 proved
-# a rotation plan that lives only in prose can silently not happen; the
-# r13 rotation was safe because its membership was a paste-able comment.
-# This goes one step further: the next window is a TUPLE the contract
-# suite validates on every run (names resolve against registered+staged,
-# exactly 50 unique slots, and every query whose staleness deadline is
-# the next-next round holds a slot — see tests/test_registry_contract.py
-# ::test_next_window_plan_is_satisfiable). The r14 rotation then simply
-# assigns: _DRIVER_WINDOW_FIRST = _NEXT_WINDOW_PLAN (after lifting the
-# staged queue into catalog.py).
-_NEXT_WINDOW_PLAN = (
-    # slots 1-2: the round-13 staged queue on registration (the second
-    # displaces an r9-head pre-cover per the displacement rule)
+    # ROUND-14 WINDOW — _NEXT_WINDOW_PLAN (r13 close) executed verbatim
+    # as the first round-14 commit: the two staged cards registered in
+    # catalog.py (queue emptied), this tuple assigned from the plan.
+    # -- slots 1-2: the round-13 staged queue, registered this round ----
     "tokenizer_fertility",
     "repeat_spectrum",
-    # slots 2-47: the 46 r8-stale (latest row CORRECTNESS_r08 once the
-    # four r13 pre-covers land their rows), alphabetical
+    # -- slots 3-48: latest driver row round 8 (deadline r14) -----------
     "contamination_near",
     "corpus_curate_v2",
     "corpus_report",
@@ -365,11 +299,81 @@ _NEXT_WINDOW_PLAN = (
     "spam_ensemble_average",
     "spam_ensemble_vote",
     "stream_line_dedup",
-    # slots 49-50: r9-cohort alphabetical head (pre-cover; any r14
-    # staging displaces THESE, never the r8-stale slots —
-    # bucketed_customer_orders displaced by repeat_spectrum)
+    # -- slots 49-50: r9-cohort alphabetical head (deadline r15) --------
     "ab_test_zscore",
     "bpe_encode_stats",
+)
+
+
+# THE PRE-COMMITTED R15 WINDOW AS DATA (round-14 close). Round 11 proved
+# a rotation plan that lives only in prose can silently not happen; the
+# r13 rotation was safe because its membership was a paste-able comment.
+# This goes one step further: the next window is a TUPLE the contract
+# suite validates on every run (names resolve against registered+staged,
+# exactly 50 unique slots, and every query whose staleness deadline is
+# the next-next round holds a slot — see tests/test_registry_contract.py
+# ::test_next_window_plan_is_satisfiable). The r14 rotation then simply
+# assigns: _DRIVER_WINDOW_FIRST = _NEXT_WINDOW_PLAN (after lifting any
+# staged queue into catalog.py). This window has NEAR-ZERO slack: 47 of
+# 50 slots are forced by the r9-stale cohort, so net new round-14
+# registrations must stay <= 3 and displace the spare pre-covers below.
+_NEXT_WINDOW_PLAN = (
+    # slots 1-47: the 47 r9-stale (latest row CORRECTNESS_r09; the r9
+    # cohort measured 49, minus the 2 r14-window pre-covers
+    # ab_test_zscore + bpe_encode_stats), alphabetical — exactly the
+    # membership the contract tripwire enumerated at r13 close:
+    "bucketed_customer_orders",
+    "ccnet_bucket_stats",
+    "ccnet_perplexity_buckets",
+    "cdc_chunk_stats",
+    "cluster_balanced_sample",
+    "contamination_spans",
+    "conversion_attribution",
+    "corpus_curate",
+    "corpus_novelty",
+    "crawl_frontier",
+    "cross_source_overlap",
+    "curation_funnel",
+    "daily_value_ewma",
+    "doc_chunks",
+    "doc_keywords",
+    "dup_span_stats",
+    "event_type_transitions",
+    "events_anomaly_days",
+    "events_debounced",
+    "events_exact_median_global",
+    "events_seasonality",
+    "events_throttled",
+    "events_value_histogram",
+    "events_value_median_by_type",
+    "funnel_latency",
+    "heavy_key_report",
+    "incremental_agg_refresh",
+    "link_indegree_hist",
+    "media_content_dedup",
+    "near_dup_method_audit",
+    "pq_distortion_stats",
+    "source_mixture_plan",
+    "spam_model_auc",
+    "spam_train",
+    "spam_train_shuffled",
+    "stream_partitioned_sink",
+    "stream_upsert_user_state",
+    "term_lookup",
+    "token_budget_pack",
+    "token_drift_report",
+    "token_zipf_stats",
+    "user_churn_flags",
+    "user_decayed_value",
+    "user_feature_matrix",
+    "user_retention_cohorts",
+    "user_scd2_history",
+    "weekly_active_users",
+    # slots 48-50: r11-cohort alphabetical head (pre-cover; any r14
+    # staging displaces THESE, never the r9-stale slots)
+    "bigram_rel_freq",
+    "bigram_stripes",
+    "bm25_retrieval",
 )
 
 

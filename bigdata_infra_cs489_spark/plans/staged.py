@@ -15,17 +15,15 @@ Consumers:
   SQL (written alongside the operator in its family's test file or
   composed from catalog fragments).
 
-The round-12 queue (media_roundtrip_coverage,
-incremental_training_export, bitext_margin_pairs) registered in
-catalog.py during the round-13 rotation and holds slots 1-3 of the
-round-13 driver window, per the protocol: a query lives either here
+The round-13 queue (tokenizer_fertility, repeat_spectrum) registered in
+catalog.py during the round-14 rotation and holds slots 1-2 of the
+round-14 driver window, per the protocol: a query lives either here
 (staged, pytest-oracled) or in catalog.py (registered), never both.
-Entries added during round 13 queue for the round-14 rotation; the
-forward schedule in ``registry.py`` leaves ~6 spare r14 slots (44 are
-reserved for the r8-stale cohort incl. the displaced
-contamination_near), so keep the queue ≤ 6 and prefer SMALLER — spare
-slots should pre-cover the r9-cohort head. The round-13 queue closed
-at 2 (tokenizer_fertility, repeat_spectrum).
+Entries added during round 14 queue for the round-15 rotation; the
+forward schedule in ``registry.py`` leaves only 3 spare r15 slots (47
+are reserved for the r9-stale cohort the contract tripwire enumerates),
+so keep the queue ≤ 3 and prefer SMALLER — spare slots should pre-cover
+the r11-cohort head (bigram_rel_freq, bigram_stripes, bm25_retrieval).
 """
 
 from __future__ import annotations
@@ -39,23 +37,4 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def staged_queries() -> dict[str, QueryFn]:
     """name -> callable for every plan-auditable staged operator."""
-    from ..operators.bpe import tokenizer_fertility
-    from ..operators.spans import repeat_spectrum
-
-    return {
-        # round-13 staging (round-12 verdict #5's preferred shape: ONE
-        # high-value LLM-pipeline card, queue well under the ~6 spare
-        # r14 slots): per-language BPE fertility / compression-rate
-        # aggregate over the bpe_encode_stats per-doc counters — the
-        # cross-language tokenizer-selection audit; exact integer micro
-        # rates, no float finish; oracle composed from the registered
-        # bpe_encode_stats twin in tests/test_tokenizer_fertility.py
-        "tokenizer_fertility": tokenizer_fertility,
-        # the round-12 verdict's OTHER named candidate (#5): the
-        # suffix-array-style complement to the fixed-k span family —
-        # all-scale exact-substring repetition via Rabin-Karp doubling
-        # (one equi-join per width doubling, no global sorts); exact
-        # integer counts, md5-chain oracle + TRUE tuple-counting replay
-        # in tests/test_repeat_spectrum.py
-        "repeat_spectrum": repeat_spectrum,
-    }
+    return {}

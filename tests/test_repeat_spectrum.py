@@ -1,8 +1,8 @@
 """repeat_spectrum (all-scale exact-substring repetition via Rabin-Karp
-doubling) vs an inline DuckDB oracle that replays the identical md5
-doubling chain, plus a pure-Python TRUE token-tuple replay that checks
-the hash chain itself (staged for the round-14 registration per the
-window contract)."""
+doubling) vs its REGISTERED DuckDB oracle (catalog.py replays the
+identical md5 doubling chain — single-sourced since the round-14
+rotation), plus a pure-Python TRUE token-tuple replay that checks the
+hash chain itself."""
 
 from __future__ import annotations
 
@@ -15,38 +15,9 @@ from .oracle import assert_matches_oracle
 
 
 def repeat_spectrum_oracle_sql() -> str:
-    from bigdata_infra_cs489_spark.plans.catalog import DUCK_TOKS
+    import __spark_entry__ as entrymod
 
-    ctes = [
-        f"toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents)",
-        "t0 AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,"
-        " md5(unnest(toks)) AS id FROM toks)",
-    ]
-    width = 1
-    for lvl in range(1, REPEAT_LEVELS):
-        ctes.append(
-            f"t{lvl} AS (SELECT a.doc_id, a.pos,"
-            f" md5(a.id || ':' || b.id) AS id"
-            f" FROM t{lvl - 1} a JOIN t{lvl - 1} b"
-            f" ON b.doc_id = a.doc_id AND b.pos = a.pos + {width})"
-        )
-        width *= 2
-    stats = []
-    width = 1
-    for lvl in range(REPEAT_LEVELS):
-        stats.append(f"""
-    SELECT CAST({width} AS BIGINT) AS width,
-           CAST(coalesce(sum(c), 0) AS BIGINT) AS total_positions,
-           CAST(count(*) AS BIGINT) AS distinct_contexts,
-           CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
-               AS repeated_positions,
-           CAST((coalesce(sum(CASE WHEN c > 1 THEN c END), 0) * 1000000
-                 + coalesce(sum(c), 0) // 2)
-                // greatest(coalesce(sum(c), 0), 1) AS BIGINT)
-               AS repeated_ppm
-    FROM (SELECT id, count(*) AS c FROM t{lvl} GROUP BY id)""")
-        width *= 2
-    return "WITH " + ",\n    ".join(ctes) + "\n" + "\n    UNION ALL".join(stats)
+    return entrymod.oracle_sql()["repeat_spectrum"]
 
 
 def test_matches_oracle(spark, sf_correct):

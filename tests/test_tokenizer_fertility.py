@@ -1,7 +1,6 @@
 """tokenizer_fertility (per-language BPE fertility / compression card)
-vs an inline DuckDB oracle composed from the REGISTERED
-bpe_encode_stats twin (staged for the round-14 registration per the
-window contract)."""
+vs its REGISTERED DuckDB oracle (catalog.py composes it from the
+bpe_encode_stats twin — single-sourced since the round-14 rotation)."""
 
 from __future__ import annotations
 
@@ -16,27 +15,7 @@ from .oracle import assert_matches_oracle
 def fertility_oracle_sql() -> str:
     import __spark_entry__ as entrymod
 
-    base = entrymod.oracle_sql()["bpe_encode_stats"]
-    return f"""
-    WITH es AS ({base}),
-    per AS (
-        SELECT d.lang,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(es.n_words) AS BIGINT) AS n_words,
-               CAST(sum(es.n_subwords) AS BIGINT) AS n_subwords,
-               CAST(sum(es.n_chars) AS BIGINT) AS n_chars
-        FROM es JOIN documents d USING (doc_id)
-        GROUP BY d.lang)
-    SELECT lang, n_docs, n_words, n_subwords, n_chars,
-           CAST((n_subwords * 1000000 + n_words // 2)
-                // greatest(n_words, 1) AS BIGINT) AS fertility_micro,
-           CAST((n_chars * 1000000 + n_subwords // 2)
-                // greatest(n_subwords, 1) AS BIGINT)
-               AS chars_per_subword_micro,
-           CAST((n_subwords * 1000000 + n_docs // 2)
-                // greatest(n_docs, 1) AS BIGINT) AS subwords_per_doc_micro
-    FROM per
-    """
+    return entrymod.oracle_sql()["tokenizer_fertility"]
 
 
 def test_matches_oracle(spark, sf_correct):
