@@ -73,8 +73,9 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.where(F.col("cum_kept_tokens") <= CURATE_TOKEN_BUDGET)
 
 
-# Bump on ANY plan-affecting change to the corpus_curate lineage (gates,
-# pack order, any upstream stage operator) — the DEDUP_INDEX_VERSION
+# Bump on ANY plan-affecting change to the corpus_curate lineage that the
+# keyed constant tuple below can't see (pack-order expression edits, a new
+# gate, an upstream operator's internal formula) — the DEDUP_INDEX_VERSION
 # discipline; the standing manifest below is keyed on it, and
 # tests/test_curate.py::test_standing_manifest_matches_inline re-derives
 # the inline lineage against the asset so a missed bump still fails CI
@@ -82,25 +83,50 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 CURATE_MANIFEST_VERSION = 1
 
 
+def _curate_plan_key() -> str:
+    """Short digest of every NAMED value-shaping input to the
+    corpus_curate lineage beyond the dedup-index key: the split salt and
+    percentages (leakage-safe split), the span-gate window parameters,
+    and the gate/budget constants. Centralized in one tuple so adding a
+    constant to the lineage has one obvious place to key it — a missed
+    CURATE_MANIFEST_VERSION bump after changing any of these no longer
+    serves a stale manifest (round-13 advisory). Literal formula edits
+    (e.g. inside text_quality) still need the version bump."""
+    import hashlib
+
+    from .spans import SPAN_K, SPAN_MIN_COUNT
+
+    parts = (
+        CLUSTER_SPLIT_SALT,
+        TRAIN_PCT,
+        VAL_PCT,
+        SPAN_K,
+        SPAN_MIN_COUNT,
+        CURATE_MIN_QUALITY,
+        CURATE_MAX_DUP_DEN,
+        CURATE_TOKEN_BUDGET,
+    )
+    return hashlib.md5(repr(parts).encode()).hexdigest()[:10]
+
+
 def curate_manifest_path(sf_dir: str) -> str:
     """Deterministic standing-manifest location for one data generation:
     keyed on the dedup standing-index key (which already encodes the
     documents fixture's (size, mtime_ns), the MinHash/LSH parameters and
     DEDUP_INDEX_VERSION — the cluster lineage is an input to curation)
-    plus the curate gate/budget constants and CURATE_MANIFEST_VERSION,
-    so fixture regeneration, a dedup-parameter change, or a curate-plan
-    change each invalidate the asset."""
+    plus a digest of the curate-plan constants (_curate_plan_key) and
+    CURATE_MANIFEST_VERSION, so fixture regeneration, a dedup-parameter
+    change, a split/span/gate constant change, or a curate-plan change
+    each invalidate the asset."""
     import os
 
     from .dedup import dedup_index_path
     from .vector_index import INDEX_ROOT
 
     base = os.path.basename(dedup_index_path(sf_dir))
-    qpm = round(CURATE_MIN_QUALITY * 1000)
     return os.path.join(
         INDEX_ROOT,
-        f"curate_v{CURATE_MANIFEST_VERSION}_{base}"
-        f"_q{qpm}d{CURATE_MAX_DUP_DEN}b{CURATE_TOKEN_BUDGET}",
+        f"curate_v{CURATE_MANIFEST_VERSION}_{base}_k{_curate_plan_key()}",
     )
 
 
@@ -329,7 +355,12 @@ def incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import NEW_BATCH_MOD, incremental_dedup_assign
     from ..operators.spans import incremental_span_stats
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # parallelize: the quality leg below tokenizes the increment per-row
+    # (the same reason textstats._docs opts in) — a single-file fixture
+    # would otherwise run that scan as one task (round-13 advisory)
+    docs = load(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "text"
+    )
     is_new = (F.col("doc_id") % NEW_BATCH_MOD) == (NEW_BATCH_MOD - 1)
     old_digests = (
         docs.where(~is_new).select(F.md5("text").alias("dig")).distinct()

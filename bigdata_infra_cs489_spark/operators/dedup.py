@@ -777,6 +777,27 @@ def _publish_subdir(src: str, dst: str) -> None:
                 os.rename(dst, torn)
             except OSError:
                 continue  # a racer moved/replaced dst first; re-check
+            if os.path.exists(os.path.join(torn, "_SUCCESS")):
+                # TOCTOU guard: dst COMPLETED between the _SUCCESS
+                # re-check and the move-aside, so ``torn`` is a complete
+                # copy a reader may already have resolved
+                # (spark.read.parquet lists files lazily at action
+                # time). Publish it back instead of deleting it — this
+                # is what makes the "never deleted out from under a
+                # reader" guarantee hold; if a racer re-occupied dst
+                # meanwhile, keep whichever complete copy stands and
+                # only discard ours once dst carries _SUCCESS.
+                try:
+                    os.rename(torn, dst)
+                    return
+                except OSError:
+                    if os.path.exists(os.path.join(dst, "_SUCCESS")):
+                        shutil.rmtree(torn, ignore_errors=True)
+                        return
+                    # dst torn again: our complete copy becomes the
+                    # publish source and the loop retries the rename.
+                    src = torn
+                    continue
             shutil.rmtree(torn, ignore_errors=True)
     raise OSError(f"could not publish {dst}: persistent publish race")
 

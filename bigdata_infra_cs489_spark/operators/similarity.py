@@ -40,6 +40,12 @@ from ..sources.tables import load
 QUERY_VEC_ID = 0
 TOP_K = 10
 N_CENTROIDS = 16
+# Lloyd iterations for the spherical k-means trainer. ONE constant shared
+# by the inline trainer (kmeans_centroids), the standing trained-quantizer
+# asset (standing_kmeans_centroids / kmeans_model_path), and the trained
+# IVF probe — a per-signature default of 3 let the trainer and the served
+# model drift if either changed (round-13 advisory).
+KMEANS_ITERATIONS = 3
 N_PROBE = 2
 PAIR_THRESHOLD = 0.9
 # The cosine threshold the REGISTERED near-dup queries run at. The
@@ -318,7 +324,7 @@ def kmeans_centroids(
     spark: SparkSession,
     sf_dir: str,
     n_centroids: int = N_CENTROIDS,
-    iterations: int = 3,
+    iterations: int = KMEANS_ITERATIONS,
 ) -> DataFrame:
     """Spherical k-means (Lloyd's) over unit-normalized vectors:
     (centroid_id, cvec array<double>).
@@ -471,7 +477,7 @@ def standing_kmeans_centroids(
     spark: SparkSession,
     sf_dir: str,
     n_centroids: int = N_CENTROIDS,
-    iterations: int = 3,
+    iterations: int = KMEANS_ITERATIONS,
 ) -> DataFrame:
     """The trained coarse quantizer (centroid_id, cvec) served as a
     STANDING asset — the model-registry entry a production vector index
@@ -1188,7 +1194,7 @@ def ivf_topk_trained(
     k: int = TOP_K,
     n_centroids: int = N_CENTROIDS,
     nprobe: int = N_PROBE,
-    iterations: int = 3,
+    iterations: int = KMEANS_ITERATIONS,
 ) -> DataFrame:
     """End-to-end trained ANN: spherical k-means learns the coarse
     quantizer, then the IVF probe runs against THOSE centroids — the full

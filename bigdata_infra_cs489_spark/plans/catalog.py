@@ -1334,7 +1334,7 @@ register(
 
 
 def _kmeans_ctes(
-    n_centroids: int = S.N_CENTROIDS, iterations: int = 3
+    n_centroids: int = S.N_CENTROIDS, iterations: int = S.KMEANS_ITERATIONS
 ) -> tuple[str, str]:
     """Fully-unrolled DuckDB twin of the spherical k-means trainer
     (operators/similarity.py::kmeans_centroids) — same trick as the PPR
