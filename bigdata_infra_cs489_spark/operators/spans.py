@@ -597,6 +597,44 @@ def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 REPEAT_LEVELS = 9
 
 
+def _token_contexts(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, id): the width-1 context relation (md5 of each
+    token) that seeds the Rabin-Karp doubling chain. ``docs`` must carry
+    (doc_id, toks)."""
+    return docs.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    ).select("doc_id", "pos", F.md5("tok").alias("id"))
+
+
+def _doubling_levels(cur: DataFrame):
+    """Yield (width, frame) for widths 1, 2, ..., 2^(REPEAT_LEVELS-1) of
+    the Rabin-Karp doubling chain — the single-sourced recurrence behind
+    repeat_spectrum, standing_old_contexts, and
+    incremental_repeat_spectrum. A width-2w window id is
+    md5(id_w(p) || ':' || id_w(p + w)); each doubling is ONE
+    (doc_id, pos + w) equi-join plus a hash (co-partitioned on doc_id —
+    a cluster deployment bucket-partitions by doc_id and every doubling
+    join is shuffle-free), never a global sort, and windows never cross
+    document boundaries. Per-level frames pin with a lazy
+    localCheckpoint so per-level consumers never re-derive the chain."""
+    width = 1
+    for lvl in range(REPEAT_LEVELS):
+        cur = cur.localCheckpoint(eager=False)
+        yield width, cur
+        if lvl + 1 < REPEAT_LEVELS:
+            right = cur.select(
+                "doc_id",
+                (F.col("pos") - width).alias("pos"),
+                F.col("id").alias("id_r"),
+            )
+            cur = cur.join(right, ["doc_id", "pos"]).select(
+                "doc_id",
+                "pos",
+                F.md5(F.concat_ws(":", "id", "id_r")).alias("id"),
+            )
+            width *= 2
+
+
 def repeat_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(width, total_positions, distinct_contexts, repeated_positions,
     repeated_ppm): for each window width 1, 2, 4, ..., 256 tokens, how
@@ -629,13 +667,8 @@ def repeat_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", parallelize=True).select(
         "doc_id", tokenize("text").alias("toks")
     )
-    cur = docs.select(
-        "doc_id", F.posexplode("toks").alias("pos", "tok")
-    ).select("doc_id", "pos", F.md5("tok").alias("id"))
     levels = []
-    width = 1
-    for lvl in range(REPEAT_LEVELS):
-        cur = cur.localCheckpoint(eager=False)
+    for width, cur in _doubling_levels(_token_contexts(docs)):
         grp = cur.groupBy("id").agg(F.count(F.lit(1)).alias("c"))
         levels.append(
             grp.agg(
@@ -649,18 +682,6 @@ def repeat_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("repeated_positions"),
             )
         )
-        if lvl + 1 < REPEAT_LEVELS:
-            right = cur.select(
-                "doc_id",
-                (F.col("pos") - width).alias("pos"),
-                F.col("id").alias("id_r"),
-            )
-            cur = cur.join(right, ["doc_id", "pos"]).select(
-                "doc_id",
-                "pos",
-                F.md5(F.concat_ws(":", "id", "id_r")).alias("id"),
-            )
-            width *= 2
     out = levels[0]
     for fr in levels[1:]:
         out = out.unionByName(fr)
@@ -670,4 +691,138 @@ def repeat_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((repeated_positions * 1000000L + total_positions div 2)"
             " div greatest(total_positions, 1L) AS BIGINT)"
         ).alias("repeated_ppm"),
+    ).orderBy("width")
+
+
+# Bump on ANY change that alters the standing per-width context-id sets
+# (tokenizer, REPEAT_LEVELS, the md5 doubling recurrence, the new-batch
+# convention) — the DEDUP_INDEX_VERSION discipline;
+# tests/test_incremental_repeat_spectrum.py::
+# test_standing_contexts_match_inline re-derives the inline per-level
+# distinct against the asset so a missed bump still fails CI.
+SPECTRUM_INDEX_VERSION = 1
+
+
+def spectrum_index_path(sf_dir: str) -> str:
+    """Deterministic standing context-index location for one data
+    generation, keyed on the documents parquet's (size, mtime_ns) plus
+    the parameters that shape the id sets (REPEAT_LEVELS, the new-batch
+    modulus) and SPECTRUM_INDEX_VERSION — the span_index_path
+    discipline: fixture regeneration or a parameter change can never
+    serve a stale index."""
+    import os
+
+    from .dedup import NEW_BATCH_MOD
+    from .vector_index import INDEX_ROOT
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    sig = f"{st.st_size}_{st.st_mtime_ns}"
+    label = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        INDEX_ROOT,
+        f"spectrumidx_v{SPECTRUM_INDEX_VERSION}_{label}_{sig}"
+        f"_l{REPEAT_LEVELS}m{NEW_BATCH_MOD}",
+    )
+
+
+def standing_old_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(width, id): the STANDING corpus's distinct context-id set at
+    every doubling width — repeat_spectrum's per-width vocabulary as a
+    persisted asset. Built on first touch (one doubling chain over the
+    old corpus, the cost a deployment pays once per corpus generation),
+    published with the dedup-index atomic protocol, PARTITIONED BY
+    width so each increment probe prunes to exactly its level's
+    directory, then served as a plain parquet scan. Output is
+    bit-identical to the inline per-level distinct by construction; the
+    DuckDB oracle replays the inline chain, unchanged."""
+    import os
+    import shutil
+    import uuid
+
+    from .dedup import NEW_BATCH_MOD, _publish_subdir
+
+    path = spectrum_index_path(sf_dir)
+    sub = os.path.join(path, "contexts_old")
+    if not os.path.exists(os.path.join(sub, "_SUCCESS")):
+        os.makedirs(path, exist_ok=True)
+        tmp = os.path.join(
+            path, f"contexts_old.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        )
+        is_new = (F.col("doc_id") % NEW_BATCH_MOD) == (NEW_BATCH_MOD - 1)
+        docs = (
+            load(spark, sf_dir, "documents", parallelize=True)
+            .where(~is_new)
+            .select("doc_id", tokenize("text").alias("toks"))
+        )
+        per_level = [
+            frame.select(
+                F.lit(width).cast("bigint").alias("width"), "id"
+            ).distinct()
+            for width, frame in _doubling_levels(_token_contexts(docs))
+        ]
+        out = per_level[0]
+        for fr in per_level[1:]:
+            out = out.unionByName(fr)
+        out.write.mode("overwrite").partitionBy("width").parquet(tmp)
+        _publish_subdir(tmp, sub)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(sub)
+
+
+def incremental_repeat_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(width, new_positions, dup_old_positions, dup_old_ppm): for each
+    window width 1, 2, 4, ..., 2^(REPEAT_LEVELS-1) tokens, how much of
+    the NEW crawl batch's position mass (doc_id % NEW_BATCH_MOD ==
+    NEW_BATCH_MOD - 1, the family convention) is text whose exact token
+    content ALREADY occurs in the standing corpus at that width —
+    repeat_spectrum's recurring-path twin, completing the spectrum
+    family the way incremental_spans completes the fixed-k span family:
+    the corpus-side per-width context vocabulary is a maintained asset
+    (standing_old_contexts) and each increment only probes it, never
+    re-scanning old-vs-old. A steep small-width curve with a flat
+    large-width tail says the increment shares vocabulary but not
+    passages; a fat 64-256 tail is verbatim boilerplate the curation
+    pass should strip before training.
+
+    Scale shape: the doubling chain runs over the INCREMENT ONLY
+    (increment-sized explode + one per-doc equi-join per level); each
+    level then pays one equi-join of the increment's (pos, id) rows
+    against the asset's width=w partition (directory-pruned parquet
+    scan; md5 keys uniform by construction, left side partial-aggregates
+    nothing until the final scalar agg). Counts are exact integers on
+    both engines; the DuckDB oracle replays the full inline chain and
+    stays self-contained, and the asset==inline equality is pinned by
+    tests/test_incremental_repeat_spectrum.py."""
+    from .dedup import NEW_BATCH_MOD
+
+    is_new = (F.col("doc_id") % NEW_BATCH_MOD) == (NEW_BATCH_MOD - 1)
+    docs = (
+        load(spark, sf_dir, "documents", parallelize=True)
+        .where(is_new)
+        .select("doc_id", tokenize("text").alias("toks"))
+    )
+    old = standing_old_contexts(spark, sf_dir)
+    levels = []
+    for width, cur in _doubling_levels(_token_contexts(docs)):
+        old_w = old.where(F.col("width") == width).select(
+            "id", F.lit(1).alias("hit")
+        )
+        levels.append(
+            cur.join(old_w, "id", "left").agg(
+                F.lit(width).cast("bigint").alias("width"),
+                F.count(F.lit(1)).cast("bigint").alias("new_positions"),
+                F.coalesce(F.sum("hit"), F.lit(0))
+                .cast("bigint")
+                .alias("dup_old_positions"),
+            )
+        )
+    out = levels[0]
+    for fr in levels[1:]:
+        out = out.unionByName(fr)
+    return out.select(
+        "*",
+        F.expr(
+            "CAST((dup_old_positions * 1000000L + new_positions div 2)"
+            " div greatest(new_positions, 1L) AS BIGINT)"
+        ).alias("dup_old_ppm"),
     ).orderBy("width")

@@ -318,7 +318,12 @@ _DRIVER_WINDOW_FIRST = (
 # 50 slots are forced by the r9-stale cohort, so net new round-14
 # registrations must stay <= 3 and displace the spare pre-covers below.
 _NEXT_WINDOW_PLAN = (
-    # slots 1-47: the 47 r9-stale (latest row CORRECTNESS_r09; the r9
+    # slot 1: the round-14 staged queue on registration (displaces the
+    # bm25_retrieval spare pre-cover — the tail of the spare list, per
+    # the r13 precedent; never an r9-stale slot). First so even a
+    # truncated driver run covers the card with zero prior rows:
+    "incremental_repeat_spectrum",
+    # slots 2-48: the 47 r9-stale (latest row CORRECTNESS_r09; the r9
     # cohort measured 49, minus the 2 r14-window pre-covers
     # ab_test_zscore + bpe_encode_stats), alphabetical — exactly the
     # membership the contract tripwire enumerated at r13 close:
@@ -369,11 +374,11 @@ _NEXT_WINDOW_PLAN = (
     "user_retention_cohorts",
     "user_scd2_history",
     "weekly_active_users",
-    # slots 48-50: r11-cohort alphabetical head (pre-cover; any r14
-    # staging displaces THESE, never the r9-stale slots)
+    # slots 49-50: r11-cohort alphabetical head (pre-cover; r14 staging
+    # displaces these from the tail — bm25_retrieval gave its slot to
+    # incremental_repeat_spectrum above — never the r9-stale slots)
     "bigram_rel_freq",
     "bigram_stripes",
-    "bm25_retrieval",
 )
 
 

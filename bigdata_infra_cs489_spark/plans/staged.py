@@ -36,5 +36,22 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def staged_queries() -> dict[str, QueryFn]:
-    """name -> callable for every plan-auditable staged operator."""
-    return {}
+    """name -> callable for every plan-auditable staged operator.
+
+    Round-14 queue (1 of the 3 spare r15 slots; displaces the
+    bm25_retrieval pre-cover in _NEXT_WINDOW_PLAN, never an r9-stale
+    slot):
+
+    - ``incremental_repeat_spectrum`` — the repeat-spectrum family's
+      recurring path: the new crawl batch's all-scale repetition against
+      the standing corpus's per-width context-id asset
+      (operators/spans.py::standing_old_contexts). Oracle single-sourced
+      in tests/test_incremental_repeat_spectrum.py (inline md5-chain
+      replay; the asset is an execution strategy, not a semantic input),
+      plus a true token-tuple replay and the asset==inline pin.
+    """
+    from ..operators import spans as SP
+
+    return {
+        "incremental_repeat_spectrum": SP.incremental_repeat_spectrum,
+    }

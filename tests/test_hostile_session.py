@@ -110,20 +110,20 @@ def test_loud_failure_message_names_the_conf():
 
 def test_staged_queue_parity_under_hostile_session(hostile, sf_smoke):
     """The staged queue holds the same foreign-session bar as the
-    registry BEFORE registration (the r13 rotation lifted the whole r12
-    queue into catalog slots 1-3; the r13 queue re-opened with
-    tokenizer_fertility): every queue entry must match its oracle under
-    the non-UTC, AQE-off, shuffle=7 session. Oracle SQL is imported
-    from each card's own test module so this never drifts from the
-    queue's single source."""
+    registry BEFORE registration (the r14 rotation lifted the whole r13
+    queue into catalog slots 1-2; the r14 queue re-opened with
+    incremental_repeat_spectrum): every queue entry must match its
+    oracle under the non-UTC, AQE-off, shuffle=7 session. Oracle SQL is
+    imported from each card's own test module so this never drifts from
+    the queue's single source."""
     from bigdata_infra_cs489_spark.plans.staged import staged_queries
 
-    from .test_repeat_spectrum import repeat_spectrum_oracle_sql
-    from .test_tokenizer_fertility import fertility_oracle_sql
+    from .test_incremental_repeat_spectrum import (
+        incremental_repeat_spectrum_oracle_sql,
+    )
 
     oracles = {
-        "tokenizer_fertility": fertility_oracle_sql(),
-        "repeat_spectrum": repeat_spectrum_oracle_sql(),
+        "incremental_repeat_spectrum": incremental_repeat_spectrum_oracle_sql(),
     }
     qs = staged_queries()
     assert set(qs) == set(oracles)  # a queue edit must update this map
