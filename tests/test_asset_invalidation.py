@@ -36,13 +36,17 @@ def _all_asset_paths(sf_dir: str) -> dict[str, str]:
         N_CENTROIDS,
         kmeans_model_path,
     )
-    from bigdata_infra_cs489_spark.operators.spans import span_index_path
+    from bigdata_infra_cs489_spark.operators.spans import (
+        span_index_path,
+        spectrum_index_path,
+    )
     from bigdata_infra_cs489_spark.operators.text_analytics import lm_scores_path
     from bigdata_infra_cs489_spark.operators.vector_index import vector_index_path
 
     return {
         "dedup_index": dedup_index_path(sf_dir),
         "span_index": span_index_path(sf_dir),
+        "spectrum_index": spectrum_index_path(sf_dir),
         "curate_manifest": curate_manifest_path(sf_dir),
         "dsir_scores": dsir_scores_path(sf_dir),
         "lm_scores": lm_scores_path(sf_dir),
@@ -81,6 +85,7 @@ def test_version_bump_forces_rebuild(tmp_path, monkeypatch):
     for mod, const, key in (
         (dedup, "DEDUP_INDEX_VERSION", "dedup_index"),
         (spans, "SPAN_INDEX_VERSION", "span_index"),
+        (spans, "SPECTRUM_INDEX_VERSION", "spectrum_index"),
         (curate, "CURATE_MANIFEST_VERSION", "curate_manifest"),
         (dsir, "DSIR_SCORES_VERSION", "dsir_scores"),
         (text_analytics, "LM_SCORES_VERSION", "lm_scores"),
