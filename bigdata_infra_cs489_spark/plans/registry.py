@@ -151,10 +151,12 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #                the r13 schedule estimated: the r9 cohort measured 49,
 #                minus the 2 r14-window pre-covers)
 #   r16 window = r11 cohort (45 post-consolidation, deadline r16) minus
-#                r15 pre-covers (3) = 42 forced + 8 spare
+#                r15 pre-covers (2 after incremental_repeat_spectrum
+#                displaced bm25_retrieval) = 43 forced + 7 spare
 # Max lag stays ≤ bound (5, +1 for cohorts spanning the missed round
 # 11) for every cohort through r16 iff net new registrations stay ≤ the
-# spare slots above — i.e. ≤3 in r14, ≤8 in r15.
+# spare slots above — i.e. ≤3 in r14 (1 used: incremental_repeat_
+# spectrum), ≤7 in r15.
 #
 # Round-10 rotation (executes the window pre-committed in round 9):
 #   slots 1-12   the full round-9-staged queue, registered this round
