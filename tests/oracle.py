@@ -22,7 +22,25 @@ TABLES = (
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """One in-memory connection with the fixture tables as views.
+
+    The memory cap + disk-spill temp dir exist for the sf1 campaigns:
+    an uncapped in-memory connection holds ALL intermediates in RAM, and
+    one multiply-referenced-CTE oracle at 50k docs (repeat_spectrum's
+    doubling chain) reached >100 GB RSS and took the whole sweep process
+    down with it (round-14, OOM-killed twice). Capped, DuckDB spills
+    instead; the sf0.01 driver-gate workloads never come near the cap."""
+    import os
+    import tempfile
+
     con = duckdb.connect()
+    cap_gb = int(os.environ.get("SPARK_GRAFT_DUCK_MEM_GB", "20"))
+    con.execute(f"SET memory_limit='{cap_gb}GB'")
+    con.execute(
+        "SET temp_directory='"
+        + os.path.join(tempfile.gettempdir(), "duck_spill")
+        + "'"
+    )
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
