@@ -157,6 +157,35 @@ def test_standing_contexts_match_inline(spark, sf_correct):
     assert asset == inline
 
 
+def test_concurrent_cold_build_race(spark, sf_smoke):
+    """The standing-asset race bar (test_vector_index's round-10
+    regression pattern): with the spectrum index ABSENT, several threads
+    run the full increment query simultaneously — every thread must see
+    the correct 9-row spectrum and exactly one complete published asset
+    must remain."""
+    import os
+    import shutil
+    from concurrent.futures import ThreadPoolExecutor
+
+    from bigdata_infra_cs489_spark.operators.spans import spectrum_index_path
+
+    path = spectrum_index_path(sf_smoke)
+    shutil.rmtree(path, ignore_errors=True)
+
+    def run(_):
+        return sorted(
+            tuple(r) for r in incremental_repeat_spectrum(spark, sf_smoke).collect()
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(run, range(4)))
+    assert all(r == results[0] for r in results)
+    assert len(results[0]) == REPEAT_LEVELS
+    assert os.path.exists(os.path.join(path, "contexts_old", "_SUCCESS"))
+    torn = [d for d in os.listdir(path) if ".build-" in d or d.endswith(".torn")]
+    assert torn == [], f"unpublished build debris: {torn}"
+
+
 def test_crafted_corpus_exact_values(spark, tmp_path):
     """Hand-checkable frame: doc 9 is the new batch (doc_id % 10 == 9);
     shared vocabulary at width 1, one shared 4-gram, nothing at 8+."""
