@@ -6765,3 +6765,65 @@ register(
     SP.repeat_spectrum,
     _repeat_spectrum_oracle(),
 )
+
+# -- incremental repeat spectrum (operators/spans.py) ------------------------
+# The spectrum family's recurring path: the new crawl batch's all-scale
+# repetition probed against the standing corpus's per-width context-id
+# asset (spans.py::standing_old_contexts — keyed, atomically published,
+# rebuilt only on fixture/version change). The probe prunes to one width
+# partition per doubling level; at cluster scale the standing asset is
+# the increment-sized path (SCALING_r14.md: flat sf0.1 -> sf1 warmed).
+# The oracle replays the identical md5 doubling chain INLINE over all
+# documents and derives the old-corpus distinct sets per width — the
+# asset is an execution strategy, not a semantic input, so the oracle
+# never reads it. tests/test_incremental_repeat_spectrum.py additionally
+# pins the chain against TRUE token-tuple counting, the asset==inline
+# equality, a crafted corpus, and the concurrent cold-build race.
+
+
+def _incremental_repeat_spectrum_oracle() -> str:
+    m, nw = D.NEW_BATCH_MOD, D.NEW_BATCH_MOD - 1
+    ctes = [
+        f"toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents)",
+        "t0 AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,"
+        " md5(unnest(toks)) AS id FROM toks)",
+    ]
+    width = 1
+    for lvl in range(1, SP.REPEAT_LEVELS):
+        ctes.append(
+            f"t{lvl} AS (SELECT a.doc_id, a.pos,"
+            f" md5(a.id || ':' || b.id) AS id"
+            f" FROM t{lvl - 1} a JOIN t{lvl - 1} b"
+            f" ON b.doc_id = a.doc_id AND b.pos = a.pos + {width})"
+        )
+        width *= 2
+    stats = []
+    width = 1
+    for lvl in range(SP.REPEAT_LEVELS):
+        stats.append(
+            f"""
+    SELECT CAST({width} AS BIGINT) AS width,
+           CAST(count(*) AS BIGINT) AS new_positions,
+           CAST(coalesce(sum(CASE WHEN o.id IS NOT NULL THEN 1 END), 0)
+                AS BIGINT) AS dup_old_positions
+    FROM (SELECT id FROM t{lvl} WHERE doc_id % {m} = {nw}) n
+    LEFT JOIN (SELECT DISTINCT id FROM t{lvl} WHERE doc_id % {m} <> {nw}) o
+        ON o.id = n.id"""
+        )
+        width *= 2
+    body = "\n    UNION ALL".join(stats)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\nSELECT width, new_positions, dup_old_positions,"
+        "\n       CAST((dup_old_positions * 1000000 + new_positions // 2)"
+        "\n            // greatest(new_positions, 1) AS BIGINT) AS dup_old_ppm"
+        + f"\nFROM ({body})"
+    )
+
+
+register(
+    "incremental_repeat_spectrum",
+    SP.incremental_repeat_spectrum,
+    _incremental_repeat_spectrum_oracle(),
+)

@@ -146,17 +146,19 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #   (Round 14 EXECUTED this window verbatim as its first commit —
 #   _DRIVER_WINDOW_FIRST below — with both staged cards registered.)
 #   r15 window = 47 remaining r9-stale + 3 spare (r11-cohort head) —
-#                EXACT MEMBERSHIP pre-computed at r14 close as DATA
-#                (_NEXT_WINDOW_PLAN below; the count is 47, not the 42
-#                the r13 schedule estimated: the r9 cohort measured 49,
-#                minus the 2 r14-window pre-covers)
+#                EXACT MEMBERSHIP pre-computed at r14 close as DATA;
+#                EXECUTED VERBATIM as the first round-15 commit
+#                (_DRIVER_WINDOW_FIRST below; incremental_repeat_
+#                spectrum registered, staged queue emptied).
 #   r16 window = r11 cohort (45 post-consolidation, deadline r16) minus
 #                r15 pre-covers (2 after incremental_repeat_spectrum
 #                displaced bm25_retrieval) = 43 forced + 7 spare
+#                (r12-cohort head) — _NEXT_WINDOW_PLAN below.
+#   r17 window = r12 cohort (50, deadline r17) minus the 7 r16
+#                pre-covers = 43 forced + 7 spare.
 # Max lag stays ≤ bound (5, +1 for cohorts spanning the missed round
-# 11) for every cohort through r16 iff net new registrations stay ≤ the
-# spare slots above — i.e. ≤3 in r14 (1 used: incremental_repeat_
-# spectrum), ≤7 in r15.
+# 11) for every cohort through r17 iff net new registrations stay ≤ the
+# spare slots above — i.e. ≤7 in r15, ≤7 in r16.
 #
 # Round-10 rotation (executes the window pre-committed in round 9):
 #   slots 1-12   the full round-9-staged queue, registered this round
@@ -248,87 +250,12 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # and the r6 cohort only reaches lag 5 at round 11 — one full window
 # of slack.
 _DRIVER_WINDOW_FIRST = (
-    # ROUND-14 WINDOW — _NEXT_WINDOW_PLAN (r13 close) executed verbatim
-    # as the first round-14 commit: the two staged cards registered in
+    # ROUND-15 WINDOW — _NEXT_WINDOW_PLAN (r14 close) executed verbatim
+    # as the first round-15 commit: the staged card registered in
     # catalog.py (queue emptied), this tuple assigned from the plan.
-    # -- slots 1-2: the round-13 staged queue, registered this round ----
-    "tokenizer_fertility",
-    "repeat_spectrum",
-    # -- slots 3-48: latest driver row round 8 (deadline r14) -----------
-    "contamination_near",
-    "corpus_curate_v2",
-    "corpus_report",
-    "customer_rfm",
-    "dedup_keep_best",
-    "dsir_resample",
-    "dup_line_stats",
-    "editdist_near_duplicates",
-    "embedding_drift",
-    "events_json_stats",
-    "events_quality_gate",
-    "events_sessionize",
-    "html_extract",
-    "html_link_edges",
-    "incremental_dedup_assign",
-    "incremental_line_dedup",
-    "ivf_topk_trained",
-    "ivf_train_centroids",
-    "ivfpq_topk",
-    "ivfpq_topk_indexed",
-    "jaccard_prefix_join",
-    "jsonl_roundtrip_events",
-    "k_anonymity_report",
-    "lang_mixture_rates",
-    "leakage_safe_split",
-    "line_dedup_corpus",
-    "lsh_topk_indexed",
-    "minhash_estimate_error",
-    "orc_roundtrip_customer",
-    "pack_manifest",
-    "partitioned_day_scan",
-    "pq_codes",
-    "pq_topk",
-    "quality_model_report",
-    "quality_model_scores",
-    "quality_model_weights",
-    "rp_projected",
-    "rp_recall_topk",
-    "schema_evolution_events",
-    "sequence_pack",
-    "source_dedup_rates",
-    "source_lang_entropy",
-    "spam_apply",
-    "spam_ensemble_average",
-    "spam_ensemble_vote",
-    "stream_line_dedup",
-    # -- slots 49-50: r9-cohort alphabetical head (deadline r15) --------
-    "ab_test_zscore",
-    "bpe_encode_stats",
-)
-
-
-# THE PRE-COMMITTED R15 WINDOW AS DATA (round-14 close). Round 11 proved
-# a rotation plan that lives only in prose can silently not happen; the
-# r13 rotation was safe because its membership was a paste-able comment.
-# This goes one step further: the next window is a TUPLE the contract
-# suite validates on every run (names resolve against registered+staged,
-# exactly 50 unique slots, and every query whose staleness deadline is
-# the next-next round holds a slot — see tests/test_registry_contract.py
-# ::test_next_window_plan_is_satisfiable). The r14 rotation then simply
-# assigns: _DRIVER_WINDOW_FIRST = _NEXT_WINDOW_PLAN (after lifting any
-# staged queue into catalog.py). This window has NEAR-ZERO slack: 47 of
-# 50 slots are forced by the r9-stale cohort, so net new round-14
-# registrations must stay <= 3 and displace the spare pre-covers below.
-_NEXT_WINDOW_PLAN = (
-    # slot 1: the round-14 staged queue on registration (displaces the
-    # bm25_retrieval spare pre-cover — the tail of the spare list, per
-    # the r13 precedent; never an r9-stale slot). First so even a
-    # truncated driver run covers the card with zero prior rows:
+    # -- slot 1: the round-14 staged queue, registered this round -------
     "incremental_repeat_spectrum",
-    # slots 2-48: the 47 r9-stale (latest row CORRECTNESS_r09; the r9
-    # cohort measured 49, minus the 2 r14-window pre-covers
-    # ab_test_zscore + bpe_encode_stats), alphabetical — exactly the
-    # membership the contract tripwire enumerated at r13 close:
+    # -- slots 2-48: latest driver row round 9 (deadline r15) -----------
     "bucketed_customer_orders",
     "ccnet_bucket_stats",
     "ccnet_perplexity_buckets",
@@ -376,11 +303,83 @@ _NEXT_WINDOW_PLAN = (
     "user_retention_cohorts",
     "user_scd2_history",
     "weekly_active_users",
-    # slots 49-50: r11-cohort alphabetical head (pre-cover; r14 staging
-    # displaces these from the tail — bm25_retrieval gave its slot to
-    # incremental_repeat_spectrum above — never the r9-stale slots)
+    # -- slots 49-50: r11-cohort alphabetical head (deadline r16) -------
     "bigram_rel_freq",
     "bigram_stripes",
+)
+
+
+# THE PRE-COMMITTED R16 WINDOW AS DATA (round-15 close). Round 11 proved
+# a rotation plan that lives only in prose can silently not happen; the
+# r13 rotation was safe because its membership was a paste-able comment.
+# This goes one step further: the next window is a TUPLE the contract
+# suite validates on every run (names resolve against registered+staged,
+# exactly 50 unique slots, and every query whose staleness deadline is
+# the next-next round holds a slot — see tests/test_registry_contract.py
+# ::test_next_window_plan_is_satisfiable). The r16 rotation then simply
+# assigns: _DRIVER_WINDOW_FIRST = _NEXT_WINDOW_PLAN (after lifting any
+# staged queue into catalog.py). 43 of 50 slots are forced by the
+# r11-stale cohort; net new round-15 registrations must stay <= 7 and
+# displace the spare pre-covers below from the TAIL (dataset_split
+# first), never a stale slot.
+_NEXT_WINDOW_PLAN = (
+    # slots 1-43: the 43 r11-stale (latest row CORRECTNESS_r11; the r11
+    # cohort measured 45 post-consolidation, minus the 2 r15-window
+    # pre-covers bigram_rel_freq + bigram_stripes), alphabetical:
+    "bm25_retrieval",
+    "boolean_retrieval",
+    "bpe_vocab_coverage",
+    "chunk_embed_topk",
+    "cosine_topk",
+    "crawl_pagerank",
+    "dedup_cluster_hist",
+    "dedup_exact",
+    "dedup_index_commit",
+    "embedding_dedup_recall",
+    "embedding_near_duplicates",
+    "export_shards",
+    "hard_negative_pairs",
+    "incremental_curate",
+    "incremental_span_stats",
+    "inverted_index_df",
+    "jaccard_threshold_curve",
+    "label_propagation_communities",
+    "langid_confusion",
+    "lsh_banding_recall",
+    "media_features",
+    "nation_market_share",
+    "pagerank_topk",
+    "ppr_topk",
+    "promo_revenue_share",
+    "quality_signal_agreement",
+    "semantic_dedup_keep_best",
+    "session_cooccurrence",
+    "source_capped_sample",
+    "source_perplexity_report",
+    "source_quality_percentiles",
+    "spam_calibration_bins",
+    "split_balance_report",
+    "stream_token_drift",
+    "top_return_customers",
+    "top_suppliers_by_revenue",
+    "top_terms_per_lang",
+    "user_erasure_audit",
+    "user_rolling_anomalies",
+    "user_value_anomalies",
+    "user_value_deciles",
+    "video_frames",
+    "weighted_sample_topn",
+    # slots 44-50: r12-cohort alphabetical head (pre-cover; r15 staging
+    # displaces these from the tail — dataset_split first — never the
+    # r11-stale slots). The r12 cohort measures 50, so r17 = 43 forced
+    # + 7 spare with these pre-covers in place.
+    "bigram_lm_perplexity",
+    "boilerplate_fraction",
+    "boilerplate_ngrams",
+    "clean_corpus",
+    "contamination_flags",
+    "customers_without_orders",
+    "dataset_split",
 )
 
 

@@ -15,15 +15,16 @@ Consumers:
   SQL (written alongside the operator in its family's test file or
   composed from catalog fragments).
 
-The round-13 queue (tokenizer_fertility, repeat_spectrum) registered in
-catalog.py during the round-14 rotation and holds slots 1-2 of the
-round-14 driver window, per the protocol: a query lives either here
+The round-14 queue (incremental_repeat_spectrum) registered in
+catalog.py during the round-15 rotation and holds slot 1 of the
+round-15 driver window, per the protocol: a query lives either here
 (staged, pytest-oracled) or in catalog.py (registered), never both.
-Entries added during round 14 queue for the round-15 rotation; the
-forward schedule in ``registry.py`` leaves only 3 spare r15 slots (47
-are reserved for the r9-stale cohort the contract tripwire enumerates),
-so keep the queue ≤ 3 and prefer SMALLER — spare slots should pre-cover
-the r11-cohort head (bigram_rel_freq, bigram_stripes, bm25_retrieval).
+Entries added during round 15 queue for the round-16 rotation; the
+forward schedule in ``registry.py`` leaves 7 spare r16 slots (43 are
+reserved for the r11-stale cohort the contract tripwire enumerates),
+but keep the queue well under that — spare slots should pre-cover the
+r12-cohort head (bigram_lm_perplexity .. dataset_split), and staged
+entries displace pre-covers from the TAIL, never a stale slot.
 """
 
 from __future__ import annotations
@@ -38,20 +39,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def staged_queries() -> dict[str, QueryFn]:
     """name -> callable for every plan-auditable staged operator.
 
-    Round-14 queue (1 of the 3 spare r15 slots; displaces the
-    bm25_retrieval pre-cover in _NEXT_WINDOW_PLAN, never an r9-stale
-    slot):
-
-    - ``incremental_repeat_spectrum`` — the repeat-spectrum family's
-      recurring path: the new crawl batch's all-scale repetition against
-      the standing corpus's per-width context-id asset
-      (operators/spans.py::standing_old_contexts). Oracle single-sourced
-      in tests/test_incremental_repeat_spectrum.py (inline md5-chain
-      replay; the asset is an execution strategy, not a semantic input),
-      plus a true token-tuple replay and the asset==inline pin.
+    Round-15 queue: empty (the round-14 card lifted into catalog.py at
+    the rotation; any round-15 staging lands here with its oracle
+    single-sourced in its family's test file).
     """
-    from ..operators import spans as SP
-
-    return {
-        "incremental_repeat_spectrum": SP.incremental_repeat_spectrum,
-    }
+    return {}

@@ -1,10 +1,8 @@
 """incremental_repeat_spectrum (new-batch all-scale repetition against
-the standing corpus's per-width context-id asset) vs a self-contained
-DuckDB oracle that replays the md5 doubling chain inline, plus a
-pure-Python TRUE token-tuple replay and the asset==inline equality pin.
-
-Staged for the round-15 rotation (plans/staged.py); the oracle below is
-the single source the rotation lifts into catalog.py.
+the standing corpus's per-width context-id asset) vs its REGISTERED
+DuckDB oracle (catalog.py replays the md5 doubling chain inline — the
+round-15 rotation lifted the single source there), plus a pure-Python
+TRUE token-tuple replay and the asset==inline equality pin.
 """
 
 from __future__ import annotations
@@ -19,51 +17,9 @@ from .oracle import assert_matches_oracle
 
 
 def incremental_repeat_spectrum_oracle_sql() -> str:
-    """Self-contained inline replay: the identical md5 doubling chain
-    over ALL documents, then per width (new-batch positions) LEFT JOIN
-    (distinct old-corpus ids) — the asset is an execution strategy, not
-    a semantic input, so the oracle never reads it."""
-    from bigdata_infra_cs489_spark.operators.dedup import NEW_BATCH_MOD
-    from bigdata_infra_cs489_spark.plans.catalog import DUCK_TOKS
+    import __spark_entry__ as entrymod
 
-    m, nw = NEW_BATCH_MOD, NEW_BATCH_MOD - 1
-    ctes = [
-        f"toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents)",
-        "t0 AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,"
-        " md5(unnest(toks)) AS id FROM toks)",
-    ]
-    width = 1
-    for lvl in range(1, REPEAT_LEVELS):
-        ctes.append(
-            f"t{lvl} AS (SELECT a.doc_id, a.pos,"
-            f" md5(a.id || ':' || b.id) AS id"
-            f" FROM t{lvl - 1} a JOIN t{lvl - 1} b"
-            f" ON b.doc_id = a.doc_id AND b.pos = a.pos + {width})"
-        )
-        width *= 2
-    stats = []
-    width = 1
-    for lvl in range(REPEAT_LEVELS):
-        stats.append(
-            f"""
-    SELECT CAST({width} AS BIGINT) AS width,
-           CAST(count(*) AS BIGINT) AS new_positions,
-           CAST(coalesce(sum(CASE WHEN o.id IS NOT NULL THEN 1 END), 0)
-                AS BIGINT) AS dup_old_positions
-    FROM (SELECT id FROM t{lvl} WHERE doc_id % {m} = {nw}) n
-    LEFT JOIN (SELECT DISTINCT id FROM t{lvl} WHERE doc_id % {m} <> {nw}) o
-        ON o.id = n.id"""
-        )
-        width *= 2
-    body = "\n    UNION ALL".join(stats)
-    return (
-        "WITH "
-        + ",\n    ".join(ctes)
-        + "\nSELECT width, new_positions, dup_old_positions,"
-        "\n       CAST((dup_old_positions * 1000000 + new_positions // 2)"
-        "\n            // greatest(new_positions, 1) AS BIGINT) AS dup_old_ppm"
-        + f"\nFROM ({body})"
-    )
+    return entrymod.oracle_sql()["incremental_repeat_spectrum"]
 
 
 def test_matches_oracle(spark, sf_correct):
@@ -182,7 +138,7 @@ def test_concurrent_cold_build_race(spark, sf_smoke):
     assert all(r == results[0] for r in results)
     assert len(results[0]) == REPEAT_LEVELS
     assert os.path.exists(os.path.join(path, "contexts_old", "_SUCCESS"))
-    torn = [d for d in os.listdir(path) if ".build-" in d or d.endswith(".torn")]
+    torn = [d for d in os.listdir(path) if ".build-" in d or ".torn-" in d]
     assert torn == [], f"unpublished build debris: {torn}"
 
 
