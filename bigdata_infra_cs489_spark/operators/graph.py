@@ -30,6 +30,8 @@ exercise missing-mass redistribution. Sources {0, 7}.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -40,6 +42,47 @@ ALPHA = 0.15  # RunPersonalizedPageRankBasic.java ALPHA
 SOURCES = (0, 7)  # FIXTURES.md §3
 DEFAULT_ITERATIONS = 10
 TOP_K = 10
+
+# Spark's CacheManager keys cached data on the ANALYZED PLAN, not the
+# DataFrame object: two drivers that each .cache() the same build_graph
+# plan share ONE storage entry, and either driver's .unpersist() drops it
+# for both — under concurrent execution one loop's cleanup yanks the
+# other's cached graph mid-iteration (the round-14 sf1 parallel-sweep
+# flake: ppr_topk and ppr_mass_conservation in the same batch). The
+# shared entry itself is the right behavior at scale (the graph is
+# cached once, not per driver); what was wrong is the unscoped
+# unpersist. This registry refcounts the shared plan: acquisition caches
+# on first use, release unpersists only when the LAST concurrent holder
+# lets go. Keyed by (session, analyzed-plan text) — our graph builders
+# are deterministic, so concurrent drivers over the same inputs produce
+# byte-identical plan strings.
+_SHARED_CACHE_LOCK = threading.Lock()
+_SHARED_CACHE: dict[tuple[int, str], list] = {}  # key -> [cached_df, refcount]
+
+
+def _acquire_cached(spark: SparkSession, df: DataFrame):
+    """Cache ``df``'s plan shared + refcounted; returns (frame, key).
+
+    Always pair with ``_release_cached(key)`` in a ``finally``."""
+    key = (id(spark), df._jdf.queryExecution().analyzed().toString())
+    with _SHARED_CACHE_LOCK:
+        ent = _SHARED_CACHE.get(key)
+        if ent is None:
+            ent = [df.cache(), 0]
+            _SHARED_CACHE[key] = ent
+        ent[1] += 1
+        return ent[0], key
+
+
+def _release_cached(key) -> None:
+    with _SHARED_CACHE_LOCK:
+        ent = _SHARED_CACHE.get(key)
+        if ent is None:
+            return
+        ent[1] -= 1
+        if ent[1] <= 0:
+            del _SHARED_CACHE[key]
+            ent[0].unpersist()
 
 
 def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,8 +192,24 @@ def personalized_pagerank(
         return _personalized_pagerank_log(
             spark, sf_dir, sources, iterations, alpha
         )
+    graph, ckey = _acquire_cached(spark, build_graph(spark, sf_dir))
+    try:
+        return _personalized_pagerank_linear(graph, sources, iterations, alpha)
+    finally:
+        # the final ranks read from the last checkpoint, not the graph —
+        # release this holder's reference so long-lived sessions don't
+        # accumulate pinned storage (the shared entry survives while any
+        # concurrent PPR driver still iterates over it)
+        _release_cached(ckey)
+
+
+def _personalized_pagerank_linear(
+    graph: DataFrame,
+    sources: tuple[int, ...],
+    iterations: int,
+    alpha: float,
+) -> DataFrame:
     k = len(sources)
-    graph = build_graph(spark, sf_dir).cache()
 
     # initial mass: 1.0 at each source for its own slot (M3)
     ranks = graph.select(
@@ -223,9 +282,6 @@ def personalized_pagerank(
         )
         ranks = received.select("id", new_mass.alias("mass"))
 
-    # the final ranks read from the last checkpoint, not the graph — release
-    # the cached graph so long-lived sessions don't accumulate pinned storage
-    graph.unpersist()
     return ranks
 
 
@@ -242,11 +298,23 @@ def _personalized_pagerank_log(
     — the distributed form of the reference's pairwise sumLogProbs. The
     final select exponentiates back so downstream consumers see the same
     (id, mass array<double>) contract."""
+    graph, ckey = _acquire_cached(spark, build_graph(spark, sf_dir))
+    try:
+        return _personalized_pagerank_log_loop(graph, sources, iterations, alpha)
+    finally:
+        _release_cached(ckey)
+
+
+def _personalized_pagerank_log_loop(
+    graph: DataFrame,
+    sources: tuple[int, ...],
+    iterations: int,
+    alpha: float,
+) -> DataFrame:
     import math
 
     k = len(sources)
     NEG_INF = float("-inf")
-    graph = build_graph(spark, sf_dir).cache()
 
     # log initial mass: log(1)=0 at each source's own slot, -inf elsewhere
     ranks = graph.select(
@@ -351,7 +419,6 @@ def _personalized_pagerank_log(
             ],
         )
 
-    graph.unpersist()
     return ranks.select(
         "id",
         F.array(*[F.exp(F.col(f"lm{i}")) for i in range(k)]).alias("mass"),
@@ -507,39 +574,41 @@ def global_pagerank(
     every node) instead of re-injecting at a source. Same scale shape as
     personalized_pagerank: one shuffle + one scalar collect per
     iteration, lazy localCheckpoint truncating lineage."""
-    graph = build_graph(spark, sf_dir).cache()
-    n = graph.count()
-    one_minus = 1.0 - alpha
-    ranks = graph.select("id", F.lit(1.0 / n).alias("mass"))
-    for _ in range(iterations):
-        msgs = (
-            ranks.join(graph, "id")
-            .where(F.col("outdeg") > 0)
-            .select(
-                F.explode("adj").alias("id"),
-                (F.col("mass") / F.col("outdeg")).alias("c"),
+    graph, ckey = _acquire_cached(spark, build_graph(spark, sf_dir))
+    try:
+        n = graph.count()
+        one_minus = 1.0 - alpha
+        ranks = graph.select("id", F.lit(1.0 / n).alias("mass"))
+        for _ in range(iterations):
+            msgs = (
+                ranks.join(graph, "id")
+                .where(F.col("outdeg") > 0)
+                .select(
+                    F.explode("adj").alias("id"),
+                    (F.col("mass") / F.col("outdeg")).alias("c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("c").alias("m"))
             )
-            .groupBy("id")
-            .agg(F.sum("c").alias("m"))
-        )
-        received = (
-            graph.select("id")
-            .join(msgs, "id", "left")
-            .select("id", F.coalesce(F.col("m"), F.lit(0.0)).alias("mass"))
-            .localCheckpoint(eager=False)
-        )
-        total = received.agg(F.sum("mass")).collect()[0][0]
-        missing = max(0.0, 1.0 - (total or 0.0))
-        ranks = received.select(
-            "id",
-            (
-                F.lit(alpha / n)
-                + F.lit(one_minus)
-                * (F.col("mass") + F.lit(missing / n))
-            ).alias("mass"),
-        )
-    graph.unpersist()
-    return ranks
+            received = (
+                graph.select("id")
+                .join(msgs, "id", "left")
+                .select("id", F.coalesce(F.col("m"), F.lit(0.0)).alias("mass"))
+                .localCheckpoint(eager=False)
+            )
+            total = received.agg(F.sum("mass")).collect()[0][0]
+            missing = max(0.0, 1.0 - (total or 0.0))
+            ranks = received.select(
+                "id",
+                (
+                    F.lit(alpha / n)
+                    + F.lit(one_minus)
+                    * (F.col("mass") + F.lit(missing / n))
+                ).alias("mass"),
+            )
+        return ranks
+    finally:
+        _release_cached(ckey)
 
 
 def pagerank_over_edges(
@@ -562,48 +631,50 @@ def pagerank_over_edges(
         F.collect_list("dst").alias("adj"),
         F.count(F.lit(1)).alias("outdeg"),
     )
-    graph = (
-        nodes.join(adj, nodes["id"] == adj["src"], "left")
-        .select("id", "adj", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
-        .cache()
+    graph, ckey = _acquire_cached(
+        nodes.sparkSession,
+        nodes.join(adj, nodes["id"] == adj["src"], "left").select(
+            "id", "adj", F.coalesce("outdeg", F.lit(0)).alias("outdeg")
+        ),
     )
-    n = graph.count()
-    if n == 0:
-        # an empty node spine (no documents, no harvested links) has no
-        # mass to distribute — return the empty rank frame instead of
-        # dividing by zero below
-        graph.unpersist()
-        return nodes.select("id", F.lit(0.0).alias("mass"))
-    one_minus = 1.0 - alpha
-    ranks = graph.select("id", F.lit(1.0 / n).alias("mass"))
-    for _ in range(iterations):
-        msgs = (
-            ranks.join(graph, "id")
-            .where(F.col("outdeg") > 0)
-            .select(
-                F.explode("adj").alias("id"),
-                (F.col("mass") / F.col("outdeg")).alias("c"),
+    try:
+        n = graph.count()
+        if n == 0:
+            # an empty node spine (no documents, no harvested links) has no
+            # mass to distribute — return the empty rank frame instead of
+            # dividing by zero below
+            return nodes.select("id", F.lit(0.0).alias("mass"))
+        one_minus = 1.0 - alpha
+        ranks = graph.select("id", F.lit(1.0 / n).alias("mass"))
+        for _ in range(iterations):
+            msgs = (
+                ranks.join(graph, "id")
+                .where(F.col("outdeg") > 0)
+                .select(
+                    F.explode("adj").alias("id"),
+                    (F.col("mass") / F.col("outdeg")).alias("c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("c").alias("m"))
             )
-            .groupBy("id")
-            .agg(F.sum("c").alias("m"))
-        )
-        received = (
-            graph.select("id")
-            .join(msgs, "id", "left")
-            .select("id", F.coalesce(F.col("m"), F.lit(0.0)).alias("mass"))
-            .localCheckpoint(eager=False)
-        )
-        total = received.agg(F.sum("mass")).collect()[0][0]
-        missing = max(0.0, 1.0 - (total or 0.0))
-        ranks = received.select(
-            "id",
-            (
-                F.lit(alpha / n)
-                + F.lit(one_minus) * (F.col("mass") + F.lit(missing / n))
-            ).alias("mass"),
-        )
-    graph.unpersist()
-    return ranks
+            received = (
+                graph.select("id")
+                .join(msgs, "id", "left")
+                .select("id", F.coalesce(F.col("m"), F.lit(0.0)).alias("mass"))
+                .localCheckpoint(eager=False)
+            )
+            total = received.agg(F.sum("mass")).collect()[0][0]
+            missing = max(0.0, 1.0 - (total or 0.0))
+            ranks = received.select(
+                "id",
+                (
+                    F.lit(alpha / n)
+                    + F.lit(one_minus) * (F.col("mass") + F.lit(missing / n))
+                ).alias("mass"),
+            )
+        return ranks
+    finally:
+        _release_cached(ckey)
 
 
 def pagerank_topk(

@@ -198,3 +198,32 @@ def test_label_propagation_matches_oracle_and_shape(spark, sf_smoke):
     assert 1 < len({r.community for r in rows}) < n, (
         "communities should be a nontrivial partition on the fixture graph"
     )
+
+
+def test_concurrent_ppr_drivers_share_refcounted_graph_cache(spark, sf_smoke):
+    """The round-14 sf1 parallel-sweep flake, pinned: ppr_topk and
+    ppr_mass_conservation both cache the SAME build_graph plan, and
+    before the refcounted registry either driver's unpersist() could
+    yank the other's cached frame mid-iteration (Spark's CacheManager
+    keys storage on the analyzed plan, not the DataFrame object). Run
+    both drivers in parallel threads several times over; every thread
+    must produce its solo-run answer and the shared cache entry must be
+    fully released at the end."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import __spark_entry__ as entrymod
+
+    from bigdata_infra_cs489_spark.operators import graph as G
+
+    qs = entrymod.queries()
+    names = ["ppr_topk", "ppr_mass_conservation", "pagerank_topk"]
+    solo = {n: sorted(tuple(r) for r in qs[n](spark, sf_smoke).collect()) for n in names}
+
+    def run(name):
+        return name, sorted(tuple(r) for r in qs[name](spark, sf_smoke).collect())
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        for name, rows in ex.map(run, names * 2):
+            assert rows == solo[name], f"concurrent {name} diverged from solo run"
+
+    assert G._SHARED_CACHE == {}, "refcounted graph cache entries leaked"
