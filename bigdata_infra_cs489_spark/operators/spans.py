@@ -766,7 +766,12 @@ def standing_old_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.write.mode("overwrite").partitionBy("width").parquet(tmp)
         _publish_subdir(tmp, sub)
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(sub)
+    # explicit schema: an all-new-batch corpus yields zero rows at every
+    # width, and the partitionBy write then leaves no data file to infer
+    # from — schema'd read returns the well-typed empty frame instead of
+    # throwing (partition column `width` resolves from directory names
+    # when partitions exist)
+    return spark.read.schema("id string, width bigint").parquet(sub)
 
 
 def incremental_repeat_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:

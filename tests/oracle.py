@@ -36,10 +36,13 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     cap_gb = int(os.environ.get("SPARK_GRAFT_DUCK_MEM_GB", "20"))
     con.execute(f"SET memory_limit='{cap_gb}GB'")
+    # per-connection spill dir: DuckDB names spill files with an
+    # INSTANCE-LOCAL counter (duckdb_temp_storage-0.tmp, ...), so two
+    # connections spilling into one shared dir collide and corrupt each
+    # other's oracle queries (parallel sweeps, pytest -n). mkdtemp gives
+    # each connection its own namespace; the OS tmp reaper cleans up.
     con.execute(
-        "SET temp_directory='"
-        + os.path.join(tempfile.gettempdir(), "duck_spill")
-        + "'"
+        "SET temp_directory='" + tempfile.mkdtemp(prefix="duck_spill_") + "'"
     )
     for t in TABLES:
         con.execute(

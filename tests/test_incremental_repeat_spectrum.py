@@ -174,3 +174,30 @@ def test_crafted_corpus_exact_values(spark, tmp_path):
     # widths beyond doc length: empty level, ppm guard holds
     assert rows[16].new_positions == 0
     assert rows[16].dup_old_ppm == 0
+
+
+def test_all_new_batch_corpus_empty_standing_asset(spark, tmp_path):
+    """Round-14 advisory: a corpus whose docs are ALL in the new batch
+    builds a ZERO-ROW standing asset, and the partitionBy('width') write
+    then leaves no data file for schema inference — the schema'd read in
+    standing_old_contexts must return the well-typed empty frame, and
+    the increment must report zero old-overlap at every width."""
+    import os
+
+    df = spark.createDataFrame(
+        [(9, "a b c d a b c d", "en", "s"), (19, "a b x y a b x y", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    df.write.parquet(f"{d}/documents.parquet")
+
+    asset = standing_old_contexts(spark, d)
+    assert asset.columns == ["id", "width"]
+    assert asset.count() == 0
+
+    rows = {r.width: r for r in incremental_repeat_spectrum(spark, d).collect()}
+    assert len(rows) == REPEAT_LEVELS
+    assert rows[1].new_positions == 16
+    assert all(r.dup_old_positions == 0 for r in rows.values())
+    assert all(r.dup_old_ppm == 0 for r in rows.values())
