@@ -111,20 +111,24 @@ def _dup_hits(spark: SparkSession, sf_dir: str, narrow_key: bool = False) -> Dat
     return g.join(dup_keys, "k").select("doc_id", "n_tokens", "pos")
 
 
-def _merge_intervals(hits: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, span_start, span_end, span_len) from a
-    (doc_id, n_tokens, pos) hit relation: hits [pos, pos+K-1] merge while
+def _merge_intervals(
+    hits: DataFrame, keys: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """(*keys, n_tokens, span_start, span_end, span_len) from a
+    (*keys, n_tokens, pos) hit relation: hits [pos, pos+K-1] merge while
     overlapping or adjacent (next_pos <= prev_pos + K); positions are
-    unique per doc so the lag ordering is deterministic. The window is
-    doc-partitioned over the tiny hit subset — never the corpus."""
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    unique per key group so the lag ordering is deterministic. The window
+    is key-partitioned over the tiny hit subset — never the corpus.
+    ``keys`` widens the merge scope (e.g. ("suite", "doc_id") for the
+    per-eval-suite contamination scorecard) without a second code path."""
+    w = Window.partitionBy(*keys).orderBy("pos")
     prev = F.lag("pos").over(w)
     is_new = (prev.isNull() | (F.col("pos") > prev + SPAN_K)).cast("int")
     runs = hits.withColumn(
         "run",
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
-    return runs.groupBy("doc_id", "run").agg(
+    return runs.groupBy(*keys, "run").agg(
         F.first("n_tokens").alias("n_tokens"),
         F.min("pos").alias("span_start"),
         (F.max("pos") + SPAN_K - 1).alias("span_end"),
@@ -586,6 +590,149 @@ def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((coalesce(contam_tokens, 0L) * 1000000L + n_tokens div 2)"
             " div greatest(n_tokens, 1L) AS BIGINT)"
         ).alias("contam_ppm"),
+    )
+
+
+def contamination_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(suite, n_eval_docs, exact_docs, exact_hits, near_docs, span_docs,
+    span_tokens, span_token_ppm): the cross-eval-suite decontamination
+    REPORT — the three registered contamination legs (exact shingle hits
+    = contamination_flags, banded-MinHash fuzzy = contamination_near,
+    position-level spans = contamination_spans) aggregated per evaluation
+    SUITE, where a suite is the held-out docs' ``lang`` value (each
+    language's eval docs play one benchmark: the deployment shape, where
+    MMLU / GSM8K / held-out-web are separate suites a release scorecard
+    reports side by side — on the fixture, ``source`` is unique per eval
+    doc, so ``lang`` is the column that yields real multi-doc suites).
+    Per suite:
+
+    - exact_docs / exact_hits — train docs sharing >= 1 distinct
+      SHINGLE_N-gram with the suite, and the total distinct (doc,
+      shingle) overlap mass;
+    - near_docs — train docs whose best true-Jaccard against some eval
+      doc OF THIS SUITE clears CONTAM_NEAR_THRESHOLD (band-candidate
+      generation + exact verify, the contamination_near path);
+    - span_docs / span_tokens / span_token_ppm — train docs with >= 1
+      merged contaminated span vs the suite's k-gram set, the token mass
+      inside those spans, and that mass as ppm of ALL train tokens.
+
+    Shape: every leg keeps the decontamination family's asymmetry — the
+    eval side is benchmark-sized by definition, so its distinct shingle
+    set, signature bands, shingle arrays, and gram set all BROADCAST;
+    the train corpus pays one map-side equi-join per leg (no corpus
+    self-join, no shuffle of corpus text) and each leg ends in one
+    partial-aggregatable groupBy(suite). The span merge reuses
+    _merge_intervals keyed (suite, doc_id) — windows partition over the
+    tiny hit subset only. The suite spine left-joins every leg so a
+    clean suite reports exact zeros rather than vanishing."""
+    from .dedup import (
+        CONTAM_EVAL_MAX_ID,
+        CONTAM_NEAR_THRESHOLD,
+        shingle_index,
+        shingles,
+        signature_bands,
+    )
+
+    docs = load(spark, sf_dir, "documents", parallelize=True)
+    is_eval = F.col("doc_id") < CONTAM_EVAL_MAX_ID
+    suites = docs.where(is_eval).select("doc_id", F.col("lang").alias("suite"))
+    spine = suites.groupBy("suite").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_docs")
+    )
+    train = docs.where(~is_eval).select("doc_id", "text")
+    evald = docs.where(is_eval).select("doc_id", "text")
+
+    # exact leg: distinct (suite, shingle) broadcast onto the train stream
+    ev_sh = shingle_index(evald).join(suites, "doc_id").select("suite", "s").distinct()
+    exact = (
+        shingle_index(train)
+        .join(F.broadcast(ev_sh), "s")
+        .groupBy("suite")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("exact_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("exact_hits"),
+        )
+    )
+
+    # near leg: band candidates -> exact-Jaccard verify -> per-(suite, doc)
+    # best -> threshold count (contamination_near's plan, suite-grouped)
+    cb = signature_bands(train)
+    eb = signature_bands(evald).select(
+        F.col("doc_id").alias("eval_id"), "band", "band_key"
+    )
+    cand = (
+        cb.join(F.broadcast(eb), ["band", "band_key"])
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    sh_e = shingles(evald).select(
+        F.col("doc_id").alias("eval_id"), F.col("shingles").alias("sh_e")
+    )
+    jac = floor_round(
+        F.size(F.array_intersect("shingles", "sh_e"))
+        / F.size(F.array_union("shingles", "sh_e")),
+        6,
+    )
+    near = (
+        cand.join(shingles(train), "doc_id")
+        .join(F.broadcast(sh_e), "eval_id")
+        .select("doc_id", "eval_id", jac.alias("jaccard"))
+        .join(
+            F.broadcast(suites.select(F.col("doc_id").alias("eval_id"), "suite")),
+            "eval_id",
+        )
+        .groupBy("suite", "doc_id")
+        .agg(F.max("jaccard").alias("bj"))
+        .where(F.col("bj") >= CONTAM_NEAR_THRESHOLD)
+        .groupBy("suite")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("near_docs"))
+    )
+
+    # span leg: suite-tagged eval gram set broadcast onto the train gram
+    # stream, merged per (suite, doc)
+    g = _grams(spark, sf_dir)
+    ev_g = (
+        g.where(F.col("doc_id") < CONTAM_EVAL_MAX_ID)
+        .join(suites, "doc_id")
+        .select("suite", "gram")
+        .distinct()
+    )
+    hits = (
+        g.where(F.col("doc_id") >= CONTAM_EVAL_MAX_ID)
+        .join(F.broadcast(ev_g), "gram")
+        .select("suite", "doc_id", "n_tokens", "pos")
+    )
+    spanleg = (
+        _merge_intervals(hits, keys=("suite", "doc_id"))
+        .groupBy("suite")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("span_docs"),
+            F.sum("span_len").cast("bigint").alias("span_tokens"),
+        )
+    )
+
+    tot = (
+        docs.where(~is_eval)
+        .agg(F.coalesce(F.sum(F.size(tokenize("text"))), F.lit(0)).cast("bigint").alias("tot"))
+    )
+    return (
+        spine.join(exact, "suite", "left")
+        .join(near, "suite", "left")
+        .join(spanleg, "suite", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "suite",
+            "n_eval_docs",
+            F.coalesce("exact_docs", F.lit(0)).cast("bigint").alias("exact_docs"),
+            F.coalesce("exact_hits", F.lit(0)).cast("bigint").alias("exact_hits"),
+            F.coalesce("near_docs", F.lit(0)).cast("bigint").alias("near_docs"),
+            F.coalesce("span_docs", F.lit(0)).cast("bigint").alias("span_docs"),
+            F.coalesce("span_tokens", F.lit(0)).cast("bigint").alias("span_tokens"),
+            F.expr(
+                "CAST((coalesce(span_tokens, 0L) * 1000000L + tot div 2)"
+                " div greatest(tot, 1L) AS BIGINT)"
+            ).alias("span_token_ppm"),
+        )
     )
 
 

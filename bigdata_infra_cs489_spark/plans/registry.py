@@ -369,17 +369,20 @@ _NEXT_WINDOW_PLAN = (
     "user_value_deciles",
     "video_frames",
     "weighted_sample_topn",
-    # slots 44-50: r12-cohort alphabetical head (pre-cover; r15 staging
-    # displaces these from the tail — dataset_split first — never the
-    # r11-stale slots). The r12 cohort measures 50, so r17 = 43 forced
-    # + 7 spare with these pre-covers in place.
+    # slots 44-49: r12-cohort alphabetical head (pre-cover; r15 staging
+    # displaces these from the tail, never the r11-stale slots —
+    # dataset_split gave its slot to contamination_scorecard below).
+    # The r12 cohort measures 50, so r17 = 44 forced + 6 spare with
+    # these pre-covers in place.
     "bigram_lm_perplexity",
     "boilerplate_fraction",
     "boilerplate_ngrams",
     "clean_corpus",
     "contamination_flags",
     "customers_without_orders",
-    "dataset_split",
+    # slot 50: the round-15 staged queue on registration (plans/
+    # staged.py; oracle in tests/test_contamination_scorecard.py)
+    "contamination_scorecard",
 )
 
 

@@ -39,8 +39,22 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def staged_queries() -> dict[str, QueryFn]:
     """name -> callable for every plan-auditable staged operator.
 
-    Round-15 queue: empty (the round-14 card lifted into catalog.py at
-    the rotation; any round-15 staging lands here with its oracle
-    single-sourced in its family's test file).
+    Round-15 queue (1 of the 7 spare r16 slots; displaces the
+    dataset_split pre-cover in _NEXT_WINDOW_PLAN's tail, never an
+    r11-stale slot):
+
+    - ``contamination_scorecard`` — the cross-eval-suite
+      decontamination report: the three registered contamination legs
+      (exact shingles, banded-MinHash fuzzy, position-level spans)
+      aggregated per eval suite (suite = held-out docs' lang), one row
+      per suite (operators/spans.py::contamination_scorecard). Oracle
+      single-sourced in tests/test_contamination_scorecard.py
+      (suite-grouped replay of the three leg oracles), plus a
+      single-suite reconciliation against the registered legs and a
+      crafted hand-checkable corpus.
     """
-    return {}
+    from ..operators import spans as SP
+
+    return {
+        "contamination_scorecard": SP.contamination_scorecard,
+    }
