@@ -77,6 +77,52 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+# --- SQL-text expression builders ---------------------------------------
+#
+# The model-literal expressions of this family (argmax-centroid, PQ code
+# derivation, ADC tables, RP sign rows) are large: C or m*k subtrees of
+# dim-element literal arrays. Built through the Column API every literal
+# and every higher-order function is its own py4j round-trip (~0.4 ms),
+# so CONSTRUCTING e.g. the ADC column costs seconds of driver time per
+# query invocation — an order of magnitude more than executing it (the
+# round-15 profile: pq_topk 9.0 s of 9.8 s in _pq_adc_dist construction,
+# 13,876 py4j commands). Building the SAME expression as one SQL string
+# parsed by one F.expr() call produces an identical Catalyst tree (the
+# parser maps each SQL function to the same expression node the Column
+# API builds) for ~3 py4j calls total. repr() doubles round-trip: both
+# Python's repr and Java's Double.parseDouble are correctly rounded, so
+# `repr(x) + "D"` parses to exactly the same IEEE double the old
+# F.lit(x) carried (pinned by tests/test_similarity.py's NumPy replays
+# and the cross-engine oracle hashes).
+
+
+def _dlit(x: float) -> str:
+    """SQL DOUBLE literal that parses to exactly this IEEE double."""
+    return repr(float(x)) + "D"
+
+
+def _arr_dlit(vec) -> str:
+    return "array(" + ",".join(_dlit(x) for x in vec) + ")"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL-text twin of _dot — same fold, same tree."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+        " (acc, v) -> acc + v)"
+    )
+
+
+def _sq_dist_sql(a: str, b: str) -> str:
+    """Σ(x-c)² as a LEFT-TO-RIGHT fold — the DuckDB oracle sums in the
+    same element order, so distances (hence argmins) stay bit-identical
+    across engines."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), 0.0D,"
+        " (acc, v) -> acc + v)"
+    )
+
+
 def _cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
@@ -106,17 +152,37 @@ def cosine_topk(
     )
 
 
+def _model_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    n_model: int,
+    query_vec_id: int | None = None,
+) -> tuple[list[tuple[int, list[float]]], list[float] | None]:
+    """ONE scan+collect serving every driver-side model surface of a
+    probe query: (id-ascending [(vec_id, embedding)] for vec_id <
+    n_model, the query row's embedding or None). The centroid list, the
+    PQ sub-centroid tensor, and the query vector were always the same
+    first-k rows collected up to four separate times per invocation
+    (each its own Spark job); this folds them into one job."""
+    cond = F.col("vec_id") < n_model
+    if query_vec_id is not None:
+        cond = cond | (F.col("vec_id") == query_vec_id)
+    rows = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in _emb(spark, sf_dir).where(cond).collect()
+    }
+    cents = [(i, rows[i]) for i in sorted(rows) if i < n_model]
+    qvec = rows.get(query_vec_id) if query_vec_id is not None else None
+    return cents, qvec
+
+
 def _centroid_rows(
     spark: SparkSession, sf_dir: str, n_centroids: int
 ) -> list[tuple[int, list[float]]]:
     """The deterministic first-C (centroid_id, vector) pairs, collected
     driver-side (model-sized: C x dim doubles, the same discipline as
     _hyperplanes), ascending id."""
-    rows = sorted(
-        _emb(spark, sf_dir).where(F.col("vec_id") < n_centroids).collect(),
-        key=lambda r: int(r["vec_id"]),
-    )
-    return [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+    return _model_rows(spark, sf_dir, n_centroids)[0]
 
 
 def _nearest_centroid_col(cents: list[tuple[int, list[float]]]) -> Column:
@@ -136,8 +202,9 @@ def _nearest_centroid_col(cents: list[tuple[int, list[float]]]) -> Column:
     expression trees was tried in round 9 and is ~3x SLOWER: the
     C*dim-node tree blows the whole-stage-codegen method budget and
     falls back to interpreted expression evaluation, which loses to the
-    fold's tight closure loop.)"""
-    row_norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    fold's tight closure loop. The whole expression is now assembled as
+    SQL text and parsed by ONE F.expr call — identical tree, none of
+    the per-literal py4j construction cost; see the _dlit block.)"""
 
     def cnorm(vec: list[float]) -> float:
         acc = 0.0
@@ -145,17 +212,17 @@ def _nearest_centroid_col(cents: list[tuple[int, list[float]]]) -> Column:
             acc = acc + x * x
         return acc**0.5
 
-    darr = F.array(
-        *[
-            _dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in vec]))
-            / (row_norm * F.lit(cnorm(vec)))
-            for _, vec in cents
-        ]
+    row_norm = f"SQRT({_dot_sql('embedding', 'embedding')})"
+    darr = "array(" + ",".join(
+        f"({_dot_sql('embedding', _arr_dlit(vec))})"
+        f" / ({row_norm} * {_dlit(cnorm(vec))})"
+        for _, vec in cents
+    ) + ")"
+    ids = "array(" + ",".join(str(int(cid)) for cid, _ in cents) + ")"
+    return F.expr(
+        f"CAST(element_at({ids}, CAST(array_position({darr},"
+        f" array_max({darr})) AS INT)) AS INT)"
     )
-    ids = F.array(*[F.lit(cid) for cid, _ in cents])
-    return F.element_at(
-        ids, F.array_position(darr, F.array_max(darr)).cast("int")
-    ).cast("int")
 
 
 def ivf_assignments(
@@ -227,27 +294,56 @@ def cluster_balanced_sample(
     )
 
 
-def probe_centroid_ids(cent_df: DataFrame, q: DataFrame, nprobe: int) -> list[int]:
+def _rank_centroids_local(
+    cents: list[tuple[int, list[float]]], qvec: list[float], nprobe: int
+) -> list[int]:
     """The ONE probe rule every IVF variant shares: rank centroids by
-    cosine to the query (desc, centroid_id tie-break), collect the
-    top-nprobe ids as a literal filter list. Scan-side, trained,
-    PQ-combined, and bucketed-index probes all route through here —
-    cross-variant identity of this rule is part of the oracle contract
-    ("identical results to ivf_topk"), so it must not be re-implemented
-    per variant. ``cent_df`` carries (centroid_id, cvec); ``q`` is the
-    single-row (q) query frame."""
-    return [
-        int(r["centroid_id"])
-        for r in (
-            cent_df.crossJoin(F.broadcast(q))
-            .select(
-                "centroid_id", _cosine(F.col("cvec"), F.col("q")).alias("cos")
-            )
-            .orderBy(F.desc("cos"), F.asc("centroid_id"))
-            .limit(nprobe)
-            .collect()
+    cosine to the query (desc, centroid_id tie-break), return the
+    top-nprobe ids. Scan-side, trained, PQ-combined, and bucketed-index
+    probes all route through here — cross-variant identity of this rule
+    is part of the oracle contract ("identical results to ivf_topk"),
+    so it must not be re-implemented per variant.
+
+    Driver-side on model-sized state (C rows) instead of the previous
+    C-row Spark job: the arithmetic replicates _cosine's exact fold
+    (left-to-right fp64 adds; math.sqrt is correctly rounded like JVM
+    Math.sqrt; IEEE multiply is commutative), the _nearest_centroid_col
+    cnorm precedent. Ordering mirrors Spark's double sort (NaN greatest
+    -> first under DESC; -0.0 == 0.0 ties fall to the id)."""
+    import math
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    qn = math.sqrt(dot(qvec, qvec))
+    scored = []
+    for cid, v in cents:
+        cos = dot(v, qvec) / (math.sqrt(dot(v, v)) * qn)
+        scored.append((cid, cos))
+    scored.sort(
+        key=lambda t: (
+            0 if math.isnan(t[1]) else 1,
+            0.0 if math.isnan(t[1]) else -t[1],
+            t[0],
         )
+    )
+    return [cid for cid, _ in scored[:nprobe]]
+
+
+def probe_centroid_ids(cent_df: DataFrame, q: DataFrame, nprobe: int) -> list[int]:
+    """DataFrame adapter over _rank_centroids_local for callers holding
+    (centroid_id, cvec) / single-row (q) frames rather than collected
+    model rows. Same rule, same ordering."""
+    qrows = q.limit(1).collect()
+    if not qrows:
+        return []
+    cents = [
+        (int(r["centroid_id"]), list(r["cvec"])) for r in cent_df.collect()
     ]
+    return _rank_centroids_local(cents, list(qrows[0]["q"]), nprobe)
 
 
 def query_embedding(emb: DataFrame, query_vec_id: int) -> list | None:
@@ -280,14 +376,13 @@ def ivf_topk(
     scan — inline argmax assignment + literal IN filter + rerank —
     with zero joins and zero shuffles before the final top-k."""
     emb = _emb(spark, sf_dir)
-    cents = _centroid_rows(spark, sf_dir, n_centroids)
+    cents, qvec = _model_rows(spark, sf_dir, n_centroids, query_vec_id)
     q = emb.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q")
     )
-    cent = emb.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    probed = (
+        _rank_centroids_local(cents, qvec, nprobe) if qvec is not None else []
     )
-    probed = probe_centroid_ids(cent, q, nprobe)
     return (
         emb.where(_nearest_centroid_col(cents).isin(probed))
         .crossJoin(F.broadcast(q))
@@ -520,11 +615,8 @@ def _hyperplanes(spark: SparkSession, sf_dir: str, n_hyperplanes: int):
     bit j of every LSH code is sign(dot(v, row j))."""
     import numpy as np
 
-    rows = sorted(
-        _emb(spark, sf_dir).where(F.col("vec_id") < n_hyperplanes).collect(),
-        key=lambda r: int(r["vec_id"]),
-    )
-    return np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    rows = _model_rows(spark, sf_dir, n_hyperplanes)[0]
+    return np.array([v for _, v in rows], dtype=np.float64)
 
 
 def lsh_codes(
@@ -612,7 +704,6 @@ def lsh_topk(
     """
     import numpy as np
 
-    codes = lsh_codes(spark, sf_dir)
     emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q")
@@ -620,9 +711,13 @@ def lsh_topk(
     # the query's band values are computed driver-side from the same
     # hyperplane matrix and same float64 matmul as lsh_codes (a 1-row
     # model-sized computation) — referencing the distributed codes subtree
-    # a second time would re-run the whole Python scan just to read one row
-    hmat = _hyperplanes(spark, sf_dir, N_HYPERPLANES)
-    qvec = np.asarray(q.collect()[0]["q"], dtype=np.float64)
+    # a second time would re-run the whole Python scan just to read one row.
+    # One _model_rows collect serves both the hyperplanes and the query
+    # row; the codes table reuses the same matrix via lsh_codes_for.
+    hrows, qrow = _model_rows(spark, sf_dir, N_HYPERPLANES, query_vec_id)
+    hmat = np.array([v for _, v in hrows], dtype=np.float64)
+    codes = lsh_codes_for(spark, emb, hmat)
+    qvec = np.asarray(qrow, dtype=np.float64)
     bits = (qvec @ hmat.T) > 0
     qcode = int(
         (bits.astype(np.int64) * (np.int64(1) << np.arange(hmat.shape[0]))).sum()
@@ -1023,30 +1118,32 @@ PQ_M = 4  # subspaces
 PQ_K = 16  # sub-centroids per subspace
 
 
+def _subc_from_rows(rows: list[tuple[int, list[float]]], m: int, k: int):
+    """(m, k, dim/m) sub-centroid tensor from already-collected model
+    rows (the first k vectors, id-ascending)."""
+    import numpy as np
+
+    mat = np.array([v for _, v in rows[:k]], dtype=np.float64)
+    return np.stack(np.split(mat, m, axis=1))  # (m, k, dsub)
+
+
 def _pq_subcentroids(spark: SparkSession, sf_dir: str, m: int, k: int):
     """(m, k, dim/m) sub-centroid tensor: subvector j of the first k
     vectors (the same deterministic convention the static IVF and the LSH
     hyperplanes use, so the whole computation is oracle-reproducible).
     Model-sized driver state: m*k*(dim/m) = k*dim doubles."""
-    import numpy as np
-
-    rows = sorted(
-        _emb(spark, sf_dir).where(F.col("vec_id") < k).collect(),
-        key=lambda r: int(r["vec_id"]),
-    )
-    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
-    return np.stack(np.split(mat, m, axis=1))  # (m, k, dsub)
+    return _subc_from_rows(_model_rows(spark, sf_dir, k)[0], m, k)
 
 
-def _pq_sq_dist(sub: Column, cent: list) -> Column:
-    """Σ (x_i - c_i)^2 as a LEFT-TO-RIGHT fold — the DuckDB oracle sums
-    in the same element order, so the distances (hence argmins) are
-    bit-identical across engines."""
-    carr = F.array(*[F.lit(float(c)) for c in cent])
-    return F.aggregate(
-        F.zip_with(sub, carr, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _pq_darr_sql(j: int, dsub: int, subc_j) -> str:
+    """SQL text for subspace j's k squared distances (the argmin input
+    of the PQ code): one _sq_dist_sql fold per sub-centroid over
+    slice(embedding, ...). Same tree the Column API built, one parse."""
+    sub = f"slice(embedding, {j * dsub + 1}, {dsub})"
+    return (
+        "array("
+        + ",".join(_sq_dist_sql(sub, _arr_dlit(c)) for c in subc_j)
+        + ")"
     )
 
 
@@ -1069,19 +1166,19 @@ def pq_codes(
     subc = _pq_subcentroids(spark, sf_dir, m, k)
     dsub = subc.shape[2]
     emb = _emb(spark, sf_dir)
-    code_cols = []
+    code_sqls = []
     for j in range(m):
-        sub = F.slice("embedding", j * dsub + 1, dsub)
-        darr = F.array(*[_pq_sq_dist(sub, subc[j][ci]) for ci in range(k)])
+        darr = _pq_darr_sql(j, dsub, subc[j])
         # array_position returns the FIRST index of the min -> ties to
         # the lowest centroid id, mirrored by the oracle's row_number
-        code_cols.append(
-            (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+        code_sqls.append(
+            f"CAST(CAST(array_position({darr}, array_min({darr})) - 1"
+            " AS INT) AS STRING)"
         )
     return emb.select(
         "vec_id",
-        F.array_join(
-            F.array(*[c.cast("string") for c in code_cols]), ","
+        F.expr(
+            "array_join(array(" + ",".join(code_sqls) + "), ',')"
         ).alias("codes"),
     )
 
@@ -1104,9 +1201,9 @@ def pq_topk(
 
     Ascending distance, vec_id tie-break, 6dp rounding on output (the
     ranking itself uses the bit-identical left-to-right fold)."""
-    subc = _pq_subcentroids(spark, sf_dir, m, n_sub)
+    rows, qvec = _model_rows(spark, sf_dir, n_sub, query_vec_id)
+    subc = _subc_from_rows(rows, m, n_sub)
     emb = _emb(spark, sf_dir)
-    qvec = query_embedding(emb, query_vec_id)
     if qvec is None:
         return spark.createDataFrame([], "vec_id bigint, approx_dist double")
     return (
@@ -1122,27 +1219,27 @@ def _pq_adc_dist(qvec, subc) -> Column:
     """The ADC approximate-distance column: re-derives each vector's PQ
     code inline (same literal expressions as pq_codes) and folds the
     per-subspace distance-table lookups left-to-right in one projection
-    — a narrow scan, no join. Shared by pq_topk and ivfpq_topk."""
+    — a narrow scan, no join. Shared by pq_topk and ivfpq_topk. Built
+    as ONE parsed SQL expression (see the _dlit block)."""
     import numpy as np
 
     q = np.asarray(qvec, dtype=np.float64)
     m, n_sub, dsub = subc.shape
-    dist_expr = None
+    lookups = []
     for j in range(m):
-        sub = F.slice("embedding", j * dsub + 1, dsub)
-        darr = F.array(*[_pq_sq_dist(sub, subc[j][ci]) for ci in range(n_sub)])
-        code_j = F.array_position(darr, F.array_min(darr)).cast("int")  # 1-based
+        darr = _pq_darr_sql(j, dsub, subc[j])
+        # 1-based code
+        code_j = f"CAST(array_position({darr}, array_min({darr})) AS INT)"
         q_sub = q[j * dsub : (j + 1) * dsub]
-        # dt[ci] = ||q_sub - c_ci||^2, left-to-right like _pq_sq_dist
+        # dt[ci] = ||q_sub - c_ci||^2, left-to-right like _sq_dist_sql
         table = []
         for ci in range(n_sub):
             acc = 0.0
             for x, y in zip(q_sub, subc[j][ci]):
                 acc = acc + (x - y) * (x - y)
             table.append(acc)
-        lookup = F.element_at(F.array(*[F.lit(t) for t in table]), code_j)
-        dist_expr = lookup if dist_expr is None else dist_expr + lookup
-    return dist_expr
+        lookups.append(f"element_at({_arr_dlit(table)}, {code_j})")
+    return F.expr(" + ".join(lookups))
 
 
 def ivfpq_topk(
@@ -1165,18 +1262,14 @@ def ivfpq_topk(
     ONE narrow scan (inline coarse assignment -> IN filter -> inline ADC
     fold), zero joins, zero shuffles before the final top-k."""
     emb = _emb(spark, sf_dir)
-    cents = _centroid_rows(spark, sf_dir, n_centroids)
-    subc = _pq_subcentroids(spark, sf_dir, m, n_sub)
-    q = emb.where(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("q")
+    rows, qvec = _model_rows(
+        spark, sf_dir, max(n_centroids, n_sub), query_vec_id
     )
-    cent = emb.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
-    )
-    qvec = query_embedding(emb, query_vec_id)
     if qvec is None:
         return spark.createDataFrame([], "vec_id bigint, approx_dist double")
-    probed = probe_centroid_ids(cent, q, nprobe)
+    cents = [(i, v) for i, v in rows if i < n_centroids]
+    subc = _subc_from_rows(rows, m, n_sub)
+    probed = _rank_centroids_local(cents, qvec, nprobe)
     return (
         emb.where(_nearest_centroid_col(cents).isin(probed))
         .select(
@@ -1220,10 +1313,10 @@ def ivf_topk_trained(
     q = emb.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q")
     )
-    cent_df = spark.createDataFrame(
-        cents, "centroid_id int, cvec array<double>"
+    qvec = query_embedding(emb, query_vec_id)
+    probed = (
+        _rank_centroids_local(cents, qvec, nprobe) if qvec is not None else []
     )
-    probed = probe_centroid_ids(cent_df, q, nprobe)
     return (
         emb.where(_nearest_centroid_col(cents).isin(probed))
         .crossJoin(F.broadcast(q))
@@ -1429,23 +1522,18 @@ def rp_sign_matrix(
     ]
 
 
-def rp_project_cols(vec: Column) -> list[Column]:
-    """The K projected coordinates of ``vec`` as rounded double columns —
-    each one codegen'd zip_with/aggregate against a literal sign row (no
-    shuffle, no Python)."""
+def rp_project_cols(vec_sql: str = "embedding") -> list[Column]:
+    """The K projected coordinates of ``vec_sql`` as rounded double
+    columns — each one codegen'd zip_with/aggregate against a literal
+    sign row (no shuffle, no Python). Assembled as SQL text, one parse
+    per coordinate (see the _dlit block); ``vec_sql`` is the column
+    name/expression in SQL form."""
     signs = rp_sign_matrix()
     return [
-        F.round(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(float(s)) for s in row]),
-                    lambda x, s: x * s,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            6,
+        F.expr(
+            f"round(aggregate(zip_with({vec_sql}, "
+            + _arr_dlit([float(s) for s in row])
+            + ", (x, s) -> x * s), 0.0D, (acc, v) -> acc + v), 6)"
         ).alias(f"y{j}")
         for j, row in enumerate(signs)
     ]
@@ -1456,7 +1544,7 @@ def rp_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow table downstream clustering/indexing consumes (K/D of the
     original width on disk and on every exchange)."""
     emb = _emb(spark, sf_dir)
-    return emb.select("vec_id", *rp_project_cols(F.col("embedding")))
+    return emb.select("vec_id", *rp_project_cols("embedding"))
 
 
 def rp_recall_topk(
@@ -1533,15 +1621,17 @@ def pq_distortion_stats(
     emb = _emb(spark, sf_dir)
     pairs = []
     for j in range(m):
-        sub = F.slice("embedding", j * dsub + 1, dsub)
-        darr = F.array(*[_pq_sq_dist(sub, subc[j][ci]) for ci in range(k)])
-        micro = F.floor(F.array_min(darr) * 1e6 + F.lit(0.5)).cast("bigint")
-        pairs.append(
-            F.struct(
-                F.lit(j).cast("int").alias("subspace"), micro.alias("micro")
-            )
+        darr = _pq_darr_sql(j, dsub, subc[j])
+        micro = (
+            f"CAST(FLOOR(array_min({darr}) * {_dlit(1e6)} + {_dlit(0.5)})"
+            " AS BIGINT)"
         )
-    exploded = emb.select(F.explode(F.array(*pairs)).alias("p")).select(
+        pairs.append(
+            f"named_struct('subspace', CAST({j} AS INT), 'micro', {micro})"
+        )
+    exploded = emb.select(
+        F.explode(F.expr("array(" + ",".join(pairs) + ")")).alias("p")
+    ).select(
         F.col("p.subspace").alias("subspace"), F.col("p.micro").alias("micro")
     )
     return (

@@ -48,8 +48,6 @@ from .similarity import (
     QUERY_VEC_ID,
     TOP_K,
     _cosine,
-    probe_centroid_ids,
-    query_embedding,
     _emb,
     _hyperplanes,
     lsh_bands,
@@ -211,15 +209,17 @@ def ivf_topk_indexed(
     O(C)-row job over the raw table (vec_id < C pushes into the scan) and
     its result is a literal IN-filter, so pruning is static, visible in
     the plan, and needs no dynamic-partition-pruning machinery."""
+    from .similarity import _model_rows, _rank_centroids_local
+
     path = ensure_vector_index(spark, sf_dir)
     emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q")
     )
-    cent = emb.where(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    cents, qvec = _model_rows(spark, sf_dir, N_CENTROIDS, query_vec_id)
+    probed = (
+        _rank_centroids_local(cents, qvec, nprobe) if qvec is not None else []
     )
-    probed = probe_centroid_ids(cent, q, nprobe)
     idx = spark.read.parquet(os.path.join(path, "ivf")).where(
         F.col("centroid_id").isin(probed)
     )
@@ -251,13 +251,16 @@ def lsh_topk_indexed(
     itself — no join back to the corpus."""
     import numpy as np
 
+    from .similarity import _model_rows
+
     path = ensure_vector_index(spark, sf_dir)
     emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q")
     )
-    hmat = _hyperplanes(spark, sf_dir, N_HYPERPLANES)
-    qvec = np.asarray(q.collect()[0]["q"], dtype=np.float64)
+    hrows, qrow = _model_rows(spark, sf_dir, N_HYPERPLANES, query_vec_id)
+    hmat = np.array([v for _, v in hrows], dtype=np.float64)
+    qvec = np.asarray(qrow, dtype=np.float64)
     bits = (qvec @ hmat.T) > 0
     qcode = int(
         (bits.astype(np.int64) * (np.int64(1) << np.arange(hmat.shape[0]))).sum()
@@ -299,27 +302,23 @@ def ivfpq_topk_indexed(
     a full-precision distance. Results are identical to the scan-side
     ivfpq_topk, so it shares that oracle."""
     from .similarity import (
-        _centroid_rows,
-        _cosine,
-        _pq_adc_dist,
-        _pq_subcentroids,
         PQ_K,
         PQ_M,
+        _model_rows,
+        _pq_adc_dist,
+        _rank_centroids_local,
+        _subc_from_rows,
     )
 
     path = ensure_vector_index(spark, sf_dir)
-    emb = _emb(spark, sf_dir)
-    subc = _pq_subcentroids(spark, sf_dir, PQ_M, PQ_K)
-    q = emb.where(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("q")
+    rows, qvec = _model_rows(
+        spark, sf_dir, max(N_CENTROIDS, PQ_K), query_vec_id
     )
-    cent = emb.where(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
-    )
-    probed = probe_centroid_ids(cent, q, nprobe)
-    qvec = query_embedding(emb, query_vec_id)
     if qvec is None:
         return spark.createDataFrame([], "vec_id bigint, approx_dist double")
+    cents = [(i, v) for i, v in rows if i < N_CENTROIDS]
+    subc = _subc_from_rows(rows, PQ_M, PQ_K)
+    probed = _rank_centroids_local(cents, qvec, nprobe)
     idx = spark.read.parquet(os.path.join(path, "ivf")).where(
         F.col("centroid_id").isin(probed)
     )
