@@ -980,7 +980,14 @@ def _prefix_candidates(per_doc: DataFrame) -> DataFrame:
 
 def jaccard_prefix_pairs(docs: DataFrame) -> DataFrame:
     """ngram_jaccard_pairs semantics via prefix+length filtering — see
-    jaccard_prefix_join for the design and perf-regime notes."""
+    jaccard_prefix_join for the design and perf-regime notes.
+
+    per_doc feeds THREE consumers (the prefix index and both sides of
+    the verify join), but do NOT pin it: the three subtrees share their
+    exchanges via ReuseExchange (byte-identical subplans), so the chain
+    executes once already — a localCheckpoint here was measured 3x
+    SLOWER at sf0.1 (r15: 4.6 s -> 13.4 s), paying an RDD
+    materialization barrier for sharing Catalyst provided for free."""
     per_doc = _ordered_sets(docs)
     cand = _prefix_candidates(per_doc)
     arrays = per_doc.select(

@@ -53,6 +53,10 @@ def _range_prefix(
         # some managed runtimes set the conf to a non-numeric value
         # (e.g. "auto"); fall back to the input's own parallelism
         npart = max(df.rdd.getNumPartitions(), 1)
+    # eager stays: a lazy checkpoint pinned by the totals collect was
+    # A/B-measured in r15 (interleaved min-of-2 triples) as a wash —
+    # one fewer job but identical wall — so the long-standing eager
+    # materialization keeps its simpler invariant
     part = (
         df.repartitionByRange(npart, *order)
         .withColumn(_PID, F.spark_partition_id())
