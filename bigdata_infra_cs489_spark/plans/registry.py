@@ -152,10 +152,13 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #                spectrum registered, staged queue emptied).
 #   r16 window = r11 cohort (45 post-consolidation, deadline r16) minus
 #                r15 pre-covers (2 after incremental_repeat_spectrum
-#                displaced bm25_retrieval) = 43 forced + 7 spare
-#                (r12-cohort head) — _NEXT_WINDOW_PLAN below.
-#   r17 window = r12 cohort (50, deadline r17) minus the 7 r16
-#                pre-covers = 43 forced + 7 spare.
+#                displaced bm25_retrieval) = 43 forced + 6 spare
+#                (r12-cohort head) + the contamination_scorecard staged
+#                card — EXECUTED VERBATIM as the first round-16 commit
+#                (_DRIVER_WINDOW_FIRST below; queue emptied).
+#   r17 window = r12 cohort (50, deadline r17) minus the 6 r16
+#                pre-covers = 44 forced + 6 spare — _NEXT_WINDOW_PLAN
+#                below.
 # Max lag stays ≤ bound (5, +1 for cohorts spanning the missed round
 # 11) for every cohort through r17 iff net new registrations stay ≤ the
 # spare slots above — i.e. ≤7 in r15, ≤7 in r16.
@@ -250,82 +253,10 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # and the r6 cohort only reaches lag 5 at round 11 — one full window
 # of slack.
 _DRIVER_WINDOW_FIRST = (
-    # ROUND-15 WINDOW — _NEXT_WINDOW_PLAN (r14 close) executed verbatim
-    # as the first round-15 commit: the staged card registered in
+    # ROUND-16 WINDOW — _NEXT_WINDOW_PLAN (r15 close) executed verbatim
+    # as the first round-16 commit: the staged card registered in
     # catalog.py (queue emptied), this tuple assigned from the plan.
-    # -- slot 1: the round-14 staged queue, registered this round -------
-    "incremental_repeat_spectrum",
-    # -- slots 2-48: latest driver row round 9 (deadline r15) -----------
-    "bucketed_customer_orders",
-    "ccnet_bucket_stats",
-    "ccnet_perplexity_buckets",
-    "cdc_chunk_stats",
-    "cluster_balanced_sample",
-    "contamination_spans",
-    "conversion_attribution",
-    "corpus_curate",
-    "corpus_novelty",
-    "crawl_frontier",
-    "cross_source_overlap",
-    "curation_funnel",
-    "daily_value_ewma",
-    "doc_chunks",
-    "doc_keywords",
-    "dup_span_stats",
-    "event_type_transitions",
-    "events_anomaly_days",
-    "events_debounced",
-    "events_exact_median_global",
-    "events_seasonality",
-    "events_throttled",
-    "events_value_histogram",
-    "events_value_median_by_type",
-    "funnel_latency",
-    "heavy_key_report",
-    "incremental_agg_refresh",
-    "link_indegree_hist",
-    "media_content_dedup",
-    "near_dup_method_audit",
-    "pq_distortion_stats",
-    "source_mixture_plan",
-    "spam_model_auc",
-    "spam_train",
-    "spam_train_shuffled",
-    "stream_partitioned_sink",
-    "stream_upsert_user_state",
-    "term_lookup",
-    "token_budget_pack",
-    "token_drift_report",
-    "token_zipf_stats",
-    "user_churn_flags",
-    "user_decayed_value",
-    "user_feature_matrix",
-    "user_retention_cohorts",
-    "user_scd2_history",
-    "weekly_active_users",
-    # -- slots 49-50: r11-cohort alphabetical head (deadline r16) -------
-    "bigram_rel_freq",
-    "bigram_stripes",
-)
-
-
-# THE PRE-COMMITTED R16 WINDOW AS DATA (round-15 close). Round 11 proved
-# a rotation plan that lives only in prose can silently not happen; the
-# r13 rotation was safe because its membership was a paste-able comment.
-# This goes one step further: the next window is a TUPLE the contract
-# suite validates on every run (names resolve against registered+staged,
-# exactly 50 unique slots, and every query whose staleness deadline is
-# the next-next round holds a slot — see tests/test_registry_contract.py
-# ::test_next_window_plan_is_satisfiable). The r16 rotation then simply
-# assigns: _DRIVER_WINDOW_FIRST = _NEXT_WINDOW_PLAN (after lifting any
-# staged queue into catalog.py). 43 of 50 slots are forced by the
-# r11-stale cohort; net new round-15 registrations must stay <= 7 and
-# displace the spare pre-covers below from the TAIL (dataset_split
-# first), never a stale slot.
-_NEXT_WINDOW_PLAN = (
-    # slots 1-43: the 43 r11-stale (latest row CORRECTNESS_r11; the r11
-    # cohort measured 45 post-consolidation, minus the 2 r15-window
-    # pre-covers bigram_rel_freq + bigram_stripes), alphabetical:
+    # -- slots 1-43: latest driver row round 11 (deadline r16) ----------
     "bm25_retrieval",
     "boolean_retrieval",
     "bpe_vocab_coverage",
@@ -369,20 +300,89 @@ _NEXT_WINDOW_PLAN = (
     "user_value_deciles",
     "video_frames",
     "weighted_sample_topn",
-    # slots 44-49: r12-cohort alphabetical head (pre-cover; r15 staging
-    # displaces these from the tail, never the r11-stale slots —
-    # dataset_split gave its slot to contamination_scorecard below).
-    # The r12 cohort measures 50, so r17 = 44 forced + 6 spare with
-    # these pre-covers in place.
+    # -- slots 44-49: r12-cohort alphabetical head (deadline r17) -------
     "bigram_lm_perplexity",
     "boilerplate_fraction",
     "boilerplate_ngrams",
     "clean_corpus",
     "contamination_flags",
     "customers_without_orders",
-    # slot 50: the round-15 staged queue on registration (plans/
-    # staged.py; oracle in tests/test_contamination_scorecard.py)
+    # -- slot 50: the round-15 staged queue, registered this round ------
     "contamination_scorecard",
+)
+
+
+# THE PRE-COMMITTED R17 WINDOW AS DATA (round-16 close). Round 11 proved
+# a rotation plan that lives only in prose can silently not happen; the
+# r13 rotation was safe because its membership was a paste-able comment.
+# This goes one step further: the next window is a TUPLE the contract
+# suite validates on every run (names resolve against registered+staged,
+# exactly 50 unique slots, and every query whose staleness deadline is
+# the next-next round holds a slot — see tests/test_registry_contract.py
+# ::test_next_window_plan_is_satisfiable). The r17 rotation then simply
+# assigns: _DRIVER_WINDOW_FIRST = _NEXT_WINDOW_PLAN (after lifting any
+# staged queue into catalog.py). 44 of 50 slots are forced by the
+# r12-stale cohort; net new round-16 registrations must stay <= 6 and
+# displace the spare pre-covers below from the TAIL (degree_distribution
+# first), never a stale slot.
+_NEXT_WINDOW_PLAN = (
+    # slots 1-44: the 44 r12-stale (latest row CORRECTNESS_r12; the r12
+    # cohort measured 50, minus the 6 r16-window pre-covers
+    # bigram_lm_perplexity .. customers_without_orders), alphabetical:
+    "dataset_split",
+    "incremental_spans_variants",
+    "inverted_index_postings",
+    "ivf_assignments",
+    "ivf_centroid_norms",
+    "ivf_topk",
+    "knn_label_accuracy",
+    "lang_temperature_rates",
+    "lang_temperature_sample",
+    "language_id",
+    "lsh_codes",
+    "lsh_topk",
+    "media_strict_coverage",
+    "minhash_near_duplicates",
+    "minhash_signatures",
+    "near_duplicate_clusters",
+    "ngram_jaccard_pairs",
+    "phrase_retrieval",
+    "pmi_pairs",
+    "pmi_stripes",
+    "pmi_word_line_counts",
+    "positional_postings",
+    "ppr_graph_edges",
+    "ppr_graph_stats",
+    "ppr_mass_conservation",
+    "prefix_count",
+    "q1_count_shipped",
+    "q2_orders_semijoin_topk",
+    "q3_lineitem_part_supplier",
+    "q4_shipments_by_nation",
+    "q5_monthly_shipments_two_nations",
+    "q6_pricing_summary",
+    "q7_top_revenue_orders",
+    "ranked_retrieval",
+    "repeated_spans_variants",
+    "semantic_search",
+    "simhash_fingerprints",
+    "simhash_near_duplicates",
+    "spam_training_set",
+    "strip_spans_variants",
+    "text_quality",
+    "tfidf_scores",
+    "training_export",
+    "wordcount",
+    # slots 45-50: r13-cohort alphabetical head (pre-cover; r16 staging
+    # displaces these from the tail, never an r12-stale slot). The r13
+    # cohort measures 50, so r18 = 44 forced + 6 spare with these
+    # pre-covers in place.
+    "bitext_margin_pairs",
+    "bloom_prefilter_check",
+    "bpe_merges",
+    "bpe_token_counts",
+    "cms_heavy_hitters",
+    "degree_distribution",
 )
 
 

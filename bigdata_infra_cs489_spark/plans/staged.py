@@ -39,22 +39,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def staged_queries() -> dict[str, QueryFn]:
     """name -> callable for every plan-auditable staged operator.
 
-    Round-15 queue (1 of the 7 spare r16 slots; displaces the
-    dataset_split pre-cover in _NEXT_WINDOW_PLAN's tail, never an
-    r11-stale slot):
-
-    - ``contamination_scorecard`` — the cross-eval-suite
-      decontamination report: the three registered contamination legs
-      (exact shingles, banded-MinHash fuzzy, position-level spans)
-      aggregated per eval suite (suite = held-out docs' lang), one row
-      per suite (operators/spans.py::contamination_scorecard). Oracle
-      single-sourced in tests/test_contamination_scorecard.py
-      (suite-grouped replay of the three leg oracles), plus a
-      single-suite reconciliation against the registered legs and a
-      crafted hand-checkable corpus.
+    Round-16 queue: EMPTY. The round-15 card
+    (``contamination_scorecard``) registered in catalog.py at the r16
+    rotation and holds slot 50 of the round-16 driver window; its
+    oracle moved from tests/test_contamination_scorecard.py into
+    catalog.py (the test now pins the registered oracle). Round 16 is
+    an optimization round — no new operators are staged; entries added
+    later queue for the round-17 rotation, whose spare capacity is 6
+    slots (registry.py::_NEXT_WINDOW_PLAN tail, degree_distribution
+    displaced first).
     """
-    from ..operators import spans as SP
-
-    return {
-        "contamination_scorecard": SP.contamination_scorecard,
-    }
+    return {}

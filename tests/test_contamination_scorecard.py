@@ -4,8 +4,9 @@ that replays all three legs suite-grouped, plus a single-suite
 reconciliation against the three REGISTERED per-doc legs and a crafted
 hand-checkable corpus.
 
-Staged for the round-16 rotation (plans/staged.py); the oracle below is
-the single source the rotation lifts into catalog.py.
+Registered at the round-16 rotation: the oracle moved into catalog.py
+(_contamination_scorecard_oracle — the suite-grouped replay of the three
+leg oracles), which this module now pins via the registered entry.
 """
 
 from __future__ import annotations
@@ -16,106 +17,9 @@ from .oracle import assert_matches_oracle
 
 
 def contamination_scorecard_oracle_sql() -> str:
-    """Suite-grouped replay of the three registered leg oracles: the
-    exact leg joins the train shingle stream to the suite-tagged distinct
-    eval shingles; the near leg is the banded-MinHash candidate + exact
-    Jaccard verify with the per-(suite, doc) best; the span leg merges
-    suite-tagged gram hits per (suite, doc). All integers exact, ppm by
-    floor-half-up integer division — the family's finish discipline."""
-    from bigdata_infra_cs489_spark.operators import dedup as D
-    from bigdata_infra_cs489_spark.operators import spans as SP
-    from bigdata_infra_cs489_spark.plans.catalog import (
-        DUCK_MINHASH_SIG,
-        DUCK_SHINGLES,
-        DUCK_SPAN_GRAM_CTES,
-        DUCK_TOKS,
-    )
+    import __spark_entry__ as entrymod
 
-    m = D.CONTAM_EVAL_MAX_ID
-    rows = D.NUM_HASHES // D.NUM_BANDS
-    return f"""
-    WITH {DUCK_SHINGLES},
-    suites AS (SELECT doc_id, lang AS suite FROM documents
-               WHERE doc_id < {m}),
-    spine AS (SELECT suite, CAST(count(*) AS BIGINT) AS n_eval_docs
-              FROM suites GROUP BY suite),
-    ev_sh AS (SELECT DISTINCT su.suite, e.s
-              FROM (SELECT doc_id, unnest(sh) AS s FROM sh
-                    WHERE doc_id < {m}) e
-              JOIN suites su USING (doc_id)),
-    tr_sh AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id >= {m}),
-    exact AS (SELECT suite,
-                     CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_docs,
-                     CAST(count(*) AS BIGINT) AS exact_hits
-              FROM tr_sh JOIN ev_sh USING (s) GROUP BY suite),
-    sigs AS (SELECT doc_id, {DUCK_MINHASH_SIG} AS sig FROM sh),
-    bands AS (
-        SELECT doc_id, b,
-               array_to_string(list_transform(
-                   sig[b*{rows}+1 : b*{rows}+{rows}],
-                   v -> v::VARCHAR), ':') AS band_key
-        FROM sigs, unnest(range(0, {D.NUM_BANDS})) t(b)),
-    cand AS (
-        SELECT DISTINCT c.doc_id, e.doc_id AS eval_id
-        FROM bands c JOIN bands e ON c.b = e.b AND c.band_key = e.band_key
-        WHERE c.doc_id >= {m} AND e.doc_id < {m}),
-    ver AS (
-        SELECT cand.doc_id, cand.eval_id,
-               floor((len(list_intersect(sa.sh, sb.sh)) /
-                     len(list_distinct(list_concat(sa.sh, sb.sh))))
-                     * 1000000 + 0.5) / 1000000 AS jaccard
-        FROM cand
-        JOIN sh sa ON sa.doc_id = cand.doc_id
-        JOIN sh sb ON sb.doc_id = cand.eval_id),
-    nearbest AS (SELECT su.suite, v.doc_id, max(v.jaccard) AS bj
-                 FROM ver v JOIN suites su ON su.doc_id = v.eval_id
-                 GROUP BY su.suite, v.doc_id),
-    nearleg AS (SELECT suite, CAST(count(*) AS BIGINT) AS near_docs
-                FROM nearbest WHERE bj >= {D.CONTAM_NEAR_THRESHOLD}
-                GROUP BY suite),
-    {DUCK_SPAN_GRAM_CTES.lstrip()},
-    ev_g AS (SELECT DISTINCT su.suite, g.gram
-             FROM grams g JOIN suites su USING (doc_id)
-             WHERE g.doc_id < {m}),
-    shits AS (SELECT e.suite, g.doc_id, g.pos
-              FROM grams g JOIN ev_g e USING (gram)
-              WHERE g.doc_id >= {m}),
-    sruns AS (SELECT suite, doc_id, pos,
-                     CASE WHEN lag(pos) OVER (PARTITION BY suite, doc_id
-                                              ORDER BY pos) IS NULL
-                            OR pos > lag(pos) OVER (PARTITION BY suite, doc_id
-                                                    ORDER BY pos)
-                                     + {SP.SPAN_K}
-                          THEN 1 ELSE 0 END AS is_new
-              FROM shits),
-    srunid AS (SELECT suite, doc_id, pos,
-                      sum(is_new) OVER (PARTITION BY suite, doc_id
-                                        ORDER BY pos) AS run
-               FROM sruns),
-    sspans AS (SELECT suite, doc_id,
-                      CAST(max(pos) + {SP.SPAN_K} - min(pos) AS BIGINT)
-                          AS span_len
-               FROM srunid GROUP BY suite, doc_id, run),
-    spanleg AS (SELECT suite,
-                       CAST(count(DISTINCT doc_id) AS BIGINT) AS span_docs,
-                       CAST(sum(span_len) AS BIGINT) AS span_tokens
-                FROM sspans GROUP BY suite),
-    tot AS (SELECT CAST(coalesce(sum(len({DUCK_TOKS})), 0) AS BIGINT) AS tot
-            FROM documents WHERE doc_id >= {m})
-    SELECT sp.suite, sp.n_eval_docs,
-           CAST(coalesce(x.exact_docs, 0) AS BIGINT) AS exact_docs,
-           CAST(coalesce(x.exact_hits, 0) AS BIGINT) AS exact_hits,
-           CAST(coalesce(n.near_docs, 0) AS BIGINT) AS near_docs,
-           CAST(coalesce(s.span_docs, 0) AS BIGINT) AS span_docs,
-           CAST(coalesce(s.span_tokens, 0) AS BIGINT) AS span_tokens,
-           CAST((coalesce(s.span_tokens, 0) * 1000000 + t.tot // 2)
-                // greatest(t.tot, 1) AS BIGINT) AS span_token_ppm
-    FROM spine sp
-    LEFT JOIN exact x USING (suite)
-    LEFT JOIN nearleg n USING (suite)
-    LEFT JOIN spanleg s USING (suite)
-    CROSS JOIN tot t
-    """
+    return entrymod.oracle_sql()["contamination_scorecard"]
 
 
 def test_matches_oracle(spark, sf_correct):

@@ -110,21 +110,15 @@ def test_loud_failure_message_names_the_conf():
 
 def test_staged_queue_parity_under_hostile_session(hostile, sf_smoke):
     """The staged queue holds the same foreign-session bar as the
-    registry BEFORE registration (the r15 rotation lifted
-    incremental_repeat_spectrum into catalog slot 1; the r15 queue
-    re-opened with contamination_scorecard): every queue entry must
+    registry BEFORE registration (the r16 rotation lifted
+    contamination_scorecard into catalog slot 50; the r16 queue is
+    empty — round 16 is an optimization round): every queue entry must
     match its oracle under the non-UTC, AQE-off, shuffle=7 session.
     Oracle SQL is imported from each card's own test module so this
     never drifts from the queue's single source."""
     from bigdata_infra_cs489_spark.plans.staged import staged_queries
 
-    from .test_contamination_scorecard import (
-        contamination_scorecard_oracle_sql,
-    )
-
-    oracles = {
-        "contamination_scorecard": contamination_scorecard_oracle_sql(),
-    }
+    oracles: dict[str, str] = {}
     qs = staged_queries()
     assert set(qs) == set(oracles)  # a queue edit must update this map
     for name, fn in qs.items():
