@@ -86,10 +86,22 @@ def main() -> None:
             }
         )
     )
-    # the driver's capture is tail-only and has recorded "parsed": null
-    # since r10 — the full per-query line above is ~7 KB and loses its
-    # head under truncation. Emit a SHORT totals-only line LAST so any
-    # tail window still contains one complete, parseable JSON record.
+    # the driver's capture is tail-only (~4 KB) and the full per-query
+    # line above is ~7 KB, so PERF.per_query has been empty since ~r10.
+    # Emit each query additionally as its own SHORT parseable record
+    # (~55 B), in ASCENDING cost order so the tail window — which keeps
+    # the LAST lines — retains the most expensive queries, the ones
+    # round-over-round adjudication needs. Timing methodology unchanged;
+    # these lines only re-serialize the map printed above.
+    for name in sorted(timings, key=lambda n: (timings[n], n)):
+        print(
+            json.dumps(
+                {"metric": "query_wall", "q": name, "sec": timings[name]},
+                separators=(",", ":"),
+            )
+        )
+    # the SHORT totals-only line goes LAST so any tail window still
+    # contains one complete, parseable JSON record with the total.
     print(
         json.dumps(
             {

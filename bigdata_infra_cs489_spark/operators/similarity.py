@@ -97,8 +97,20 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _dlit(x: float) -> str:
-    """SQL DOUBLE literal that parses to exactly this IEEE double."""
-    return repr(float(x)) + "D"
+    """SQL DOUBLE literal that parses to exactly this IEEE double.
+
+    Non-finite guard (round-15 advisory): repr() yields 'nan'/'inf',
+    which the SQL parser rejects as literals — emit the CAST spelling
+    instead so a NaN/Inf in a model vector builds the same column
+    F.lit() used to produce rather than a ParseException."""
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(x) + "D"
 
 
 def _arr_dlit(vec) -> str:
@@ -1120,10 +1132,14 @@ PQ_K = 16  # sub-centroids per subspace
 
 def _subc_from_rows(rows: list[tuple[int, list[float]]], m: int, k: int):
     """(m, k, dim/m) sub-centroid tensor from already-collected model
-    rows (the first k vectors, id-ascending)."""
+    rows (the first k vectors, id-ascending).
+
+    Filter by id, not position (round-15 advisory): the old DataFrame
+    path selected ``vec_id < k``, so a gap in the id sequence must not
+    let id >= k slip into the tensor via positional truncation."""
     import numpy as np
 
-    mat = np.array([v for _, v in rows[:k]], dtype=np.float64)
+    mat = np.array([v for i, v in rows if i < k], dtype=np.float64)
     return np.stack(np.split(mat, m, axis=1))  # (m, k, dsub)
 
 
@@ -1527,7 +1543,15 @@ def rp_project_cols(vec_sql: str = "embedding") -> list[Column]:
     columns — each one codegen'd zip_with/aggregate against a literal
     sign row (no shuffle, no Python). Assembled as SQL text, one parse
     per coordinate (see the _dlit block); ``vec_sql`` is the column
-    name/expression in SQL form."""
+    name/expression in SQL form — a Column from the pre-r15 calling
+    convention would interpolate its repr into the SQL and misparse, so
+    fail loudly on anything but a string (round-15 advisory)."""
+    if not isinstance(vec_sql, str):
+        raise TypeError(
+            f"rp_project_cols takes the column as SQL text since r15; got "
+            f"{type(vec_sql).__name__} — pass the column name/expression "
+            "as a string"
+        )
     signs = rp_sign_matrix()
     return [
         F.expr(

@@ -474,3 +474,58 @@ def test_trained_ivf_rides_standing_model(spark, sf_smoke):
     assert any("kmeansmodel_v" in f for f in files), (
         f"ivf_centroid_norms does not probe the model table: {files}"
     )
+
+
+def test_dlit_nonfinite_parses_to_the_ieee_value(spark):
+    """Round-15 advisory: repr() of non-finite doubles ('nan'/'inf') is
+    not a SQL literal — _dlit must emit the CAST spelling so a NaN/Inf
+    model value still builds the column F.lit() used to produce."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bigdata_infra_cs489_spark.operators.similarity import _dlit
+
+    row = spark.range(1).select(
+        F.expr(_dlit(float("nan"))).alias("n"),
+        F.expr(_dlit(float("inf"))).alias("p"),
+        F.expr(_dlit(float("-inf"))).alias("m"),
+        F.expr(_dlit(0.30000000000000004)).alias("f"),
+    ).collect()[0]
+    assert math.isnan(row.n)
+    assert row.p == float("inf")
+    assert row.m == float("-inf")
+    assert row.f == 0.30000000000000004
+
+
+def test_subc_from_rows_filters_by_id_not_position(spark):
+    """Round-15 advisory: the tensor must take vec_id < k (the old
+    DataFrame filter), so an id gap may not let id >= k slip in."""
+    import numpy as np
+
+    from bigdata_infra_cs489_spark.operators.similarity import _subc_from_rows
+
+    k, m, dim = 4, 2, 4
+    # ids 0,1,3 < k plus a gap; id 7 >= k must be excluded even though
+    # positionally rows[:4] would include it
+    rows = [
+        (0, [0.0] * dim),
+        (1, [1.0] * dim),
+        (3, [3.0] * dim),
+        (7, [7.0] * dim),
+    ]
+    t = _subc_from_rows(rows, m, k)
+    assert t.shape == (m, 3, dim // m)
+    assert 7.0 not in np.asarray(t)
+
+
+def test_rp_project_cols_rejects_column_objects(spark):
+    """Round-15 advisory: the pre-r15 Column calling convention must
+    fail loudly, not interpolate a repr into SQL."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdata_infra_cs489_spark.operators.similarity import rp_project_cols
+
+    with pytest.raises(TypeError, match="SQL text"):
+        rp_project_cols(F.col("embedding"))
