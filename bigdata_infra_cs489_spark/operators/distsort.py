@@ -13,18 +13,24 @@ equivalent, the classic distributed prefix-sum:
    contiguous slice of the total order (ranges ascend with partition id).
 2. An ordinary PARTITIONED window per range slice computes local running
    totals / row numbers — every task sorts only its own slice.
-3. Per-partition totals (one row per partition) are collected to the
-   driver — an O(#partitions) scalar collect, the same driver-side
-   pattern the PageRank loop uses for missing mass — turned into
-   exclusive prefix offsets, and broadcast-joined back.
+3. Per-partition totals (one row per partition) become exclusive prefix
+   offsets IN-PLAN: a single-partition window over the
+   partition-count-sized aggregate (#partitions rows — bounded by config,
+   never by data), broadcast-joined back. Until round 16 this step was a
+   driver collect + createDataFrame (the PageRank missing-mass pattern);
+   folding it into the consumer's own plan drops one job per call and
+   takes the driver out of the data path entirely (guide §5), while the
+   pid-ascending running sum reproduces the old driver fold order
+   bit-for-bit.
 
-Net cost at any scale: one range shuffle, one tiny offsets job, and one
-narrow re-exchange on the partition id (the checkpoint boundary hides the
-range partitioning from Catalyst, so the window re-clusters by pid — same
-rows, same slices, narrow columns); no task ever materializes more than
-its slice. The intermediate is pinned with an eager ``localCheckpoint``
-so the offsets job and the main job see the same (sampled, hence
-job-dependent) range partitioning.
+Net cost at any scale: one range shuffle, one broadcast-side pass over
+the pinned slices, and one narrow re-exchange on the partition id (the
+checkpoint boundary hides the range partitioning from Catalyst, so the
+window re-clusters by pid — same rows, same slices, narrow columns); no
+task ever materializes more than its slice. The intermediate is pinned
+with an eager ``localCheckpoint`` so the offsets leg and the main leg see
+the same (sampled, hence job-dependent) range partitioning and the same
+``spark_partition_id`` values.
 """
 
 from __future__ import annotations
@@ -38,13 +44,17 @@ _PID = "__ds_pid"
 
 def _range_prefix(
     df: DataFrame, order: list[Column], sum_cols: list[str]
-) -> tuple[DataFrame, DataFrame, int]:
+) -> tuple[DataFrame, DataFrame]:
     """Range-partition ``df`` by ``order`` and derive per-partition
     exclusive prefix offsets for row count and each of ``sum_cols``.
 
     Returns (pinned partitioned frame with a ``__ds_pid`` column, the
-    broadcastable offsets frame ``(__ds_pid, __ds_row_off, __ds_off_<c>)``,
-    total row count).
+    broadcastable offsets frame ``(__ds_pid, __ds_row_off,
+    __ds_off_<c>..., __ds_total)``). The offsets frame is a PLAN over the
+    pinned frame, not collected rows: its running sum folds partition
+    totals in ascending-pid order — the exact fold the former driver
+    loop performed — and ``__ds_total`` carries the global row count for
+    ntile arithmetic.
     """
     spark = df.sparkSession
     try:
@@ -53,42 +63,54 @@ def _range_prefix(
         # some managed runtimes set the conf to a non-numeric value
         # (e.g. "auto"); fall back to the input's own parallelism
         npart = max(df.rdd.getNumPartitions(), 1)
-    # eager stays: a lazy checkpoint pinned by the totals collect was
-    # A/B-measured in r15 (interleaved min-of-2 triples) as a wash —
-    # one fewer job but identical wall — so the long-standing eager
-    # materialization keeps its simpler invariant
+    # the pin is LAZY since r16: localCheckpoint(eager=False) converts
+    # the plan to one shared RDD immediately, so the offsets leg and the
+    # main leg reference the SAME materialization (spark_partition_id
+    # stays consistent — the RDD computes once, on first use, and is
+    # persisted), while the separate up-front materialization job the
+    # eager form paid folds into the consumer's own action. (r15 measured
+    # lazy-vs-eager as a wash when a driver collect still forced
+    # materialization; with the offsets in-plan the collect is gone and
+    # the saved job is real.)
     part = (
         df.repartitionByRange(npart, *order)
         .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    totals = (
-        part.groupBy(_PID)
-        .agg(
-            F.count(F.lit(1)).alias("__cnt"),
-            *[F.sum(c).alias(f"__s_{c}") for c in sum_cols],
-        )
-        .collect()
-    )
-    totals.sort(key=lambda r: r[_PID])
     dtypes = dict(part.dtypes)
     is_float = {c: dtypes[c] in ("double", "float") for c in sum_cols}
-    off_rows: list[tuple] = []
-    row_off = 0
-    val_off = {c: 0.0 if is_float[c] else 0 for c in sum_cols}
-    for r in totals:
-        off_rows.append(
-            (int(r[_PID]), row_off, *[val_off[c] for c in sum_cols])
-        )
-        row_off += r["__cnt"]
-        for c in sum_cols:
-            val_off[c] += r[f"__s_{c}"] or 0
-    schema = f"{_PID} int, __ds_row_off bigint" + "".join(
-        f", __ds_off_{c} {'double' if is_float[c] else 'bigint'}"
-        for c in sum_cols
+    totals = part.groupBy(_PID).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        *[F.sum(c).alias(f"__s_{c}") for c in sum_cols],
     )
-    offsets = spark.createDataFrame(off_rows, schema)
-    return part, offsets, row_off
+    # exclusive prefix per pid: running sum over the preceding partition
+    # totals, ascending pid — #partitions rows, so the single-partition
+    # window is bounded by config, not data
+    w_ex = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy(_PID).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+
+    def _zero(c: str) -> Column:
+        return F.lit(0.0) if is_float[c] else F.lit(0).cast("bigint")
+
+    offsets = totals.select(
+        _PID,
+        F.coalesce(F.sum("__cnt").over(w_ex), F.lit(0))
+        .cast("bigint")
+        .alias("__ds_row_off"),
+        *[
+            F.coalesce(
+                F.sum(F.coalesce(F.col(f"__s_{c}"), _zero(c))).over(w_ex),
+                _zero(c),
+            )
+            .cast("double" if is_float[c] else "bigint")
+            .alias(f"__ds_off_{c}")
+            for c in sum_cols
+        ],
+        F.sum("__cnt").over(w_all).cast("bigint").alias("__ds_total"),
+    )
+    return part, offsets
 
 
 def with_running_totals(
@@ -104,7 +126,7 @@ def with_running_totals(
     ``order`` must be a total order (callers tie-break on a unique key) or
     running values within a tie group are frame-order-dependent.
     """
-    part, offsets, _ = _range_prefix(df, order, sorted(set(sums.values())))
+    part, offsets = _range_prefix(df, order, sorted(set(sums.values())))
     w = Window.partitionBy(_PID).orderBy(*order)
     wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     proj: list[Column] = [F.col(c) for c in df.columns]
@@ -123,15 +145,20 @@ def with_ntile(
     """Append SQL ``NTILE(n) OVER (ORDER BY order)`` — equal-height
     buckets, the first ``N % n`` buckets one row larger — computed from
     the distributed global row number instead of a single-partition
-    window. Matches Spark's and DuckDB's NTILE bit-for-bit.
+    window. Matches Spark's and DuckDB's NTILE bit-for-bit. The bucket
+    arithmetic reads the global total from the broadcast offsets row
+    (``__ds_total``), so no driver-side count is needed.
     """
-    part, offsets, total = _range_prefix(df, order, [])
+    part, offsets = _range_prefix(df, order, [])
     w = Window.partitionBy(_PID).orderBy(*order)
     rn = F.col("__ds_row_off") + F.row_number().over(w)
-    size, rem = divmod(total, n)
+    # integer DIV/% — the former driver-side divmod(total, n), exact at
+    # any magnitude (no fp division)
+    size = F.expr(f"__ds_total DIV {int(n)}")
+    rem = F.col("__ds_total") % F.lit(n)
     boundary = rem * (size + 1)
     tile = F.when(rn <= boundary, F.ceil(rn / (size + 1))).otherwise(
-        rem + F.ceil((rn - boundary) / max(size, 1))
+        rem + F.ceil((rn - boundary) / F.greatest(size, F.lit(1)))
     )
     return part.join(F.broadcast(offsets), _PID).select(
         *[F.col(c) for c in df.columns], tile.cast("int").alias(out_col)

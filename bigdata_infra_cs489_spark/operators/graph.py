@@ -85,6 +85,37 @@ def _release_cached(key) -> None:
             ent[0].unpersist()
 
 
+def _shuffle_partitions(spark: SparkSession) -> int:
+    """The session's shuffle-partition ceiling (scale-adaptive: conf/env
+    driven, AQE coalesces below it) — the partition count the iterative
+    loops pre-partition their cached graph to."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except ValueError:
+        return max(spark.sparkContext.defaultParallelism, 1)
+
+
+def _acquire_loop_graph(spark: SparkSession, graph: DataFrame):
+    """Cache ``graph`` hash-partitioned on id for an iterative loop.
+
+    MEASURED REJECTION (r16, kept for the record): build_graph ends in a
+    BROADCAST left join, so the cached InMemoryRelation carries no
+    useful output partitioning and every iteration's ranks⋈graph join +
+    received spine join re-exchange the cached graph. Pre-partitioning
+    on id (this helper) removes those graph-side exchanges — ppr_topk
+    dropped 72 -> 63 jobs — but WALL went 4.5 -> 6.9 s at sf0.1: the
+    fixed hash(id, shuffle.partitions) layout forbids AQE from
+    coalescing the iteration-sized frames, so every stage runs
+    shuffle.partitions tiny tasks and task overhead swamps the saved
+    exchange. The AQE-right-sized per-iteration exchange is the better
+    local shape; on a cluster the equivalent win comes from storing the
+    graph bucketed by id (sources/bucketing.py), not from a runtime
+    repartition. Unused by the loops; kept for layout-control callers."""
+    return _acquire_cached(
+        spark, partition_graph(graph, _shuffle_partitions(spark))
+    )
+
+
 def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fixture edge list (src, dst), distinct.
 
@@ -246,9 +277,18 @@ def _personalized_pagerank_linear(
         # SequenceFile, RunPersonalizedPageRankBasic.java:513-514): the
         # missing-mass aggregate below is then the ONE action per iteration
         # that both computes the shuffle and pins its result, truncating
-        # lineage without a second materialization pass.
+        # lineage without a second materialization pass. The spine is the
+        # CACHED graph's id column, not ranks: ranks sits behind the
+        # previous checkpoint whose RDD scan hides its partitioning, so a
+        # ranks spine re-shuffles every round, while the cached graph
+        # keeps hash(id) and joins the hash(id)-aggregated msgs
+        # exchange-free (same id set by construction — ranks is always a
+        # narrow map over this spine; guide §2.4). (A persist()-based pin
+        # that would keep ranks' partitioning metadata was tried r16 and
+        # hangs: without plan truncation each iteration embeds the
+        # previous one twice and analysis grows 2^iterations.)
         received = (
-            ranks.select("id")
+            graph.select("id")
             .join(msgs, "id", "left")
             .select(
                 "id",

@@ -146,3 +146,46 @@ def test_salted_join_rejects_right_and_full(spark):
     for how in ("right", "full", "outer", "right_outer"):
         with pytest.raises(ValueError):
             salted_join(large, small, "k", how=how)
+
+
+def test_shuffled_hash_join_skewed_build_is_exact(spark):
+    """Blast-radius pin for session.py's preferSortMergeJoin=false
+    (round-15 optimization): a shuffle join whose build side carries a
+    hot key (90% of rows on one value) must (a) actually plan as
+    ShuffledHashJoin under the engine session, and (b) produce exactly
+    the rows of the forced sort-merge plan — SHJ's build side does not
+    spill, so this pins that the planner's size bound keeps flipped
+    joins correct under skew rather than trusting the conf blindly."""
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # suppress broadcast (build estimates ~hundreds of KB) while keeping
+    # the SHJ local-map bound (partitions x threshold) well above it
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024))
+    try:
+        stream = spark.range(0, 500_000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("rid")
+        )
+        build = spark.range(0, 20_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            (F.col("id") * 3).alias("v"),
+        )
+        flipped = stream.join(build, "k")
+        plan = flipped._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan, plan
+        merged = stream.join(build.hint("merge"), "k")
+        mplan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in mplan, mplan
+        agg = lambda df: sorted(
+            map(
+                tuple,
+                df.groupBy("k")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+                .collect(),
+            )
+        )
+        assert agg(flipped) == agg(merged)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

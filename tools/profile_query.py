@@ -74,10 +74,18 @@ def main() -> None:
         fn = qs[name]
         spark.sparkContext.setJobDescription(f"profile: {name}")
         best = float("inf")
-        for _ in range(args.samples):
+        n_jobs = None
+        for i in range(args.samples):
+            group = f"profile:{name}:{i}"
+            spark.sparkContext.setJobGroup(group, name)
             t0 = time.time()
             fn(spark, args.sf_dir).collect()
-            best = min(best, time.time() - t0)
+            sec = time.time() - t0
+            if sec < best:
+                best = sec
+                n_jobs = len(
+                    spark.sparkContext.statusTracker().getJobIdsForGroup(group)
+                )
             spark.catalog.clearCache()
         # split DataFrame-construction + planning time from execution:
         # construction may itself run jobs (asset probes, model collects)
@@ -92,6 +100,7 @@ def main() -> None:
         )
         shape = plan_shape(simple)
         shape["sec"] = round(best, 3)
+        shape["jobs"] = n_jobs
         shape["build_s"] = round(t_build, 3)
         shape["plan_s"] = round(t_plan, 3)
         out[name] = shape
