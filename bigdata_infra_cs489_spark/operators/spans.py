@@ -814,31 +814,51 @@ def repeat_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", parallelize=True).select(
         "doc_id", tokenize("text").alias("toks")
     )
-    levels = []
-    for width, cur in _doubling_levels(_token_contexts(docs)):
-        grp = cur.groupBy("id").agg(F.count(F.lit(1)).alias("c"))
-        levels.append(
-            grp.agg(
-                F.lit(width).cast("bigint").alias("width"),
-                F.coalesce(F.sum("c"), F.lit(0))
-                .cast("bigint")
-                .alias("total_positions"),
-                F.count(F.lit(1)).cast("bigint").alias("distinct_contexts"),
-                F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0))
-                .cast("bigint")
-                .alias("repeated_positions"),
-            )
-        )
-    out = levels[0]
+    # ONE width-tagged union + ONE groupBy instead of a per-level
+    # groupBy + global agg pair (r16): the nine levels' stats shuffled
+    # the same bytes through nine hash exchanges and nine
+    # single-partition aggs (≈18 AQE stages of fixed overhead); tagging
+    # each level's (id) rows with their width and aggregating
+    # (width, id) once computes identical exact-integer counts through
+    # two exchanges. The width spine (2^0..2^(L-1), in-plan) restores
+    # the all-zero rows empty levels used to emit from their per-level
+    # global aggs.
+    levels = [
+        cur.select(F.lit(width).cast("bigint").alias("width"), "id")
+        for width, cur in _doubling_levels(_token_contexts(docs))
+    ]
+    u = levels[0]
     for fr in levels[1:]:
-        out = out.unionByName(fr)
-    return out.select(
-        "*",
-        F.expr(
-            "CAST((repeated_positions * 1000000L + total_positions div 2)"
-            " div greatest(total_positions, 1L) AS BIGINT)"
-        ).alias("repeated_ppm"),
-    ).orderBy("width")
+        u = u.unionByName(fr)
+    per = u.groupBy("width", "id").agg(F.count(F.lit(1)).alias("c"))
+    stats = per.groupBy("width").agg(
+        F.sum("c").cast("bigint").alias("total_positions"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_contexts"),
+        F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("repeated_positions"),
+    )
+    spine = spark.range(REPEAT_LEVELS).selectExpr(
+        "CAST(shiftleft(1, CAST(id AS INT)) AS BIGINT) AS width"
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        spine.join(stats, "width", "left")
+        .select(
+            "width",
+            F.coalesce("total_positions", zero).alias("total_positions"),
+            F.coalesce("distinct_contexts", zero).alias("distinct_contexts"),
+            F.coalesce("repeated_positions", zero).alias("repeated_positions"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "CAST((repeated_positions * 1000000L + total_positions div 2)"
+                " div greatest(total_positions, 1L) AS BIGINT)"
+            ).alias("repeated_ppm"),
+        )
+        .orderBy("width")
+    )
 
 
 # Bump on ANY change that alters the standing per-width context-id sets
@@ -954,27 +974,51 @@ def incremental_repeat_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", tokenize("text").alias("toks"))
     )
     old = standing_old_contexts(spark, sf_dir)
+    # Per-level PRUNED probes + ONE width-tagged union + ONE groupBy
+    # (r16): each level keeps its directory-pruned, broadcast-friendly
+    # join against exactly its width partition of the asset (a single
+    # (width, id) mega-join was A/B-measured ~5% slower — it trades the
+    # pruned broadcast probes for one shuffled join), but the nine
+    # per-level single-partition aggs collapse into one groupBy(width)
+    # over the unioned (width, hit) rows — identical exact-integer
+    # counts, ~9 fewer stage barriers. The width spine restores empty
+    # levels' zero rows the per-level global aggs used to emit.
     levels = []
     for width, cur in _doubling_levels(_token_contexts(docs)):
         old_w = old.where(F.col("width") == width).select(
             "id", F.lit(1).alias("hit")
         )
         levels.append(
-            cur.join(old_w, "id", "left").agg(
-                F.lit(width).cast("bigint").alias("width"),
-                F.count(F.lit(1)).cast("bigint").alias("new_positions"),
-                F.coalesce(F.sum("hit"), F.lit(0))
-                .cast("bigint")
-                .alias("dup_old_positions"),
+            cur.join(old_w, "id", "left").select(
+                F.lit(width).cast("bigint").alias("width"), "hit"
             )
         )
-    out = levels[0]
+    u = levels[0]
     for fr in levels[1:]:
-        out = out.unionByName(fr)
-    return out.select(
-        "*",
-        F.expr(
-            "CAST((dup_old_positions * 1000000L + new_positions div 2)"
-            " div greatest(new_positions, 1L) AS BIGINT)"
-        ).alias("dup_old_ppm"),
-    ).orderBy("width")
+        u = u.unionByName(fr)
+    stats = u.groupBy("width").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_positions"),
+        F.coalesce(F.sum("hit"), F.lit(0))
+        .cast("bigint")
+        .alias("dup_old_positions"),
+    )
+    spine = spark.range(REPEAT_LEVELS).selectExpr(
+        "CAST(shiftleft(1, CAST(id AS INT)) AS BIGINT) AS width"
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        spine.join(stats, "width", "left")
+        .select(
+            "width",
+            F.coalesce("new_positions", zero).alias("new_positions"),
+            F.coalesce("dup_old_positions", zero).alias("dup_old_positions"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "CAST((dup_old_positions * 1000000L + new_positions div 2)"
+                " div greatest(new_positions, 1L) AS BIGINT)"
+            ).alias("dup_old_ppm"),
+        )
+        .orderBy("width")
+    )
