@@ -122,6 +122,67 @@ def shingle_index(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     return toks.select("doc_id", F.explode(_shingle_expr(n)).alias("s"))
 
 
+def shingle_index_from_shingles(sh: DataFrame) -> DataFrame:
+    """shingle_index() over an already-built (doc_id, shingles) frame —
+    the seam multi-leg consumers (contamination_scorecard) use to derive
+    every shingle view from ONE pinned shingle relation instead of
+    re-tokenizing the corpus per leg.
+
+    ONLY pass a PINNED frame (localCheckpoint/persist): exploding a
+    named array column from a live plan re-triggers the
+    InferFiltersFromGenerate substitution shingle_index()'s fused form
+    exists to avoid (~14x, see its docstring); a checkpoint boundary
+    makes the array data, not expression, so the trap can't fire."""
+    return sh.select("doc_id", F.explode("shingles").alias("s"))
+
+
+def minhash_signatures_from_shingles(
+    sh: DataFrame, num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """minhash_signatures() over an already-built (doc_id, shingles)
+    frame — identical expression tree from the explode down."""
+    idx = shingle_index_from_shingles(sh)
+    based = idx.select("doc_id", _h8(F.col("s")).alias("x"))
+    hashed = based.select(
+        "doc_id",
+        *[
+            ((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+            for i, (a, b) in enumerate(minhash_params(num_hashes))
+        ],
+    )
+    mins = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def signature_bands_from_shingles(
+    sh: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """signature_bands() over an already-built (doc_id, shingles) frame."""
+    rows = num_hashes // num_bands
+    sigs = minhash_signatures_from_shingles(sh, num_hashes)
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.concat_ws(
+                    ":",
+                    F.transform(
+                        F.slice("sig", b * rows + 1, rows),
+                        lambda v: v.cast("string"),
+                    ),
+                ),
+            )
+        ).alias("band", "band_key"),
+    )
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     """(doc_id, sig array<bigint>): sig[i] = min over shingles of
     (a_i * h8(shingle) + b_i) mod P — K universal-hash draws over ONE md5
