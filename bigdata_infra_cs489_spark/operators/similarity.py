@@ -870,6 +870,27 @@ RAG_QUERY = "fast data table"  # the retrieval query string
 RAG_TOP_K = 10
 
 
+def _h8_sql(x_sql: str) -> str:
+    """SQL-text twin of functions/hashing.h8 — parses to the identical
+    Conv(Substring(Md5(...)))·cast tree."""
+    return f"CAST(conv(substring(md5({x_sql}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def _hash_embed_expr(text_sql: str) -> Column:
+    """_hash_embed as ONE parsed SQL expression (the _dlit discipline,
+    r16): the Column form costs ~0.25 s of py4j round-trips per build
+    (16 components × ~8 calls each); the SQL text parses to the
+    identical tree in one call. ``text_sql`` is the column
+    name/expression in SQL form."""
+    if not isinstance(text_sql, str):
+        raise TypeError("_hash_embed_expr takes the column as SQL text")
+    comps = []
+    for j in range(RAG_EMBED_DIM):
+        h = _h8_sql(f"concat({text_sql}, '{RAG_EMBED_SALT}{j}')")
+        comps.append(f"CAST({h} % 1000 AS DOUBLE) / 1000.0D - 0.5D")
+    return F.expr("array(" + ", ".join(comps) + ")")
+
+
 def _hash_embed(text_col) -> Column:
     """Deterministic text -> R^DIM embedding: component j derives from
     h8(text || salt || j), scaled to [-0.5, 0.5). A stand-in for a real
@@ -914,7 +935,7 @@ def chunk_embed_topk(
     from .textstats import doc_chunks
 
     chunks = doc_chunks(spark, sf_dir)
-    emb = _hash_embed(F.col("chunk_text"))
+    emb = _hash_embed_expr("chunk_text")
 
     def py_h8(s: str) -> int:
         return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
@@ -990,8 +1011,19 @@ def embedding_dedup_recall(
     Scale shape: both pair stages are block-grid applyInPandas; the
     anti-join + global agg is one exchange on (vec_a, vec_b). At 100 TB
     this card runs on a sampled slice — the exact leg prices it."""
-    exact = cosine_near_duplicate_pairs(spark, sf_dir, threshold)
-    scoped = embedding_near_duplicates_scoped(spark, sf_dir, threshold)
+    # pin both pair sets (r16): exact feeds the anti-join AND the counts
+    # agg, scoped feeds the anti-join AND its own count — unpinned, each
+    # reference re-ran its block-grid applyInPandas (4
+    # FlatMapGroupsInPandas nodes in the executed plan for 2 logical
+    # grids; guide §4: the Python boundary is the one cost you never pay
+    # twice). The pair sets are deterministic, so the pin changes
+    # nothing but the execution count.
+    exact = cosine_near_duplicate_pairs(spark, sf_dir, threshold).localCheckpoint(
+        eager=False
+    )
+    scoped = embedding_near_duplicates_scoped(
+        spark, sf_dir, threshold
+    ).localCheckpoint(eager=False)
     missed = exact.join(scoped, ["vec_a", "vec_b"], "left_anti")
     counts = exact.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_exact_pairs")
@@ -1693,6 +1725,19 @@ BITEXT_ANCHOR_SALT = "bitext-anchor-v1"
 BITEXT_SRC_LANG = "en"
 
 
+def _int_embed_expr(text_sql: str) -> Column:
+    """_int_embed as ONE parsed SQL expression (the _dlit discipline,
+    r16 — see _hash_embed_expr); identical tree, ~0.25 s less driver
+    time per build."""
+    if not isinstance(text_sql, str):
+        raise TypeError("_int_embed_expr takes the column as SQL text")
+    comps = []
+    for j in range(RAG_EMBED_DIM):
+        h = _h8_sql(f"concat({text_sql}, '{RAG_EMBED_SALT}{j}')")
+        comps.append(f"CAST({h} % 1000 - 500 AS BIGINT)")
+    return F.expr("array(" + ", ".join(comps) + ")")
+
+
 def _int_embed(text_col: Column) -> Column:
     """_hash_embed's components in exact INTEGER micro-space:
     iv[j] = h8(text || salt || j) % 1000 - 500 (bigint in [-500, 499]).
@@ -1747,7 +1792,7 @@ def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists). Full-corpus-anchor mining routes through the IVF/LSH
     candidate paths above, exactly like the kNN family."""
     docs = load(spark, sf_dir, "documents", parallelize=True).select(
-        "doc_id", "lang", _int_embed(F.col("text")).alias("iv")
+        "doc_id", "lang", _int_embed_expr("text").alias("iv")
     )
     return bitext_margin_pairs_core(docs)
 

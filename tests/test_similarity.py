@@ -529,3 +529,31 @@ def test_rp_project_cols_rejects_column_objects(spark):
 
     with pytest.raises(TypeError, match="SQL text"):
         rp_project_cols(F.col("embedding"))
+
+
+def test_embed_expr_forms_match_column_forms(spark):
+    """The r16 SQL-text embed builders must produce bit-identical
+    vectors to the original Column builders (the _dlit parity
+    discipline applied to _hash_embed/_int_embed)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_infra_cs489_spark.operators.similarity import (
+        _hash_embed,
+        _hash_embed_expr,
+        _int_embed,
+        _int_embed_expr,
+    )
+
+    df = spark.createDataFrame(
+        [("fast data table",), ("",), ("ünïcode tøkens",), ("a b c d e",)],
+        "text string",
+    )
+    rows = df.select(
+        _hash_embed(F.col("text")).alias("hc"),
+        _hash_embed_expr("text").alias("hs"),
+        _int_embed(F.col("text")).alias("ic"),
+        _int_embed_expr("text").alias("is"),
+    ).collect()
+    for r in rows:
+        assert r.hc == r.hs
+        assert r.ic == r["is"]
