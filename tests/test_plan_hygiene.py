@@ -70,9 +70,18 @@ def _global_window_lines(plan: str) -> list[str]:
     # omitting whichever trailing spec is empty. Partition-less = fewer than
     # two trailing groups AND the sole group (if any) is an ORDER spec
     # (contains a sort direction) rather than a partition spec.
+    #
+    # SCOPED EXEMPTION (r16): the distsort offsets fold — a running sum
+    # ordered by `__ds_pid` — is a partition-less window BY DESIGN over
+    # the per-partition totals frame, whose row count equals the shuffle
+    # partition COUNT (bounded by config, never by data; it replaced the
+    # r15 driver collect of the same rows). Recognized by its private
+    # order key so every other partition-less window still fails here.
     bad = []
     for ln in plan.splitlines():
         if not re.search(r"(?:^|[- ])Window \[", ln):
+            continue
+        if "__ds_pid" in ln:
             continue
         groups = ln.count("], [")
         if groups >= 2:
